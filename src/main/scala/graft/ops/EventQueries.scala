@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table — the batch twins of the
+  * Structured Streaming surface (graft.streaming). The reference is pure
+  * batch (SURVEY §2.11: `GameTime` exists but is never read); these extend
+  * the engine to the event-time operations a log/stream workload needs,
+  * expressed so the identical plan runs under `readStream`.
+  *
+  * Timestamps are compared in integer microseconds (`unix_micros` /
+  * `epoch_us`) on both engines — no float truncation drift.
+  */
+object EventQueries {
+
+  /** Sessionization: split each user's event stream into sessions separated
+    * by >30 min of inactivity, then aggregate per session. The gap-flag +
+    * running-sum pattern is the batch equivalent of
+    * `flatMapGroupsWithState` session state. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(byUser)
+    val isNew = when(gapUs.isNull || gapUs > lit(1800000000L), 1L).otherwise(0L)
+    Tables.events(spark, dir)
+      .withColumn("is_new", isNew)
+      .withColumn("session_id",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        // exact decimal sum → double: bit-identical across engines (value has
+        // 2 decimals; double sums are association-order-dependent)
+        sum($"value".cast("decimal(14,2)")).cast("double").as("total_value"))
+  }
+
+  /** Tumbling event-time window aggregation (`window(ts, "1 hour")`) — the
+    * batch form of the streaming windowed agg (graft.streaming uses the same
+    * expression under readStream + watermark). Spark's 1h windows align to
+    * epoch ⇒ equal to date_trunc('hour'). */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n_events", $"total_value")
+  }
+
+  /** Semi-structured extraction: pull a typed field out of a JSON string
+    * column and aggregate it (props payload mining). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg($"k"), 4).as("avg_k"),
+        max($"k").as("max_k"))
+  }
+
+  /** Lag/lead + event-time delta: time since user's previous event of any
+    * type, and whether the event type changed (churn-style feature). */
+  def interEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir).select(
+      $"event_id", $"user_id",
+      (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(byUser)).as("gap_us"),
+      (lag($"event_type", 1).over(byUser) === $"event_type").as("same_as_prev"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_sessionize" -> (sessionize _),
+    "q19_tumbling_hourly" -> (tumblingHourly _),
+    "q20_json_extract" -> (jsonExtract _),
+    "q21_inter_event_gaps" -> (interEventGaps _))
+
+  val oracle: Map[String, String] = Map(
+    "q18_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q19_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q20_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q21_inter_event_gaps" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |  lag(event_type) OVER w = event_type AS same_as_prev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
+}

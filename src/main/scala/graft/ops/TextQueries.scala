@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis + exact-dedup operators over the `documents` table — the
+  * training-data-pipeline surface (token counting, quality scoring, language
+  * ID, fingerprinting, exact dedup). All pure Column expressions (builtins +
+  * array higher-order functions): codegen-friendly, no UDFs, fully
+  * distributed — at 100 TB these are embarrassingly-parallel scans.
+  */
+object TextQueries {
+
+  /** Token statistics: counts, distinct counts, mean token length,
+    * type-token ratio. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, dir)
+      .withColumn("token_count", size(toks))
+      .withColumn("uniq_tokens", size(array_distinct(toks)))
+      .withColumn("sum_len", sumTokenLen(toks))
+      .select(
+        $"doc_id", $"token_count", $"uniq_tokens",
+        when($"token_count" === 0, lit(0.0))
+          .otherwise(round($"sum_len".cast("double") / $"token_count".cast("double"), 4))
+          .as("avg_token_len"),
+        when($"token_count" === 0, lit(0.0))
+          .otherwise(round($"uniq_tokens".cast("double") / $"token_count".cast("double"), 4))
+          .as("type_token_ratio"))
+  }
+
+  /** Quality scoring: length, punctuation density, stopword ratio, composite
+    * score — the junk-document filter of a pretraining pipeline. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, dir)
+      .withColumn("char_len", length($"text"))
+      .withColumn("token_count", size(toks))
+      .withColumn("punct_count", charClassCount($"text", "[.,!?;:]"))
+      .withColumn("stop_hits", wordHits(toks, EnMarkers))
+      .select(
+        $"doc_id", $"char_len", $"token_count", $"punct_count",
+        when($"token_count" === 0, lit(0.0))
+          .otherwise(round($"stop_hits".cast("double") / $"token_count".cast("double"), 4))
+          .as("stopword_ratio"),
+        round(
+          least(lit(1.0), $"token_count".cast("double") / lit(100.0)) *
+            (lit(1.0) - when($"char_len" === 0, lit(0.0))
+              .otherwise($"punct_count".cast("double") / $"char_len".cast("double"))),
+          4).as("quality_score"))
+  }
+
+  /** Heuristic language ID vs the labeled `lang` column (accuracy is not the
+    * point on synthetic text — determinism and distribution are). */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang".as("labeled_lang"), langId(tokens($"text")).as("predicted_lang"))
+  }
+
+  /** Exact dedup: content fingerprint (md5) → keep lowest doc_id per
+    * fingerprint + copy count. Hash-groupBy distributes: the shuffle key is
+    * the 128-bit digest, so skew is impossible regardless of input skew. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("fingerprint"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Per-source corpus stats: rollup of doc counts / char volume / mean
+    * tokens by source — the "what's in my crawl" report. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("token_count", size(tokens($"text")))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        round(avg($"token_count".cast("double")), 4).as("avg_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_token_stats" -> (tokenStats _),
+    "q23_quality_score" -> (qualityScore _),
+    "q24_language_id" -> (languageId _),
+    "q25_dedup_exact" -> (dedupExact _),
+    "q26_corpus_stats" -> (corpusStats _))
+
+  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+  private def hitsSql(words: Seq[String]): String =
+    s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
+
+  val oracle: Map[String, String] = Map(
+    "q22_token_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS INTEGER) AS token_count,
+         |    CAST(len(list_distinct($toksSql)) AS INTEGER) AS uniq_tokens,
+         |    CAST(list_sum(list_transform($toksSql, t -> length(t))) AS INTEGER) AS sum_len
+         |  FROM documents
+         |)
+         |SELECT doc_id, token_count, uniq_tokens,
+         |  CASE WHEN token_count = 0 THEN 0.0
+         |       ELSE round(CAST(sum_len AS DOUBLE) / CAST(token_count AS DOUBLE), 4) END AS avg_token_len,
+         |  CASE WHEN token_count = 0 THEN 0.0
+         |       ELSE round(CAST(uniq_tokens AS DOUBLE) / CAST(token_count AS DOUBLE), 4) END AS type_token_ratio
+         |FROM t""".stripMargin,
+    "q23_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS INTEGER) AS char_len,
+         |    CAST(len($toksSql) AS INTEGER) AS token_count,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS punct_count,
+         |    ${hitsSql(Seq("the", "a", "and", "of", "to", "is"))} AS stop_hits
+         |  FROM documents
+         |)
+         |SELECT doc_id, char_len, token_count, punct_count,
+         |  CASE WHEN token_count = 0 THEN 0.0
+         |       ELSE round(CAST(stop_hits AS DOUBLE) / CAST(token_count AS DOUBLE), 4) END AS stopword_ratio,
+         |  round(least(1.0, CAST(token_count AS DOUBLE) / 100.0) *
+         |        (1.0 - CASE WHEN char_len = 0 THEN 0.0
+         |                    ELSE CAST(punct_count AS DOUBLE) / CAST(char_len AS DOUBLE) END),
+         |        4) AS quality_score
+         |FROM t""".stripMargin,
+    "q24_language_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    ${hitsSql(Seq("the", "a", "and", "of", "to", "is"))} AS en,
+         |    ${hitsSql(Seq("el", "la", "los", "de", "que", "y"))} AS es,
+         |    ${hitsSql(Seq("der", "die", "das", "und", "ist"))} AS de,
+         |    ${hitsSql(Seq("le", "la", "les", "et", "est"))} AS fr
+         |  FROM documents
+         |)
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+         |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+         |       WHEN de >= fr AND de > 0 THEN 'de'
+         |       WHEN fr > 0 THEN 'fr'
+         |       ELSE 'unknown' END AS predicted_lang
+         |FROM t""".stripMargin,
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q26_corpus_stats" ->
+      s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  round(avg(CAST(len($toksSql) AS DOUBLE)), 4) AS avg_tokens
+         |FROM documents GROUP BY source""".stripMargin)
+}
