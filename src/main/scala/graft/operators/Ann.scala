@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Extension surface beyond the reference (SURVEY §7.3).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a (small, broadcast) query
+  *    set against the corpus — the correctness baseline. Scales linearly in
+  *    corpus size: queries broadcast, corpus never shuffles.
+  *  - [[ivfTopK]]: IVF-style — probe only the corpus cells whose centroid is
+  *    nearest the query. At 100 TB the cell assignment is the partition
+  *    prune: a `cell` equi-join replaces the cross product.
+  *
+  * All vector math is `aggregate`/`zip_with` higher-order functions on
+  * array<double> — codegen'd, no UDFs.
+  */
+object Ann {
+
+  /** Dot product of two array<double> columns (sequential left fold —
+    * deterministic association order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision (cast float embeddings first:
+    * float widening is exact, and double folds are engine-stable). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k by cosine for each query vector. `queries` must be small
+    * (it is broadcast); the corpus side streams — no shuffle of the corpus
+    * until the final per-query top-k (which is a rank over k·|queries|
+    * rows). Ranking uses the 6-decimal-rounded cosine with an id tie-break
+    * so results are deterministic across engines and runs. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: restrict each query to corpus rows in the same cell
+    * (inverted-file partition). `cellCol` is any coarse-quantizer output —
+    * here the corpus ships a label column; in a real index it is the
+    * nearest-centroid assignment. The equi-join on cell replaces the cross
+    * product: cost drops by the cell count, and the join shuffles on the
+    * cell key only. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cellCol: String, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"), col(cellCol).as("cell"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"), col(cellCol).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** K-means-free coarse centroids: mean vector per cell via per-dimension
+    * aggregation (posexplode → avg per (cell, dim) → re-assemble). Used to
+    * build a real IVF assignment when no label exists. */
+  def cellCentroids(corpus: DataFrame, cellCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    corpus.select(col(cellCol).as("cell"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Ann
+
+/** Gate queries for similarity search over the `embeddings` table:
+  * brute-force cosine top-k (exact baseline), IVF-style cell-restricted
+  * top-k (the scale path), and embedding-cosine near-dup pairs.
+  *
+  * Cosines are computed in double (float→double widening is exact) and
+  * rounded to 6 decimals BEFORE ranking, with an id tie-break — so the
+  * top-k set and ordering are deterministic across engines even though the
+  * two engines' dot products can differ in the last ulp.
+  */
+object AnnQueries {
+
+  def bruteForce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Ann.bruteForceTopK(emb, emb.filter($"vec_id" < 10), 10)
+  }
+
+  def ivf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Ann.ivfTopK(emb, emb.filter($"vec_id" < 10), 10, "label")
+  }
+
+  /** Embedding near-dup pairs: same-cell (label) pairs with cosine ≥ 0.35 —
+    * the cell restriction keeps the pair space linear-ish at scale. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".cast("array<double>").as("va"), $"label")
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".cast("array<double>").as("vb"), $"label")
+    a.join(b, Seq("label"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"label", $"vec_a", $"vec_b",
+        round(Ann.cosine($"va", $"vb"), 6).as("cosine"))
+      .filter($"cosine" >= lit(0.35))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_ann_bruteforce" -> (bruteForce _),
+    "q30_ann_ivf" -> (ivf _),
+    "q31_embedding_near_dup" -> (embeddingNearDup _))
+
+  /** Cosine in DuckDB, mirroring Ann.cosine's formula dot/(sqrt·sqrt). */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  val oracle: Map[String, String] = Map(
+    "q29_ann_bruteforce" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10
+         |), c AS (
+         |  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+         |), s AS (
+         |  SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+         |  FROM c, q WHERE query_id <> cand_id
+         |), r AS (
+         |  SELECT query_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q30_ann_ivf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS cell
+         |  FROM embeddings WHERE vec_id < 10
+         |), c AS (
+         |  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv, label AS cell FROM embeddings
+         |), s AS (
+         |  SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+         |  FROM c JOIN q USING (cell) WHERE query_id <> cand_id
+         |), r AS (
+         |  SELECT query_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q31_embedding_near_dup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+         |)
+         |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql("a.v", "b.v")} AS cosine
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= CAST(0.35 AS DOUBLE)""".stripMargin)
+}
