@@ -1,0 +1,94 @@
+package graft.hockey
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point — the Scala counterpart of the reference's
+  * `spark-submit experiment.py --events … --results …`
+  * (ref code/experiment.py:250-270, README.md:22-24).
+  *
+  * Usage:
+  *   runMain graft.hockey.Experiment --events <csv> --results <csv>
+  *     [--models rf,lr,gbt,mlp] [--fast]
+  *
+  * `--fast` shrinks the model hyperparameters for smoke runs on sample-sized
+  * data; default settings reproduce the reference configuration exactly.
+  */
+object Experiment {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("HockeyML_PreGame")
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, opts) finally spark.stop()
+  }
+
+  case class Opts(events: String, results: String,
+      models: Seq[String] = Seq("rf", "lr", "gbt", "mlp"), fast: Boolean = false)
+
+  def parseArgs(args: Array[String]): Opts = {
+    def loop(rest: List[String], acc: Opts): Opts = rest match {
+      case "--events" :: v :: t => loop(t, acc.copy(events = v))
+      case "--results" :: v :: t => loop(t, acc.copy(results = v))
+      case "--models" :: v :: t => loop(t, acc.copy(models = v.split(",").toSeq))
+      case "--fast" :: t => loop(t, acc.copy(fast = true))
+      case Nil => acc
+      case other :: _ => sys.error(s"unknown argument: $other")
+    }
+    val o = loop(args.toList, Opts(null, null))
+    require(o.events != null && o.results != null,
+      "usage: --events <csv> --results <csv> [--models rf,lr,gbt,mlp] [--fast]")
+    o
+  }
+
+  def run(spark: SparkSession, opts: Opts): Map[String, Evaluation.Metrics] = {
+    val cfg =
+      if (opts.fast)
+        Models.ModelConfig(rfNumTrees = 10, rfMaxDepth = 4, lrMaxIter = 20,
+          gbtMaxIter = 5, gbtMaxDepth = 3, mlpMaxIter = 20)
+      else Models.ModelConfig()
+
+    println("Building matchups...")
+    val matchups = Pipeline.buildMatchups(spark, opts.events, opts.results)
+    println(s"Total matchups: ${matchups.count()}")
+
+    val (trainRaw, testRaw, testSeason) = Pipeline.temporalSplit(matchups)
+    val train = Pipeline.withBinaryLabel(trainRaw).cache()
+    val test = Pipeline.withBinaryLabel(testRaw).cache()
+    println(s"Train = ${train.count()}, Test = ${test.count()}, Test season = $testSeason")
+
+    val chosen = Map(
+      "rf" -> ("Random Forest", () => Models.randomForest(cfg)),
+      "lr" -> ("Logistic Regression", () => Models.logisticRegression(cfg)),
+      "gbt" -> ("Gradient Boosted Trees", () => Models.gbt(cfg)),
+      "mlp" -> ("Multilayer Perceptron", () => Models.mlp(cfg)))
+
+    val results = opts.models.flatMap { key =>
+      chosen.get(key).map { case (name, build) =>
+        println(s"\nTraining $name...")
+        val t0 = System.nanoTime()
+        val model = build().fit(train)
+        val metrics = Evaluation.evaluate(model.transform(test))
+        println(Evaluation.format(name, metrics))
+        println(f"fit+eval: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val importances = Models.topFeatureImportances(model)
+        if (importances.nonEmpty) {
+          println("Top feature importances:")
+          importances.foreach { case (f, w) => println(f"  $f%-22s $w%.4f") }
+        }
+        name -> metrics
+      }
+    }.toMap
+
+    val base = Evaluation.baselines(test)
+    println(f"""|
+                |Baselines: majority-class ${base.majorityClass}%.4f,
+                | weighted-random ${base.weightedRandom}%.4f, coin-flip ${base.coinFlip}%.4f""".stripMargin)
+    results
+  }
+}

@@ -82,7 +82,8 @@ object Multimodal {
     import spark.implicits._
     media.filter($"media_type" === "video")
       .withColumn("frame_offset",
-        explode(sequence(lit(0L), greatest(($"byte_len" - 1) / stride, lit(0L)))))
+        explode(sequence(lit(0L),
+          greatest(expr(s"(byte_len - 1) div $stride"), lit(0L)))))
       .select($"media_id", ($"frame_offset" * stride).as("byte_offset"), $"byte_len")
   }
 }

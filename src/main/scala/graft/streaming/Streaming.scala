@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is pure batch (SURVEY §2.11);
+  * these extend the engine to streaming ingest with the SAME aggregation
+  * expressions as the batch EventQueries — the plan is identical modulo the
+  * source, which is the point: one declarative query, two execution modes.
+  *
+  * Scale posture: the windowed agg is keyed by (window, event_type) with a
+  * watermark bounding state; sessionization state is per-user and evicted on
+  * timeout — both state stores shard by key across executors.
+  */
+object Streaming {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp, total_value: Double)
+
+  private case class SessionState(n: Long, start: Timestamp, end: Timestamp, sum: Double)
+
+  /** Streaming twin of EventQueries.tumblingHourly: watermarked tumbling
+    * event-time window aggregate. Append mode emits a window only once its
+    * watermark passes — late events inside the watermark still count. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming sessionization via per-key state (the stateful twin of
+    * EventQueries.sessionize): a session closes after `gapMinutes` of
+    * processing-time inactivity and is emitted as one summary row.
+    * State is one small record per live user — O(active users), not
+    * O(events). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, s.n, s.start, s.end, s.sum))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            events.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.end.getTime > gapMinutes * 60000L =>
+                  closed += SessionSummary(userId, s.n, s.start, s.end, s.sum)
+                  cur = Some(SessionState(1, e.ts, e.ts, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.n + 1, s.start, e.ts, s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(1, e.ts, e.ts, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(s"$gapMinutes minutes")
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Run a streaming query over a parquet directory source and collect the
+    * result synchronously via the memory sink — the local-mode harness for
+    * the streaming plans above (file source + memory sink are the no-Kafka
+    * test rig; swap `readStream.parquet` for a Kafka source in production). */
+  def runOnce(spark: SparkSession, sourceDir: String,
+      plan: DataFrame => DataFrame, name: String): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = plan(stream).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0), // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 0), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1), // opposite of 0, other cell
+    (4L, Array(0.8f, 0.2f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: known geometry (parallel=1, orthogonal=0, opposite=-1)") {
+    val a = Seq((Array(1.0, 0.0), Array(1.0, 0.0), "same"),
+      (Array(1.0, 0.0), Array(0.0, 1.0), "orth"),
+      (Array(1.0, 0.0), Array(-1.0, 0.0), "anti"))
+      .toDF("a", "b", "tag")
+      .select($"tag", Ann.cosine($"a", $"b").as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(a("same") - 1.0) < 1e-12)
+    assert(math.abs(a("orth")) < 1e-12)
+    assert(math.abs(a("anti") + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break and excludes self") {
+    val out = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
+      .orderBy("rank").select("cand_id", "rank").as[(Long, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L)) // by descending cosine
+    assert(out.map(_._2).toSeq == Seq(1, 2, 3, 4))
+    assert(!out.map(_._1).contains(0L))
+  }
+
+  test("IVF restricts candidates to the query's cell") {
+    val out = Ann.ivfTopK(vecs, vecs.filter($"vec_id" === 0), k = 4, cellCol = "label")
+      .select("cand_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L)) // only cell 0 members (minus self)
+  }
+
+  test("cell centroids average per dimension") {
+    val cents = Ann.cellCentroids(vecs, "label")
+      .as[(Int, Array[Double])].collect().toMap
+    // inputs are float32, so compare within float tolerance
+    val expected = Seq((-1.0 + 0.8) / 2, 0.1, 0.0)
+    cents(1).toSeq.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6, s"centroid $got vs $want")
+    }
+  }
+}

@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Smoke-level contract checks for the driver gate: every declared query
+  * runs at sf0.001 and yields rows, and every query has an oracle. (Exact
+  * value parity vs DuckDB is covered by tools/check.py, which the driver
+  * replicates at sf0.01.) */
+class QueriesSpec extends SparkSpec {
+
+  test("every query has an oracle entry") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("every oracle entry has a query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf0001)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+}
