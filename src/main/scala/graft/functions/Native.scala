@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths where Spark's built-in
+  * higher-order array functions fall out of whole-stage codegen (their
+  * lambdas are interpreted per element). Each expression participates in
+  * codegen via `doGenCode`, so vector math compiles into the enclosing
+  * stage's generated Java loop. Numeric contract: identical operation order
+  * to the HOF formulations they replace (sequential left-fold sums in
+  * double), so results are bit-identical and the DuckDB oracles don't move.
+  */
+object Native {
+
+  /** Cosine similarity over two array<double> columns in one fused pass
+    * (dot, |a|², |b|² in a single loop; same left-fold order as the
+    * aggregate/zip_with formulation). Elements are assumed non-null
+    * (embedding vectors); shorter array bounds the loop. */
+  case class ArrayCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (n, dot, na, nb, i, xi, yi) = (ctx.freshName("n"), ctx.freshName("dot"),
+          ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("i"),
+          ctx.freshName("xi"), ctx.freshName("yi"))
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = $a.getDouble($i);
+           |  double $yi = $b.getDouble($i);
+           |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Polynomial rolling-hash document fingerprint over the utf-8 bytes:
+    * h ← (h·31 + byte) mod 1e9+7. For ASCII text this equals the
+    * per-codepoint formulation, which is what the DuckDB oracle mirrors
+    * (ascii(substr(...)) + list_reduce). Codegen'd byte loop — no UDF. */
+  case class RollingHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_rolling_hash"
+
+    private val Mod = 1000000007L
+
+    override def nullSafeEval(s: Any): Any = {
+      val bytes = s.asInstanceOf[UTF8String].getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * 31L + (bytes(i) & 0xffL)) % Mod
+        i += 1
+      }
+      h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val (bytes, h, i) = (ctx.freshName("bytes"), ctx.freshName("h"), ctx.freshName("i"))
+        s"""
+           |byte[] $bytes = $s.getBytes();
+           |long $h = 0L;
+           |for (int $i = 0; $i < $bytes.length; $i++) {
+           |  $h = ($h * 31L + ($bytes[$i] & 0xffL)) % ${Mod}L;
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column wrappers (classic-API expression↔column bridge). */
+  def cosine(a: Column, b: Column): Column =
+    bridge.column(ArrayCosine(bridge.expression(a), bridge.expression(b)))
+
+  def rollingHash(text: Column): Column =
+    bridge.column(RollingHash(bridge.expression(text)))
+}

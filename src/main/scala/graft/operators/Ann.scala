@@ -15,21 +15,31 @@ import org.apache.spark.sql.functions._
   *    nearest the query. At 100 TB the cell assignment is the partition
   *    prune: a `cell` equi-join replaces the cross product.
   *
-  * All vector math is `aggregate`/`zip_with` higher-order functions on
-  * array<double> — codegen'd, no UDFs.
+  * Vector math runs through a fused native Catalyst expression with codegen
+  * ([[graft.functions.Native.ArrayCosine]]); the equivalent higher-order
+  * function formulation is kept as the readable baseline. No UDFs anywhere.
   */
 object Ann {
 
   /** Dot product of two array<double> columns (sequential left fold —
-    * deterministic association order). */
+    * deterministic association order). Reference formulation via built-in
+    * higher-order functions; the hot paths use [[graft.functions.Native]]'s
+    * fused codegen expression, which computes the identical op sequence. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in double precision (cast float embeddings first:
-    * float widening is exact, and double folds are engine-stable). */
+    * float widening is exact, and double folds are engine-stable). HOF
+    * lambdas are interpreted per element (not codegen'd), so this is the
+    * readable baseline; [[cosineFast]] is the bit-identical fused loop. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Codegen'd single-pass cosine — bit-identical to [[cosine]] (same
+    * left-fold order), ~interpreter-to-compiled speedup on wide vectors. */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.functions.Native.cosine(a, b)
 
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * (it is broadcast); the corpus side streams — no shuffle of the corpus
@@ -44,7 +54,7 @@ object Ann {
       col(vecCol).cast("array<double>").as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(cosineFast(col("qv"), col("cv")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -66,7 +76,7 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(cosineFast(col("qv"), col("cv")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -28,17 +28,19 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** One MinHash value: min over the (exploded) shingle column of a salted
-    * md5. Lexicographic min over fixed-length uniform hex strings is an
-    * order-preserving stand-in for numeric min-hashing, and compares
-    * identically (byte-wise) on any engine. Duplicate shingles are harmless
-    * — min() is idempotent, so no distinct pass is needed. */
-  def minhash(shingle: Column, seed: Int): Column =
-    min(md5(concat_ws(":", lit(seed), shingle)))
+  /** One MinHash value: min over the (exploded) shingle column of an 8-hex
+    * slice of a salted md5. Each 32-bit slice of an md5 is an independent
+    * uniform hash, so one md5 call yields FOUR hash functions (salt =
+    * i/4, slice = i%4) — 4× fewer digest computations than one-salt-per-
+    * hash. Lexicographic min over fixed-length hex strings compares
+    * byte-wise identically on any engine, and duplicate shingles are
+    * harmless (min is idempotent — no distinct pass needed). */
+  def minhash(shingle: Column, i: Int): Column =
+    min(substring(md5(concat_ws(":", lit(i / 4), shingle)), (i % 4) * 8 + 1, 8))
 
   /** Per-document MinHash signatures: explode shingles → groupBy doc →
     * `numHashes` min-aggregates in one hash-agg pass (partial+final, so the
-    * shuffle carries only `numHashes` strings per doc). */
+    * shuffle carries only `numHashes` short strings per doc). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
     val exploded = docs.select(col(idCol),
@@ -90,14 +92,30 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
-    * → exact-Jaccard verify. */
+    * → exact-Jaccard verify. Signatures AND shingle sets come out of ONE
+    * explode+groupBy pass (cached: the result feeds the band join once and
+    * the Jaccard verification twice), so the corpus is shingled exactly
+    * once. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 12, bands: Int = 6,
       threshold: Double = 0.3): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
-    val cands = candidatePairs(bandKeys(sigs, idCol, bands, rows), idCol)
-    withJaccard(cands, docs, idCol, textCol, shingleSize)
+    val exploded = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleSize)).as("shingle"))
+    val sigsAndSets = exploded.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("shset"),
+        (0 until numHashes).map(i => minhash(col("shingle"), i).as(s"h$i")): _*)
+      .cache()
+    val cands = candidatePairs(bandKeys(sigsAndSets, idCol, bands, rows), idCol)
+    val sa = sigsAndSets.select(col(idCol).as("doc_a"), col("shset").as("set_a"))
+    val sb = sigsAndSets.select(col(idCol).as("doc_b"), col("shset").as("set_b"))
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.as("n_shared"),
+        (inter.cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - inter).cast("double"))
+          .as("jaccard"))
       .withColumn("is_near_dup", col("jaccard") >= lit(threshold))
   }
 

@@ -39,7 +39,7 @@ object AnnQueries {
     a.join(b, Seq("label"))
       .filter($"vec_a" < $"vec_b")
       .select($"label", $"vec_a", $"vec_b",
-        round(Ann.cosine($"va", $"vb"), 6).as("cosine"))
+        round(Ann.cosineFast($"va", $"vb"), 6).as("cosine"))
       .filter($"cosine" >= lit(0.35))
   }
 

@@ -247,7 +247,33 @@ object CoreQueries {
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
   }
 
+  /** Hierarchical aggregation: ROLLUP over (returnflag, linestatus) with
+    * grouping_id — subtotal and grand-total rows in one pass (engine surface
+    * beyond the reference's plain groupBy; SURVEY §2.4 note). */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec2($"l_quantity")).cast("double").as("sum_qty"))
+  }
+
+  /** Pivot: order counts by priority × status — Catalyst rewrites this to a
+    * single aggregate with conditional counts (mirrored literally in the
+    * oracle). Absent combinations are NULL. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_rollup" -> (rollupSummary _),
+    "q35_pivot" -> (pivotStatus _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_filter_project" -> (filterProject _),
     "q03_revenue_by_nation" -> (revenueByNation _),
@@ -267,6 +293,18 @@ object CoreQueries {
     "q17_drop_nulls" -> (dropNulls _))
 
   val oracle: Map[String, String] = Map(
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q35_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,

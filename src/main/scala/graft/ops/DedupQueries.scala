@@ -38,8 +38,11 @@ object DedupQueries {
        | THEN list_transform(range(1, len(tk) - ${ShingleSize - 2}), i -> array_to_string(tk[i:i+${ShingleSize - 1}], ' '))
        | ELSE [array_to_string(tk, ' ')] END""".stripMargin
 
+  // slice-derived hash family: salt i/4 picks the md5, slice i%4 picks 8 hex
+  // chars — mirrors Dedup.minhash exactly
   private val sigCols = (0 until NumHashes)
-    .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n    ")
+    .map(i => s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+    .mkString(",\n    ")
 
   private val bandSelects = (0 until Bands).map { b =>
     val hs = (0 until NumHashes / Bands).map(r => s"h${b * (NumHashes / Bands) + r}")

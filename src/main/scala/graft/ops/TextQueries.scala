@@ -86,12 +86,25 @@ object TextQueries {
         round(avg($"token_count".cast("double")), 4).as("avg_tokens"))
   }
 
+  /** Rolling-hash document fingerprint via the native codegen expression
+    * ([[graft.functions.Native.RollingHash]]) — a custom Catalyst
+    * `Expression` with `doGenCode`, oracle-mirrored in SQL. The bucket
+    * column is the shard key a streaming dedup would partition on. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      graft.functions.Native.rollingHash($"text").as("fingerprint"),
+      (graft.functions.Native.rollingHash($"text") % 1024).as("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_token_stats" -> (tokenStats _),
     "q23_quality_score" -> (qualityScore _),
     "q24_language_id" -> (languageId _),
     "q25_dedup_exact" -> (dedupExact _),
-    "q26_corpus_stats" -> (corpusStats _))
+    "q26_corpus_stats" -> (corpusStats _),
+    "q33_fingerprint" -> (fingerprint _))
 
   private val toksSql = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
   private def hitsSql(words: Seq[String]): String =
@@ -151,5 +164,16 @@ object TextQueries {
     "q26_corpus_stats" ->
       s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  round(avg(CAST(len($toksSql) AS DOUBLE)), 4) AS avg_tokens
-         |FROM documents GROUP BY source""".stripMargin)
+         |FROM documents GROUP BY source""".stripMargin,
+    "q33_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |                   list_transform(range(1, length(text) + 1),
+        |                                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fingerprint
+        |  FROM documents
+        |)
+        |SELECT doc_id, fingerprint, fingerprint % 1024 AS bucket FROM f""".stripMargin)
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4's unified `Column` wraps a
+  * `ColumnNode` rather than an `Expression`, and the classic converters are
+  * `private[sql]` — so this one-file subpackage (the standard pattern used
+  * by open-source Spark extension libraries) re-exports the two converters
+  * the engine needs to expose its native Catalyst expressions as Columns.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
