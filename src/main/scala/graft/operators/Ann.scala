@@ -83,6 +83,24 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Assign every corpus vector to its nearest centroid by cosine (the IVF
+    * coarse-quantization step). Centroids are tiny → broadcast cross join,
+    * then a per-vector argmax (rank-1 window with id tie-break). Feed the
+    * output's `cell` column to [[ivfTopK]] for a label-free IVF index. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val cents = centroids.select(col("cell").as("__cell"), col("centroid"))
+    val scored = c.crossJoin(broadcast(cents))
+      .select(col(idCol), col("__cell"),
+        cosineFast(col("__v"), col("centroid")).as("__cos"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__cell").asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .select(col(idCol), col("__cell").as("cell"))
+  }
+
   /** K-means-free coarse centroids: mean vector per cell via per-dimension
     * aggregation (posexplode → avg per (cell, dim) → re-assemble). Used to
     * build a real IVF assignment when no label exists. */

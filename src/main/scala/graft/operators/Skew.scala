@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins: key salting. When one join key value
+  * dominates (a hot user, a null-ish default, a viral document), the plain
+  * shuffle sends that key's entire volume to one reducer. Salting splits
+  * each hot fact-side key across `numSalts` sub-partitions and replicates
+  * the (small) build side once per salt — turning one straggler task into
+  * `numSalts` even tasks at the cost of a bounded build-side blow-up.
+  *
+  * AQE's skew-join handling (on by default) covers sort-merge joins
+  * adaptively at runtime; explicit salting remains the tool for aggregation
+  * keys and for joins AQE can't split (e.g. bucketed inputs, or when the
+  * skew is known up front and the plan should never materialize the hot
+  * partition at all).
+  */
+object Skew {
+
+  /** Deterministic salt in [0, numSalts): hash of the whole fact row, so
+    * rows of a hot key spread evenly and reruns are stable (no rand()). */
+  private def rowSalt(df: DataFrame, numSalts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(numSalts)).cast("int")
+
+  /** Inner equi-join `fact ⋈ build` on `keys`, salted `numSalts` ways.
+    * `build` must be the small side — it is replicated numSalts× (and
+    * broadcast if under the threshold). Result equals the plain join. */
+  def saltedJoin(fact: DataFrame, build: DataFrame, keys: Seq[String],
+      numSalts: Int): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    val saltedFact = fact.withColumn("__salt", rowSalt(fact, numSalts))
+    val saltedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    saltedFact.join(saltedBuild, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Salted aggregation: two-phase groupBy for skewed grouping keys —
+    * partial aggregate on (key, salt), then final aggregate on key. Sums
+    * and counts compose exactly; the caller supplies both phases. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], numSalts: Int)(
+      partial: (DataFrame, Seq[Column]) => DataFrame)(
+      finalAgg: (DataFrame, Seq[Column]) => DataFrame): DataFrame = {
+    val salted = df.withColumn("__salt", rowSalt(df, numSalts))
+    val phase1 = partial(salted, (keys :+ "__salt").map(col))
+    finalAgg(phase1.drop("__salt"), keys.map(col))
+  }
+}

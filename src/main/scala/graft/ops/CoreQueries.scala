@@ -271,9 +271,25 @@ object CoreQueries {
       .count()
   }
 
+  /** X5 (ref code/experiment.py:298): US-style date formatting/parsing
+    * roundtrip (`M/d/yyyy` — the reference's results-CSV date contract) +
+    * calendar part extraction. */
+  def dateFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val us = date_format($"o_orderdate", "M/d/yyyy")
+    Tables.orders(spark, dir).select(
+      $"o_orderkey",
+      us.as("us_date"),
+      to_date(us, "M/d/yyyy").as("roundtrip"),
+      year($"o_orderdate").as("yr"),
+      month($"o_orderdate").as("mo"),
+      dayofweek($"o_orderdate").as("dow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_rollup" -> (rollupSummary _),
     "q35_pivot" -> (pivotStatus _),
+    "q36_date_features" -> (dateFeatures _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_filter_project" -> (filterProject _),
     "q03_revenue_by_nation" -> (revenueByNation _),
@@ -305,6 +321,14 @@ object CoreQueries {
         | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
         | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q36_date_features" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%-m/%-d/%Y') AS us_date,
+        | CAST(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y') AS DATE) AS roundtrip,
+        | CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+        |FROM orders""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,

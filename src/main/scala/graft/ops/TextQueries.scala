@@ -98,7 +98,20 @@ object TextQueries {
       (graft.functions.Native.rollingHash($"text") % 1024).as("bucket"))
   }
 
+  /** BPE-ish regex tokenization (alpha runs / digit runs / single symbols —
+    * the pre-tokenizer shape of byte-pair encoders), with class counts. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(toks).as("n_tokens"),
+      size(filter(toks, t => t.rlike("^[a-z]+$"))).as("n_alpha"),
+      size(filter(toks, t => t.rlike("^[0-9]+$"))).as("n_num"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_regex_tokens" -> (regexTokens _),
     "q22_token_stats" -> (tokenStats _),
     "q23_quality_score" -> (qualityScore _),
     "q24_language_id" -> (languageId _),
@@ -111,6 +124,17 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q37_regex_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$'))) AS INTEGER) AS n_alpha,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS INTEGER) AS n_num
+        |FROM t""".stripMargin,
     "q22_token_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -39,6 +39,25 @@ class AnnSpec extends SparkSpec {
     assert(out == Set(1L, 2L)) // only cell 0 members (minus self)
   }
 
+  test("assignCells maps each vector to its nearest centroid") {
+    val cells = Ann.assignCells(vecs, Ann.cellCentroids(vecs, "label"))
+      .as[(Long, Int)].collect().toMap
+    // vec 3 = (-1,0,0): cell-1 centroid is (-0.1, 0.1, 0) (closer via cosine
+    // than cell-0's strongly positive-x centroid)
+    assert(cells(3L) == 1)
+    // vec 0 = (1,0,0) aligns with cell 0's centroid
+    assert(cells(0L) == 0)
+    assert(cells.size == 5)
+  }
+
+  test("fast cosine is bit-identical to the HOF baseline") {
+    val both = vecs.select(
+      Ann.cosine($"embedding".cast("array<double>"), $"embedding".cast("array<double>")).as("hof"),
+      Ann.cosineFast($"embedding".cast("array<double>"), $"embedding".cast("array<double>")).as("fast"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (h, f) => assert(h == f) }
+  }
+
   test("cell centroids average per dimension") {
     val cents = Ann.cellCentroids(vecs, "label")
       .as[(Int, Array[Double])].collect().toMap
