@@ -106,4 +106,14 @@ object Native {
 
   def rollingHash(text: Column): Column =
     bridge.column(RollingHash(bridge.expression(text)))
+
+  /** Install `graft_cosine` / `graft_rolling_hash` as SQL functions on a
+    * live session (new sessions: use [[GraftExtensions]] via
+    * `spark.sql.extensions` instead). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    bridge.registerFunction(spark, "graft_cosine",
+      exprs => ArrayCosine(exprs(0), exprs(1)))
+    bridge.registerFunction(spark, "graft_rolling_hash",
+      exprs => RollingHash(exprs.head))
+  }
 }
