@@ -286,10 +286,106 @@ object CoreQueries {
       dayofweek($"o_orderdate").as("dow"))
   }
 
+  /** Window ranking family: rank/dense_rank (tie-aware), lag/lead, ntile —
+    * completing the window surface beyond the reference's avg/row_number. */
+  def rankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byPrice = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+    val byTime = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir).select(
+      $"o_orderkey", $"o_custkey",
+      rank().over(byPrice).as("price_rank"),
+      dense_rank().over(byPrice).as("price_dense_rank"),
+      lag($"o_orderkey", 1).over(byTime).as("prev_order"),
+      lead($"o_orderkey", 1).over(byTime).as("next_order"),
+      ntile(4).over(byTime).as("quartile"))
+  }
+
+  /** Exact distinct counts per group (the dedup-cardinality primitive;
+    * approx_count_distinct is the scale path but HLL sketches are
+    * engine-specific, so the gate pins the exact form). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** SQL entry point: the same engine surface through `spark.sql` over temp
+    * views — one dialect-shared query text runs on both engines. */
+  def sqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(SqlInterfaceQuery)
+  }
+
+  /** String function battery (cleaning/splitting/padding/edit distance). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir).select(
+      $"p_partkey",
+      upper($"p_name").as("name_upper"),
+      split(col("p_name"), " ").getItem(1).as("noun"),
+      lpad($"p_size".cast("string"), 3, "0").as("size_padded"),
+      translate($"p_brand", "#", "-").as("brand_dashed"),
+      instr($"p_name", "e").cast("int").as("first_e"),
+      levenshtein($"p_name", $"p_type").as("name_type_dist"),
+      reverse($"p_name").as("name_rev"))
+  }
+
+  /** Null semantics: nullif / null-safe equality (<=>) / coalesce / nvl2 —
+    * the null-default machinery (X4) generalized. */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flagOrNull = nullif($"l_returnflag", lit("N"))
+    Tables.lineitem(spark, dir).select(
+      $"l_orderkey", $"l_linenumber",
+      flagOrNull.as("flag_or_null"),
+      (flagOrNull <=> lit(null)).as("is_suppressed"),
+      coalesce(flagOrNull, lit("none")).as("flag_filled"))
+  }
+
+  /** Conditional aggregation: count_if / every / any / conditional sums —
+    * the confusion-matrix pattern (F5/M8) as first-class aggregates. */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_linestatus")
+      .agg(
+        count_if($"l_quantity" > 25.0).as("n_bulk"),
+        every($"l_quantity" > 0.0).as("all_positive"),
+        some($"l_quantity" > 49.0).as("has_max_qty"),
+        sum(when($"l_discount" > 0.05, 1).otherwise(0)).as("n_discounted"))
+  }
+
+  /** min_by/max_by with a composite deterministic ordering key, plus exact
+    * median (interpolated midpoint — identical arithmetic on both engines). */
+  def argExtremes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // unique composite: epoch-seconds dominates, orderkey breaks date ties
+    val ordKey = unix_timestamp($"l_shipdate") * 1000000L + $"l_orderkey"
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        min_by($"l_orderkey", ordKey).as("earliest_order"),
+        max_by($"l_orderkey", ordKey).as("latest_order"),
+        median($"l_quantity").as("median_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_rollup" -> (rollupSummary _),
     "q35_pivot" -> (pivotStatus _),
     "q36_date_features" -> (dateFeatures _),
+    "q38_rank_family" -> (rankFamily _),
+    "q39_distinct_counts" -> (distinctCounts _),
+    "q40_sql_interface" -> (sqlInterface _),
+    "q41_string_funcs" -> (stringFuncs _),
+    "q42_null_semantics" -> (nullSemantics _),
+    "q43_conditional_agg" -> (conditionalAgg _),
+    "q44_arg_extremes" -> (argExtremes _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_filter_project" -> (filterProject _),
     "q03_revenue_by_nation" -> (revenueByNation _),
@@ -308,7 +404,65 @@ object CoreQueries {
     "q16_union_nations" -> (unionNations _),
     "q17_drop_nulls" -> (dropNulls _))
 
+  /** One dialect-shared SQL text for q40 — runs verbatim on Spark SQL and
+    * DuckDB (decimal-exact revenue, deterministic ORDER BY + LIMIT). */
+  val SqlInterfaceQuery: String =
+    """SELECT o_orderkey, o_orderpriority,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q38_rank_family" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(rank() OVER p AS INTEGER) AS price_rank,
+        | CAST(dense_rank() OVER p AS INTEGER) AS price_dense_rank,
+        | lag(o_orderkey, 1) OVER t AS prev_order,
+        | lead(o_orderkey, 1) OVER t AS next_order,
+        | CAST(ntile(4) OVER t AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW p AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+        |       t AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q39_distinct_counts" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q40_sql_interface" -> SqlInterfaceQuery,
+    "q41_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS name_upper,
+        | split_part(p_name, ' ', 2) AS noun,
+        | lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+        | translate(p_brand, '#', '-') AS brand_dashed,
+        | CAST(instr(p_name, 'e') AS INTEGER) AS first_e,
+        | CAST(levenshtein(p_name, p_type) AS INTEGER) AS name_type_dist,
+        | reverse(p_name) AS name_rev
+        |FROM part""".stripMargin,
+    "q42_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+        | nullif(l_returnflag, 'N') AS flag_or_null,
+        | nullif(l_returnflag, 'N') IS NOT DISTINCT FROM NULL AS is_suppressed,
+        | coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_filled
+        |FROM lineitem""".stripMargin,
+    "q43_conditional_agg" ->
+      """SELECT l_linestatus,
+        | count(*) FILTER (WHERE l_quantity > 25.0) AS n_bulk,
+        | bool_and(l_quantity > 0.0) AS all_positive,
+        | bool_or(l_quantity > 49.0) AS has_max_qty,
+        | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q44_arg_extremes" ->
+      """SELECT l_returnflag,
+        | arg_min(l_orderkey, epoch(l_shipdate) * 1000000 + l_orderkey) AS earliest_order,
+        | arg_max(l_orderkey, epoch(l_shipdate) * 1000000 + l_orderkey) AS latest_order,
+        | median(l_quantity) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q34_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
