@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, attach the most recent
+  * right row with `rightTs <= leftTs` within the same key — the standard
+  * market-data/feature-store lookup that Spark has no built-in operator for.
+  *
+  * Implementation choice (SURVEY §7 preference order (a): compose built-in
+  * operators): tag both inputs, UNION them, and run one `last(value,
+  * ignoreNulls)` window per key ordered by (ts, side) — right rows sort
+  * before left rows at equal timestamps so the match is inclusive. This is
+  * a single exchange on the key + one sort: exactly the shuffle profile of
+  * a sort-merge join, with no custom SparkPlan, no codegen loss, and no
+  * per-key driver logic. A range/broadcast variant only wins when the right
+  * side is tiny; at 100 TB both sides shuffle once regardless.
+  *
+  * Left rows with no preceding right row keep NULLs (left-asof semantics,
+  * mirroring DuckDB's `ASOF LEFT JOIN`).
+  */
+object AsOf {
+
+  /** @param left       probe side (each row gets matched)
+    * @param right      reference side (source of carried values)
+    * @param keys       equi-join key columns (both sides)
+    * @param tsCol      event-time column name (both sides)
+    * @param valueCols  right-side columns to carry (emitted as `asof_<name>`)
+    * @param tieBreak   right-side column ordering ties at equal ts (latest wins)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String], tieBreak: String): DataFrame = {
+    val keyCols = keys.map(col)
+    // side 0 = right (sorts first at equal ts ⇒ inclusive match), 1 = left
+    val taggedRight = right.select(
+      keyCols ++ Seq(col(tsCol), lit(0).as("__side"), col(tieBreak).as("__tie")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val taggedLeft = left.select(
+      keyCols ++ Seq(col(tsCol), lit(1).as("__side"), col(tieBreak).as("__tie")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")) ++
+        leftCols.map(col): _*)
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(keyCols ++ Seq(col(tsCol)) ++ leftCols.map(col) ++
+        valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Tolerance variant: matches older than `toleranceUs` microseconds are
+    * nulled out (feature-freshness guard). `tsCol` must be a timestamp. */
+  def asofJoinWithTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String], tieBreak: String,
+      toleranceUs: Long): DataFrame = {
+    val withTs = asofJoin(left, right.withColumn("__rts", col(tsCol)),
+      keys, tsCol, valueCols :+ "__rts", tieBreak)
+    val fresh: Column =
+      unix_micros(col(tsCol)) - unix_micros(col("asof___rts")) <= toleranceUs
+    valueCols.foldLeft(withTs) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }.drop("asof___rts")
+  }
+}

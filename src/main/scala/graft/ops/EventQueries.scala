@@ -77,13 +77,66 @@ object EventQueries {
       (lag($"event_type", 1).over(byUser) === $"event_type").as("same_as_prev"))
   }
 
+  /** As-of join (graft.operators.AsOf): each click event picks up the most
+    * recent error event of the same user (point-in-time lookup). Oracle is
+    * DuckDB's native ASOF LEFT JOIN. */
+  def asofLastError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val errors = ev.filter($"event_type" === "error")
+      .withColumn("err_ts", $"ts")
+      .select($"user_id", $"ts", $"event_id", $"err_ts", $"value")
+    graft.operators.AsOf.asofJoin(clicks, errors,
+      keys = Seq("user_id"), tsCol = "ts",
+      valueCols = Seq("err_ts", "value"), tieBreak = "event_id")
+      .select($"event_id", $"user_id", $"ts".as("click_ts"),
+        $"asof_err_ts".as("last_error_ts"),
+        $"asof_value".as("last_error_value"))
+  }
+
+  /** Range join (graft.operators.RangeJoin): clicks occurring within 60
+    * minutes after an error, per user. Oracle is DuckDB's inequality join
+    * (IEJoin); the Spark side is the bucketized equi-join formulation. */
+  def errorFollowedByClick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    graft.operators.RangeJoin.rangeJoin(errors, clicks,
+      keys = Seq("user_id"), tsCol = "ts", maxGapUs = 3600L * 1000000)
+      .select($"event_id".as("error_id"), $"r_event_id".as("click_id"),
+        $"user_id", $"ts".as("error_ts"), $"r_ts".as("click_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_range_join" -> (errorFollowedByClick _),
+    "q45_asof_join" -> (asofLastError _),
     "q18_sessionize" -> (sessionize _),
     "q19_tumbling_hourly" -> (tumblingHourly _),
     "q20_json_extract" -> (jsonExtract _),
     "q21_inter_event_gaps" -> (interEventGaps _))
 
   val oracle: Map[String, String] = Map(
+    "q46_range_join" ->
+      """WITH errors AS (SELECT * FROM events WHERE event_type = 'error'),
+        |     clicks AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+        |       e.ts AS error_ts, c.ts AS click_ts
+        |FROM errors e JOIN clicks c
+        |  ON e.user_id = c.user_id
+        | AND c.ts >= e.ts
+        | AND epoch_us(c.ts) - epoch_us(e.ts) <= 3600000000""".stripMargin,
+    "q45_asof_join" ->
+      """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     errors AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |       e.ts AS last_error_ts, e.value AS last_error_value
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
     "q18_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
