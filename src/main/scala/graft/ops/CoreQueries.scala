@@ -375,7 +375,48 @@ object CoreQueries {
         median($"l_quantity").as("median_qty"))
   }
 
+  /** Fixed-width histogram of order totals: explicit floor-bucket arithmetic
+    * (identical double ops on both engines), overflow clamped to the last
+    * bucket. The group-by-bucket shape is the distributed histogram. */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = least(floor($"o_totalprice" / lit(25000.0)), lit(9.0)).cast("int")
+    Tables.orders(spark, dir)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"o_totalprice")).cast("double").as("bucket_total"))
+  }
+
+  /** Statistical moments from EXACT decimal power sums: stddev and Pearson
+    * correlation derived as identical double arithmetic over exact Σx, Σx²,
+    * Σxy — engine-deterministic where built-in `corr`/`stddev` (Welford
+    * vs textbook accumulation) would drift in the last ulp. This is also
+    * the numerically-robust distributed formulation: partial power sums
+    * combine exactly across partitions. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = dec2($"l_quantity")
+    val y = dec2($"l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select($"l_returnflag", $"n",
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n".cast("double")) /
+          ($"n".cast("double") - lit(1.0))).as("stddev_qty"),
+        (($"n".cast("double") * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n".cast("double") * $"sxx" - $"sx" * $"sx") *
+            sqrt($"n".cast("double") * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_histogram" -> (priceHistogram _),
+    "q49_stats_moments" -> (statsMoments _),
     "q34_rollup" -> (rollupSummary _),
     "q35_pivot" -> (pivotStatus _),
     "q36_date_features" -> (dateFeatures _),
@@ -417,6 +458,26 @@ object CoreQueries {
       |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q48_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 25000.0), 9.0) AS INTEGER) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS bucket_total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q49_stats_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_qty,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+        |FROM s""".stripMargin,
     "q38_rank_family" ->
       """SELECT o_orderkey, o_custkey,
         | CAST(rank() OVER p AS INTEGER) AS price_rank,

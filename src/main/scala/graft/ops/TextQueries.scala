@@ -110,7 +110,22 @@ object TextQueries {
       size(filter(toks, t => t.rlike("^[0-9]+$"))).as("n_num"))
   }
 
+  /** Corpus vocabulary: global token frequencies, top 20 (count desc, token
+    * asc tie-break) — the explode→count→top-k "build the vocab" pass of a
+    * tokenizer-training pipeline. Map-side partial aggregation keeps the
+    * shuffle at one row per distinct token per partition. */
+  def topTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_top_tokens" -> (topTokens _),
     "q37_regex_tokens" -> (regexTokens _),
     "q22_token_stats" -> (tokenStats _),
     "q23_quality_score" -> (qualityScore _),
@@ -124,6 +139,10 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q47_top_tokens" ->
+      s"""SELECT t AS token, count(*) AS n
+         |FROM (SELECT unnest($toksSql) AS t FROM documents)
+         |GROUP BY t ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "q37_regex_tokens" ->
       """WITH t AS (
         |  SELECT doc_id,
