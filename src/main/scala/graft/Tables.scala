@@ -11,8 +11,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * projection/filtering stays declarative on top of it.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet scan with an adaptive parallelism floor: the test corpus ships
+    * ONE row group per file, and parquet row groups are the unit of split —
+    * no file-split config can spread one row group over more than one task,
+    * so every downstream operator would run single-threaded. When the scan
+    * yields far fewer partitions than the session's parallelism, insert one
+    * round-robin exchange (a few MB here) so aggregation/join work fans out.
+    * At production scale (many files / many row groups) the condition is
+    * false and no exchange is added; Catalyst still pushes filters and
+    * projections below the repartition either way. */
+  /** Fact tables get spread by a hash of their (uniform, unique) id key —
+    * hash exchange, unlike round-robin, needs no sort-before-repartition
+    * pass. Dimension tables are never respread: they end up broadcast, and
+    * an exchange before a BroadcastExchange is pure overhead. */
+  private val factKeys = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    factKeys.get(name) match {
+      case Some(key) =>
+        val scanParts = df.rdd.getNumPartitions
+        val target = spark.sparkContext.defaultParallelism
+        if (scanParts * 2 < target)
+          df.repartition(target, org.apache.spark.sql.functions.col(key))
+        else df
+      case None => df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

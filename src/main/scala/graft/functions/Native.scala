@@ -25,6 +25,20 @@ object Native {
   case class ArrayCosine(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+
+    // strict input typing: getDouble on an int/float-backed ArrayData would
+    // read misaligned bytes and return garbage, so reject anything that is
+    // not array<double> at analysis time (SQL callers must cast)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
     override def prettyName: String = "graft_cosine"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -69,6 +83,15 @@ object Native {
   case class RollingHash(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a string argument, got ${other.simpleString}")
+      }
     override def prettyName: String = "graft_rolling_hash"
 
     private val Mod = 1000000007L

@@ -42,10 +42,13 @@ object Ann {
     graft.functions.Native.cosine(a, b)
 
   /** Exact top-k by cosine for each query vector. `queries` must be small
-    * (it is broadcast); the corpus side streams — no shuffle of the corpus
-    * until the final per-query top-k (which is a rank over k·|queries|
-    * rows). Ranking uses the 6-decimal-rounded cosine with an id tie-break
-    * so results are deterministic across engines and runs. */
+    * (it is broadcast); the corpus side streams, and the per-query top-k is
+    * a BOUNDED aggregate ([[graft.functions.TopK]]): partial states carry at
+    * most k entries per (partition, query), so the only shuffle is
+    * k·|queries|·partitions rows — a row_number window here would exchange
+    * the entire |corpus|×|queries| scored set. Ranking uses the
+    * 6-decimal-rounded cosine with an id tie-break so results are
+    * deterministic across engines and runs. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
@@ -55,11 +58,17 @@ object Ann {
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosineFast(col("qv"), col("cv")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
+
+  /** Fold a (query_id, cand_id, cosine) scored set into ranked top-k rows
+    * via the bounded aggregate. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.scoredTopK(col("cosine"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.cand_id").as("cand_id"),
+        col("s.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
   /** IVF-style ANN: restrict each query to corpus rows in the same cell
     * (inverted-file partition). `cellCol` is any coarse-quantizer output —
@@ -77,10 +86,7 @@ object Ann {
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosineFast(col("qv"), col("cv")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Assign every corpus vector to its nearest centroid by cosine (the IVF

@@ -32,26 +32,32 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, valueCols: Seq[String], tieBreak: String): DataFrame = {
     val keyCols = keys.map(col)
-    // side 0 = right (sorts first at equal ts ⇒ inclusive match), 1 = left
+    // side 0 = right (sorts first at equal ts ⇒ inclusive match), 1 = left.
+    // Carried values ride in ONE struct per right row: the struct itself is
+    // null only for left rows, so last(ignoreNulls) distinguishes "no right
+    // row yet" (null struct → null outputs) from "matched a right row whose
+    // value happens to be NULL" (non-null struct, null field) — carrying
+    // bare value columns would skip the latter and resurrect stale values.
+    val payload = struct(valueCols.map(col): _*)
     val taggedRight = right.select(
-      keyCols ++ Seq(col(tsCol), lit(0).as("__side"), col(tieBreak).as("__tie")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+      keyCols ++ Seq(col(tsCol), lit(0).as("__side"), col(tieBreak).as("__tie"),
+        payload.as("__payload")): _*)
+    val payloadType = taggedRight.schema("__payload").dataType
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
     val taggedLeft = left.select(
-      keyCols ++ Seq(col(tsCol), lit(1).as("__side"), col(tieBreak).as("__tie")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")) ++
+      keyCols ++ Seq(col(tsCol), lit(1).as("__side"), col(tieBreak).as("__tie"),
+        lit(null).cast(payloadType).as("__payload")) ++
         leftCols.map(col): _*)
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(keyCols ++ Seq(col(tsCol)) ++ leftCols.map(col) ++
-        valueCols.map(c => col(s"asof_$c")): _*)
+        valueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Tolerance variant: matches older than `toleranceUs` microseconds are

@@ -73,13 +73,10 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Verify candidates with exact shingle-set Jaccard. Integer set sizes
-    * divide exactly, so the similarity is engine-deterministic. */
-  def withJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int): DataFrame = {
-    val sets = docs.select(col(idCol),
-      explode(wordShingles(col(textCol), shingleSize)).as("shingle"))
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shset"))
+  /** Verify candidate pairs with exact shingle-set Jaccard against a
+    * precomputed `(idCol, shset)` set table. Integer set sizes divide
+    * exactly, so the similarity is engine-deterministic. */
+  def withJaccard(pairs: DataFrame, sets: DataFrame, idCol: String): DataFrame = {
     val sa = sets.select(col(idCol).as("doc_a"), col("shset").as("set_a"))
     val sb = sets.select(col(idCol).as("doc_b"), col("shset").as("set_b"))
     val inter = size(array_intersect(col("set_a"), col("set_b")))
@@ -90,6 +87,13 @@ object Dedup {
           (size(col("set_a")) + size(col("set_b")) - inter).cast("double"))
           .as("jaccard"))
   }
+
+  /** Shingle-set table: one `(idCol, shset)` row per document. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleSize)).as("shingle"))
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shset"))
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
     * → exact-Jaccard verify. Signatures AND shingle sets come out of ONE
@@ -107,15 +111,7 @@ object Dedup {
         (0 until numHashes).map(i => minhash(col("shingle"), i).as(s"h$i")): _*)
       .cache()
     val cands = candidatePairs(bandKeys(sigsAndSets, idCol, bands, rows), idCol)
-    val sa = sigsAndSets.select(col(idCol).as("doc_a"), col("shset").as("set_a"))
-    val sb = sigsAndSets.select(col(idCol).as("doc_b"), col("shset").as("set_b"))
-    val inter = size(array_intersect(col("set_a"), col("set_b")))
-    cands.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        inter.as("n_shared"),
-        (inter.cast("double") /
-          (size(col("set_a")) + size(col("set_b")) - inter).cast("double"))
-          .as("jaccard"))
+    withJaccard(cands, sigsAndSets, idCol)
       .withColumn("is_near_dup", col("jaccard") >= lit(threshold))
   }
 

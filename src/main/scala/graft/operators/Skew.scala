@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, numSalts): hash of the whole fact row, so
-    * rows of a hot key spread evenly and reruns are stable (no rand()). */
+  /** Salt in [0, numSalts) from the row's physical identity
+    * (monotonically_increasing_id), not its content — identical duplicate
+    * rows of a hot key (repeated log lines, default rows) must land on
+    * DIFFERENT salts or the mitigation degenerates back to one straggler.
+    * The salt varies with partition layout across runs, but join/agg
+    * results are salt-invariant, so only uniformity matters. */
   private def rowSalt(df: DataFrame, numSalts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(numSalts)).cast("int")
+    pmod(xxhash64(monotonically_increasing_id()), lit(numSalts)).cast("int")
 
   /** Inner equi-join `fact ⋈ build` on `keys`, salted `numSalts` ways.
     * `build` must be the small side — it is replicated numSalts× (and

@@ -66,12 +66,8 @@ object TextQueries {
   /** Exact dedup: content fingerprint (md5) → keep lowest doc_id per
     * fingerprint + copy count. Hash-groupBy distributes: the shuffle key is
     * the 128-bit digest, so skew is impossible regardless of input skew. */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .groupBy(md5($"text").as("fingerprint"))
-      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-  }
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
 
   /** Per-source corpus stats: rollup of doc counts / char volume / mean
     * tokens by source — the "what's in my crawl" report. */

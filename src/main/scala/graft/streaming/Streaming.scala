@@ -80,13 +80,19 @@ object Streaming {
   /** Run a streaming query over a parquet directory source and collect the
     * result synchronously via the memory sink — the local-mode harness for
     * the streaming plans above (file source + memory sink are the no-Kafka
-    * test rig; swap `readStream.parquet` for a Kafka source in production). */
+    * test rig; swap `readStream.parquet` for a Kafka source in production).
+    *
+    * `mode` defaults to Complete because a one-shot static-file drive never
+    * advances the watermark past the data's tail, so Append would emit
+    * nothing for windowed aggregates; pass Append for stateful plans
+    * (flatMapGroupsWithState) that require it in a live deployment. */
   def runOnce(spark: SparkSession, sourceDir: String,
-      plan: DataFrame => DataFrame, name: String): DataFrame = {
+      plan: DataFrame => DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val q = plan(stream).writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()

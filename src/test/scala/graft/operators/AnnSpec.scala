@@ -33,6 +33,15 @@ class AnnSpec extends SparkSpec {
     assert(!out.map(_._1).contains(0L))
   }
 
+  test("top-k with k smaller than the candidate set evicts correctly (heap path)") {
+    // k=2 over 4 candidates forces heap eviction — must equal the
+    // rank-and-filter formulation
+    val out = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").select("cand_id", "cosine").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 4L))
+    assert(out(0)._2 > out(1)._2)
+  }
+
   test("IVF restricts candidates to the query's cell") {
     val out = Ann.ivfTopK(vecs, vecs.filter($"vec_id" === 0), k = 4, cellCol = "label")
       .select("cand_id").as[Long].collect().toSet

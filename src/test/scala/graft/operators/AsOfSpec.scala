@@ -40,6 +40,23 @@ class AsOfSpec extends SparkSpec {
     assert(out.size == 6) // left join: every left row survives
   }
 
+  test("a right row with a NULL value still matches (no stale carry-forward)") {
+    val quotesWithNull = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L, Some(10.0)),
+      (1L, ts("2024-01-01 10:05:00"), 102L, None) // legitimately NULL px
+    ).toDF("user_id", "ts", "event_id", "px")
+    val probe = Seq((1L, ts("2024-01-01 10:07:00"), 301L))
+      .toDF("user_id", "ts", "event_id")
+    val out = AsOf.asofJoin(probe, quotesWithNull,
+      keys = Seq("user_id"), tsCol = "ts",
+      valueCols = Seq("px"), tieBreak = "event_id")
+      .select($"event_id", $"asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    // the 10:05 quote IS the most recent — its NULL px must come through,
+    // not the stale 10.0 from 10:00
+    assert(out(301L).isEmpty)
+  }
+
   test("tolerance variant nulls out stale matches") {
     val out = AsOf.asofJoinWithTolerance(trades, quotes,
       keys = Seq("user_id"), tsCol = "ts",
