@@ -414,7 +414,20 @@ object CoreQueries {
             sqrt($"n".cast("double") * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
   }
 
+  /** Unpivot (melt): wide per-row metrics → long (row, metric, value) form —
+    * the reshape between feature-matrix and metric-log layouts. Catalyst
+    * plans Expand (one pass, no shuffle); oracle mirrors via UNION ALL. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).unpivot(
+      ids = Array($"l_orderkey", $"l_linenumber"),
+      values = Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+      variableColumnName = "metric",
+      valueColumnName = "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_unpivot" -> (unpivotMetrics _),
     "q48_histogram" -> (priceHistogram _),
     "q49_stats_moments" -> (statsMoments _),
     "q34_rollup" -> (rollupSummary _),
@@ -458,6 +471,14 @@ object CoreQueries {
       |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q50_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
     "q48_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 25000.0), 9.0) AS INTEGER) AS bucket,
         | count(*) AS n,

@@ -30,6 +30,17 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "view", 1L, 4.0)))
   }
 
+  test("stream-static enrichment join: broadcast dim against the stream") {
+    import org.apache.spark.sql.functions.broadcast
+    val dims = Seq(("click", "interaction"), ("view", "content"))
+      .toDF("event_type", "category")
+    val out = Streaming.runOnce(spark, eventsDir,
+      df => df.join(broadcast(dims), Seq("event_type"))
+        .groupBy("category").count(), "enriched_test")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("interaction" -> 3L, "content" -> 1L))
+  }
+
   test("stateful sessionization closes sessions after the inactivity gap") {
     val events = Seq(
       Streaming.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
