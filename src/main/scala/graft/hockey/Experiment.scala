@@ -58,8 +58,8 @@ object Experiment {
     println(s"Total matchups: ${matchups.count()}")
 
     val (trainRaw, testRaw, testSeason) = Pipeline.temporalSplit(matchups)
-    val train = Pipeline.withBinaryLabel(trainRaw).cache()
-    val test = Pipeline.withBinaryLabel(testRaw).cache()
+    val train = Pipeline.withBinaryLabel(Pipeline.castFeatures(trainRaw)).cache()
+    val test = Pipeline.withBinaryLabel(Pipeline.castFeatures(testRaw)).cache()
     println(s"Train = ${train.count()}, Test = ${test.count()}, Test season = $testSeason")
 
     val chosen = Map(

@@ -195,6 +195,12 @@ object Pipeline {
   def withBinaryLabel(df: DataFrame): DataFrame =
     df.withColumn("label_binary", when(col("label") === 2, 1.0).otherwise(0.0))
 
+  /** P4 (ref code/experiment.py:613-615): cast all 25 feature columns to
+    * double before assembly (games-played ordinals are int; the reference
+    * casts explicitly rather than relying on assembler widening). */
+  def castFeatures(df: DataFrame): DataFrame =
+    Schemas.featureCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+
   /** Full ETL: paths → cached matchups (the reference materializes
     * game_data and matchups with cache()+count() — C1 — because the
     * self-join and the four model fits re-consume them). */
