@@ -426,7 +426,32 @@ object CoreQueries {
       valueColumnName = "value")
   }
 
+  /** Grouped string aggregation with deterministic ordering (sort before
+    * join — collect_list order is partition-dependent, array_sort pins it). */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .filter($"c_acctbal" > lit(9000.0))
+      .groupBy($"c_mktsegment")
+      .agg(
+        array_join(array_sort(collect_list($"c_name")), "|").as("vip_names"),
+        count(lit(1)).as("n_vips"))
+  }
+
+  /** Nested output types: array and struct columns survive the parquet
+    * round-trip and compare structurally against the oracle. */
+  def nestedTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        slice(array_sort(collect_list($"o_orderkey")), 1, 5).as("first_orders"),
+        max(struct($"o_totalprice".as("price"), $"o_orderkey".as("okey"))).as("best_order"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_string_agg" -> (stringAgg _),
+    "q52_nested_types" -> (nestedTypes _),
     "q50_unpivot" -> (unpivotMetrics _),
     "q48_histogram" -> (priceHistogram _),
     "q49_stats_moments" -> (statsMoments _),
@@ -471,6 +496,17 @@ object CoreQueries {
       |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q51_string_agg" ->
+      """SELECT c_mktsegment,
+        | string_agg(c_name, '|' ORDER BY c_name) AS vip_names,
+        | count(*) AS n_vips
+        |FROM customer WHERE c_acctbal > 9000.0
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q52_nested_types" ->
+      """SELECT o_custkey,
+        | (list_sort(list(o_orderkey)))[1:5] AS first_orders,
+        | max(struct_pack(price := o_totalprice, okey := o_orderkey)) AS best_order
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q50_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
         |UNION ALL
