@@ -35,6 +35,10 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
+    // Operators that cache intermediates (e.g. the minhash shingle table)
+    // leave warm entries behind; clear so every timed run executes its FULL
+    // plan instead of reading the warm-up's cached partitions.
+    spark.catalog.clearCache()
 
     // failed queries report -1 (never a fake positive time) and are
     // excluded from the total
@@ -43,6 +47,7 @@ object Bench {
       val ok = try { execute(fn); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
+      spark.catalog.clearCache() // no cross-query cache accumulation
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -27,7 +27,8 @@ object AsOf {
     * @param keys       equi-join key columns (both sides)
     * @param tsCol      event-time column name (both sides)
     * @param valueCols  right-side columns to carry (emitted as `asof_<name>`)
-    * @param tieBreak   right-side column ordering ties at equal ts (latest wins)
+    * @param tieBreak   right-side-ONLY column ordering right rows that tie at
+    *                   equal ts (latest wins); the left input need not have it
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, valueCols: Seq[String], tieBreak: String): DataFrame = {
@@ -43,9 +44,15 @@ object AsOf {
       keyCols ++ Seq(col(tsCol), lit(0).as("__side"), col(tieBreak).as("__tie"),
         payload.as("__payload")): _*)
     val payloadType = taggedRight.schema("__payload").dataType
+    val tieType = taggedRight.schema("__tie").dataType
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    // left rows carry a typed-null __tie: tieBreak orders RIGHT rows only
+    // (left rows already sort after all equal-ts right rows via __side), so
+    // requiring the column on the left input would be a spurious analysis
+    // failure for probe tables that don't have it
     val taggedLeft = left.select(
-      keyCols ++ Seq(col(tsCol), lit(1).as("__side"), col(tieBreak).as("__tie"),
+      keyCols ++ Seq(col(tsCol), lit(1).as("__side"),
+        lit(null).cast(tieType).as("__tie"),
         lit(null).cast(payloadType).as("__payload")) ++
         leftCols.map(col): _*)
 

@@ -28,8 +28,14 @@ object RangeJoin {
       tsCol: String, maxGapUs: Long): DataFrame = {
     require(maxGapUs > 0, "maxGapUs must be positive")
     val keyCols = keys.map(col)
-    val l = left.withColumn("__bucket",
-      expr(s"unix_micros($tsCol) div $maxGapUs"))
+    // floor division, NOT bare `div`: integer `div` truncates toward zero,
+    // which disagrees with floor bucketing for pre-1970 (negative
+    // unix_micros) timestamps and would silently drop boundary pairs there.
+    // pmod makes the numerator exactly divisible, so `div` == floor — all in
+    // exact long arithmetic (a double round-trip would lose bits past 2^53).
+    def bucketOf(c: String) = expr(
+      s"(unix_micros($c) - pmod(unix_micros($c), ${maxGapUs}L)) div ${maxGapUs}L")
+    val l = left.withColumn("__bucket", bucketOf(tsCol))
     val rBase = right.select(
       keyCols ++ Seq(col(tsCol).as(s"r_$tsCol")) ++
         right.columns.filterNot(c => keys.contains(c) || c == tsCol)
@@ -37,8 +43,7 @@ object RangeJoin {
     // right row lands in its own bucket and the preceding one: any left row
     // within maxGap of it is in one of those two cells
     val r = rBase.withColumn("__bucket",
-      explode(array(expr(s"unix_micros(r_$tsCol) div $maxGapUs"),
-        expr(s"unix_micros(r_$tsCol) div $maxGapUs - 1"))))
+      explode(array(bucketOf(s"r_$tsCol"), bucketOf(s"r_$tsCol") - 1)))
     l.join(r, keys :+ "__bucket")
       .filter(col(s"r_$tsCol") >= col(tsCol) &&
         unix_micros(col(s"r_$tsCol")) - unix_micros(col(tsCol)) <= maxGapUs)
