@@ -28,11 +28,18 @@ object Tables {
     "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
     "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id")
 
+  /** `df.rdd.getNumPartitions` plans the scan (driver-side work per call);
+    * the answer is a pure function of the files on disk, so memoize it —
+    * 52 bench queries × several tables each would otherwise re-plan the
+    * same scans hundreds of times. */
+  private val scanPartsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     factKeys.get(name) match {
       case Some(key) =>
-        val scanParts = df.rdd.getNumPartitions
+        val scanParts =
+          scanPartsCache.getOrElseUpdate(s"$dir/$name", df.rdd.getNumPartitions)
         val target = spark.sparkContext.defaultParallelism
         if (scanParts * 2 < target)
           df.repartition(target, org.apache.spark.sql.functions.col(key))

@@ -12,7 +12,7 @@ import graft.operators.Dedup
   */
 object DedupQueries {
 
-  private val ShingleSize = 3
+  private[ops] val ShingleSize = 3
   private val NumHashes = 12
   private val Bands = 6 // → 2 rows/band, Jaccard capture threshold ≈ (1/6)^(1/2)
 
@@ -32,8 +32,8 @@ object DedupQueries {
   // ---- oracle SQL (programmatically assembled to keep the 12-hash /
   // ---- 6-band structure in one place) ----
 
-  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
-  private val shinglesSql =
+  private[ops] val toksSql = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+  private[ops] val shinglesSql =
     s"""CASE WHEN len(tk) >= $ShingleSize
        | THEN list_transform(range(1, len(tk) - ${ShingleSize - 2}), i -> array_to_string(tk[i:i+${ShingleSize - 1}], ' '))
        | ELSE [array_to_string(tk, ' ')] END""".stripMargin

@@ -1,0 +1,364 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Skew}
+
+/** Round-2 gate queries (q53+): the SQL/operator surface beyond SURVEY §2's
+  * literal inventory that a production engine is expected to carry —
+  * percentiles, the second window family, CUBE / GROUPING SETS, set
+  * operations, subquery shapes, higher-order array functions, plus the
+  * remaining training-pipeline entries (n-gram Jaccard dedup as its own
+  * operator, salted-join gate, approximate aggregates).
+  *
+  * Exactness strategy per query is called out inline; all follow the
+  * cross-engine rules in ARCHITECTURE.md (decimal bridge for money sums,
+  * integral-valued columns for interpolating percentiles, unique-key
+  * tie-breaks for every ORDER BY / window ordering).
+  */
+object ExtendedQueries {
+
+  private def dec2(c: Column): Column = c.cast("decimal(14,2)")
+
+  /** Exact revenue term — shared decimal bridge for money aggregation. */
+  private def revenueTerm: Column =
+    dec2(col("l_extendedprice")) * (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+
+  // ---------------------------------------------------------------- dedup
+
+  /** n-gram (shingle) Jaccard near-dup as a FIRST-CLASS operator entry:
+    * exact set Jaccard over word 3-grams, candidate pairs blocked on the
+    * min-md5 shingle (a 1-hash MinHash block — documents sharing their
+    * rarest-hash shingle meet; cost is bounded by block sizes, never all
+    * pairs). Distinct from q27, which verifies LSH-banded multi-hash
+    * candidates; this is the direct Jaccard formulation. Integer set
+    * sizes divide exactly → engine-deterministic doubles. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.documents(spark, dir).select($"doc_id",
+      explode(Dedup.wordShingles($"text", DedupQueries.ShingleSize)).as("shingle"))
+    val sets = ex.groupBy($"doc_id").agg(
+      collect_set($"shingle").as("shset"),
+      min(md5($"shingle")).as("block"))
+    val a = sets.select($"doc_id".as("doc_a"), $"shset".as("set_a"), $"block")
+    val b = sets.select($"doc_id".as("doc_b"), $"shset".as("set_b"), $"block")
+    val inter = size(array_intersect($"set_a", $"set_b"))
+    a.join(b, "block").filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", inter.as("n_shared"),
+        (inter.cast("double") /
+          (size($"set_a") + size($"set_b") - inter).cast("double")).as("jaccard"))
+      .filter($"jaccard" >= lit(0.1))
+  }
+
+  // ---------------------------------------------------- exact percentiles
+
+  /** Exact percentile family (percentile + median). Interpolation math is
+    * bit-exact across engines ONLY because l_quantity is integral-valued:
+    * a + (b − a)·q with integer a,b and dyadic q has one exact double
+    * result regardless of op order. (For arbitrary doubles this query
+    * would need a rank-based formulation; at 100 TB the scale path is
+    * approx_percentile — q64.) */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25D)").as("p25_qty"),
+        expr("median(l_quantity)").as("median_qty"),
+        expr("percentile(l_quantity, 0.75D)").as("p75_qty"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // ----------------------------------------------------- window family #2
+
+  /** Second window-function family: percent_rank / cume_dist (exact integer
+    * ratios), first_value / nth_value over a running frame, last_value over
+    * the full frame. Ordering includes the unique o_orderkey so row frames
+    * are total-order deterministic. */
+  def windowFamily2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir).select(
+      $"o_orderkey", $"o_orderpriority",
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cum_dist"),
+      first($"o_orderkey").over(wRun).as("cheapest_okey"),
+      nth_value($"o_orderkey", 3).over(wRun).as("third_okey"),
+      last($"o_orderkey").over(wFull).as("priciest_okey"))
+  }
+
+  // ------------------------------------------- multi-dimensional grouping
+
+  /** CUBE over (returnflag, linestatus): all 4 grouping levels in one Expand
+    * pass; grouping_id disambiguates subtotal NULLs from data NULLs. */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec2($"l_quantity")).cast("double").as("sum_qty"))
+  }
+
+  /** GROUPING SETS — one dialect-shared SQL text (runs verbatim on Spark
+    * SQL and DuckDB): per-flag, per-status, and grand-total rows. */
+  val GroupingSetsQuery: String =
+    """SELECT l_returnflag, l_linestatus,
+      | count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(GroupingSetsQuery)
+  }
+
+  // ------------------------------------------------------- TPC-H classics
+
+  /** TPC-H Q3 (shipping priority) — dialect-shared SQL: 3-way join with
+    * selective filters on both fact scans, decimal-exact revenue, total
+    * ORDER BY with unique tie-break + LIMIT (TakeOrdered, no full sort). */
+  val ShippingPriorityQuery: String =
+    """SELECT l_orderkey,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      | o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(ShippingPriorityQuery)
+  }
+
+  /** TPC-H Q10 shape (returned items), DataFrame API: 4-way join where the
+    * dimensions (customer, nation) broadcast under AQE, one hash-agg on the
+    * customer grain, top-20 by exact revenue. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lo = Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+    lo.join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(sum(revenueTerm).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  // ----------------------------------------------------------- set algebra
+
+  /** INTERSECT / EXCEPT (distinct set semantics in both engines): nations
+    * with VIP customers vs nations with VIP suppliers, tagged. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables.nation(spark, dir)
+    val custNations = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > lit(9000.0))
+      .join(nation, $"c_nationkey" === $"n_nationkey").select($"n_name")
+    val suppNations = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" > lit(9000.0))
+      .join(nation, $"s_nationkey" === $"n_nationkey").select($"n_name")
+    custNations.intersect(suppNations).select($"n_name", lit("both").as("tag"))
+      .unionByName(
+        custNations.except(suppNations).select($"n_name", lit("cust_only").as("tag")))
+  }
+
+  // ------------------------------------------------------ subquery shapes
+
+  /** Subquery battery — dialect-shared SQL: EXISTS (→ left-semi join), IN
+    * (→ semi join on the dim), scalar subquery (→ broadcast single row).
+    * Catalyst decorrelates all three; no driver-side values. */
+  val SubqueryQuery: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+      |  AND c.c_acctbal > (SELECT min(s_acctbal) FROM supplier)""".stripMargin
+
+  def subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    spark.sql(SubqueryQuery)
+  }
+
+  // ------------------------------------------------- higher-order arrays
+
+  /** Higher-order array functions over the token stream — size / distinct /
+    * contains / slice+join / aggregate-fold — all codegen'd builtins, all
+    * with exact integer or string outputs. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = graft.functions.TextFunctions.tokens($"text")
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(tk).as("n_toks"),
+      size(array_distinct(tk)).as("n_uniq"),
+      array_contains(tk, "the").as("has_the"),
+      array_join(slice(tk, 1, 3), " ").as("first3"),
+      aggregate(tk, lit(0), (a, t) => greatest(a, length(t))).as("max_tok_len"))
+  }
+
+  // ------------------------------------------------------- skew mitigation
+
+  /** Salted-join gate entry: Skew.saltedJoin result must equal the plain
+    * join (salting is a physical rewrite, not a semantic one) — the oracle
+    * IS the plain join + aggregate. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.orders(spark, dir)
+      .select($"o_custkey".as("custkey"), $"o_totalprice")
+    val build = Tables.customer(spark, dir)
+      .select($"c_custkey".as("custkey"), $"c_nationkey")
+    Skew.saltedJoin(fact, build, Seq("custkey"), numSalts = 8)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2($"o_totalprice")).cast("double").as("total_price"))
+  }
+
+  // ------------------------------------------------ approximate aggregates
+
+  /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
+    * t-digest-style sketches: one pass, tiny fixed-size state, no exact
+    * distinct shuffle). Sketch internals differ per engine, so there is no
+    * DuckDB oracle; the driver records the weaker rows-only check. */
+  def approxAggs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct($"l_partkey").as("approx_parts"),
+      approx_count_distinct($"l_suppkey").as("approx_supps"),
+      expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("approx_median_price"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q54_percentiles" -> (percentiles _),
+    "q55_window_family2" -> (windowFamily2 _),
+    "q56_cube" -> (cubeSummary _),
+    "q57_grouping_sets" -> (groupingSets _),
+    "q58_shipping_priority" -> (shippingPriority _),
+    "q59_returned_items" -> (returnedItems _),
+    "q60_set_ops" -> (setOps _),
+    "q61_subqueries" -> (subqueries _),
+    "q62_array_ops" -> (arrayOps _),
+    "q63_salted_join" -> (saltedJoinAgg _),
+    "q64_approx_aggs" -> (approxAggs _))
+
+  private val jaccardSql =
+    "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q53_dedup_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${DedupQueries.toksSql} AS tk FROM documents
+         |), sh AS (
+         |  SELECT doc_id, ${DedupQueries.shinglesSql} AS shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |), sets AS (
+         |  SELECT doc_id, list_distinct(list(s)) AS shset, min(md5(s)) AS block
+         |  FROM ex GROUP BY doc_id
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.shset AS sa, b.shset AS sb
+         |  FROM sets a JOIN sets b ON a.block = b.block AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa, sb)) AS INTEGER) AS n_shared,
+         |  $jaccardSql AS jaccard
+         |FROM cand
+         |WHERE $jaccardSql >= CAST(0.1 AS DOUBLE)""".stripMargin,
+    "q54_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25_qty,
+        | median(l_quantity) AS median_qty,
+        | quantile_cont(l_quantity, 0.75) AS p75_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q55_window_family2" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+        | cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cum_dist,
+        | first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_okey,
+        | nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_okey,
+        | last_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_okey
+        |FROM orders""".stripMargin,
+    "q56_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | grouping_id(l_returnflag, l_linestatus) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q57_grouping_sets" -> GroupingSetsQuery,
+    "q58_shipping_priority" -> ShippingPriorityQuery,
+    "q59_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q60_set_ops" ->
+      """WITH cn AS (
+        |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_acctbal > 9000.0
+        |), sn AS (
+        |  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE s_acctbal > 9000.0
+        |)
+        |SELECT n_name, 'both' AS tag FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+        |UNION ALL
+        |SELECT n_name, 'cust_only' AS tag FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)""".stripMargin,
+    "q61_subqueries" -> SubqueryQuery,
+    "q62_array_ops" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${DedupQueries.toksSql} AS tk FROM documents
+         |)
+         |SELECT doc_id,
+         | CAST(len(tk) AS INTEGER) AS n_toks,
+         | CAST(len(list_distinct(tk)) AS INTEGER) AS n_uniq,
+         | list_contains(tk, 'the') AS has_the,
+         | array_to_string(tk[1:3], ' ') AS first3,
+         | CAST(coalesce(list_max(list_transform(tk, t -> len(t))), 0) AS INTEGER) AS max_tok_len
+         |FROM toks""".stripMargin,
+    "q63_salted_join" ->
+      """SELECT c_nationkey,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin)
+}

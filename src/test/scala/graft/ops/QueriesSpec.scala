@@ -8,8 +8,14 @@ import graft.{SparkEntry, SparkSpec}
   * replicates at sf0.01.) */
 class QueriesSpec extends SparkSpec {
 
+  /** Sketch-based queries have engine-specific outputs — no SQL oracle by
+    * design (the driver records a rows-only check); ApproxSpec pins their
+    * accuracy against the exact answers instead. */
+  private val noOracleByDesign = Set("q64_approx_aggs")
+
   test("every query has an oracle entry") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleByDesign
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
