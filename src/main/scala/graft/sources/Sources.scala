@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY §2.1 S1–S5, re-expressed Spark-first).
+  *
+  * The reference reads header CSVs with `inferSchema` (a full extra pass
+  * over the data — `code/experiment.py:283,325`) and writes subsample CSVs
+  * via driver-side pandas (`code/create_subsample.py:76,94`). Here every
+  * read takes an explicit `StructType` (one pass, deterministic types, no
+  * driver bottleneck) and every write is a distributed `DataFrameWriter`.
+  * Paths are Hadoop-FS URIs, so `file://`, `hdfs://`, `s3a://`, `gs://`
+  * all work unchanged — the reference's GCS usage (`README.md:28-39`) is a
+  * path scheme, not a connector, at this layer.
+  *
+  * Scale notes baked into the writers: `maxRecordsPerFile` bounds output
+  * file size (small-file storms and 10 GB monoliths are both poison at
+  * 100 TB), partitioned layouts feed partition pruning, and bucketed
+  * layouts (see [[graft.operators.Bucketing]]) remove the shuffle from
+  * repeated fact-fact joins.
+  */
+object Sources {
+
+  /** Header CSV with explicit schema — S1/S2. `nullValue` defaults to the
+    * reference corpus's `\N` sentinel (`data/Sample_NHL_EventData.csv:2`);
+    * a failed cast under the permissive mode yields null, mirroring the
+    * reference's cast-to-null cleanup (`code/experiment.py:291-298`). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      nullValue: String = "\\N"): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("nullValue", nullValue)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Schema-discovery CSV read (the reference's `inferSchema` behavior —
+    * costs a full extra scan; use [[readCsv]] in production). */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** Distributed header-CSV sink — S4 without the reference's
+    * driver-side pandas funnel. */
+  def writeCsv(df: DataFrame, path: String, maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .option("header", "true")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .csv(path)
+
+  /** JSON-lines read with explicit schema (schema-on-read for document
+    * corpora; pass the schema — letting Spark sample JSONL at 100 TB is an
+    * extra pass just like inferSchema). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines sink (interchange format for document pipelines). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Hive-style partitioned parquet: one directory per distinct value of
+    * `partitionCols` — queries filtering on those columns prune whole
+    * directories before any I/O. Cap cardinality (≲ 10k partitions); high-
+    * cardinality keys belong in bucketing, not partitioning. */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Console sink — S3 (`.show()` of small result frames). */
+  def printResult(df: DataFrame, rows: Int = 20): Unit =
+    df.show(rows, truncate = false)
+}
