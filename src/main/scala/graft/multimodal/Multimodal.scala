@@ -74,6 +74,23 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: recompute the (fake) decoded dimensions to fit inside a
+    * bounding box, preserving aspect ratio — the metadata-level contract of
+    * a real resize (the pixel transform itself would live next to the codec
+    * in [[decodeImageStub]]'s partition-local loop). Pure Column math: the
+    * scale factor is min(maxW/w, maxH/h, 1) and output dims round down. */
+  def resizeStub(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val scale = least(
+      lit(maxW).cast("double") / $"width".cast("double"),
+      lit(maxH).cast("double") / $"height".cast("double"),
+      lit(1.0))
+    features.toDF()
+      .withColumn("resized_w", floor($"width" * scale).cast("int"))
+      .withColumn("resized_h", floor($"height" * scale).cast("int"))
+  }
+
   /** Frame-sampling stub for video-typed rows: emit one row per sampled
     * "frame" (flatMap shape — the row-expansion contract of real frame
     * extraction), sampling every `stride`-th byte offset as a frame key. */

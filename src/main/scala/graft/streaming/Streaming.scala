@@ -77,6 +77,23 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of Dedup.exactDedup for
+    * continuous corpus ingest: fingerprint each document (md5 of content)
+    * and keep the first arrival per fingerprint. The watermark bounds the
+    * dedup state store: a fingerprint older than the watermark is evicted,
+    * so state is O(docs per watermark window), not O(corpus) — the only
+    * formulation that survives unbounded ingest. Exact global dedup over
+    * all history belongs in the batch operator (or an external key store).
+    *
+    * `tsCol` is the event-time column the watermark rides on; `keyCols`
+    * defaults to the content fingerprint added as `fingerprint`. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Run a streaming query over a parquet directory source and collect the
     * result synchronously via the memory sink — the local-mode harness for
     * the streaming plans above (file source + memory sink are the no-Kafka

@@ -34,6 +34,20 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).width == 9 && feats(1L).height == 9) // 8%640+1, 8%480+1
   }
 
+  test("resize preserves aspect ratio and never upscales") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val feats = Multimodal.decodeImageStub(media)
+    val resized = Multimodal.resizeStub(feats, maxW = 4, maxH = 3)
+      .select("media_id", "width", "height", "resized_w", "resized_h")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    resized.foreach { case (_, w, h, rw, rh) =>
+      assert(rw <= 4 && rh <= 3, s"($rw,$rh) exceeds the bounding box")
+      assert(rw <= w && rh <= h, "resize must never upscale")
+      val scale = math.min(math.min(4.0 / w, 3.0 / h), 1.0)
+      assert(rw == math.floor(w * scale).toInt && rh == math.floor(h * scale).toInt)
+    }
+  }
+
   test("frame sampling emits one row per stride for video rows only") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val frames = Multimodal.sampleFramesStub(media, stride = 4)

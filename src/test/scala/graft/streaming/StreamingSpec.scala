@@ -41,6 +41,22 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("interaction" -> 3L, "content" -> 1L))
   }
 
+  test("streaming dedup keeps one row per content fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-docs").toString
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), "the quick brown fox"),
+      (2L, ts("2024-01-01 00:05:00"), "the quick brown fox"), // dup content
+      (3L, ts("2024-01-01 00:10:00"), "an entirely different doc"))
+      .toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val out = Streaming.runOnce(spark, dir,
+      df => Streaming.dedupStream(df, "text", "ts"), "dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("text").as[String].collect().toSeq
+    assert(out.length == 2)
+    assert(out.toSet ==
+      Set("the quick brown fox", "an entirely different doc"))
+  }
+
   test("stateful sessionization closes sessions after the inactivity gap") {
     val events = Seq(
       Streaming.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
