@@ -80,10 +80,10 @@ object DedupQueries {
        |JOIN sets x ON cand.doc_a = x.doc_id
        |JOIN sets y ON cand.doc_b = y.doc_id""".stripMargin
 
-  private val voteCols = (1 to 16)
+  private[ops] val voteCols = (1 to 16)
     .map(k => s"sum(CASE WHEN substr(md5(t), $k, 1) >= '8' THEN 1 ELSE -1 END) AS s$k")
     .mkString(",\n    ")
-  private val bitSum = (1 to 16)
+  private[ops] val bitSum = (1 to 16)
     .map(k => s"CASE WHEN s$k >= 0 THEN ${1 << (16 - k)} ELSE 0 END")
     .mkString(" + ")
 

@@ -53,6 +53,23 @@ object ExtendedQueries {
       .filter($"jaccard" >= lit(0.1))
   }
 
+  /** SimHash near-dup PAIRS (q28 emits signatures; this completes the
+    * pipeline): self-join on the top-byte banding bucket, then exact
+    * 16-bit Hamming distance via bit_count(xor). Banding semantics:
+    * candidates must share the top byte — a near-dup pair differing there
+    * is missed by design (same recall trade as any LSH band scheme); at
+    * scale add rotated-band buckets rather than widening the join. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Dedup.simhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
+    val a = sigs.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"bucket")
+    val b = sigs.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"bucket")
+    a.join(b, "bucket").filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .filter($"hamming" <= lit(3))
+  }
+
   // ---------------------------------------------------- exact percentiles
 
   /** Exact percentile family (percentile + median). Interpolation math is
@@ -266,7 +283,8 @@ object ExtendedQueries {
     "q61_subqueries" -> (subqueries _),
     "q62_array_ops" -> (arrayOps _),
     "q63_salted_join" -> (saltedJoinAgg _),
-    "q64_approx_aggs" -> (approxAggs _))
+    "q64_approx_aggs" -> (approxAggs _),
+    "q65_simhash_pairs" -> (simhashPairs _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -360,5 +378,21 @@ object ExtendedQueries {
         | count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_nationkey""".stripMargin)
+        |GROUP BY c_nationkey""".stripMargin,
+    "q65_simhash_pairs" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(${DedupQueries.toksSql}) AS t FROM documents
+         |), votes AS (
+         |  SELECT doc_id,
+         |    ${DedupQueries.voteCols}
+         |  FROM ex GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id, CAST(${DedupQueries.bitSum} AS INTEGER) AS simhash,
+         |    CAST((${DedupQueries.bitSum}) // 256 AS INTEGER) AS bucket
+         |  FROM votes
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)
 }
