@@ -107,6 +107,28 @@ object Ann {
       .select(col(idCol), col("__cell").as("cell"))
   }
 
+  /** IVF coarse-quantizer training: Lloyd iterations composed from
+    * [[assignCells]] (E-step) and [[cellCentroids]] (M-step). The driver
+    * loop runs a tiny fixed count of iterations; every step is fully
+    * distributed (broadcast centroids, one shuffle per M-step on the cell
+    * key). Initialize from any seed assignment — e.g. `pmod(hash(id), k)`
+    * — and feed the result to [[ivfTopK]]. Empty cells drop out (standard
+    * Lloyd behavior); deterministic given a deterministic seed. */
+  def trainCentroids(corpus: DataFrame, seedCellCol: String, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    var centroids = cellCentroids(corpus, seedCellCol, vecCol)
+    var i = 1
+    while (i < iters) {
+      val assigned = corpus.join(
+        assignCells(corpus, centroids, idCol, vecCol)
+          .withColumnRenamed("cell", "__assigned"), idCol)
+      centroids = cellCentroids(assigned, "__assigned", vecCol)
+      i += 1
+    }
+    centroids
+  }
+
   /** K-means-free coarse centroids: mean vector per cell via per-dimension
     * aggregation (posexplode → avg per (cell, dim) → re-assemble). Used to
     * build a real IVF assignment when no label exists. */

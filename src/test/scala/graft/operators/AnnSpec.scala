@@ -67,6 +67,23 @@ class AnnSpec extends SparkSpec {
     both.foreach { case (h, f) => assert(h == f) }
   }
 
+  test("Lloyd training separates two clear clusters") {
+    import org.apache.spark.sql.functions._
+    // two tight clusters around +x and +y; seed cells deliberately mixed
+    val pts = Seq(
+      (0L, Array(1.0f, 0.05f), 0), (1L, Array(0.95f, 0.0f), 1),
+      (2L, Array(1.0f, -0.05f), 0), (3L, Array(0.05f, 1.0f), 1),
+      (4L, Array(0.0f, 0.95f), 0), (5L, Array(-0.05f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "seed")
+    val centroids = Ann.trainCentroids(pts, "seed", iters = 3)
+    val cells = Ann.assignCells(pts, centroids)
+      .orderBy("vec_id").select("cell").as[Int].collect()
+    // converged assignment puts {0,1,2} together and {3,4,5} together
+    assert(cells(0) == cells(1) && cells(1) == cells(2))
+    assert(cells(3) == cells(4) && cells(4) == cells(5))
+    assert(cells(0) != cells(3))
+  }
+
   test("cell centroids average per dimension") {
     val cents = Ann.cellCentroids(vecs, "label")
       .as[(Int, Array[Double])].collect().toMap
