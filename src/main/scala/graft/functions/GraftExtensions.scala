@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** Session extension exposing the native expressions to SQL:
+/** Session extension exposing the native expressions to SQL and installing
+  * the graft optimizer rules:
   *
   * {{{
   * SparkSession.builder()
@@ -14,10 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   *
   * For an already-built session, `Native.registerSql(spark)` installs the
-  * same functions on the live registry.
+  * same functions on the live registry (optimizer rules can only be
+  * injected at build time).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[Native.ArrayCosine].getName, "graft_cosine"),

@@ -254,6 +254,37 @@ object ExtendedQueries {
         sum(dec2($"o_totalprice")).cast("double").as("total_price"))
   }
 
+  // ------------------------------------------------------------ outer joins
+
+  /** FULL OUTER join with unmatched rows on BOTH sides: rich customers
+    * (some order-less) vs per-customer order rollups (some below the
+    * balance cut). Null-padded columns surface exactly as in the oracle. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val left = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > lit(5000.0))
+      .select($"c_custkey", $"c_acctbal")
+    val right = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2($"o_totalprice")).cast("double").as("total_price"))
+    left.join(right, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_acctbal", $"n_orders", $"total_price")
+  }
+
+  /** LEFT OUTER join preserving order-less customers with NULL rollups
+    * (the null-extension contract, not coalesced away). */
+  def leftOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val right = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir)
+      .join(right, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey", $"c_mktsegment", $"n_orders")
+  }
+
   // ------------------------------------------------ approximate aggregates
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
@@ -284,7 +315,9 @@ object ExtendedQueries {
     "q62_array_ops" -> (arrayOps _),
     "q63_salted_join" -> (saltedJoinAgg _),
     "q64_approx_aggs" -> (approxAggs _),
-    "q65_simhash_pairs" -> (simhashPairs _))
+    "q65_simhash_pairs" -> (simhashPairs _),
+    "q66_full_outer_join" -> (fullOuterJoin _),
+    "q67_left_outer_join" -> (leftOuterJoin _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -394,5 +427,22 @@ object ExtendedQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q66_full_outer_join" ->
+      """WITH l AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0
+        |), r AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  c_acctbal, n_orders, total_price
+        |FROM l FULL JOIN r ON c_custkey = o_custkey""".stripMargin,
+    "q67_left_outer_join" ->
+      """SELECT c_custkey, c_mktsegment, n_orders
+        |FROM customer
+        |LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+        |) r ON c_custkey = o_custkey""".stripMargin)
 }

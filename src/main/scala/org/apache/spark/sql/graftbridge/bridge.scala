@@ -20,4 +20,13 @@ object bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Execute a hand-built LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — lets specs run a plan after applying an optimizer
+    * rule directly, independent of session-level extension wiring. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
