@@ -285,6 +285,27 @@ object ExtendedQueries {
       .select($"c_custkey", $"c_mktsegment", $"n_orders")
   }
 
+  /** Range join in NAIVE theta-join syntax — the query a user actually
+    * writes (`p.ts BETWEEN v.ts AND v.ts + INTERVAL`). Without
+    * [[graft.plans.RangeJoinRule]] Spark keys the join on user_id alone and
+    * cross-products each user's events; with the rule (active in the
+    * Verify/Bench sessions via GraftExtensions) the optimizer adds the
+    * gap-bucket equi key automatically — same plan shape as the hand-
+    * bucketized q46, from unmodified user syntax. */
+  def rangeJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    views.join(purchases,
+      $"user_id" === $"p_user" && $"p_ts" >= $"view_ts" &&
+        $"p_ts" <= expr("view_ts + INTERVAL 30 MINUTE"))
+      .select($"view_id", $"purchase_id", $"user_id",
+        $"view_ts", $"p_ts".as("purchase_ts"))
+  }
+
   // ------------------------------------------------ approximate aggregates
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
@@ -317,7 +338,8 @@ object ExtendedQueries {
     "q64_approx_aggs" -> (approxAggs _),
     "q65_simhash_pairs" -> (simhashPairs _),
     "q66_full_outer_join" -> (fullOuterJoin _),
-    "q67_left_outer_join" -> (leftOuterJoin _))
+    "q67_left_outer_join" -> (leftOuterJoin _),
+    "q68_range_join_auto" -> (rangeJoinAuto _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -444,5 +466,14 @@ object ExtendedQueries {
         |FROM customer
         |LEFT JOIN (
         |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
-        |) r ON c_custkey = o_custkey""".stripMargin)
+        |) r ON c_custkey = o_custkey""".stripMargin,
+    "q68_range_join_auto" ->
+      """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |       v.ts AS view_ts, p.ts AS purchase_ts
+        |FROM v JOIN p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts
+        | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000""".stripMargin)
 }
