@@ -67,6 +67,33 @@ object AsOf {
         valueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** Whole-operator variant through the custom plan stack
+    * ([[graft.plans.AsOfJoinPlan]] → strategy → single-pass merge exec):
+    * same semantics and shuffle profile as [[asofJoin]], but the physical
+    * operator keeps O(1) state per partition instead of running the union
+    * through a window buffer. The right side is re-aliased so self-joins
+    * (both inputs derived from one scan) keep distinct attribute ids. */
+  def asofJoinMerged(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String], tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.bridge
+    val spark = left.sparkSession
+    bridge.registerStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lPlan = left.queryExecution.analyzed
+    val rBase = right.queryExecution.analyzed
+    val rPlan = Project(rBase.output.map(a => Alias(a, a.name)()), rBase)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name not found"))
+    bridge.ofRows(spark, graft.plans.AsOfJoinPlan.create(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, tsCol), attr(rPlan, tsCol),
+      valueCols.map(c => c -> (attr(rPlan, c): org.apache.spark.sql.catalyst.expressions.Expression)),
+      attr(rPlan, tieBreak)))
+  }
+
   /** Tolerance variant: matches older than `toleranceUs` microseconds are
     * nulled out (feature-freshness guard). `tsCol` must be a timestamp. */
   def asofJoinWithTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],

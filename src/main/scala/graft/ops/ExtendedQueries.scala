@@ -306,6 +306,27 @@ object ExtendedQueries {
         $"view_ts", $"p_ts".as("purchase_ts"))
   }
 
+  /** As-of join through the CUSTOM PLAN STACK ([[graft.plans.AsOfJoinPlan]]
+    * → AsOfJoinStrategy → single-pass AsOfJoinExec): each purchase picks up
+    * the most recent prior view by the same user. Same oracle shape as q45
+    * (DuckDB ASOF LEFT JOIN) but executed by the bespoke merge operator —
+    * the gate proves the custom physical plan is hash-exact. */
+  def asofMerged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val views = ev.filter($"event_type" === "view")
+      .withColumn("view_ts", $"ts")
+      .select($"user_id", $"ts", $"event_id", $"view_ts", $"value")
+    graft.operators.AsOf.asofJoinMerged(purchases, views,
+      keys = Seq("user_id"), tsCol = "ts",
+      valueCols = Seq("view_ts", "value"), tieBreak = "event_id")
+      .select($"event_id", $"user_id", $"ts".as("purchase_ts"),
+        $"asof_view_ts".as("last_view_ts"),
+        $"asof_value".as("last_view_value"))
+  }
+
   // ------------------------------------------------ approximate aggregates
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
@@ -339,7 +360,8 @@ object ExtendedQueries {
     "q65_simhash_pairs" -> (simhashPairs _),
     "q66_full_outer_join" -> (fullOuterJoin _),
     "q67_left_outer_join" -> (leftOuterJoin _),
-    "q68_range_join_auto" -> (rangeJoinAuto _))
+    "q68_range_join_auto" -> (rangeJoinAuto _),
+    "q69_asof_custom_plan" -> (asofMerged _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -475,5 +497,12 @@ object ExtendedQueries {
         |FROM v JOIN p
         |  ON v.user_id = p.user_id
         | AND p.ts >= v.ts
-        | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000""".stripMargin)
+        | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000""".stripMargin,
+    "q69_asof_custom_plan" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        |       v.ts AS last_view_ts, v.value AS last_view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)
 }

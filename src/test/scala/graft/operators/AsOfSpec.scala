@@ -25,6 +25,33 @@ class AsOfSpec extends SparkSpec {
     (3L, ts("2024-01-01 10:03:00"), 206L) // key with no quotes → null
   ).toDF("user_id", "ts", "event_id")
 
+  test("asof join equals the naive per-row lookup on random data (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val rightRows = Seq.fill(300)((rnd.nextInt(8).toLong,
+      new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+      rnd.nextLong().abs, rnd.nextDouble()))
+    val leftRows = Seq.fill(200)((rnd.nextInt(10).toLong,
+      new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+      rnd.nextLong().abs))
+    val right = rightRows.toDF("user_id", "ts", "event_id", "px")
+    val left = leftRows.toDF("user_id", "ts", "event_id")
+
+    val got = AsOf.asofJoin(left, right, Seq("user_id"), "ts",
+      valueCols = Seq("px"), tieBreak = "event_id")
+      .select("user_id", "ts", "event_id", "asof_px")
+      .as[(Long, Timestamp, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2.getTime, r._3) -> r._4).toMap
+
+    leftRows.foreach { case (k, lts, lid) =>
+      val expected = rightRows
+        .filter(r => r._1 == k && !r._2.after(lts))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._4)
+      assert(got((k, lts.getTime, lid)) == expected,
+        s"key=$k lts=$lts: got ${got((k, lts.getTime, lid))}, want $expected")
+    }
+    assert(got.size == leftRows.size)
+  }
+
   test("asof join: latest right row at-or-before each left row, per key") {
     val out = AsOf.asofJoin(trades, quotes,
       keys = Seq("user_id"), tsCol = "ts",
