@@ -327,6 +327,70 @@ object ExtendedQueries {
         $"asof_value".as("last_view_value"))
   }
 
+  // --------------------------------------------- bounded per-group top-k
+
+  /** Per-group top-k through the k-bounded heap aggregate
+    * ([[graft.functions.TopK.ScoredTopK]]): partial states carry at most k
+    * entries per (partition, group), so the shuffle moves k·groups·
+    * partitions rows — the oracle's row_number window would exchange every
+    * scored row. Determinism: (score desc, id asc) total order. */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(graft.functions.TopK.scoredTopK($"o_totalprice", $"o_orderkey", 3).as("top"))
+      .select($"o_orderpriority", posexplode($"top").as(Seq("pos", "s")))
+      .select($"o_orderpriority", ($"pos" + 1).cast("int").as("rank"),
+        $"s.cand_id".as("o_orderkey"), $"s.cosine".as("o_totalprice"))
+  }
+
+  // ------------------------------------------------------- map functions
+
+  /** MapType surface: build a (segment → count) map per nation
+    * (map_from_entries over a SORTED entry array — map iteration order is
+    * entry order, so sorting pins it), then read it back out via map_keys /
+    * map_values / try_element_at. Flattened to scalars for the gate; the
+    * oracle computes the same values relationally (DuckDB map extraction
+    * semantics vary by version — the VALUES are the contract, not the
+    * container). */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sub = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment").agg(count(lit(1)).as("n"))
+    sub.groupBy($"c_nationkey")
+      .agg(map_from_entries(array_sort(collect_list(
+        struct($"c_mktsegment".as("k"), $"n".as("v"))))).as("m"))
+      .select($"c_nationkey",
+        array_join(map_keys($"m"), ",").as("segs"),
+        array_join(transform(map_values($"m"), _.cast("string")), ",").as("seg_counts"),
+        size(map_keys($"m")).as("n_segs"),
+        try_element_at($"m", lit("BUILDING")).as("building_cnt"))
+  }
+
+  // ------------------------------------------- TPC-H Q22 (anti + scalar)
+
+  /** TPC-H Q22 shape — dialect-shared SQL: scalar subquery with the exact
+    * decimal-mean bridge, NOT EXISTS (→ left-anti join), grouped rollup of
+    * the survivors. (The anti predicate is "no URGENT order" — in this
+    * corpus every customer has SOME order, so Q22's literal no-order form
+    * would be vacuously empty.) */
+  val GlobalCustomerQuery: String =
+    """SELECT c_nationkey, count(*) AS n_cust,
+      | CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey""".stripMargin
+
+  def globalCustomer(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(GlobalCustomerQuery)
+  }
+
   // ------------------------------------------------ approximate aggregates
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
@@ -361,7 +425,10 @@ object ExtendedQueries {
     "q66_full_outer_join" -> (fullOuterJoin _),
     "q67_left_outer_join" -> (leftOuterJoin _),
     "q68_range_join_auto" -> (rangeJoinAuto _),
-    "q69_asof_custom_plan" -> (asofMerged _))
+    "q69_asof_custom_plan" -> (asofMerged _),
+    "q70_topk_per_group" -> (topKPerGroup _),
+    "q71_map_functions" -> (mapFunctions _),
+    "q72_global_customer" -> (globalCustomer _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -504,5 +571,25 @@ object ExtendedQueries {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
         |       v.ts AS last_view_ts, v.value AS last_view_value
         |FROM p ASOF LEFT JOIN v
-        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q70_topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rn AS INTEGER) AS rank, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3""".stripMargin,
+    "q71_map_functions" ->
+      """WITH sub AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment
+        |)
+        |SELECT c_nationkey,
+        | string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+        | string_agg(CAST(n AS VARCHAR), ',' ORDER BY c_mktsegment) AS seg_counts,
+        | CAST(count(*) AS INTEGER) AS n_segs,
+        | max(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS building_cnt
+        |FROM sub GROUP BY c_nationkey""".stripMargin,
+    "q72_global_customer" -> GlobalCustomerQuery)
 }
