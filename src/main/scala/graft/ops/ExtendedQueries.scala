@@ -396,6 +396,27 @@ object ExtendedQueries {
     spark.sql(GlobalCustomerQuery)
   }
 
+  // --------------------------------------------------- date arithmetic
+
+  /** Date ARITHMETIC battery (q36 covers extraction): datediff, date_add,
+    * last_day, quarter-trunc, quarter/ISO-week numbers. Type pins: DuckDB
+    * datediff/quarter/weekofyear → BIGINT (cast INTEGER in oracle) and
+    * date_trunc('quarter', ts) → DATE where Spark gives TIMESTAMP (cast
+    * the Spark side to date). */
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = $"o_orderdate".cast("date")
+    Tables.orders(spark, dir).select(
+      $"o_orderkey",
+      d.as("d"),
+      datediff(d, lit("1995-01-01").cast("date")).as("days_since"),
+      date_add(d, 30).as("plus30"),
+      last_day(d).as("month_end"),
+      date_trunc("quarter", $"o_orderdate").cast("date").as("quarter_start"),
+      quarter($"o_orderdate").cast("int").as("qtr"),
+      weekofyear($"o_orderdate").cast("int").as("iso_week"))
+  }
+
   // ------------------------------------------------ approximate aggregates
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
@@ -433,7 +454,8 @@ object ExtendedQueries {
     "q69_asof_custom_plan" -> (asofMerged _),
     "q70_topk_per_group" -> (topKPerGroup _),
     "q71_map_functions" -> (mapFunctions _),
-    "q72_global_customer" -> (globalCustomer _))
+    "q72_global_customer" -> (globalCustomer _),
+    "q73_date_arithmetic" -> (dateArithmetic _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -596,5 +618,15 @@ object ExtendedQueries {
         | CAST(count(*) AS INTEGER) AS n_segs,
         | max(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS building_cnt
         |FROM sub GROUP BY c_nationkey""".stripMargin,
-    "q72_global_customer" -> GlobalCustomerQuery)
+    "q72_global_customer" -> GlobalCustomerQuery,
+    "q73_date_arithmetic" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) AS d,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | date_trunc('quarter', o_orderdate) AS quarter_start,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
+        |FROM orders""".stripMargin)
 }
