@@ -94,6 +94,48 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-stream inner join with event-time bounds: each click joins the
+    * error events of the same user within the preceding `gapMinutes`. Both
+    * sides carry watermarks, and the time-range predicate bounds the join
+    * state on BOTH sides (Spark evicts a buffered row once the other
+    * side's watermark passes its join window) — the only stream-stream
+    * join formulation whose state does not grow without bound. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+      gapMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"),
+        col("event_id").as("error_id"))
+    c.join(e,
+      col("user_id") === col("e_user") &&
+        col("error_ts") <= col("click_ts") &&
+        col("error_ts") >= col("click_ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("error_id"),
+        col("click_ts"), col("error_ts"))
+  }
+
+  /** foreachBatch sink: per-micro-batch idempotent parquet append — the
+    * standard exactly-once-to-storage pattern (batchId-keyed subdirectory;
+    * a replayed batch overwrites its own output instead of duplicating).
+    * Runs with Trigger.AvailableNow semantics via processAllAvailable in
+    * [[runOnce]]-style drives; swap the body for MERGE INTO on a
+    * transactional table format in production. */
+  def runForeachBatch(spark: SparkSession, sourceDir: String, outDir: String,
+      plan: DataFrame => DataFrame, name: String): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = plan(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Run a streaming query over a parquet directory source and collect the
     * result synchronously via the memory sink — the local-mode harness for
     * the streaming plans above (file source + memory sink are the no-Kafka

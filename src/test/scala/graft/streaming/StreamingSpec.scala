@@ -57,6 +57,45 @@ class StreamingSpec extends SparkSpec {
       Set("the quick brown fox", "an entirely different doc"))
   }
 
+  test("stream-stream join pairs clicks with preceding errors within the gap") {
+    val clickDir = java.nio.file.Files.createTempDirectory("ss-clicks").toString
+    val errorDir = java.nio.file.Files.createTempDirectory("ss-errors").toString
+    Seq((7L, ts("2024-01-01 01:00:00"), 11L))
+      .toDF("user_id", "ts", "event_id").write.mode("overwrite").parquet(clickDir)
+    Seq(
+      (7L, ts("2024-01-01 00:30:00"), 21L), // within 60 min before → joins
+      (7L, ts("2024-01-01 01:10:00"), 22L), // after the click → no
+      (7L, ts("2023-12-31 22:00:00"), 23L), // too old → no
+      (9L, ts("2024-01-01 00:30:00"), 24L)) // other user → no
+      .toDF("user_id", "ts", "event_id").write.mode("overwrite").parquet(errorDir)
+
+    val cSchema = spark.read.parquet(clickDir).schema
+    val q = Streaming.clickErrorJoin(
+      spark.readStream.schema(cSchema).parquet(clickDir),
+      spark.readStream.schema(cSchema).parquet(errorDir))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_test")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("ssj_test")
+      .select("click_id", "error_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((11L, 21L)))
+  }
+
+  test("foreachBatch sink writes idempotent batch-keyed parquet") {
+    val srcDir = java.nio.file.Files.createTempDirectory("fb-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("fb-out").toString
+    Seq(
+      Streaming.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.5),
+      Streaming.Event(2, ts("2024-01-01 00:10:00"), 9, "view", 2.5))
+      .toDF().write.mode("overwrite").parquet(srcDir)
+    Streaming.runForeachBatch(spark, srcDir, outDir,
+      df => df.filter($"event_type" === "click"), "fb_test")
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == 1)
+    assert(written.select("event_id").as[Long].collect().toSeq == Seq(1L))
+    assert(written.columns.contains("batch_id")) // partition column surfaced
+  }
+
   test("stateful sessionization closes sessions after the inactivity gap") {
     val events = Seq(
       Streaming.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
