@@ -417,6 +417,40 @@ object ExtendedQueries {
       weekofyear($"o_orderdate").cast("int").as("iso_week"))
   }
 
+  // ------------------------------------------- value-based window frames
+
+  /** RANGE frame bounded by a calendar INTERVAL — a VALUE-based frame (all
+    * rows within 90 days, however many), distinct from the ROWS frames of
+    * q04/q05. Dialect-shared SQL: Spark's Scala `rangeBetween` only takes
+    * long offsets, but its SQL parser (like DuckDB's) accepts interval
+    * bounds on a timestamp ordering. Equal-timestamp peers are all
+    * included, so the frame is deterministic without a tie-break. */
+  val RangeFrameQuery: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate
+      |   RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_90d
+      |FROM orders""".stripMargin
+
+  def rangeFrameWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(RangeFrameQuery)
+  }
+
+  /** Keep-latest-per-key (the QUALIFY pattern): row_number over
+    * (key, recency desc, unique id desc) = 1 — the standard
+    * dedup-to-current-state operator for CDC/state tables. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("latest_order"),
+        $"o_orderdate".as("latest_date"), $"o_totalprice".as("latest_price"))
+  }
+
   // ------------------------------------------------ approximate aggregates
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
@@ -455,7 +489,9 @@ object ExtendedQueries {
     "q70_topk_per_group" -> (topKPerGroup _),
     "q71_map_functions" -> (mapFunctions _),
     "q72_global_customer" -> (globalCustomer _),
-    "q73_date_arithmetic" -> (dateArithmetic _))
+    "q73_date_arithmetic" -> (dateArithmetic _),
+    "q74_range_frame_window" -> (rangeFrameWindow _),
+    "q75_latest_per_key" -> (latestPerKey _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -628,5 +664,14 @@ object ExtendedQueries {
         | date_trunc('quarter', o_orderdate) AS quarter_start,
         | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
         | CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    "q74_range_frame_window" -> RangeFrameQuery,
+    "q75_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey AS latest_order,
+        | o_orderdate AS latest_date, o_totalprice AS latest_price
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1""".stripMargin)
 }
