@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
@@ -39,8 +39,13 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   private val LeftBucket = "__graft_bucket_l"
   private val RightBucket = "__graft_bucket_r"
 
+  // LeftOuter is safe alongside Inner: the left side is bucketed (not
+  // duplicated), so an unmatched left row still emits exactly once with
+  // nulls; a right row's two explode copies land in DIFFERENT cells, so a
+  // qualifying pair can never match twice. Right/full outer are NOT safe
+  // (the right duplication would emit spurious unmatched right rows).
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint)
+    case j @ Join(left, right, Inner | LeftOuter, Some(cond), hint)
         if !(left.output ++ right.output).exists(_.name == LeftBucket) =>
       detect(cond, j) match {
         case Some((lts, rts, gapUs)) => rewrite(j, lts, rts, gapUs)
@@ -124,6 +129,6 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     // bucket equality is the added equi conjunct Catalyst keys the
     // hash/sort-merge join on
     val newCond = And(j.condition.get, EqualTo(lAlias.toAttribute, rAttr))
-    Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    Project(j.output, Join(newLeft, newRight, j.joinType, Some(newCond), j.hint))
   }
 }

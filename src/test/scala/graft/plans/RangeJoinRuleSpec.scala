@@ -65,6 +65,20 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(RangeJoinRule(plain) eq plain)
   }
 
+  test("left outer range join: unmatched left rows emit exactly once") {
+    val naive = probes.join(events,
+      $"k" === $"k2" && $"rts" >= $"lts" &&
+        $"rts" <= expr("lts + INTERVAL 10 MINUTE"), "left_outer")
+    val (rewritten, fired) = applyRule(naive)
+    assert(fired, "rule did not fire on the left-outer range join")
+    def rows(df: DataFrame) = df
+      .select($"k", $"probe_id", $"k2", $"rts")
+      .as[(Long, Long, Option[Long], Option[Timestamp])]
+      .collect().sortBy(r => (r._1, r._2, r._4.map(_.getTime).getOrElse(-1L))).toSeq
+    assert(rows(rewritten) == rows(naive))
+    assert(rows(naive).exists(_._3.isEmpty), "fixture should have unmatched left rows")
+  }
+
   test("pure range join (no equi key) gains a bucket equi key") {
     val naive = probes.join(events,
       $"rts" >= $"lts" && $"rts" <= expr("lts + INTERVAL 10 MINUTE"))
