@@ -451,6 +451,22 @@ object ExtendedQueries {
         $"o_orderdate".as("latest_date"), $"o_totalprice".as("latest_price"))
   }
 
+  // ----------------------------------------------------- ANSI try_* family
+
+  /** ANSI-mode safety surface: Spark 4 runs with ANSI ON (a bad cast or
+    * 0-division THROWS), so pipelines over dirty data route through the
+    * try_* family — null on failure, no job abort. Oracle mirrors TRY_CAST
+    * directly and 0-guards division with CASE (DuckDB double division by
+    * zero yields inf, not an error — the CASE pins Spark's null). */
+  def trySemantics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir).select(
+      $"p_partkey",
+      regexp_extract($"p_brand", "(\\d+)$", 1).try_cast("int").as("brand_num"),
+      $"p_name".try_cast("int").as("name_as_int"), // always null, never a crash
+      try_divide($"p_retailprice", ($"p_size" % 7).cast("double")).as("price_per_bucket"))
+  }
+
   // ------------------------------------------------ approximate aggregates
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
@@ -491,7 +507,8 @@ object ExtendedQueries {
     "q72_global_customer" -> (globalCustomer _),
     "q73_date_arithmetic" -> (dateArithmetic _),
     "q74_range_frame_window" -> (rangeFrameWindow _),
-    "q75_latest_per_key" -> (latestPerKey _))
+    "q75_latest_per_key" -> (latestPerKey _),
+    "q76_try_semantics" -> (trySemantics _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -673,5 +690,12 @@ object ExtendedQueries {
         |  SELECT *, row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders
-        |) WHERE rn = 1""".stripMargin)
+        |) WHERE rn = 1""".stripMargin,
+    "q76_try_semantics" ->
+      """SELECT p_partkey,
+        | TRY_CAST(regexp_extract(p_brand, '(\d+)$', 1) AS INTEGER) AS brand_num,
+        | TRY_CAST(p_name AS INTEGER) AS name_as_int,
+        | CASE WHEN p_size % 7 = 0 THEN NULL
+        |      ELSE p_retailprice / CAST(p_size % 7 AS DOUBLE) END AS price_per_bucket
+        |FROM part""".stripMargin)
 }
