@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Native.RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Native.RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Native.WordShingles].getName, "graft_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Native.WordShingles(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

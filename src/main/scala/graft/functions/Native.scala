@@ -123,12 +123,94 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** One-pass word-shingle implementation shared by interpreted eval and
+    * generated code (the generated loop calls this static forwarder).
+    * Tokenization must match Spark's `split(text, "\\s+")` + drop-empties:
+    * Java `\s` is the six ASCII whitespace chars, so maximal runs of
+    * anything else are tokens (multibyte UTF-8 never collides with ASCII
+    * bytes). Documents shorter than n tokens collapse to one whole-text
+    * shingle — including the empty document → [""]. */
+  def wordShinglesImpl(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val c = str.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        i += 1
+      } else {
+        val start = i
+        while (i < len && {
+          val d = str.charAt(i)
+          d != ' ' && d != '\t' && d != '\n' && d != '\u000B' && d != '\f' && d != '\r'
+        }) i += 1
+        toks.add(str.substring(start, i))
+      }
+    }
+    val m = toks.size
+    val out =
+      if (m >= n) {
+        val arr = new Array[Any](m - n + 1)
+        var j = 0
+        while (j <= m - n) {
+          val sb = new java.lang.StringBuilder()
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(toks.get(j + k))
+            k += 1
+          }
+          arr(j) = UTF8String.fromString(sb.toString)
+          j += 1
+        }
+        arr
+      } else {
+        Array[Any](UTF8String.fromString(String.join(" ", toks)))
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Word n-gram ("shingle") array in one codegen'd pass — replaces the
+    * interpreted transform/sequence/slice/concat_ws HOF chain, the hottest
+    * stage of the MinHash/Jaccard dedup pipelines. Bit-identical output to
+    * the HOF formulation (asserted in NativeSpec). */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "shingle size must be >= 1")
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a string argument, got ${other.simpleString}")
+      }
+    override def prettyName: String = "graft_shingles"
+
+    override def nullSafeEval(s: Any): Any =
+      wordShinglesImpl(s.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Native.wordShinglesImpl($s, $n);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Column wrappers (classic-API expression↔column bridge). */
   def cosine(a: Column, b: Column): Column =
     bridge.column(ArrayCosine(bridge.expression(a), bridge.expression(b)))
 
   def rollingHash(text: Column): Column =
     bridge.column(RollingHash(bridge.expression(text)))
+
+  def shingles(text: Column, n: Int): Column =
+    bridge.column(WordShingles(bridge.expression(text), n))
 
   /** Install `graft_cosine` / `graft_rolling_hash` as SQL functions on a
     * live session (new sessions: use [[GraftExtensions]] via
@@ -138,5 +220,8 @@ object Native {
       exprs => ArrayCosine(exprs(0), exprs(1)))
     bridge.registerFunction(spark, "graft_rolling_hash",
       exprs => RollingHash(exprs.head))
+    bridge.registerFunction(spark, "graft_shingles",
+      exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }

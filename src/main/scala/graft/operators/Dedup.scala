@@ -19,8 +19,17 @@ import graft.functions.TextFunctions.tokens
 object Dedup {
 
   /** Sliding word n-grams ("shingles") of the whitespace token stream.
-    * Documents shorter than n tokens collapse to one whole-text shingle. */
-  def wordShingles(text: Column, n: Int): Column = {
+    * Documents shorter than n tokens collapse to one whole-text shingle.
+    * Runs through the codegen'd [[graft.functions.Native.WordShingles]]
+    * (the HOF formulation below is kept as the readable reference; the two
+    * are asserted identical in NativeSpec). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.Native.shingles(text, n)
+
+  /** Higher-order-function reference formulation of [[wordShingles]] —
+    * same output, but the transform/slice/concat_ws lambdas are
+    * interpreted per element (the reason the hot path is native). */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),

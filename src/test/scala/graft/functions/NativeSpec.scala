@@ -19,6 +19,32 @@ class NativeSpec extends SparkSpec {
     assert(row.getLong(1) == 97L * 31 + 98) // (0*31+97)*31+98
   }
 
+  test("native shingles are identical to the HOF formulation (incl. edges)") {
+    import graft.operators.Dedup
+    val rnd = new Random(11)
+    val words = Seq("the", "quick", "brown", "fox", "über", "日本", "a", "bb")
+    val docs = (Seq(
+      "", " ", "one", "one two", "one two three", "a  b\t\nc", " lead trail ",
+      "tab\tsep\nnl", "x  y \f z \r w") ++
+      Seq.fill(40)(Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+        .mkString(" ")))
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = docs.select($"id", Dedup.wordShingles($"text", n).as("s"))
+        .orderBy("id").as[(Int, Seq[String])].collect().toSeq
+      val want = docs.select($"id", Dedup.wordShinglesHof($"text", n).as("s"))
+        .orderBy("id").as[(Int, Seq[String])].collect().toSeq
+      assert(got == want, s"shingle mismatch at n=$n")
+    }
+  }
+
+  test("SQL registration: graft_shingles usable from spark.sql") {
+    Native.registerSql(spark)
+    val row = spark.sql(
+      "SELECT graft_shingles('a b c d', 3) AS s").head().getSeq[String](0)
+    assert(row == Seq("a b c", "b c d"))
+  }
+
   test("rolling hash property: in [0, 1e9+7), deterministic, order-sensitive") {
     Native.registerSql(spark)
     val rnd = new Random(42)
