@@ -130,8 +130,7 @@ object Native {
     * anything else are tokens (multibyte UTF-8 never collides with ASCII
     * bytes). Documents shorter than n tokens collapse to one whole-text
     * shingle — including the empty document → [""]. */
-  def wordShinglesImpl(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
+  private def tokenize(str: String): java.util.ArrayList[String] = {
     val toks = new java.util.ArrayList[String]()
     var i = 0
     val len = str.length
@@ -148,6 +147,21 @@ object Native {
         toks.add(str.substring(start, i))
       }
     }
+    toks
+  }
+
+  /** Whitespace tokens with empties dropped — static forwarder for the
+    * generated code of [[Tokens]]. */
+  def tokensImpl(s: UTF8String): ArrayData = {
+    val toks = tokenize(s.toString)
+    val arr = new Array[Any](toks.size)
+    var i = 0
+    while (i < toks.size) { arr(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  def wordShinglesImpl(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s.toString)
     val m = toks.size
     val out =
       if (m >= n) {
@@ -202,6 +216,35 @@ object Native {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Whitespace tokenization (empties dropped) in one codegen'd pass —
+    * replaces split + interpreted filter-lambda for the text-analysis
+    * family. Same scanner as [[WordShingles]]. */
+  case class Tokens(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a string argument, got ${other.simpleString}")
+      }
+    override def prettyName: String = "graft_tokens"
+
+    override def nullSafeEval(s: Any): Any =
+      tokensImpl(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Native.tokensImpl($s);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Column wrappers (classic-API expression↔column bridge). */
   def cosine(a: Column, b: Column): Column =
     bridge.column(ArrayCosine(bridge.expression(a), bridge.expression(b)))
@@ -211,6 +254,9 @@ object Native {
 
   def shingles(text: Column, n: Int): Column =
     bridge.column(WordShingles(bridge.expression(text), n))
+
+  def tokensNative(text: Column): Column =
+    bridge.column(Tokens(bridge.expression(text)))
 
   /** Install `graft_cosine` / `graft_rolling_hash` as SQL functions on a
     * live session (new sessions: use [[GraftExtensions]] via
@@ -223,5 +269,7 @@ object Native {
     bridge.registerFunction(spark, "graft_shingles",
       exprs => WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    bridge.registerFunction(spark, "graft_tokens",
+      exprs => Tokens(exprs.head))
   }
 }

@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokens with empties dropped (leading/trailing whitespace
-    * would otherwise yield "" entries). */
-  def tokens(text: Column): Column =
+    * would otherwise yield "" entries). Codegen'd native scanner
+    * ([[Native.Tokens]]); [[tokensHof]] is the built-in reference
+    * formulation, asserted identical in NativeSpec. */
+  def tokens(text: Column): Column = Native.tokensNative(text)
+
+  /** split + filter-lambda reference formulation of [[tokens]] (the filter
+    * lambda is interpreted per element — kept for parity testing). */
+  def tokensHof(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= lit(""))
 
   /** Count of tokens matching a fixed word set — the stopword/marker-hit

@@ -38,6 +38,16 @@ class NativeSpec extends SparkSpec {
     }
   }
 
+  test("native tokens are identical to the split+filter formulation") {
+    val docs = Seq("", " ", "one", " a  b\t\nc ", "x \f y \r z", "über 日本 ok")
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val got = docs.select($"id", TextFunctions.tokens($"text").as("t"))
+      .orderBy("id").as[(Int, Seq[String])].collect().toSeq
+    val want = docs.select($"id", TextFunctions.tokensHof($"text").as("t"))
+      .orderBy("id").as[(Int, Seq[String])].collect().toSeq
+    assert(got == want)
+  }
+
   test("SQL registration: graft_shingles usable from spark.sql") {
     Native.registerSql(spark)
     val row = spark.sql(
