@@ -130,57 +130,63 @@ object Native {
     * anything else are tokens (multibyte UTF-8 never collides with ASCII
     * bytes). Documents shorter than n tokens collapse to one whole-text
     * shingle — including the empty document → [""]. */
-  private def tokenize(str: String): java.util.ArrayList[String] = {
-    val toks = new java.util.ArrayList[String]()
+  private val Space = UTF8String.fromString(" ")
+
+  /** Byte-level whitespace scan: separators are the six ASCII whitespace
+    * bytes (Java `\s`), and UTF-8 continuation/multibyte bytes are all
+    * >= 0x80 (negative as signed Java bytes), so scanning bytes can never
+    * split inside a multibyte character. Tokens are zero-copy
+    * `UTF8String.fromBytes` slices — no String decode, no re-encode. */
+  private def tokenSlices(s: UTF8String): java.util.ArrayList[UTF8String] = {
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
     var i = 0
-    val len = str.length
+    val len = bytes.length
     while (i < len) {
-      val c = str.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
-        i += 1
-      } else {
+      val b = bytes(i)
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) i += 1
+      else {
         val start = i
         while (i < len && {
-          val d = str.charAt(i)
-          d != ' ' && d != '\t' && d != '\n' && d != '\u000B' && d != '\f' && d != '\r'
+          val d = bytes(i)
+          d != 0x20 && (d < 0x09 || d > 0x0D)
         }) i += 1
-        toks.add(str.substring(start, i))
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
       }
     }
-    toks
+    out
   }
 
   /** Whitespace tokens with empties dropped — static forwarder for the
     * generated code of [[Tokens]]. */
   def tokensImpl(s: UTF8String): ArrayData = {
-    val toks = tokenize(s.toString)
+    val toks = tokenSlices(s)
     val arr = new Array[Any](toks.size)
     var i = 0
-    while (i < toks.size) { arr(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    while (i < arr.length) { arr(i) = toks.get(i); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
   def wordShinglesImpl(s: UTF8String, n: Int): ArrayData = {
-    val toks = tokenize(s.toString)
+    val toks = tokenSlices(s)
     val m = toks.size
     val out =
       if (m >= n) {
         val arr = new Array[Any](m - n + 1)
+        val win = new Array[UTF8String](n)
         var j = 0
         while (j <= m - n) {
-          val sb = new java.lang.StringBuilder()
           var k = 0
-          while (k < n) {
-            if (k > 0) sb.append(' ')
-            sb.append(toks.get(j + k))
-            k += 1
-          }
-          arr(j) = UTF8String.fromString(sb.toString)
+          while (k < n) { win(k) = toks.get(j + k); k += 1 }
+          arr(j) = UTF8String.concatWs(Space, win: _*)
           j += 1
         }
         arr
       } else {
-        Array[Any](UTF8String.fromString(String.join(" ", toks)))
+        val all = new Array[UTF8String](m)
+        var k = 0
+        while (k < m) { all(k) = toks.get(k); k += 1 }
+        Array[Any](UTF8String.concatWs(Space, all: _*))
       }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
