@@ -29,6 +29,19 @@ object AnnQueries {
     Ann.ivfTopK(emb, emb.filter($"vec_id" < 10), 10, "label")
   }
 
+  /** Label-free IVF: Lloyd-trained coarse quantizer (seed cells =
+    * hash(vec_id) mod 8 — deterministic), then the same cell-restricted
+    * top-k. No SQL oracle (k-means in SQL is not practical); the driver
+    * records the rows-only check, and AnnSpec pins Lloyd behavior. */
+  def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("seed", pmod(xxhash64($"vec_id"), lit(8)).cast("int"))
+    val centroids = Ann.trainCentroids(emb, "seed", iters = 2)
+    val celled = emb.join(Ann.assignCells(emb, centroids), "vec_id")
+    Ann.ivfTopK(celled, celled.filter($"vec_id" < 10), 10, "cell")
+  }
+
   /** Embedding near-dup pairs: same-cell (label) pairs with cosine ≥ 0.35 —
     * the cell restriction keeps the pair space linear-ish at scale. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -46,7 +59,8 @@ object AnnQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_bruteforce" -> (bruteForce _),
     "q30_ann_ivf" -> (ivf _),
-    "q31_embedding_near_dup" -> (embeddingNearDup _))
+    "q31_embedding_near_dup" -> (embeddingNearDup _),
+    "q77_ann_ivf_trained" -> (ivfTrained _))
 
   /** Cosine in DuckDB, mirroring Ann.cosine's formula dot/(sqrt·sqrt). */
   private def cosSql(a: String, b: String): String =
