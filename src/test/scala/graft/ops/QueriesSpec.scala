@@ -29,6 +29,15 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no query emits duplicate column names (driver compare sorts by name)") {
+    val dups = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val cols = fn(spark, sf0001).columns
+      val d = cols.groupBy(identity).collect { case (c, v) if v.length > 1 => c }
+      if (d.nonEmpty) Some(s"$name: ${d.mkString(",")}") else None
+    }
+    assert(dups.isEmpty, s"duplicate output columns: $dups")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sf0001)
