@@ -467,6 +467,39 @@ object ExtendedQueries {
       try_divide($"p_retailprice", ($"p_size" % 7).cast("double")).as("price_per_bucket"))
   }
 
+  // ------------------------------------- correlated / lateral subqueries
+
+  /** Per-row correlated scalar subquery — Catalyst decorrelates to an
+    * aggregate + left outer join (max is exact, so no decimal bridge
+    * needed). Dialect-shared SQL. */
+  val CorrelatedScalarQuery: String =
+    """SELECT c_custkey, c_mktsegment,
+      | (SELECT max(o_totalprice) FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c""".stripMargin
+
+  def correlatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(CorrelatedScalarQuery)
+  }
+
+  /** LATERAL subquery (per-row derived table) — the standard-SQL spelling
+    * of "for each row, run this parameterized query"; both engines
+    * decorrelate it to a grouped join. Dialect-shared SQL. */
+  val LateralQuery: String =
+    """SELECT c.c_custkey, t.n_orders, t.total_spend
+      |FROM customer c,
+      | LATERAL (SELECT count(*) AS n_orders,
+      |            CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+      |          FROM orders o WHERE o.o_custkey = c.c_custkey) t""".stripMargin
+
+  def lateralSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(LateralQuery)
+  }
+
   // ------------------------------------------------ approximate aggregates
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
@@ -508,7 +541,9 @@ object ExtendedQueries {
     "q73_date_arithmetic" -> (dateArithmetic _),
     "q74_range_frame_window" -> (rangeFrameWindow _),
     "q75_latest_per_key" -> (latestPerKey _),
-    "q76_try_semantics" -> (trySemantics _))
+    "q76_try_semantics" -> (trySemantics _),
+    "q78_correlated_scalar" -> (correlatedScalar _),
+    "q79_lateral_subquery" -> (lateralSubquery _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -697,5 +732,7 @@ object ExtendedQueries {
         | TRY_CAST(p_name AS INTEGER) AS name_as_int,
         | CASE WHEN p_size % 7 = 0 THEN NULL
         |      ELSE p_retailprice / CAST(p_size % 7 AS DOUBLE) END AS price_per_bucket
-        |FROM part""".stripMargin)
+        |FROM part""".stripMargin,
+    "q78_correlated_scalar" -> CorrelatedScalarQuery,
+    "q79_lateral_subquery" -> LateralQuery)
 }
