@@ -70,10 +70,13 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-    // rts >= lts (or lts <= rts)
+    // rts >= lts (or lts <= rts); strict variants bucket identically —
+    // the original predicate stays in the condition as the exact filter
     val lowers = conjuncts.collect {
       case GreaterThanOrEqual(a, b) => sides(a, b)
       case LessThanOrEqual(b, a) => sides(a, b)
+      case GreaterThan(a, b) => sides(a, b)
+      case LessThan(b, a) => sides(a, b)
     }.flatten
 
     // rts <= lts + gap (or lts + gap >= rts)
@@ -87,6 +90,8 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     val uppers = conjuncts.collect {
       case LessThanOrEqual(r, add) => upperOf(r, add)
       case GreaterThanOrEqual(add, r) => upperOf(r, add)
+      case LessThan(r, add) => upperOf(r, add)
+      case GreaterThan(add, r) => upperOf(r, add)
     }.flatten
 
     (for {

@@ -79,6 +79,15 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(rows(naive).exists(_._3.isEmpty), "fixture should have unmatched left rows")
   }
 
+  test("strict bounds (< / >) also fire and preserve every row") {
+    val naive = probes.join(events,
+      $"k" === $"k2" && $"rts" > $"lts" &&
+        $"rts" < expr("lts + INTERVAL 30 MINUTE"))
+    val (rewritten, fired) = applyRule(naive)
+    assert(fired, "rule did not fire on strict bounds")
+    assert(sortedRows(rewritten) == sortedRows(naive))
+  }
+
   test("pure range join (no equi key) gains a bucket equi key") {
     val naive = probes.join(events,
       $"rts" >= $"lts" && $"rts" <= expr("lts + INTERVAL 10 MINUTE"))
