@@ -500,6 +500,19 @@ object ExtendedQueries {
     spark.sql(LateralQuery)
   }
 
+  /** exists / forall quantifier HOFs over the token array (q62 covers
+    * transform/filter/aggregate); DuckDB mirrors them with list_filter
+    * length tests. */
+  def quantifierHofs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = graft.functions.TextFunctions.tokens($"text")
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      exists(tk, t => length(t) > lit(12)).as("has_long_token"),
+      forall(tk, t => length(t) < lit(20)).as("all_under_20"),
+      exists(tk, t => t.rlike("^[0-9]+$")).as("has_numeric_token"))
+  }
+
   // ------------------------------------------------ approximate aggregates
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
@@ -543,7 +556,8 @@ object ExtendedQueries {
     "q75_latest_per_key" -> (latestPerKey _),
     "q76_try_semantics" -> (trySemantics _),
     "q78_correlated_scalar" -> (correlatedScalar _),
-    "q79_lateral_subquery" -> (lateralSubquery _))
+    "q79_lateral_subquery" -> (lateralSubquery _),
+    "q80_quantifier_hofs" -> (quantifierHofs _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -734,5 +748,14 @@ object ExtendedQueries {
         |      ELSE p_retailprice / CAST(p_size % 7 AS DOUBLE) END AS price_per_bucket
         |FROM part""".stripMargin,
     "q78_correlated_scalar" -> CorrelatedScalarQuery,
-    "q79_lateral_subquery" -> LateralQuery)
+    "q79_lateral_subquery" -> LateralQuery,
+    "q80_quantifier_hofs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${DedupQueries.toksSql} AS tk FROM documents
+         |)
+         |SELECT doc_id,
+         | len(list_filter(tk, t -> len(t) > 12)) > 0 AS has_long_token,
+         | len(list_filter(tk, t -> len(t) >= 20)) = 0 AS all_under_20,
+         | len(list_filter(tk, t -> regexp_full_match(t, '[0-9]+'))) > 0 AS has_numeric_token
+         |FROM toks""".stripMargin)
 }
