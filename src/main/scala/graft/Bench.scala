@@ -53,7 +53,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Artifact robustness (VERDICT r2 #4): the driver's log scraping
+    // truncated the r2 JSON line, losing 20 query timings. Persist the
+    // result to a fixed path too, so the artifact never depends on stdout.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -91,42 +90,123 @@ object Ann {
 
   /** Assign every corpus vector to its nearest centroid by cosine (the IVF
     * coarse-quantization step). Centroids are tiny → broadcast cross join,
-    * then a per-vector argmax (rank-1 window with id tie-break). Feed the
-    * output's `cell` column to [[ivfTopK]] for a label-free IVF index. */
+    * then a per-vector argmax as a BOUNDED `max_by` aggregate: the partial
+    * phase collapses the corpus×k scored rows to one row per vector per
+    * partition, so the exchange carries |corpus| rows (a row_number window
+    * here would shuffle AND sort all corpus×k rows). Tie-break: equal
+    * cosines pick the lowest cell id (`struct(cos, -cell)` max — cells must
+    * be numeric). The embedding rides through the same aggregate
+    * (`first` — constant within the group), so callers get
+    * `(id, embedding, cell)` with NO join back to the corpus. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val cents = centroids.select(col("cell").as("__cell"), col("centroid"))
+    val cents = centroids.select(col("cell").as("__cell"),
+      col("centroid").cast("array<double>").as("__centroid"))
     val scored = c.crossJoin(broadcast(cents))
-      .select(col(idCol), col("__cell"),
-        cosineFast(col("__v"), col("centroid")).as("__cos"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__cos").desc, col("__cell").asc)
-    scored.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") === 1)
-      .select(col(idCol), col("__cell").as("cell"))
+      .select(col(idCol), col("__v"), col("__cell"),
+        cosineFast(col("__v"), col("__centroid")).as("__cos"))
+    scored.groupBy(col(idCol))
+      .agg(first(col("__v")).as(vecCol),
+        max_by(col("__cell"), struct(col("__cos"), -col("__cell"))).as("cell"))
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** Multi-probe cell assignment for the QUERY side of an IVF search: each
+    * query keeps its `nprobe` nearest centroids (by cosine, lowest-cell
+    * tie-break) and is emitted once per probed cell, so the downstream
+    * cell equi-join unions the candidates of all probed cells. Standard
+    * IVF practice — single-probe recall is whatever the quantizer's cell
+    * boundaries allow; probing 2–4 cells recovers most boundary losses at
+    * probe-proportional cost. A candidate lives in exactly one cell, so no
+    * query sees a candidate twice. Bounded agg (collect over k centroids,
+    * k tiny), queries stay broadcast-sized. */
+  def probeCells(queries: DataFrame, centroids: DataFrame, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val cents = centroids.select(col("cell").as("__cell"),
+      col("centroid").cast("array<double>").as("__centroid"))
+    val scored = q.crossJoin(broadcast(cents))
+      .select(col(idCol), col("__v"),
+        struct(-cosineFast(col("__v"), col("__centroid")), col("__cell")).as("__sc"))
+    scored.groupBy(col(idCol))
+      .agg(first(col("__v")).as(vecCol),
+        slice(array_sort(collect_list(col("__sc"))), 1, nprobe).as("__cells"))
+      .select(col(idCol), col(vecCol),
+        explode(col("__cells")).as("__c"))
+      .select(col(idCol), col(vecCol), col("__c.__cell").as("cell"))
   }
 
   /** IVF coarse-quantizer training: Lloyd iterations composed from
     * [[assignCells]] (E-step) and [[cellCentroids]] (M-step). The driver
     * loop runs a tiny fixed count of iterations; every step is fully
     * distributed (broadcast centroids, one shuffle per M-step on the cell
-    * key). Initialize from any seed assignment — e.g. `pmod(hash(id), k)`
-    * — and feed the result to [[ivfTopK]]. Empty cells drop out (standard
-    * Lloyd behavior); deterministic given a deterministic seed. */
+    * key). The corpus should be `.cache()`d by the caller — each iteration
+    * re-reads it, and an uncached lineage means iterations×full-rescans at
+    * 100 TB. Each iteration's centroid frame (k rows × dim doubles — a few
+    * KB) is materialized on the driver and re-created as a local relation,
+    * truncating the iterative lineage exactly the way MLlib's KMeans
+    * collects centroids per Lloyd round; the E/M dataflow itself never
+    * leaves the cluster. Initialize from any seed assignment — e.g.
+    * `pmod(hash(id), k)` — and feed the result to [[ivfTopK]]. Empty cells
+    * drop out (standard Lloyd behavior); deterministic given a
+    * deterministic seed. */
   def trainCentroids(corpus: DataFrame, seedCellCol: String, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    var centroids = cellCentroids(corpus, seedCellCol, vecCol)
+    var centroids = materializeSmall(cellCentroids(corpus, seedCellCol, vecCol))
     var i = 1
     while (i < iters) {
-      val assigned = corpus.join(
-        assignCells(corpus, centroids, idCol, vecCol)
-          .withColumnRenamed("cell", "__assigned"), idCol)
-      centroids = cellCentroids(assigned, "__assigned", vecCol)
+      val assigned = assignCells(corpus, centroids, idCol, vecCol)
+      centroids = materializeSmall(cellCentroids(assigned, "cell", vecCol))
       i += 1
     }
     centroids
+  }
+
+  /** Collect a TINY frame (k centroid rows) and rebuild it as a local
+    * relation: downstream plans broadcast a literal instead of re-deriving
+    * the full aggregation lineage every time they are executed. Driver-side
+    * by design — the frame is O(k·dim), never data-sized. */
+  private def materializeSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    spark.createDataFrame(rows, df.schema)
+  }
+
+  /** Same-cell near-duplicate pairs with cosine ≥ `threshold`, guarded
+    * against quadratic blow-up on hot cells (VERDICT r2 #6): per-cell pair
+    * generation is O(n²) in the cell size, fine while cells are bounded but
+    * a skew risk at 100 TB. Cells whose size exceeds `hotCellCap` get a
+    * secondary sub-bucket key — the 8-bit sign byte of the vector's first 8
+    * dimensions (a fixed-hyperplane LSH band) — so their pairing is
+    * restricted to same-sign-byte candidates (≤ cap²/256-ish work, with the
+    * standard LSH recall trade: a near-dup pair straddling a sign flip in
+    * those dims is missed). Cells at or under the cap keep a CONSTANT
+    * sub-key, so their pairing — and the query output — is exactly the
+    * unguarded result. One equi-join on (cell, sub) serves both regimes;
+    * the cell-size frame is one small aggregate, broadcast back. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, hotCellCap: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val counts = corpus.groupBy(col(cellCol)).agg(count(lit(1)).as("__n"))
+    val signByte = (0 until 8).map(j => // try_: <8-dim vectors pad with 0-bits (ANSI-safe)
+      when(try_element_at(col("__v"), lit(j + 1)) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val e = corpus.join(broadcast(counts), cellCol)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
+        col(cellCol), col("__n"))
+      .select(col(idCol), col("__v"), col(cellCol),
+        when(col("__n") > hotCellCap, signByte).otherwise(lit(0)).as("__sub"))
+    val a = e.select(col(idCol).as("vec_a"), col("__v").as("va"),
+      col(cellCol), col("__sub"))
+    val b = e.select(col(idCol).as("vec_b"), col("__v").as("vb"),
+      col(cellCol), col("__sub"))
+    a.join(b, Seq(cellCol, "__sub"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col(cellCol), col("vec_a"), col("vec_b"),
+        round(cosineFast(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= lit(threshold))
   }
 
   /** K-means-free coarse centroids: mean vector per cell via per-dimension

@@ -32,29 +32,36 @@ object AnnQueries {
   /** Label-free IVF: Lloyd-trained coarse quantizer (seed cells =
     * hash(vec_id) mod 8 — deterministic), then the same cell-restricted
     * top-k. No SQL oracle (k-means in SQL is not practical); the driver
-    * records the rows-only check, and AnnSpec pins Lloyd behavior. */
+    * records the rows-only check, and AnnSpec pins Lloyd behavior AND
+    * asserts recall@10 ≥ 0.6 against the exact q29 brute-force result —
+    * the quantitative gate for this entry.
+    *
+    * Scale shape: the corpus is cached ONCE and feeds the seed M-step,
+    * every Lloyd E/M round, and the final assignment (uncached, each of
+    * those re-derives the full scan lineage — iterations×rescans at
+    * 100 TB). [[Ann.assignCells]] returns `(id, embedding, cell)` directly,
+    * so no join back to the corpus is needed anywhere. The session-level
+    * `clearCache()` in Verify/Bench drops the cache after the run. */
   def ivfTrained(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .withColumn("seed", pmod(xxhash64($"vec_id"), lit(8)).cast("int"))
+      .cache()
     val centroids = Ann.trainCentroids(emb, "seed", iters = 2)
-    val celled = emb.join(Ann.assignCells(emb, centroids), "vec_id")
-    Ann.ivfTopK(celled, celled.filter($"vec_id" < 10), 10, "cell")
+    val celled = Ann.assignCells(emb, centroids)
+    val probes = Ann.probeCells(emb.filter($"vec_id" < 10), centroids, nprobe = 3)
+    Ann.ivfTopK(celled, probes, 10, "cell")
   }
 
-  /** Embedding near-dup pairs: same-cell (label) pairs with cosine ≥ 0.35 —
-    * the cell restriction keeps the pair space linear-ish at scale. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val a = emb.select($"vec_id".as("vec_a"), $"embedding".cast("array<double>").as("va"), $"label")
-    val b = emb.select($"vec_id".as("vec_b"), $"embedding".cast("array<double>").as("vb"), $"label")
-    a.join(b, Seq("label"))
-      .filter($"vec_a" < $"vec_b")
-      .select($"label", $"vec_a", $"vec_b",
-        round(Ann.cosineFast($"va", $"vb"), 6).as("cosine"))
-      .filter($"cosine" >= lit(0.35))
-  }
+  /** Embedding near-dup pairs: same-cell (label) pairs with cosine ≥ 0.35,
+    * through [[Ann.nearDupPairs]]' hot-cell guard — cells above the cap
+    * pair only within a sign-byte LSH sub-bucket, so no cell can go
+    * quadratic at 100 TB. The gate corpus' cells (≤ ~600 vectors at sf0.1)
+    * sit far under the 10k cap, so the output here is exactly the
+    * unguarded pairing and the SQL oracle still matches hash-exact. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(Tables.embeddings(spark, dir),
+      threshold = 0.35, hotCellCap = 10000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_bruteforce" -> (bruteForce _),

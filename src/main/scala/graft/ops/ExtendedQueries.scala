@@ -54,19 +54,28 @@ object ExtendedQueries {
   }
 
   /** SimHash near-dup PAIRS (q28 emits signatures; this completes the
-    * pipeline): self-join on the top-byte banding bucket, then exact
-    * 16-bit Hamming distance via bit_count(xor). Banding semantics:
-    * candidates must share the top byte — a near-dup pair differing there
-    * is missed by design (same recall trade as any LSH band scheme); at
-    * scale add rotated-band buckets rather than widening the join. */
+    * pipeline): self-join on ROTATED-BAND buckets, then exact 16-bit
+    * Hamming distance via bit_count(xor). Two bands per signature — the
+    * top byte and the (rotated) low byte — so a candidate pair is found
+    * when EITHER byte matches: a hamming≤3 pair whose differing bits all
+    * fall in one byte is always caught by the other band (the r2 fix this
+    * query's comment used to only name). Each band is its own equi-join
+    * key (band id disambiguates), pairs sharing both bands dedup via
+    * distinct; cost stays bucket-bounded — never all-pairs. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = Dedup.simhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
-    val a = sigs.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"bucket")
-    val b = sigs.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"bucket")
-    a.join(b, "bucket").filter($"doc_a" < $"doc_b")
+      .withColumn("bucket2", expr("simhash % 256").cast("int"))
+    val bands = sigs.select($"doc_id", $"simhash", explode(array(
+      struct(lit(0).as("band"), $"bucket".as("bkey")),
+      struct(lit(1).as("band"), $"bucket2".as("bkey")))).as("bk"))
+      .select($"doc_id", $"simhash", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val a = bands.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"bkey")
+    val b = bands.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"band", $"bkey")
+    a.join(b, Seq("band", "bkey")).filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b",
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .distinct()
       .filter($"hamming" <= lit(3))
   }
 
@@ -518,14 +527,33 @@ object ExtendedQueries {
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
     * t-digest-style sketches: one pass, tiny fixed-size state, no exact
     * distinct shuffle). Sketch internals differ per engine, so there is no
-    * DuckDB oracle; the driver records the weaker rows-only check. */
+    * DuckDB oracle; instead the query carries its OWN quantitative gate
+    * (VERDICT r2 #3): the exact twins run in the same aggregate, each
+    * approximation's relative error is a published column, and `bounds_ok`
+    * raise_error-aborts the query if any error exceeds 5% — so the driver's
+    * rows-only check can only pass when the sketches are within bounds.
+    * (The exact twins exist here purely as the yardstick; the production
+    * query at 100 TB is the approx columns alone.) */
   def approxAggs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val relErr = (approx: Column, exact: Column) =>
+      abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
     Tables.lineitem(spark, dir).agg(
-      approx_count_distinct($"l_partkey").as("approx_parts"),
-      approx_count_distinct($"l_suppkey").as("approx_supps"),
+      approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+      approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
       expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("approx_median_price"),
+      countDistinct($"l_partkey").as("exact_parts"),
+      countDistinct($"l_suppkey").as("exact_supps"),
+      expr("median(l_extendedprice)").as("exact_median_price"),
       count(lit(1)).as("n_rows"))
+      .withColumn("rel_err_parts", relErr($"approx_parts", $"exact_parts"))
+      .withColumn("rel_err_supps", relErr($"approx_supps", $"exact_supps"))
+      .withColumn("rel_err_median", relErr($"approx_median_price", $"exact_median_price"))
+      .withColumn("bounds_ok",
+        when($"rel_err_parts" <= 0.05 && $"rel_err_supps" <= 0.05 &&
+          $"rel_err_median" <= 0.05, lit(true))
+          .otherwise(raise_error(concat(lit("q64 approx error out of bounds: "),
+            $"rel_err_parts", lit(" / "), $"rel_err_supps", lit(" / "), $"rel_err_median"))))
   }
 
   // ---------------------------------------------------------------- wiring
@@ -661,12 +689,14 @@ object ExtendedQueries {
          |  FROM ex GROUP BY doc_id
          |), sig AS (
          |  SELECT doc_id, CAST(${DedupQueries.bitSum} AS INTEGER) AS simhash,
-         |    CAST((${DedupQueries.bitSum}) // 256 AS INTEGER) AS bucket
+         |    CAST((${DedupQueries.bitSum}) // 256 AS INTEGER) AS bucket,
+         |    CAST((${DedupQueries.bitSum}) % 256 AS INTEGER) AS bucket2
          |  FROM votes
          |)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |FROM sig a JOIN sig b
+         |  ON (a.bucket = b.bucket OR a.bucket2 = b.bucket2) AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q66_full_outer_join" ->
       """WITH l AS (
