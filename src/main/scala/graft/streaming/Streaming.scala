@@ -122,10 +122,24 @@ object Streaming {
     * Runs with Trigger.AvailableNow semantics via processAllAvailable in
     * [[runOnce]]-style drives; swap the body for MERGE INTO on a
     * transactional table format in production. */
+  /** File-source stream over `source`, which may be a directory OR a single
+    * parquet file. FileStreamSource force-sets `basePath` to the path
+    * whenever the path is NOT a glob, and then rejects a non-directory
+    * basePath — so a plain file path can never work. Rewriting the file
+    * path as a one-file glob (`…/events.parque[t]`) suppresses that
+    * override; glob base paths resolve to the parent directory. */
+  private def fileStream(spark: SparkSession, source: String): DataFrame = {
+    val schema = spark.read.parquet(source).schema
+    val f = new java.io.File(source)
+    val path =
+      if (f.isFile) s"${source.dropRight(1)}[${source.last}]"
+      else source
+    spark.readStream.schema(schema).parquet(path)
+  }
+
   def runForeachBatch(spark: SparkSession, sourceDir: String, outDir: String,
       plan: DataFrame => DataFrame, name: String): Unit = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val stream = fileStream(spark, sourceDir)
     val q = plan(stream).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -148,8 +162,7 @@ object Streaming {
   def runOnce(spark: SparkSession, sourceDir: String,
       plan: DataFrame => DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val stream = fileStream(spark, sourceDir)
     val q = plan(stream).writeStream
       .outputMode(mode)
       .format("memory").queryName(name)

@@ -97,10 +97,27 @@ class HockeySpec extends SparkSpec {
       .agg(sum("Is_Home").as("homes"), count(lit(1)).as("n"))
     assert(perGame.filter($"homes" =!= 1 || $"n" =!= 2).isEmpty)
 
-    val matchups = Pipeline.matchups(Pipeline.withRollingFeatures(gd))
+    val feats = Pipeline.withRollingFeatures(gd)
+    val matchups = Pipeline.matchups(feats)
     assert(matchups.count() == 5)
     assert(matchups.columns.length == 31)
     assert(matchups.select("label").as[Int].collect().forall(Set(0, 1, 2)))
+
+    // golden run invariants (SURVEY §5 / VERDICT r2 #5): the matchup count
+    // IS the number of games with exactly one home+one away row (the
+    // subsampler preserves referential integrity for exactly this), and
+    // every team's first game of a season carries the X4 league defaults.
+    val wellFormed = gd.groupBy("GameID")
+      .agg(sum("Is_Home").as("homes"), count(lit(1)).as("n"))
+      .filter($"homes" === 1 && $"n" === 2).count()
+    assert(matchups.count() == wellFormed)
+    val firstGames = feats.filter($"team_game_num" === 1)
+    assert(firstGames.count() > 0)
+    assert(firstGames.filter(
+      $"hist_goals_avg" =!= Schemas.Defaults.GoalsAvg ||
+        $"hist_win_pct" =!= Schemas.Defaults.WinPct ||
+        $"recent_goals_avg" =!= Schemas.Defaults.RecentGoalsAvg ||
+        $"hist_corsi_avg" =!= Schemas.Defaults.CorsiAvg).isEmpty)
   }
 
   test("temporal split holds out the max season; binary label is (Points == 2)") {
@@ -127,6 +144,30 @@ class HockeySpec extends SparkSpec {
     assert(importances.size == 10 && importances.forall(_._2 >= 0.0))
     val base = Evaluation.baselines(Pipeline.withBinaryLabel(matchups))
     assert(base.majorityClass >= 0.5 && base.weightedRandom >= 0.5 && base.coinFlip == 0.5)
+  }
+
+  test("all four pipelines save/load and predict identically (persistence round-trip)") {
+    // An engine serving models must persist them (VERDICT r2 missing #3):
+    // each fitted PipelineModel round-trips through save/load with
+    // bit-identical predictions on the sample matchups.
+    val labeled = Pipeline.withBinaryLabel(
+      Pipeline.buildMatchups(spark, eventsCsv, resultsCsv)).cache()
+    val cfg = Models.ModelConfig(rfNumTrees = 3, rfMaxDepth = 3, lrMaxIter = 5,
+      gbtMaxIter = 2, gbtMaxDepth = 2, mlpMaxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("models").toString
+    for ((name, pipe) <- Models.all(cfg)) {
+      val slug = name.toLowerCase.replace(' ', '_')
+      val model = pipe.fit(labeled)
+      model.write.overwrite().save(s"$dir/$slug")
+      val reloaded = org.apache.spark.ml.PipelineModel.load(s"$dir/$slug")
+      val orig = model.transform(labeled)
+        .select("GameID", "prediction").as[(Long, Double)].collect().sortBy(_._1)
+      val rt = reloaded.transform(labeled)
+        .select("GameID", "prediction").as[(Long, Double)].collect().sortBy(_._1)
+      assert(orig.sameElements(rt), s"$name predictions changed after reload")
+      assert(orig.nonEmpty)
+    }
+    labeled.unpersist()
   }
 
   test("subsampler keeps events and results referentially intact") {
