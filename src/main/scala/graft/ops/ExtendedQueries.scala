@@ -75,8 +75,8 @@ object ExtendedQueries {
     a.join(b, Seq("band", "bkey")).filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b",
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .filter($"hamming" <= lit(3)) // prune BEFORE the dedup shuffle
       .distinct()
-      .filter($"hamming" <= lit(3))
   }
 
   // ---------------------------------------------------- exact percentiles
@@ -538,14 +538,22 @@ object ExtendedQueries {
     import spark.implicits._
     val relErr = (approx: Column, exact: Column) =>
       abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
-    Tables.lineitem(spark, dir).agg(
+    // THREE independent single-row aggregates cross-joined (all broadcast):
+    // mixing the exact distincts into the sketch aggregate would force one
+    // Expand×3 pass where every sketch/percentile buffer also scans the
+    // expanded rows (measured 21.8 s vs ~2 s split at sf0.1). Each pass
+    // keeps its own optimal plan — the sketches stay one-pass partial aggs.
+    val approx = Tables.lineitem(spark, dir).agg(
       approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
       approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
       expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("approx_median_price"),
-      countDistinct($"l_partkey").as("exact_parts"),
-      countDistinct($"l_suppkey").as("exact_supps"),
-      expr("median(l_extendedprice)").as("exact_median_price"),
       count(lit(1)).as("n_rows"))
+    val exactDistinct = Tables.lineitem(spark, dir).agg(
+      countDistinct($"l_partkey").as("exact_parts"),
+      countDistinct($"l_suppkey").as("exact_supps"))
+    val exactMedian = Tables.lineitem(spark, dir).agg(
+      expr("median(l_extendedprice)").as("exact_median_price"))
+    approx.crossJoin(exactDistinct).crossJoin(exactMedian)
       .withColumn("rel_err_parts", relErr($"approx_parts", $"exact_parts"))
       .withColumn("rel_err_supps", relErr($"approx_supps", $"exact_supps"))
       .withColumn("rel_err_median", relErr($"approx_median_price", $"exact_median_price"))

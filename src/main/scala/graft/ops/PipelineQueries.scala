@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import graft.operators.Dedup
+
+/** Round-3 training-data-pipeline operators (q82+): the data-curation
+  * surface between raw crawl and training shards — repetition-based quality
+  * signals, deterministic content-hash dataset splits, weight-based epoch
+  * upsampling, and token-budget sequence packing. Every query is a pure
+  * Column dataflow (explode → hash-agg, window cumsum, sequence explode):
+  * embarrassingly parallel or keyed-shuffle shapes that hold at 100 TB.
+  *
+  * Cross-engine exactness: every ratio here is an integer÷integer double
+  * (one IEEE op — bit-stable on any engine), hash splits compare md5 hex
+  * STRINGS (identical lowercase hex on both engines), and all counts are
+  * pinned to BIGINT/INTEGER per ARCHITECTURE.md.
+  */
+object PipelineQueries {
+
+  /** Gopher-style repetition signals: fraction of mass in the single most
+    * frequent token, fraction of repeated tokens, fraction of repeated
+    * word bigrams. High values mark boilerplate/spam for the quality
+    * filter. One explode+two-level hash-agg per signal family — the
+    * shuffle key is (doc_id, token), so token skew cannot hot-spot a
+    * partition beyond a single document's mass. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tokAgg = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_toks"),
+        max($"c").as("top_c"),
+        count(lit(1)).as("n_uniq"))
+    val bgAgg = docs.select($"doc_id",
+      explode(Dedup.wordShingles($"text", 2)).as("bg"))
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_bg"),
+        countDistinct($"bg").as("n_uniq_bg"))
+    tokAgg.join(bgAgg, "doc_id").select(
+      $"doc_id",
+      $"n_toks",
+      ($"top_c".cast("double") / $"n_toks".cast("double")).as("top_tok_frac"),
+      (($"n_toks" - $"n_uniq").cast("double") / $"n_toks".cast("double")).as("dup_tok_frac"),
+      (($"n_bg" - $"n_uniq_bg").cast("double") / $"n_bg".cast("double")).as("dup_bigram_frac"))
+  }
+
+  /** Deterministic content-hash train/val/test split (~80/10/10): the split
+    * is a pure function of the document id's salted md5, so it is stable
+    * across runs, engines, partitionings, and corpus growth — the property
+    * that makes held-out sets trustworthy. Comparing the first two hex
+    * chars lexicographically ('cc' = 204/256 ≈ 79.7%, 'e6' = 230/256)
+    * avoids any hex→int conversion divergence between engines. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
+  /** Weight-based document repetition (epoch upsampling): each document is
+    * emitted `1 + n_chars/100` times, capped at 3 — the "repeat the good
+    * data" step of corpus mixing, as a sequence+explode (generated rows
+    * stay on their source partition; no shuffle at all). */
+  def weightedRepeat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        least(lit(3L), lit(1L) + expr("n_chars div 100")).as("n_rep"))
+      .select($"doc_id", $"source",
+        explode(sequence(lit(1L), $"n_rep")).as("copy_id"))
+  }
+
+  /** Sequence packing by token budget: documents stream per source in
+    * doc_id order, and each lands in the pack where its RUNNING token
+    * total (before itself) falls — pack_id = cum_before / 2048. The
+    * batch formulation of greedy context-window packing: one window
+    * cumsum per source partition, integer math only. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_toks", size(tokens($"text")).cast("long"))
+      .withColumn("cum_before", coalesce(sum($"n_toks").over(w), lit(0L)))
+      .select($"doc_id", $"source", $"n_toks".cast("int").as("n_toks"),
+        expr("cum_before div 2048").cast("int").as("pack_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_repetition_signals" -> (repetitionSignals _),
+    "q83_hash_split" -> (hashSplit _),
+    "q84_weighted_repeat" -> (weightedRepeat _),
+    "q85_sequence_packing" -> (sequencePacking _))
+
+  private val toksSql = DedupQueries.toksSql
+  private val bigramsSql =
+    """CASE WHEN len(tk) >= 2
+      | THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+      | ELSE [array_to_string(tk, ' ')] END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q82_repetition_signals" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), tc AS (
+         |  SELECT doc_id, t, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |    CAST(max(c) AS BIGINT) AS top_c, CAST(count(*) AS BIGINT) AS n_uniq
+         |  FROM tc GROUP BY doc_id
+         |), bgx AS (
+         |  SELECT doc_id, unnest(bgs) AS b
+         |  FROM (SELECT doc_id, $bigramsSql AS bgs FROM toks)
+         |), bga AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+         |    CAST(count(DISTINCT b) AS BIGINT) AS n_uniq_bg
+         |  FROM bgx GROUP BY doc_id
+         |)
+         |SELECT a.doc_id, a.n_toks,
+         |  CAST(a.top_c AS DOUBLE) / CAST(a.n_toks AS DOUBLE) AS top_tok_frac,
+         |  CAST(a.n_toks - a.n_uniq AS DOUBLE) / CAST(a.n_toks AS DOUBLE) AS dup_tok_frac,
+         |  CAST(bga.n_bg - bga.n_uniq_bg AS DOUBLE) / CAST(bga.n_bg AS DOUBLE) AS dup_bigram_frac
+         |FROM agg a JOIN bga ON a.doc_id = bga.doc_id""".stripMargin,
+    "q83_hash_split" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY lang, split""".stripMargin,
+    "q84_weighted_repeat" ->
+      """SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT) AS copy_id
+        |FROM (SELECT doc_id, source, least(3, 1 + n_chars // 100) AS n_rep
+        |      FROM documents)""".stripMargin,
+    "q85_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_toks,
+         |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM t
+         |)
+         |SELECT doc_id, source, CAST(n_toks AS INTEGER) AS n_toks,
+         |  CAST(cb // 2048 AS INTEGER) AS pack_id FROM c""".stripMargin)
+}
