@@ -543,17 +543,25 @@ object ExtendedQueries {
     // Expand×3 pass where every sketch/percentile buffer also scans the
     // expanded rows (measured 21.8 s vs ~2 s split at sf0.1). Each pass
     // keeps its own optimal plan — the sketches stay one-pass partial aggs.
+    // rsd 0.02 / accuracy 2000: measured error <= 1.0% on every test SF
+    // (HLL and the quantile summary are deterministic for fixed data), an
+    // order of magnitude inside the 5% bound at ~7x less sketch cost than
+    // rsd 0.01 / accuracy 10000.
     val approx = Tables.lineitem(spark, dir).agg(
-      approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-      approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
-      expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("approx_median_price"),
+      approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+      approx_count_distinct($"l_suppkey", 0.02).as("approx_supps"),
+      expr("approx_percentile(l_extendedprice, 0.5D, 2000)").as("approx_median_price"),
       count(lit(1)).as("n_rows"))
     val exactDistinct = Tables.lineitem(spark, dir).agg(
       countDistinct($"l_partkey").as("exact_parts"),
       countDistinct($"l_suppkey").as("exact_supps"))
-    val exactMedian = Tables.lineitem(spark, dir).agg(
-      expr("median(l_extendedprice)").as("exact_median_price"))
-    approx.crossJoin(exactDistinct).crossJoin(exactMedian)
+    // histogram-pruned exact median (Stats.exactMedian): a `median()`
+    // aggregate buffers ~n distinct doubles and measured 2.2 s at sf0.1;
+    // the two-pass prune is bounded-shuffle and the 100 TB-shaped yardstick.
+    val exactMedian = graft.operators.Stats.exactMedian(
+      Tables.lineitem(spark, dir), "l_extendedprice")
+    approx.crossJoin(exactDistinct)
+      .withColumn("exact_median_price", lit(exactMedian))
       .withColumn("rel_err_parts", relErr($"approx_parts", $"exact_parts"))
       .withColumn("rel_err_supps", relErr($"approx_supps", $"exact_supps"))
       .withColumn("rel_err_median", relErr($"approx_median_price", $"exact_median_price"))
