@@ -120,7 +120,34 @@ object TextQueries {
       .limit(20)
   }
 
+  /** TF-IDF-style top terms per document: term frequency × inverse document
+    * frequency, top 5 per doc. The weighting is the RATIONAL form
+    * `tf·N/df` (no logarithm): libm `ln` implementations differ in the
+    * last ulp across engines, while integer-ratio doubles are one IEEE op
+    * — bit-stable. Ranking sorts a per-doc collected list (bounded by the
+    * doc's unique-token count, ~dozens) — no global window; the df table
+    * is token-keyed hash-agg output and N rides in as a broadcast 1-row
+    * aggregate, so every stage is a keyed shuffle that holds at corpus
+    * scale. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+      .select($"doc_id", $"tok",
+        (($"tf" * $"n_docs").cast("double") / $"df".cast("double")).as("score"))
+    scored.groupBy($"doc_id")
+      .agg(slice(array_sort(collect_list(struct(-$"score", $"tok", $"score"))), 1, 5).as("top"))
+      .select($"doc_id", posexplode($"top").as(Seq("pos", "s")))
+      .select($"doc_id", $"s.tok".as("token"), $"s.score".as("score"),
+        ($"pos" + 1).cast("int").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_tfidf_topterms" -> (tfidfTopTerms _),
     "q47_top_tokens" -> (topTokens _),
     "q37_regex_tokens" -> (regexTokens _),
     "q22_token_stats" -> (tokenStats _),
@@ -135,6 +162,26 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q86_tfidf_topterms" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+         |  GROUP BY doc_id, t
+         |), dfreq AS (
+         |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+         |), n AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT doc_id, tok,
+         |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+         |), r AS (
+         |  SELECT doc_id, tok AS token, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, tok ASC) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, token, score, rank FROM r WHERE rank <= 5""".stripMargin,
     "q47_top_tokens" ->
       s"""SELECT t AS token, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS t FROM documents)
