@@ -174,6 +174,30 @@ object Ann {
     spark.createDataFrame(rows, df.schema)
   }
 
+  /** Persist a trained IVF index: the centroid table plus the
+    * cell-assigned corpus written `partitionBy("cell")` — so a later
+    * search's cell filter becomes PARTITION PRUNING at the parquet scan
+    * (only the probed cells' files are read; at 100 TB that is the
+    * difference between touching ~nprobe/k of the corpus and all of it). */
+  def saveIndex(centroids: DataFrame, celled: DataFrame, path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    celled.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Search a persisted IVF index: probe each query's `nprobe` nearest
+    * centroids, then top-k only over the probed cells — the cell filter
+    * prunes cell partitions at the scan. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = probeCells(queries, centroids, nprobe, idCol, vecCol)
+    val probedCells = probes.select(col("cell")).distinct()
+    val cells = spark.read.parquet(s"$path/cells")
+      .join(broadcast(probedCells), Seq("cell"), "left_semi")
+    ivfTopK(cells, probes, k, "cell", idCol, vecCol)
+  }
+
   /** Same-cell near-duplicate pairs with cosine ≥ `threshold`, guarded
     * against quadratic blow-up on hot cells (VERDICT r2 #6): per-cell pair
     * generation is O(n²) in the cell size, fine while cells are bounded but

@@ -1,54 +1,103 @@
 package graft.operators
 
+import scala.annotation.tailrec
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed EXACT order statistics via histogram pruning — the scale
-  * path for "exact median at 100 TB", where a single percentile/median
-  * aggregate is untenable (its state buffers the value distribution:
-  * ~n distinct doubles per partition for continuous data).
+/** Distributed EXACT order statistics via iterative histogram pruning — the
+  * scale path for "exact quantiles at 100 TB", where a single
+  * percentile/median aggregate is untenable (its state buffers the value
+  * distribution: ~n distinct doubles per partition for continuous data).
   *
-  * Two cheap passes + one bounded take:
-  *  1. min/max/count (one codegen'd scan);
-  *  2. a fixed-width histogram (groupBy on the bucket id — the shuffle
-  *     carries `buckets` rows total);
-  *  3. locate the bucket(s) covering the median ranks from the cumulative
-  *     histogram (driver math over `buckets` longs), then TakeOrdered only
-  *     the rows of those buckets up to the needed rank — the sort is
-  *     bounded by the hot bucket's size (~n/buckets for non-degenerate
-  *     distributions; pathological concentration can be re-split by
-  *     recursing with a narrower range — not needed at gate scale).
+  * [[rankValues]] finds the r1-th and r2-th smallest values (1-based) by
+  * repeatedly histogramming the candidate range (one `buckets`-row shuffle
+  * per level) and narrowing to the bucket(s) covering the target ranks.
+  * When the covering range holds ≤ [[MaxCollect]] rows it is resolved with
+  * one bounded TakeOrdered; otherwise the range recurses — each level
+  * divides the value range by `buckets`, so even a fully degenerate
+  * distribution (all mass in one bucket) converges: the range shrinks
+  * geometrically until double resolution separates the values or they are
+  * all equal. Driver state is O(buckets) longs per level; nothing
+  * data-sized ever reaches the driver.
   *
-  * Result is the true median (even n: mean of the two middle values —
-  * the same interpolation rule as Spark's `median` and DuckDB's
-  * `quantile_cont(0.5)`).
+  * [[exactMedian]] / [[exactPercentile]] reproduce the interpolation rule
+  * shared by Spark's `percentile`/`median` and DuckDB's `quantile_cont`:
+  * rank = 1 + p·(n−1), linear interpolation between the two covering
+  * values. For integral-valued columns and dyadic p the result is a single
+  * exact double on any engine (the q54 rationale).
   */
 object Stats {
 
-  def exactMedian(df: DataFrame, valueCol: String, buckets: Int = 2048): Double = {
-    val c = col(valueCol).cast("double")
-    val head = df.agg(min(c).as("mn"), max(c).as("mx"), count(c).as("n")).head()
+  /** Rows the final TakeOrdered may gather; above this the range recurses. */
+  private val MaxCollect = 1 << 16
+
+  def exactMedian(df: DataFrame, valueCol: String, buckets: Int = 2048): Double =
+    exactPercentile(df, valueCol, 0.5, buckets)
+
+  /** Exact p-quantile (0 ≤ p ≤ 1) with linear interpolation. `maxCollect`
+    * is exposed for tests to force the recursive narrowing on small data. */
+  def exactPercentile(df: DataFrame, valueCol: String, p: Double,
+      buckets: Int = 2048, maxCollect: Int = MaxCollect): Double = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0,1], got $p")
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val head = vals.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n")).head()
     if (head.isNullAt(2) || head.getLong(2) == 0L) return Double.NaN
     val (mn, mx, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
     if (mn == mx) return mn
-    val width = (mx - mn) / buckets
-    val bucket = least(lit(buckets - 1), floor((c - mn) / width)).cast("int")
-    val hist = df.groupBy(bucket.as("b")).agg(count(lit(1)).as("cnt"))
-      .orderBy("b").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val rp = 1.0 + p * (n - 1)
+    val r1 = math.floor(rp).toLong
+    val r2 = math.min(n, r1 + 1)
+    val frac = rp - r1
+    val (a, b) = rankValues(vals, r1, r2, mn, mx, buckets, maxCollect)
+    if (frac == 0.0) a else a + (b - a) * frac
+  }
 
-    val r1 = (n + 1) / 2 // lower middle rank (1-based)
-    val r2 = n / 2 + 1   // upper middle rank (== r1 for odd n)
+  /** The r1-th and r2-th smallest of `vals.v` (1-based, r1 ≤ r2 ≤ r1+1),
+    * scanning only within [lo, hi]. */
+  @tailrec private def rankValues(vals: DataFrame, r1: Long, r2: Long,
+      lo: Double, hi: Double, buckets: Int, maxCollect: Int): (Double, Double) = {
+    if (lo == hi) return (lo, lo)
+    val width = (hi - lo) / buckets
+    if (width == 0.0 || width.isNaN) {
+      // Range below double resolution: only a handful of representable
+      // values remain, however many ROWS carry them — resolve through the
+      // (tiny) value distribution, never a row collect.
+      val dist = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("v").asc).collect().map(r => (r.getDouble(0), r.getLong(1)))
+      var cum = 0L; var a = Double.NaN; var b = Double.NaN
+      for ((v, cnt) <- dist) {
+        if (a.isNaN && cum + cnt >= r1) a = v
+        if (b.isNaN && cum + cnt >= r2) b = v
+        cum += cnt
+      }
+      return (a, b)
+    }
+    val bucket = least(lit(buckets - 1),
+      greatest(lit(0), floor((col("v") - lo) / width))).cast("int")
+    val hist = vals.groupBy(bucket.as("b")).agg(count(lit(1)).as("cnt"))
+      .orderBy("b").collect().map(r => (r.getInt(0), r.getLong(1)))
     var cum = 0L; var before = 0L; var bLo = -1; var bHi = -1
     for ((b, cnt) <- hist) {
       if (bLo < 0 && cum + cnt >= r1) { bLo = b; before = cum }
       if (bHi < 0 && cum + cnt >= r2) bHi = b
       cum += cnt
     }
-    val need = (r2 - before).toInt
-    val vals = df.select(c.as("v")).filter(bucket.between(bLo, bHi))
-      .orderBy(col("v").asc).limit(need)
-      .collect().map(_.getDouble(0))
-    if (n % 2 == 1) vals(need - 1)
-    else (vals(need - 2) + vals(need - 1)) / 2.0
+    val need = r2 - before
+    val inRange = vals.filter(bucket.between(bLo, bHi))
+    if (need <= maxCollect) {
+      val arr = inRange.orderBy(col("v").asc).limit(need.toInt)
+        .collect().map(_.getDouble(0))
+      ((arr((r1 - before).toInt - 1), arr((r2 - before).toInt - 1)))
+    } else {
+      // narrow to the covering buckets' value range and re-rank inside it;
+      // boundary-rounded stragglers are clamped into the edge buckets by
+      // the greatest/least guards, so no counted row can escape the range
+      val newLo = lo + bLo * width
+      val newHi = math.min(hi, lo + (bHi + 1) * width)
+      rankValues(inRange, r1 - before, r2 - before, newLo, newHi, buckets, maxCollect)
+    }
   }
 }

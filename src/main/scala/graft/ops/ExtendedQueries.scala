@@ -98,6 +98,21 @@ object ExtendedQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** The SAME quantiles as q54, computed through the distributed
+    * histogram-prune path ([[graft.operators.Stats.exactPercentile]]) and
+    * checked against DuckDB's `quantile_cont` — the gate proof that the
+    * bounded-shuffle order-statistics operator is EXACT, not approximate.
+    * Integral l_quantity + dyadic p ⇒ the interpolated values are single
+    * exact doubles on any engine (same rationale as q54). */
+  def quantilesPruned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val rows = Seq(0.25, 0.5, 0.75).map { p =>
+      (p, graft.operators.Stats.exactPercentile(li, "l_quantity", p))
+    }
+    rows.toDF("p", "qty_quantile")
+  }
+
   // ----------------------------------------------------- window family #2
 
   /** Second window-function family: percent_rank / cume_dist (exact integer
@@ -601,7 +616,8 @@ object ExtendedQueries {
     "q76_try_semantics" -> (trySemantics _),
     "q78_correlated_scalar" -> (correlatedScalar _),
     "q79_lateral_subquery" -> (lateralSubquery _),
-    "q80_quantifier_hofs" -> (quantifierHofs _))
+    "q80_quantifier_hofs" -> (quantifierHofs _),
+    "q87_quantiles_pruned" -> (quantilesPruned _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -795,6 +811,12 @@ object ExtendedQueries {
         |FROM part""".stripMargin,
     "q78_correlated_scalar" -> CorrelatedScalarQuery,
     "q79_lateral_subquery" -> LateralQuery,
+    "q87_quantiles_pruned" ->
+      """SELECT CAST(0.25 AS DOUBLE) AS p, quantile_cont(l_quantity, 0.25) AS qty_quantile FROM lineitem
+        |UNION ALL
+        |SELECT CAST(0.5 AS DOUBLE) AS p, quantile_cont(l_quantity, 0.5) AS qty_quantile FROM lineitem
+        |UNION ALL
+        |SELECT CAST(0.75 AS DOUBLE) AS p, quantile_cont(l_quantity, 0.75) AS qty_quantile FROM lineitem""".stripMargin,
     "q80_quantifier_hofs" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${DedupQueries.toksSql} AS tk FROM documents

@@ -127,6 +127,28 @@ class AnnSpec extends SparkSpec {
     assert(cold == out)
   }
 
+  test("IVF index save/load/search round-trip equals the direct search") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+      .withColumn("seed", pmod(xxhash64($"vec_id"), lit(8)).cast("int"))
+      .cache()
+    val centroids = Ann.trainCentroids(emb, "seed", iters = 2)
+    val celled = Ann.assignCells(emb, centroids)
+    val queries = emb.filter($"vec_id" < 5)
+    val probes = Ann.probeCells(queries, centroids, nprobe = 2)
+    val direct = Ann.ivfTopK(celled, probes, 5, "cell")
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ann.saveIndex(centroids, celled, path)
+    val fromIndex = Ann.searchIndex(spark, path, queries, k = 5, nprobe = 2)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex == direct)
+    assert(fromIndex.nonEmpty)
+    emb.unpersist()
+  }
+
   test("cell centroids average per dimension") {
     val cents = Ann.cellCentroids(vecs, "label")
       .as[(Int, Array[Double])].collect().toMap

@@ -27,4 +27,25 @@ class StatsSpec extends SparkSpec {
     val viaPrune = Stats.exactMedian(li, "l_extendedprice")
     assert(math.abs(viaAgg - viaPrune) < 1e-9, s"$viaAgg vs $viaPrune")
   }
+
+  test("exactPercentile matches percentile() for p25/p50/p75 on integral data") {
+    val li = Tables.lineitem(spark, sf0001)
+    for (p <- Seq(0.25, 0.5, 0.75)) {
+      val viaAgg = li.agg(expr(s"percentile(l_quantity, ${p}D)")).head().getDouble(0)
+      val viaPrune = Stats.exactPercentile(li, "l_quantity", p)
+      // integral values + dyadic p → single exact double on any engine
+      assert(viaAgg == viaPrune, s"p=$p: $viaAgg vs $viaPrune")
+    }
+  }
+
+  test("recursive narrowing (tiny maxCollect) returns the same quantiles") {
+    // maxCollect=4 forces the histogram to narrow several levels before
+    // the final bounded take — must agree with the one-shot answer
+    val vs = (1 to 5000).map(i => (i * 37 % 4999) / 7.0).toDF("v")
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val oneShot = Stats.exactPercentile(vs, "v", p)
+      val recursed = Stats.exactPercentile(vs, "v", p, buckets = 16, maxCollect = 4)
+      assert(oneShot == recursed, s"p=$p: $oneShot vs $recursed")
+    }
+  }
 }
