@@ -38,21 +38,53 @@ object Stats {
   /** Exact p-quantile (0 ≤ p ≤ 1) with linear interpolation. `maxCollect`
     * is exposed for tests to force the recursive narrowing on small data. */
   def exactPercentile(df: DataFrame, valueCol: String, p: Double,
-      buckets: Int = 2048, maxCollect: Int = MaxCollect): Double = {
-    require(p >= 0.0 && p <= 1.0, s"p must be in [0,1], got $p")
+      buckets: Int = 2048, maxCollect: Int = MaxCollect): Double =
+    exactPercentiles(df, valueCol, Seq(p), buckets, maxCollect).head
+
+  /** Exact quantiles for several p values, sharing the head statistics and
+    * the cardinality probe across all of them. Route choice: a cheap HLL
+    * probe picks between (a) LOW-CARDINALITY — one `groupBy(value).count`
+    * pass resolves every quantile from the (small) value distribution, the
+    * right algorithm when the column holds few distinct values (integral
+    * quantities, categories); and (b) CONTINUOUS — per-quantile iterative
+    * histogram narrowing. The probe only selects the route; both routes
+    * are exact. */
+  def exactPercentiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+      buckets: Int = 2048, maxCollect: Int = MaxCollect): Seq[Double] = {
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"p must be in [0,1]: $ps")
     val vals = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
     val head = vals.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
-      count(lit(1)).as("n")).head()
-    if (head.isNullAt(2) || head.getLong(2) == 0L) return Double.NaN
+      count(lit(1)).as("n"), approx_count_distinct(col("v")).as("nd")).head()
+    if (head.isNullAt(2) || head.getLong(2) == 0L) return ps.map(_ => Double.NaN)
     val (mn, mx, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
-    if (mn == mx) return mn
-    val rp = 1.0 + p * (n - 1)
-    val r1 = math.floor(rp).toLong
-    val r2 = math.min(n, r1 + 1)
-    val frac = rp - r1
-    val (a, b) = rankValues(vals, r1, r2, mn, mx, buckets, maxCollect)
-    if (frac == 0.0) a else a + (b - a) * frac
+    if (mn == mx) return ps.map(_ => mn)
+    def ranks(p: Double): (Long, Long, Double) = {
+      val rp = 1.0 + p * (n - 1)
+      val r1 = math.floor(rp).toLong
+      (r1, math.min(n, r1 + 1), rp - r1)
+    }
+    if (head.getLong(3) <= maxCollect / 2) {
+      // low-cardinality: one distribution pass answers every quantile
+      val dist = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("v").asc).collect().map(r => (r.getDouble(0), r.getLong(1)))
+      ps.map { p =>
+        val (r1, r2, frac) = ranks(p)
+        var cum = 0L; var a = Double.NaN; var b = Double.NaN
+        for ((v, cnt) <- dist) {
+          if (a.isNaN && cum + cnt >= r1) a = v
+          if (b.isNaN && cum + cnt >= r2) b = v
+          cum += cnt
+        }
+        if (frac == 0.0) a else a + (b - a) * frac
+      }
+    } else {
+      ps.map { p =>
+        val (r1, r2, frac) = ranks(p)
+        val (a, b) = rankValues(vals, r1, r2, mn, mx, buckets, maxCollect)
+        if (frac == 0.0) a else a + (b - a) * frac
+      }
+    }
   }
 
   /** The r1-th and r2-th smallest of `vals.v` (1-based, r1 ≤ r2 ≤ r1+1),

@@ -107,10 +107,9 @@ object ExtendedQueries {
   def quantilesPruned(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-    val rows = Seq(0.25, 0.5, 0.75).map { p =>
-      (p, graft.operators.Stats.exactPercentile(li, "l_quantity", p))
-    }
-    rows.toDF("p", "qty_quantile")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val qs = graft.operators.Stats.exactPercentiles(li, "l_quantity", ps)
+    ps.zip(qs).toDF("p", "qty_quantile")
   }
 
   // ----------------------------------------------------- window family #2

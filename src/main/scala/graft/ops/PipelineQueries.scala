@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,14 +56,45 @@ object PipelineQueries {
     * that makes held-out sets trustworthy. Comparing the first two hex
     * chars lexicographically ('cc' = 204/256 ≈ 79.7%, 'e6' = 230/256)
     * avoids any hex→int conversion divergence between engines. */
+  /** The salted-md5 split rule, shared by q83 and q88 (and mirrored
+    * verbatim in both oracles). */
+  private def splitCol: Column = {
+    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+  }
+
   def hashSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val h = substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2)
     Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", $"n_chars",
-        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .select($"doc_id", $"lang", $"n_chars", splitCol.as("split"))
       .groupBy($"lang", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
+  /** Benchmark decontamination: for every TEST-split document, the
+    * fraction of its word 3-gram shingles that appear anywhere in the
+    * TRAIN split — the standard check that held-out data has not leaked
+    * into the training corpus. Overlap detection is a distinct-shingle
+    * left join (shuffle on the shingle hash, cost tracks the shingle
+    * vocabulary — never test×train doc pairs), the same join shape at
+    * 100 TB with the benchmark side broadcast when small. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shingled = Tables.documents(spark, dir)
+      .select($"doc_id", splitCol.as("split"),
+        explode(Dedup.wordShingles($"text", 3)).as("sh"))
+    val trainSh = shingled.filter($"split" === "train")
+      .select($"sh").distinct().withColumn("__hit", lit(1))
+    val testSh = shingled.filter($"split" === "test")
+      .select($"doc_id", $"sh").distinct()
+    testSh.join(trainSh, Seq("sh"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce($"__hit", lit(0))).as("n_shared"))
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        ($"n_shared".cast("double") / $"n_shingles".cast("double")).as("contamination_frac"),
+        (($"n_shared".cast("double") / $"n_shingles".cast("double")) >= lit(0.5))
+          .as("is_contaminated"))
   }
 
   /** Weight-based document repetition (epoch upsampling): each document is
@@ -99,7 +130,8 @@ object PipelineQueries {
     "q82_repetition_signals" -> (repetitionSignals _),
     "q83_hash_split" -> (hashSplit _),
     "q84_weighted_repeat" -> (weightedRepeat _),
-    "q85_sequence_packing" -> (sequencePacking _))
+    "q85_sequence_packing" -> (sequencePacking _),
+    "q88_decontamination" -> (decontamination _))
 
   private val toksSql = DedupQueries.toksSql
   private val bigramsSql =
@@ -146,6 +178,31 @@ object PipelineQueries {
       """SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT) AS copy_id
         |FROM (SELECT doc_id, source, least(3, 1 + n_chars // 100) AS n_rep
         |      FROM documents)""".stripMargin,
+    "q88_decontamination" ->
+      s"""WITH tagged AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, split, $toksSql AS tk FROM tagged
+         |), sh AS (
+         |  SELECT doc_id, split, unnest(${DedupQueries.shinglesSql}) AS s FROM toks
+         |), train_sh AS (
+         |  SELECT DISTINCT s FROM sh WHERE split = 'train'
+         |), test_sh AS (
+         |  SELECT DISTINCT doc_id, s FROM sh WHERE split = 'test'
+         |), agg AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM test_sh t LEFT JOIN train_sh tr ON t.s = tr.s
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT doc_id, n_shingles, n_shared,
+         |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_frac,
+         |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= CAST(0.5 AS DOUBLE) AS is_contaminated
+         |FROM agg""".stripMargin,
     "q85_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents
