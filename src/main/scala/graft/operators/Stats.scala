@@ -60,9 +60,13 @@ object Stats {
     val (mn, mx, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
     if (mn == mx) return ps.map(_ => mn)
     def ranks(p: Double): (Long, Long, Double) = {
-      val rp = 1.0 + p * (n - 1)
-      val r1 = math.floor(rp).toLong
-      (r1, math.min(n, r1 + 1), rp - r1)
+      // 0-based fractional position, EXACTLY as Spark's percentile and
+      // DuckDB's quantile_cont compute it — adding 1.0 before taking the
+      // fraction can shift it by an ulp for non-dyadic p
+      val pos = p * (n - 1)
+      val lower = math.floor(pos)
+      val r1 = lower.toLong + 1
+      (r1, math.min(n, r1 + 1), pos - lower)
     }
     if (head.getLong(3) <= maxCollect / 2) {
       // low-cardinality: one distribution pass answers every quantile

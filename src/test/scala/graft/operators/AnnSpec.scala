@@ -127,6 +127,19 @@ class AnnSpec extends SparkSpec {
     assert(cold == out)
   }
 
+  test("probeCells emits each query once per probed cell, nearest first") {
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)), (2, Array(-1.0, 0.0)))
+      .toDF("cell", "centroid")
+    val q = Seq((7L, Array(0.9f, 0.45f))).toDF("vec_id", "embedding")
+    val probed = Ann.probeCells(q, cents, nprobe = 2)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    // nearest two centroids of (0.9, 0.45): +x (cos~0.89) then +y (cos~0.45)
+    assert(probed.toSet == Set((7L, 0), (7L, 1)))
+    val all = Ann.probeCells(q, cents, nprobe = 5)
+      .select("cell").as[Int].collect().toSet
+    assert(all == Set(0, 1, 2)) // nprobe beyond k probes every cell, once
+  }
+
   test("IVF index save/load/search round-trip equals the direct search") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

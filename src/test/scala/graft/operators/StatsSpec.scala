@@ -38,6 +38,20 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("property: exactPercentile equals the percentile aggregate on random data") {
+    // a handful of seeded random shapes (sizes, duplicates, negatives)
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 50 + rng.nextInt(400)
+      val base = Seq.fill(n)(math.floor(rng.nextGaussian() * 50) - 10)
+      val data = (base ++ base.take(rng.nextInt(n))).toDF("v") // duplicates
+      val p = Seq(0.0, 0.1, 0.5, 0.9, 1.0)(trial % 5)
+      val viaAgg = data.agg(expr(s"percentile(v, ${p}D)")).head().getDouble(0)
+      val viaPrune = Stats.exactPercentile(data, "v", p, buckets = 32, maxCollect = 16)
+      assert(viaAgg == viaPrune, s"trial $trial p=$p: $viaAgg vs $viaPrune")
+    }
+  }
+
   test("recursive narrowing (tiny maxCollect) returns the same quantiles") {
     // maxCollect=4 forces the histogram to narrow several levels before
     // the final bounded take — must agree with the one-shot answer
