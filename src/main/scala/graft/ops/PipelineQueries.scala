@@ -126,12 +126,34 @@ object PipelineQueries {
         expr("cum_before div 2048").cast("int").as("pack_id"))
   }
 
+  /** Edit-distance near-dup pairs — the character-level dedup flavor
+    * (catches small in-place edits that shingle-set Jaccard dilutes).
+    * Candidates are blocked on the min-md5 3-gram shingle (1-hash MinHash
+    * block, as q53): Levenshtein is O(|a|·|b|) per pair, so the block
+    * bound — never all pairs — is what makes it runnable at corpus scale;
+    * the distance itself is the classic integer DP, identical on any
+    * engine. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val blocks = docs.select($"doc_id",
+      explode(Dedup.wordShingles($"text", 3)).as("s"))
+      .groupBy($"doc_id").agg(min(md5($"s")).as("block"))
+    val d = docs.join(blocks, "doc_id").select($"doc_id", $"text", $"block")
+    val a = d.select($"doc_id".as("doc_a"), $"text".as("ta"), $"block")
+    val b = d.select($"doc_id".as("doc_b"), $"text".as("tb"), $"block")
+    a.join(b, "block").filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", levenshtein($"ta", $"tb").as("edit_distance"))
+      .filter($"edit_distance" <= lit(20))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_repetition_signals" -> (repetitionSignals _),
     "q83_hash_split" -> (hashSplit _),
     "q84_weighted_repeat" -> (weightedRepeat _),
     "q85_sequence_packing" -> (sequencePacking _),
-    "q88_decontamination" -> (decontamination _))
+    "q88_decontamination" -> (decontamination _),
+    "q89_edit_distance_pairs" -> (editDistancePairs _))
 
   private val toksSql = DedupQueries.toksSql
   private val bigramsSql =
@@ -178,6 +200,21 @@ object PipelineQueries {
       """SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT) AS copy_id
         |FROM (SELECT doc_id, source, least(3, 1 + n_chars // 100) AS n_rep
         |      FROM documents)""".stripMargin,
+    "q89_edit_distance_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), shx AS (
+         |  SELECT doc_id, unnest(${DedupQueries.shinglesSql}) AS s FROM toks
+         |), b AS (
+         |  SELECT doc_id, min(md5(s)) AS block FROM shx GROUP BY doc_id
+         |), d AS (
+         |  SELECT b.doc_id, b.block, documents.text AS text
+         |  FROM b JOIN documents USING (doc_id)
+         |)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |  CAST(levenshtein(a.text, c.text) AS INTEGER) AS edit_distance
+         |FROM d a JOIN d c ON a.block = c.block AND a.doc_id < c.doc_id
+         |WHERE levenshtein(a.text, c.text) <= 20""".stripMargin,
     "q88_decontamination" ->
       s"""WITH tagged AS (
          |  SELECT doc_id, text,
