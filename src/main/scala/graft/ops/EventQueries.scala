@@ -128,6 +128,29 @@ object EventQueries {
       name = "q81_streaming_hourly_sink")
   }
 
+  /** STREAM-STREAM inner join as a gate query: each click joins the same
+    * user's errors within the preceding hour, executed by the streaming
+    * engine with watermarks and time-bounded join state
+    * ([[graft.streaming.Streaming.clickErrorJoin]] — both sides buffered,
+    * evicted by the other side's watermark). A one-shot drive puts all
+    * data in one micro-batch, and inner stream-stream joins emit matches
+    * within the batch — so the result equals the batch join and the
+    * DuckDB oracle checks it hash-exact. Proves the second stateful
+    * streaming operator class (join state, vs q81's window state). */
+  def streamingClickErrorJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
+      ev => {
+        val fixed = ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        graft.streaming.Streaming.clickErrorJoin(
+          fixed.filter($"event_type" === "click"),
+          fixed.filter($"event_type" === "error"))
+      },
+      name = "q90_streaming_join_sink",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_range_join" -> (errorFollowedByClick _),
     "q45_asof_join" -> (asofLastError _),
@@ -135,7 +158,8 @@ object EventQueries {
     "q19_tumbling_hourly" -> (tumblingHourly _),
     "q20_json_extract" -> (jsonExtract _),
     "q21_inter_event_gaps" -> (interEventGaps _),
-    "q81_streaming_hourly" -> (streamingHourly _))
+    "q81_streaming_hourly" -> (streamingHourly _),
+    "q90_streaming_join" -> (streamingClickErrorJoin _))
 
   val oracle: Map[String, String] = Map(
     "q46_range_join" ->
@@ -177,6 +201,15 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q90_streaming_join" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     e AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+        |       c.ts AS click_ts, e.ts AS error_ts
+        |FROM c JOIN e
+        |  ON c.user_id = e.user_id
+        | AND e.ts <= c.ts
+        | AND e.ts >= c.ts - INTERVAL 60 MINUTE""".stripMargin,
     // q81 = q19 executed by the streaming engine; the oracle is shared
     // because the declarative query is identical — that equivalence IS the
     // thing this gate entry proves.
