@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the curation operators (the gate checks them
+  * against DuckDB on the real corpus; these pin the semantics on inputs
+  * small enough to verify by eye). Each test writes a tiny documents table
+  * to a temp dir so the (spark, dir) query functions run unmodified. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (doc_id, text, lang, source, n_chars) rows → a dir Tables.documents reads. */
+  private def docsDir(rows: (Long, String, String, String, Long)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("repetition signals: hand-computed fractions") {
+    val dir = docsDir(
+      (0L, "a a b", "en", "s0", 5L), // top a=2/3, dup 1/3; bigrams "a a","a b" distinct
+      (1L, "x y z w", "en", "s0", 7L)) // no repetition at all
+    val out = PipelineQueries.repetitionSignals(spark, dir)
+      .orderBy("doc_id")
+      .select("n_toks", "top_tok_frac", "dup_tok_frac", "dup_bigram_frac")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out(0) == ((3L, 2.0 / 3, 1.0 / 3, 0.0)))
+    assert(out(1) == ((4L, 1.0 / 4, 0.0, 0.0)))
+  }
+
+  test("hash split: deterministic, exhaustive, and roughly 80/10/10") {
+    val dir = "/root/testdata/sf0.01"
+    val a = PipelineQueries.hashSplit(spark, dir).orderBy("lang", "split")
+      .as[(String, String, Long, Long)].collect()
+    val b = PipelineQueries.hashSplit(spark, dir).orderBy("lang", "split")
+      .as[(String, String, Long, Long)].collect()
+    assert(a.sameElements(b)) // pure function of content hash
+    val bySplit = a.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit("train") / total > 0.7 && bySplit("train") / total < 0.9)
+    assert(bySplit("test") / total > 0.03 && bySplit("val") / total > 0.03)
+  }
+
+  test("weighted repeat: 1 + chars/100 copies, capped at 3") {
+    val dir = docsDir(
+      (0L, "t", "en", "s0", 50L),   // 1 copy
+      (1L, "t", "en", "s0", 150L),  // 2 copies
+      (2L, "t", "en", "s0", 950L))  // capped at 3
+    val out = PipelineQueries.weightedRepeat(spark, dir)
+      .groupBy("doc_id").count().orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+  }
+
+  test("sequence packing: pack id is the pre-doc running total / 2048") {
+    // three ~1000-token docs in one source: cum_before 0 / 1000 / 2000 →
+    // packs 0, 0, 0; the fourth (cum_before 3000) opens pack 1
+    val text1000 = Seq.fill(1000)("w").mkString(" ")
+    val dir = docsDir(
+      (0L, text1000, "en", "s0", 1L), (1L, text1000, "en", "s0", 1L),
+      (2L, text1000, "en", "s0", 1L), (3L, text1000, "en", "s0", 1L),
+      (4L, text1000, "en", "OTHER", 1L)) // separate source restarts at pack 0
+    val out = PipelineQueries.sequencePacking(spark, dir)
+      .orderBy("doc_id").select("pack_id").as[Int].collect()
+    assert(out.toSeq == Seq(0, 0, 0, 1, 0))
+  }
+
+  test("edit distance pairs: identical blocked texts at distance 0") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val dir = docsDir(
+      (0L, t, "en", "s0", t.length.toLong),
+      (1L, t, "en", "s0", t.length.toLong), // identical → same block, dist 0
+      (2L, "completely different words here entirely", "en", "s0", 40L))
+    val out = PipelineQueries.editDistancePairs(spark, dir)
+      .select("doc_a", "doc_b", "edit_distance").as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((0L, 1L, 0)))
+  }
+
+  test("decontamination fractions are well-formed on the real corpus") {
+    val out = PipelineQueries.decontamination(spark, "/root/testdata/sf0.001")
+      .select("n_shingles", "n_shared", "contamination_frac")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, shared, frac) =>
+      assert(shared >= 0 && shared <= n)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(frac == shared.toDouble / n)
+    }
+  }
+}
