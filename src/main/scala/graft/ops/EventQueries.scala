@@ -140,15 +140,24 @@ object EventQueries {
   def streamingClickErrorJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
-      ev => {
-        val fixed = ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        graft.streaming.Streaming.clickErrorJoin(
-          fixed.filter($"event_type" === "click"),
-          fixed.filter($"event_type" === "error"))
-      },
-      name = "q90_streaming_join_sink",
-      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    // A stream-stream join materializes FOUR state stores per shuffle
+    // partition; state partitioning is a per-deployment sizing decision
+    // (it is pinned into the checkpoint), so size it to this drive's
+    // state volume rather than inheriting the batch session's CPU count.
+    // Restored after the (synchronous) drive — batch queries unaffected.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
+        ev => {
+          val fixed = ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          graft.streaming.Streaming.clickErrorJoin(
+            fixed.filter($"event_type" === "click"),
+            fixed.filter($"event_type" === "error"))
+        },
+        name = "q90_streaming_join_sink",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
