@@ -160,6 +160,62 @@ object EventQueries {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** q18's STREAMING twin via `flatMapGroupsWithState` — the third stateful
+    * streaming operator class at the gate (custom per-key state, vs q81's
+    * window state and q90's join state). Deterministic one-shot drive: a
+    * far-future sentinel event is appended PER USER (a symlinked source dir
+    * — no data copy), so every real session is closed by its own group's
+    * sentinel inside the first micro-batch. Correctness never depends on the
+    * engine racing a watermark-timeout no-data batch; the event-time timeout
+    * path stays live for production and is exercised by StreamingSpec.
+    * Output equals the batch sessionizer modulo session_id (the oracle
+    * groups by it but does not emit it). */
+  def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$dir/events.parquet"
+    val raw = spark.read.parquet(src)
+    val maxNanos = raw.agg(max($"ts")).head().getLong(0)
+    val sentinelNanos = maxNanos + 100L * 24 * 3600 * 1000000000L
+    val sentinelUs = sentinelNanos / 1000
+    val tmp = Files.createTempDirectory("graft_q92_").toFile
+    val staging = Files.createTempDirectory("graft_q92_staging_").toFile
+    raw.select($"user_id").distinct()
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(sentinelNanos))
+      .withColumn("event_type", lit("sentinel"))
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit(null).cast("string"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+    val part = staging.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new java.io.File(tmp, "zz_sentinel.parquet").toPath)
+    Files.createSymbolicLink(
+      new java.io.File(tmp, "aa_events.parquet").toPath, Paths.get(src))
+    // per-key state store: size partitions to state volume, as q90
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      graft.streaming.Streaming.runOnce(spark, tmp.getAbsolutePath,
+        ev => {
+          val typed = ev
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .withWatermark("ts", "1 minute")
+            .select($"event_id", $"ts", $"user_id",
+              ($"value".cast("decimal(14,2)") * lit(100)).cast("long").as("cents"))
+            .as[graft.streaming.Streaming.CentsEvent]
+          graft.streaming.Streaming.sessionizeEventTime(typed).toDF()
+        },
+        name = "q92_streaming_sessions_sink",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .filter($"session_start" < timestamp_micros(lit(sentinelUs)))
+        .select($"user_id", $"n_events", $"session_start", $"session_end",
+          ($"total_cents".cast("double") / lit(100.0)).as("total_value"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_range_join" -> (errorFollowedByClick _),
     "q45_asof_join" -> (asofLastError _),
@@ -168,7 +224,8 @@ object EventQueries {
     "q20_json_extract" -> (jsonExtract _),
     "q21_inter_event_gaps" -> (interEventGaps _),
     "q81_streaming_hourly" -> (streamingHourly _),
-    "q90_streaming_join" -> (streamingClickErrorJoin _))
+    "q90_streaming_join" -> (streamingClickErrorJoin _),
+    "q92_streaming_sessions" -> (streamingSessions _))
 
   val oracle: Map[String, String] = Map(
     "q46_range_join" ->
@@ -227,6 +284,30 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q92 = q18 executed by the streaming engine with per-key session state;
+    // same session CTEs, grouped by (user, session) but session_id not
+    // emitted (streaming state has no global session ordinal). The exact
+    // money bridge: decimal(14,2)·100 → BIGINT cents summed exactly, then
+    // ONE correctly-rounded double division — both engines identical.
+    "q92_streaming_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q20_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,

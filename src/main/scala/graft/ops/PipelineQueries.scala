@@ -147,13 +147,47 @@ object PipelineQueries {
       .filter($"edit_distance" <= lit(20))
   }
 
+  /** Temperature-based corpus mixing (α = 0.5): down-sample every source so
+    * kept counts are proportional to n_i^α — the standard multi-corpus
+    * rebalance that keeps big crawls from drowning small curated sets.
+    * kept_i = n_i·sqrt(n_min/n_i) = sqrt(n_min·n_i) ∝ n_i^0.5.
+    *
+    * Exactness: α = 1/2 is deliberate — sqrt and division are the two IEEE
+    * ops with REQUIRED correct rounding, so the rate is bit-identical on any
+    * engine (a pow(x, 0.7) would ride each libm's private error bounds, the
+    * q86 lesson). Membership is a pure function of the doc id: the salted
+    * md5's first 4 hex chars compared against the rate scaled to 16 bits,
+    * both sides uppercase (mixing md5's lowercase with hex()'s uppercase
+    * digits would order A-F before a-f and break the numeric comparison).
+    *
+    * Scale: per-source counts are a tiny agg broadcast back onto the fan-out
+    * scan; the doc-level pass is a scan + map-side filter + hash-agg — no
+    * data-sized shuffle, no skew exposure. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min($"n_docs").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("sample_rate", sqrt($"n_min".cast("double") / $"n_docs".cast("double")))
+      .withColumn("thr", lpad(hex(floor($"sample_rate" * lit(65536)).cast("long")), 4, "0"))
+    val kept = docs.join(broadcast(rates), "source")
+      .filter($"sample_rate" >= lit(1.0) ||
+        upper(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 4)) < $"thr")
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select($"source", $"n_docs", coalesce($"n_kept", lit(0L)).as("n_kept"),
+        $"sample_rate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_repetition_signals" -> (repetitionSignals _),
     "q83_hash_split" -> (hashSplit _),
     "q84_weighted_repeat" -> (weightedRepeat _),
     "q85_sequence_packing" -> (sequencePacking _),
     "q88_decontamination" -> (decontamination _),
-    "q89_edit_distance_pairs" -> (editDistancePairs _))
+    "q89_edit_distance_pairs" -> (editDistancePairs _),
+    "q91_temperature_mix" -> (temperatureMix _))
 
   private val toksSql = DedupQueries.toksSql
   private val bigramsSql =
@@ -240,6 +274,27 @@ object PipelineQueries {
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_frac,
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= CAST(0.5 AS DOUBLE) AS is_contaminated
          |FROM agg""".stripMargin,
+    "q91_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        |), m AS (
+        |  SELECT min(n_docs) AS n_min FROM c
+        |), r AS (
+        |  SELECT source, n_docs,
+        |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS sample_rate,
+        |    lpad(to_hex(CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      * 65536) AS BIGINT)), 4, '0') AS thr
+        |  FROM c CROSS JOIN m
+        |), k AS (
+        |  SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE r.sample_rate >= CAST(1.0 AS DOUBLE)
+        |     OR upper(substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)) < r.thr
+        |  GROUP BY d.source
+        |)
+        |SELECT r.source, r.n_docs, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  r.sample_rate
+        |FROM r LEFT JOIN k USING (source)""".stripMargin,
     "q85_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents

@@ -77,6 +77,84 @@ object Streaming {
       }
   }
 
+  /** Typed event for the EXACT-sum sessionizer: `cents` is the value already
+    * bridged to scaled-integer money (`cast(decimal(14,2)) * 100 → long`),
+    * so state accumulates longs — exact in any association order, unlike a
+    * running double sum, and bit-identical to the oracle's decimal sum. */
+  case class CentsEvent(event_id: Long, ts: Timestamp, user_id: Long, cents: Long)
+
+  case class CentsSession(user_id: Long, n_events: Long, session_start: Timestamp,
+      session_end: Timestamp, total_cents: Long)
+
+  /** Per-user live-session state. Public (not `private`): the streaming
+    * state store serializes it through Janino-compiled encoder code in
+    * another package, and a Scala-private nested class lowers to
+    * package-private bytecode that code cannot resolve. */
+  case class CentsState(n: Long, startUs: Long, endUs: Long, cents: Long)
+
+  /** Full-precision micros — `Timestamp.getTime` alone truncates to millis. */
+  private def tsMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000) % 1000000L
+
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** EVENT-TIME sessionization (vs [[sessionize]]'s processing-time flavor):
+    * sessions split on >`gapMinutes` of event-time inactivity, state is
+    * evicted by the WATERMARK (`setTimeoutTimestamp` = session end + gap), so
+    * a stalled user costs one state row until the event-time clock — not a
+    * wall clock — passes their gap. This is the production-correct flavor:
+    * replaying history at 100× speed yields identical sessions, which a
+    * processing-time timeout cannot promise.
+    *
+    * Within a batch, events are ordered by (event-time micros, event_id) —
+    * the same total order as the batch sessionizer's window sort — and every
+    * gap comparison is in integer micros, so batch and streaming agree
+    * exactly. Requires `withWatermark` upstream and Append output mode. */
+  def sessionizeEventTime(events: Dataset[CentsEvent],
+      gapMinutes: Int = 30): Dataset[CentsSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CentsState, CentsSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[CentsEvent], state: GroupState[CentsState]) =>
+          def emit(s: CentsState) = CentsSession(userId, s.n,
+            microsTs(s.startUs), microsTs(s.endUs), s.cents)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(s))
+          } else {
+            val evs = batch.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[CentsSession]
+            evs.foreach { e =>
+              val us = tsMicros(e.ts)
+              cur match {
+                case Some(s) if us - s.endUs > gapUs =>
+                  closed += emit(s)
+                  cur = Some(CentsState(1, us, us, e.cents))
+                case Some(s) =>
+                  cur = Some(CentsState(s.n + 1, s.startUs, us, s.cents + e.cents))
+                case None =>
+                  cur = Some(CentsState(1, us, us, e.cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout once the WATERMARK passes the session's close point
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60000L + 1)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of Dedup.exactDedup for
     * continuous corpus ingest: fingerprint each document (md5 of content)
     * and keep the first arrival per fingerprint. The watermark bounds the
