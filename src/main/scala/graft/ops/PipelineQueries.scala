@@ -180,6 +180,27 @@ object PipelineQueries {
         $"sample_rate")
   }
 
+  /** Deterministic global shuffle + shard assignment — the training-export
+    * step: every document gets a pseudo-random but reproducible position
+    * (salted-md5 sort key), sharded by the key's first nibble so each shard
+    * is an independent, internally-ordered unit. The scalable formulation:
+    * NO global row_number (a total order would serialize onto one
+    * partition); instead the window partitions BY SHARD, so the sorts run
+    * shard-parallel and each shard's ordered rows stream straight into its
+    * export file. In production the nibble widens to however many shards
+    * the writer wants — the plan shape is unchanged. */
+  def shardAssignment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard_id").orderBy($"shuffle_key", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(concat(lit("shuffle:"), $"doc_id".cast("string"))).as("shuffle_key"))
+      .withColumn("shard_id",
+        (expr("instr('0123456789abcdef', substring(shuffle_key, 1, 1))") - 1)
+          .cast("int"))
+      .withColumn("pos_in_shard", row_number().over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_repetition_signals" -> (repetitionSignals _),
     "q83_hash_split" -> (hashSplit _),
@@ -187,7 +208,8 @@ object PipelineQueries {
     "q85_sequence_packing" -> (sequencePacking _),
     "q88_decontamination" -> (decontamination _),
     "q89_edit_distance_pairs" -> (editDistancePairs _),
-    "q91_temperature_mix" -> (temperatureMix _))
+    "q91_temperature_mix" -> (temperatureMix _),
+    "q94_shard_assignment" -> (shardAssignment _))
 
   private val toksSql = DedupQueries.toksSql
   private val bigramsSql =
@@ -274,6 +296,17 @@ object PipelineQueries {
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_frac,
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= CAST(0.5 AS DOUBLE) AS is_contaminated
          |FROM agg""".stripMargin,
+    "q94_shard_assignment" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1 AS INTEGER) AS shard_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY instr('0123456789abcdef', substr(shuffle_key, 1, 1))
+        |    ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos_in_shard
+        |FROM h""".stripMargin,
     "q91_temperature_mix" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source

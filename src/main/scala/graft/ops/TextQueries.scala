@@ -146,7 +146,27 @@ object TextQueries {
         ($"pos" + 1).cast("int").as("rank"))
   }
 
+  /** Text scrubbing — the cleaning stage between crawl and training shards:
+    * stopword removal (token-level filter) plus denylist-term redaction
+    * (word-boundary regex → `<TERM>`), reporting what was removed and the
+    * cleaned length. Pure per-row string/array expressions — an
+    * embarrassingly parallel scan; the same shape carries PII patterns
+    * (emails, phones) in production, with the denylist broadcast. */
+  def textScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val denyPat = "\\bcustomer\\b"
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(filter(toks, t => t.isin("a", "the"))).as("n_stopwords"),
+      size(regexp_extract_all($"text", lit(denyPat), lit(0))).as("n_denied"),
+      length(regexp_replace(
+        array_join(filter(toks, t => !t.isin("a", "the")), " "),
+        denyPat, "<TERM>")).as("clean_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_text_scrub" -> (textScrub _),
     "q86_tfidf_topterms" -> (tfidfTopTerms _),
     "q47_top_tokens" -> (topTokens _),
     "q37_regex_tokens" -> (regexTokens _),
@@ -162,6 +182,19 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    // \b is ASCII word-boundary in BOTH Java regex and RE2 — equal on this
+    // lowercase-ASCII corpus (the doubled backslash survives s-interpolation)
+    "q93_text_scrub" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS tk FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(tk, t -> t IN ('a', 'the'))) AS INTEGER) AS n_stopwords,
+         |  CAST(len(regexp_extract_all(text, '\\bcustomer\\b')) AS INTEGER) AS n_denied,
+         |  CAST(length(regexp_replace(
+         |    array_to_string(list_filter(tk, t -> t NOT IN ('a', 'the')), ' '),
+         |    '\\bcustomer\\b', '<TERM>', 'g')) AS INTEGER) AS clean_len
+         |FROM t""".stripMargin,
     "q86_tfidf_topterms" ->
       s"""WITH tf AS (
          |  SELECT doc_id, t AS tok, count(*) AS tf
