@@ -166,16 +166,22 @@ object PipelineQueries {
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    // Per-source counts are a tiny grouped result (one row per corpus
+    // source) — materialize them driver-side, the q77 centroid pattern:
+    // left lazy, every re-reference to the counts frame re-derives its
+    // lineage and the corpus gets scanned five times instead of two
+    // (counts + filter).
     val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-    val nMin = counts.agg(min($"n_docs").as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
-      .withColumn("sample_rate", sqrt($"n_min".cast("double") / $"n_docs".cast("double")))
+      .as[(String, Long)].collect()
+    val nMin = counts.map(_._2).min
+    val rates = counts.toSeq.toDF("source", "n_docs")
+      .withColumn("sample_rate", sqrt(lit(nMin).cast("double") / $"n_docs".cast("double")))
       .withColumn("thr", lpad(hex(floor($"sample_rate" * lit(65536)).cast("long")), 4, "0"))
     val kept = docs.join(broadcast(rates), "source")
       .filter($"sample_rate" >= lit(1.0) ||
         upper(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 4)) < $"thr")
       .groupBy($"source").agg(count(lit(1)).as("n_kept"))
-    rates.join(kept, Seq("source"), "left_outer")
+    rates.join(broadcast(kept), Seq("source"), "left_outer")
       .select($"source", $"n_docs", coalesce($"n_kept", lit(0L)).as("n_kept"),
         $"sample_rate")
   }
