@@ -77,6 +77,50 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 0)))
   }
 
+  test("temperature mix: min source keeps all, rates follow sqrt(n_min/n)") {
+    val rows = (0L to 15L).map(i => (i, s"doc $i", "en", "big", 10L)) :+
+      ((100L, "only one", "en", "small", 8L))
+    val dir = docsDir(rows: _*)
+    val out = PipelineQueries.temperatureMix(spark, dir)
+      .orderBy("source").as[(String, Long, Long, Double)].collect()
+    val Array(big, small) = out
+    assert(big == (("big", 16L, big._3, 0.25))) // sqrt(1/16)
+    assert(big._3 <= 16L)
+    assert(small == (("small", 1L, 1L, 1.0))) // rate 1 → keeps everything
+    // pure function of content: a second run keeps exactly the same docs
+    val again = PipelineQueries.temperatureMix(spark, dir)
+      .orderBy("source").as[(String, Long, Long, Double)].collect()
+    assert(out.sameElements(again))
+  }
+
+  test("text scrub: stopword, denylist, and cleaned-length accounting") {
+    val dir = docsDir(
+      (0L, "a customer saw the customer", "en", "s0", 27L),
+      (1L, "no stopwords here", "en", "s0", 17L))
+    val out = TextQueries.textScrub(spark, dir).orderBy("doc_id")
+      .as[(Long, Int, Int, Int)].collect()
+    // doc 0: stopwords {a, the}=2; denied "customer"×2;
+    // cleaned = "<TERM> saw <TERM>" → 17 chars
+    assert(out(0) == ((0L, 2, 2, 17)))
+    assert(out(1) == ((1L, 0, 0, "no stopwords here".length)))
+  }
+
+  test("shard assignment: nibble shards with dense per-shard positions") {
+    val dir = docsDir((0L to 63L).map(i => (i, s"d$i", "en", "s0", 2L)): _*)
+    val out = PipelineQueries.shardAssignment(spark, dir)
+      .select("doc_id", "shuffle_key", "shard_id", "pos_in_shard")
+      .as[(Long, String, Int, Int)].collect()
+    assert(out.length == 64)
+    out.foreach { case (_, key, shard, _) =>
+      assert(shard == "0123456789abcdef".indexOf(key.head)) // first nibble
+    }
+    // positions are 1..k dense within each shard, ordered by the hash key
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+      assert(rows.sortBy(_._4).map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    }
+  }
+
   test("decontamination fractions are well-formed on the real corpus") {
     val out = PipelineQueries.decontamination(spark, "/root/testdata/sf0.001")
       .select("n_shingles", "n_shared", "contamination_frac")

@@ -96,6 +96,38 @@ class StreamingSpec extends SparkSpec {
     assert(written.columns.contains("batch_id")) // partition column surfaced
   }
 
+  test("event-time sessionizer: watermark timeout closes idle sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streaming.CentsEvent]
+    val sessions = Streaming.sessionizeEventTime(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMinutes = 30)
+    val q = sessions.toDF().writeStream
+      .outputMode("append").format("memory").queryName("etsess_test").start()
+    try {
+      input.addData(
+        Streaming.CentsEvent(1, ts("2024-01-01 00:00:00"), 7, 100),
+        Streaming.CentsEvent(2, ts("2024-01-01 00:10:00"), 7, 250))
+      q.processAllAvailable()
+      // session still open: watermark (00:10) hasn't passed end+gap (00:40)
+      assert(spark.table("etsess_test").count() == 0)
+      // another user's much later event drags the watermark past user 7's
+      // timeout; the flush happens in the engine's no-data follow-up batch
+      input.addData(Streaming.CentsEvent(3, ts("2024-01-01 02:00:00"), 9, 500))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000000000
+      while (spark.table("etsess_test").isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val out = spark.table("etsess_test")
+        .select("user_id", "n_events", "session_start", "session_end", "total_cents")
+        .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+      // user 7's session emitted by TIMEOUT (not by a same-key event);
+      // user 9's session is younger than the watermark and stays open
+      assert(out == Set(
+        (7L, 2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 350L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the inactivity gap") {
     val events = Seq(
       Streaming.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
