@@ -207,6 +207,51 @@ object PipelineQueries {
       .withColumn("pos_in_shard", row_number().over(w))
   }
 
+  /** Exact-k stratified sample (eval-set construction): the k docs with the
+    * smallest salted-hash keys per source — deterministic, reproducible,
+    * uniformly random within each stratum. Selection runs through the
+    * k-bounded [[graft.functions.TopK]] heap aggregate, NOT a per-stratum
+    * row_number window: partial states carry ≤ k entries, so the shuffle is
+    * k·sources·partitions rows — a hot 99%-of-corpus stratum costs the same
+    * exchange as a tiny one. The ranking key is the hash's first 12 hex
+    * chars as an exact 48-bit double (ties broken by doc_id), mirrored
+    * verbatim in the oracle's ORDER BY. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pfx = conv(substring(
+      md5(concat(lit("strat:"), $"doc_id".cast("string"))), 1, 12), 16, 10)
+      .cast("double")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", (-pfx).as("neg_key"))
+      .groupBy($"source")
+      .agg(graft.functions.TopK.scoredTopK($"neg_key", $"doc_id", 20).as("top"))
+      .select($"source", posexplode($"top").as(Seq("pos", "s")))
+      .select($"source", $"s.cand_id".as("doc_id"),
+        ($"pos" + 1).cast("int").as("sample_rank"))
+  }
+
+  /** Bigram language-model counts — the n-gram statistics pass of a
+    * data-quality/perplexity pipeline: top-20 word bigrams with their
+    * conditional probability P(w2|w1) = c(w1,w2)/c(w1). One explode →
+    * hash-agg for pair counts, one w1-keyed window for the denominator;
+    * the probability is a single integer-ratio IEEE division, exact on any
+    * engine. Top-20 is fully tie-broken (count desc, w1, w2). */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(Dedup.wordShingles($"text", 2)).as("bg"))
+      .select(split($"bg", " ").as("p"))
+      .filter(size($"p") === 2)
+      .select($"p".getItem(0).as("w1"), $"p".getItem(1).as("w2"))
+    val counts = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+    counts
+      .withColumn("c_a", sum($"c_ab").over(Window.partitionBy($"w1")))
+      .select($"w1", $"w2", $"c_ab", $"c_a",
+        ($"c_ab".cast("double") / $"c_a".cast("double")).as("cond_prob"))
+      .orderBy($"c_ab".desc, $"w1".asc, $"w2".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_repetition_signals" -> (repetitionSignals _),
     "q83_hash_split" -> (hashSplit _),
@@ -215,7 +260,9 @@ object PipelineQueries {
     "q88_decontamination" -> (decontamination _),
     "q89_edit_distance_pairs" -> (editDistancePairs _),
     "q91_temperature_mix" -> (temperatureMix _),
-    "q94_shard_assignment" -> (shardAssignment _))
+    "q94_shard_assignment" -> (shardAssignment _),
+    "q95_stratified_sample" -> (stratifiedSample _),
+    "q96_bigram_lm" -> (bigramLm _))
 
   private val toksSql = DedupQueries.toksSql
   private val bigramsSql =
@@ -302,6 +349,34 @@ object PipelineQueries {
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_frac,
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= CAST(0.5 AS DOUBLE) AS is_contaminated
          |FROM agg""".stripMargin,
+    "q95_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 12) AS pfx
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY pfx, doc_id)
+        |      AS INTEGER) AS sample_rank
+        |  FROM h
+        |)
+        |SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
+    "q96_bigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT ${DedupQueries.toksSql} AS tk FROM documents
+         |), bg AS (
+         |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks)
+         |), counts AS (
+         |  SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2
+         |), tot AS (
+         |  SELECT w1, w2, c_ab,
+         |    CAST(sum(c_ab) OVER (PARTITION BY w1) AS BIGINT) AS c_a
+         |  FROM counts
+         |)
+         |SELECT w1, w2, c_ab, c_a,
+         |  CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE) AS cond_prob
+         |FROM tot ORDER BY c_ab DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     "q94_shard_assignment" ->
       """WITH h AS (
         |  SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
