@@ -63,7 +63,26 @@ object AnnQueries {
     Ann.nearDupPairs(Tables.embeddings(spark, dir),
       threshold = 0.35, hotCellCap = 10000)
 
+  /** Metadata-filtered ("hybrid") search: top-k cosine restricted to the
+    * candidates passing a document-metadata predicate — the retrieval shape
+    * of filtered RAG queries. The filter applies BEFORE scoring: the lang
+    * predicate pushes into the documents scan, the id semi-join prunes the
+    * corpus (both sides are pre-partitioned on the id key in Tables.load,
+    * so the join is co-located), and only surviving vectors reach the
+    * bounded TopK aggregate. At 100 TB with a selective filter this beats
+    * post-filtering an unfiltered top-k both on cost and on recall (no
+    * k-starvation when most neighbors fail the predicate). */
+  def filteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val en = Tables.documents(spark, dir).filter($"lang" === "en")
+      .select($"doc_id".as("vec_id"))
+    Ann.bruteForceTopK(emb.join(en, Seq("vec_id"), "left_semi"),
+      emb.filter($"vec_id" < 10), 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_filtered_ann" -> (filteredAnn _),
     "q29_ann_bruteforce" -> (bruteForce _),
     "q30_ann_ivf" -> (ivf _),
     "q31_embedding_near_dup" -> (embeddingNearDup _),
@@ -74,6 +93,23 @@ object AnnQueries {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   val oracle: Map[String, String] = Map(
+    "q97_filtered_ann" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10
+         |), c AS (
+         |  SELECT e.vec_id AS cand_id, CAST(e.embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'en'
+         |), s AS (
+         |  SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+         |  FROM c, q WHERE query_id <> cand_id
+         |), r AS (
+         |  SELECT query_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin,
     "q29_ann_bruteforce" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -586,9 +586,35 @@ object ExtendedQueries {
             $"rel_err_parts", lit(" / "), $"rel_err_supps", lit(" / "), $"rel_err_median"))))
   }
 
+  /** GROUPED exact median (vs q54's global scalar and q87's histogram
+    * prune): per-source median of n_chars, computed SORT-BASED — a keyed
+    * window ranks each group (spillable sort, no per-group value buffer the
+    * way `percentile`/`median` aggregates hold ~n values in state), then
+    * the one-or-two middle rows per group average to the interpolated
+    * median. (a+b)/2 over integers ≤ 2^52 is exact in IEEE, and equals
+    * DuckDB's quantile_cont interpolation a + (b−a)/2 identically, so the
+    * oracle is the builtin. For millions of groups this window is one
+    * shuffle+sort; for a handful of huge columns, route each through the
+    * Stats prune instead. */
+  def groupedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byChars = Window.partitionBy($"source").orderBy($"n_chars")
+    val bySource = Window.partitionBy($"source")
+    Tables.documents(spark, dir)
+      .select($"source", $"n_chars")
+      .withColumn("rn", row_number().over(byChars))
+      .withColumn("cnt", count(lit(1)).over(bySource))
+      .filter($"rn" === expr("(cnt + 1) div 2") || $"rn" === expr("(cnt + 2) div 2"))
+      .groupBy($"source")
+      .agg(max($"cnt").as("n_docs"),
+        (sum($"n_chars").cast("double") / count(lit(1)).cast("double"))
+          .as("median_chars"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_grouped_median" -> (groupedMedian _),
     "q53_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q54_percentiles" -> (percentiles _),
     "q55_window_family2" -> (windowFamily2 _),
@@ -622,6 +648,10 @@ object ExtendedQueries {
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q98_grouped_median" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS median_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "q53_dedup_ngram_jaccard" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${DedupQueries.toksSql} AS tk FROM documents
