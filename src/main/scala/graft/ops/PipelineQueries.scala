@@ -252,6 +252,27 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** End-to-end curation capstone — the operators composed the way a real
+    * pretraining pipeline chains them: quality gate (≥ 20 tokens) →
+    * exact dedup (min-doc_id survivor per content fingerprint) →
+    * deterministic hash split → per-(split, source) shard statistics.
+    * Every stage is a keyed dataflow: the dedup window partitions on the
+    * md5 fingerprint (uniform — input skew cannot hot-spot it), and the
+    * final rollup is an ordinary hash-agg. One scan feeds the whole chain. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byFp = Window.partitionBy($"fp").orderBy($"doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("n_toks", size(tokens($"text")))
+      .filter($"n_toks" >= 20)
+      .withColumn("fp", md5($"text"))
+      .withColumn("rn", row_number().over(byFp))
+      .filter($"rn" === 1)
+      .select($"source", $"n_toks", splitCol.as("split"))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("total_toks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_repetition_signals" -> (repetitionSignals _),
     "q83_hash_split" -> (hashSplit _),
@@ -262,7 +283,8 @@ object PipelineQueries {
     "q91_temperature_mix" -> (temperatureMix _),
     "q94_shard_assignment" -> (shardAssignment _),
     "q95_stratified_sample" -> (stratifiedSample _),
-    "q96_bigram_lm" -> (bigramLm _))
+    "q96_bigram_lm" -> (bigramLm _),
+    "q99_curation_pipeline" -> (curationPipeline _))
 
   private val toksSql = DedupQueries.toksSql
   private val bigramsSql =
@@ -349,6 +371,26 @@ object PipelineQueries {
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_frac,
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= CAST(0.5 AS DOUBLE) AS is_contaminated
          |FROM agg""".stripMargin,
+    "q99_curation_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(${DedupQueries.toksSql}) AS INTEGER) AS n_toks
+         |  FROM documents
+         |), q AS (
+         |  SELECT * FROM t WHERE n_toks >= 20
+         |), d AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM q
+         |), s AS (
+         |  SELECT source, n_toks,
+         |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM d WHERE rn = 1
+         |)
+         |SELECT split, source, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_toks
+         |FROM s GROUP BY split, source""".stripMargin,
     "q95_stratified_sample" ->
       """WITH h AS (
         |  SELECT doc_id, source,
