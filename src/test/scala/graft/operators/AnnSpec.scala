@@ -162,6 +162,23 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("filtered ANN only returns candidates passing the metadata predicate") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.AnnQueries.filteredAnn(spark, dir)
+      .select("cand_id").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    val enIds = graft.Tables.documents(spark, dir)
+      .filter($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    assert(out.subsetOf(enIds))
+    // pre-filtering keeps k results per query even when most neighbors
+    // fail the predicate (no k-starvation): every query returns rank 1..k
+    val ranks = graft.ops.AnnQueries.filteredAnn(spark, dir)
+      .groupBy("query_id").agg(max($"rank").as("mx"), count(lit(1)).as("n"))
+      .select("mx", "n").as[(Int, Long)].collect()
+    ranks.foreach { case (mx, n) => assert(mx == n) }
+  }
+
   test("cell centroids average per dimension") {
     val cents = Ann.cellCentroids(vecs, "label")
       .as[(Int, Array[Double])].collect().toMap

@@ -121,6 +121,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: hand-computed conditional probabilities") {
+    val dir = docsDir((0L, "a b a b c", "en", "s0", 9L))
+    val out = PipelineQueries.bigramLm(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // bigrams: (a,b)x2 (b,a) (b,c); c(a)=2, c(b)=2
+    assert(out == Seq(
+      ("a", "b", 2L, 2L, 1.0),
+      ("b", "a", 1L, 2L, 0.5),
+      ("b", "c", 1L, 2L, 0.5)))
+  }
+
+  test("curation pipeline: quality gate and dedup both drop rows") {
+    val t25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    val u25 = (1 to 25).map(i => s"v$i").mkString(" ")
+    val dir = docsDir(
+      (0L, t25, "en", "s0", 5L),
+      (1L, t25, "en", "s0", 5L),        // exact dup of doc 0 → dropped
+      (2L, "too short", "en", "s0", 9L), // under the token floor → dropped
+      (3L, u25, "en", "s0", 5L))
+    val out = PipelineQueries.curationPipeline(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.map(_._3).sum == 2L)       // doc 0 + doc 3 survive
+    assert(out.map(_._4).sum == 50L)      // 25 tokens each
+    assert(out.forall(_._2 == "s0"))
+  }
+
+  test("grouped median matches the interpolation rule") {
+    val dir = docsDir(
+      (0L, "t", "en", "odd", 1L), (1L, "t", "en", "odd", 3L),
+      (2L, "t", "en", "odd", 5L),
+      (3L, "t", "en", "even", 2L), (4L, "t", "en", "even", 4L))
+    val out = ExtendedQueries.groupedMedian(spark, dir)
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("odd", 3L, 3.0), ("even", 2L, 3.0)))
+  }
+
   test("decontamination fractions are well-formed on the real corpus") {
     val out = PipelineQueries.decontamination(spark, "/root/testdata/sf0.001")
       .select("n_shingles", "n_shared", "contamination_frac")
