@@ -128,6 +128,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessionizer matches a reference implementation on random data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    var clockUs = 1700000000000000L
+    val evs = (1 to 300).map { i =>
+      clockUs += (rnd.nextInt(45 * 60) + 1).toLong * 1000000L // 1 s .. 45 min
+      (i.toLong, clockUs, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong)
+    }
+    def mkTs(us: Long) = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    // plain-Scala reference: per user, sort by (ts, id), split on >30 min.
+    // A session is emitted either by a same-user successor event (all but
+    // the final session) or by WATERMARK TIMEOUT: with a 0-second delay the
+    // watermark reaches the global max event time, and the engine's no-data
+    // batch flushes any final session whose timeout point (end + gap, in
+    // engine millis, +1) is strictly below it.
+    val gapUs = 30L * 60 * 1000000
+    val maxTsMs = evs.map(_._2).max / 1000
+    val expected = evs.groupBy(_._3).flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, Long)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._2 - cur.head._2 <= gapUs => (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }.reverse.map(_.reverse)
+      val flushedTail = sessions.takeRight(1).filter { s =>
+        maxTsMs > s.last._2 / 1000 + 30L * 60000 + 1
+      }
+      (sessions.dropRight(1) ++ flushedTail).map { s =>
+        (user, s.length.toLong, s.head._2, s.last._2, s.map(_._4).sum)
+      }
+    }.toSet
+
+    val input = MemoryStream[Streaming.CentsEvent]
+    val q = Streaming.sessionizeEventTime(
+      input.toDS().withWatermark("ts", "0 seconds")).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("etsess_rand").start()
+    try {
+      input.addData(evs.map(e => Streaming.CentsEvent(e._1, mkTs(e._2), e._3, e._4)))
+      q.processAllAvailable()
+      // the timeout flush rides the engine's no-data follow-up batch — poll
+      def read() = spark.table("etsess_rand")
+        .select("user_id", "n_events", "session_start", "session_end", "total_cents")
+        .as[(Long, Long, Timestamp, Timestamp, Long)].collect()
+        .map(r => (r._1, r._2,
+          r._3.getTime / 1000 * 1000000 + r._3.getNanos / 1000,
+          r._4.getTime / 1000 * 1000000 + r._4.getNanos / 1000, r._5)).toSet
+      val deadline = System.nanoTime() + 30L * 1000000000
+      var got = read()
+      while (got != expected && System.nanoTime() < deadline) {
+        Thread.sleep(200); got = read()
+      }
+      assert(got == expected)
+      assert(got.size > 50) // the corpus really produced many sessions
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the inactivity gap") {
     val events = Seq(
       Streaming.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
