@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.annotation.tailrec
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed EXACT order statistics via iterative histogram pruning — the
@@ -90,6 +90,144 @@ object Stats {
       }
     }
   }
+
+  /** Exact per-group p-quantile for a SMALL number of HUGE groups — the
+    * regime where both standard formulations break down: a per-group
+    * `percentile`/`median` aggregate buffers each group's value
+    * distribution in executor state, and a row_number window sorts every
+    * group's full data. Here each level runs ONE histogram pass over all
+    * active groups at once (per-group ranges ride in on a broadcast join),
+    * the driver holds O(groups × buckets) longs, and groups narrow
+    * independently — a group resolves as soon as its covering range holds
+    * ≤ `maxCollect` rows.
+    *
+    * Like [[rankValues]], level-to-level membership is decided by the SAME
+    * clamped bucket expression that counted the row, never by re-deriving a
+    * value-range predicate — an FP division at a bucket boundary may
+    * disagree with the real-arithmetic range, and a row that was counted
+    * must stay in scope or ranks drift.
+    *
+    * For many small groups use an ordinary window/aggregate (q98); this
+    * path is for the "20 sources, billions of rows each" shape.
+    * Interpolation matches `percentile`/`quantile_cont` exactly. */
+  def groupedPercentile(df: DataFrame, groupCol: String, valueCol: String,
+      p: Double, buckets: Int = 1024, maxCollect: Int = 4096): Map[Any, Double] = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0,1]: $p")
+    val spark = df.sparkSession
+    val vals = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val gType = vals.schema("g").dataType
+    final class St(var lo: Double, var hi: Double, var r1: Long, var r2: Long,
+      val frac: Double)
+    val state = scala.collection.mutable.LinkedHashMap.empty[Any, St]
+    val result = scala.collection.mutable.Map.empty[Any, Double]
+    vals.groupBy(col("g"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        val (g, mn, mx, n) = (r.get(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+        val pos = p * (n - 1)
+        val lower = math.floor(pos)
+        val r1 = lower.toLong + 1
+        if (mn == mx) result(g) = mn
+        else state(g) = new St(mn, mx, r1, math.min(n, r1 + 1), pos - lower)
+      }
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    def ranges(m: scala.collection.Map[Any, St]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(m.toSeq.map { case (g, s) => Row(g, s.lo, s.hi) }: _*),
+        StructType(Seq(StructField("g", gType), StructField("lo", DoubleType),
+          StructField("hi", DoubleType))))
+    // the clamped bucket of v within the group's current [lo, hi)
+    def bucketCol: Column = least(lit(buckets - 1), greatest(lit(0),
+      floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / buckets)))).cast("int")
+
+    var cur = vals
+    while (state.nonEmpty) {
+      // groups whose range is below double resolution: resolve through the
+      // (tiny) per-group value distribution
+      val tiny = state.filter { case (_, s) =>
+        val w = (s.hi - s.lo) / buckets; w == 0.0 || w.isNaN }
+      if (tiny.nonEmpty) {
+        val dist = cur.join(broadcast(ranges(tiny)), "g")
+          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+          .collect().groupBy(_.get(0))
+        tiny.foreach { case (g, s) =>
+          val d = dist.getOrElse(g, Array.empty[Row])
+            .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+          var cum = 0L; var a = Double.NaN; var b = Double.NaN
+          for ((v, c) <- d) {
+            if (a.isNaN && cum + c >= s.r1) a = v
+            if (b.isNaN && cum + c >= s.r2) b = v
+            cum += c
+          }
+          result(g) = if (s.frac == 0.0) a else a + (b - a) * s.frac
+          state.remove(g)
+        }
+      }
+      if (state.nonEmpty) {
+        val hist = cur.join(broadcast(ranges(state)), "g")
+          .groupBy(col("g"), bucketCol.as("b")).agg(count(lit(1)).as("cnt"))
+          .collect().groupBy(_.get(0))
+        // per group: find the buckets covering (r1, r2); small covers
+        // resolve with one bounded collect, large covers narrow
+        val resolve = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Int, Long)]
+        val narrow = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Int, Long)]
+        state.foreach { case (g, s) =>
+          val h = hist.getOrElse(g, Array.empty[Row])
+            .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+          var cum = 0L; var before = 0L; var bLo = -1; var bHi = -1
+          for ((b, c) <- h) {
+            if (bLo < 0 && cum + c >= s.r1) { bLo = b; before = cum }
+            if (bHi < 0 && cum + c >= s.r2) bHi = b
+            cum += c
+          }
+          if (s.r2 - before <= maxCollect) resolve(g) = (bLo, bHi, before)
+          else narrow(g) = (bLo, bHi, before)
+        }
+        def bucketFiltered(m: scala.collection.Map[Any, (Int, Int, Long)]): DataFrame = {
+          val rows = m.toSeq.map { case (g, (bLo, bHi, _)) =>
+            Row(g, state(g).lo, state(g).hi, bLo, bHi) }
+          val r = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+            StructType(Seq(StructField("g", gType), StructField("lo", DoubleType),
+              StructField("hi", DoubleType), StructField("bLo", IntegerType),
+              StructField("bHi", IntegerType))))
+          cur.join(broadcast(r), "g")
+            .filter(bucketCol.between(col("bLo"), col("bHi")))
+        }
+        if (resolve.nonEmpty) {
+          val got = bucketFiltered(resolve).select(col("g"), col("v"))
+            .collect().groupBy(_.get(0))
+          resolve.foreach { case (g, (_, _, before)) =>
+            val s = state(g)
+            val sorted = got.getOrElse(g, Array.empty[Row]).map(_.getDouble(1)).sorted
+            val a = sorted((s.r1 - before).toInt - 1)
+            val b = sorted((s.r2 - before).toInt - 1)
+            result(g) = if (s.frac == 0.0) a else a + (b - a) * s.frac
+            state.remove(g)
+          }
+        }
+        if (narrow.nonEmpty) {
+          cur = bucketFiltered(narrow).select(col("g"), col("v"))
+          narrow.foreach { case (g, (bLo, bHi, before)) =>
+            val s = state(g)
+            val width = (s.hi - s.lo) / buckets
+            val newHi = math.min(s.hi, s.lo + (bHi + 1) * width)
+            s.lo = s.lo + bLo * width
+            s.hi = newHi
+            s.r1 -= before
+            s.r2 -= before
+          }
+        }
+        // narrow empty ⇒ every group resolved ⇒ state empty ⇒ loop exits
+      }
+    }
+    result.toMap
+  }
+
+  def groupedMedian(df: DataFrame, groupCol: String, valueCol: String): Map[Any, Double] =
+    groupedPercentile(df, groupCol, valueCol, 0.5)
 
   /** The r1-th and r2-th smallest of `vals.v` (1-based, r1 ≤ r2 ≤ r1+1),
     * scanning only within [lo, hi]. */

@@ -52,6 +52,31 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("groupedPercentile matches the percentile aggregate per group") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(4000) { i =>
+      val g = s"g${i % 3}"
+      val v = g match {
+        case "g0" => math.floor(rng.nextGaussian() * 100)
+        case "g1" => (i % 97).toDouble
+        case _    => 42.0 // fully degenerate group
+      }
+      (g, v)
+    } :+ (("g3", 5.0)) // singleton group
+    val df = rows.toDF("g", "v")
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val viaAgg = df.groupBy("g").agg(expr(s"percentile(v, ${p}D)").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // tiny buckets/maxCollect force several narrowing levels
+      val viaPrune = Stats.groupedPercentile(df, "g", "v", p,
+        buckets = 16, maxCollect = 8)
+      assert(viaPrune.keySet == viaAgg.keySet.map(identity[Any]))
+      viaAgg.foreach { case (g, want) =>
+        assert(viaPrune(g) == want, s"p=$p group $g: ${viaPrune(g)} vs $want")
+      }
+    }
+  }
+
   test("recursive narrowing (tiny maxCollect) returns the same quantiles") {
     // maxCollect=4 forces the histogram to narrow several levels before
     // the final bounded take — must agree with the one-shot answer
