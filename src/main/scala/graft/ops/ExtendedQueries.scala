@@ -594,8 +594,9 @@ object ExtendedQueries {
     * median. (a+b)/2 over integers ≤ 2^52 is exact in IEEE, and equals
     * DuckDB's quantile_cont interpolation a + (b−a)/2 identically, so the
     * oracle is the builtin. For millions of groups this window is one
-    * shuffle+sort; for a handful of huge columns, route each through the
-    * Stats prune instead. */
+    * shuffle+sort; for a handful of huge groups, use
+    * [[graft.operators.Stats.groupedPercentile]] — the histogram prune
+    * with per-group ranges on a broadcast join. */
   def groupedMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byChars = Window.partitionBy($"source").orderBy($"n_chars")
