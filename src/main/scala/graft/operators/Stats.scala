@@ -170,36 +170,62 @@ object Stats {
         val hist = cur.join(broadcast(ranges(state)), "g")
           .groupBy(col("g"), bucketCol.as("b")).agg(count(lit(1)).as("cnt"))
           .collect().groupBy(_.get(0))
-        // per group: find the buckets covering (r1, r2); small covers
-        // resolve with one bounded collect, large covers narrow
-        val resolve = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Int, Long)]
-        val narrow = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Int, Long)]
+        // Per group, three outcomes from its covering buckets:
+        //  - (r1, r2) in DIFFERENT buckets: r1 is the last row of bucket
+        //    bLo and r2 the first of bucket bHi — one aggregate resolves
+        //    both exactly (narrowing would be a non-terminating trap when
+        //    [bLo..bHi] spans the whole range, e.g. a balanced two-valued
+        //    group);
+        //  - one SMALL bucket: bounded per-group top-k collect;
+        //  - one LARGE bucket: narrow to it (range shrinks by the bucket
+        //    count each level — guaranteed progress).
+        val span = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Int)]
+        val resolve = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Long)]
+        val narrow = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Long)]
         state.foreach { case (g, s) =>
           val h = hist.getOrElse(g, Array.empty[Row])
             .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
           var cum = 0L; var before = 0L; var bLo = -1; var bHi = -1
+          var inBucket = 0L
           for ((b, c) <- h) {
-            if (bLo < 0 && cum + c >= s.r1) { bLo = b; before = cum }
+            if (bLo < 0 && cum + c >= s.r1) { bLo = b; before = cum; inBucket = c }
             if (bHi < 0 && cum + c >= s.r2) bHi = b
             cum += c
           }
-          if (s.r2 - before <= maxCollect) resolve(g) = (bLo, bHi, before)
-          else narrow(g) = (bLo, bHi, before)
+          if (bLo != bHi) span(g) = (bLo, bHi)
+          else if (inBucket <= maxCollect) resolve(g) = (bLo, before)
+          else narrow(g) = (bLo, before)
         }
-        def bucketFiltered(m: scala.collection.Map[Any, (Int, Int, Long)]): DataFrame = {
-          val rows = m.toSeq.map { case (g, (bLo, bHi, _)) =>
+        def withBuckets(m: scala.collection.Map[Any, (Int, Int)]): DataFrame = {
+          val rows = m.toSeq.map { case (g, (bLo, bHi)) =>
             Row(g, state(g).lo, state(g).hi, bLo, bHi) }
           val r = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
             StructType(Seq(StructField("g", gType), StructField("lo", DoubleType),
               StructField("hi", DoubleType), StructField("bLo", IntegerType),
               StructField("bHi", IntegerType))))
           cur.join(broadcast(r), "g")
-            .filter(bucketCol.between(col("bLo"), col("bHi")))
+        }
+        if (span.nonEmpty) {
+          val got = withBuckets(span)
+            .groupBy(col("g")).agg(
+              max(when(bucketCol === col("bLo"), col("v"))).as("a"),
+              min(when(bucketCol === col("bHi"), col("v"))).as("b"))
+            .collect()
+          got.foreach { r =>
+            val g = r.get(0); val s = state(g)
+            val (a, b) = (r.getDouble(1), r.getDouble(2))
+            result(g) = if (s.frac == 0.0) a else a + (b - a) * s.frac
+            state.remove(g)
+          }
         }
         if (resolve.nonEmpty) {
-          val got = bucketFiltered(resolve).select(col("g"), col("v"))
+          // rows collected are bounded by the covering-bucket size
+          // (≤ maxCollect per group), keeping the driver contract
+          val got = withBuckets(resolve.map { case (g, (b, _)) => g -> (b, b) })
+            .filter(bucketCol === col("bLo"))
+            .select(col("g"), col("v"))
             .collect().groupBy(_.get(0))
-          resolve.foreach { case (g, (_, _, before)) =>
+          resolve.foreach { case (g, (_, before)) =>
             val s = state(g)
             val sorted = got.getOrElse(g, Array.empty[Row]).map(_.getDouble(1)).sorted
             val a = sorted((s.r1 - before).toInt - 1)
@@ -209,13 +235,14 @@ object Stats {
           }
         }
         if (narrow.nonEmpty) {
-          cur = bucketFiltered(narrow).select(col("g"), col("v"))
-          narrow.foreach { case (g, (bLo, bHi, before)) =>
+          cur = withBuckets(narrow.map { case (g, (b, _)) => g -> (b, b) })
+            .filter(bucketCol === col("bLo"))
+            .select(col("g"), col("v"))
+          narrow.foreach { case (g, (bLo, before)) =>
             val s = state(g)
             val width = (s.hi - s.lo) / buckets
-            val newHi = math.min(s.hi, s.lo + (bHi + 1) * width)
+            s.hi = math.min(s.hi, s.lo + (bLo + 1) * width)
             s.lo = s.lo + bLo * width
-            s.hi = newHi
             s.r1 -= before
             s.r2 -= before
           }
@@ -259,18 +286,32 @@ object Stats {
       if (bHi < 0 && cum + cnt >= r2) bHi = b
       cum += cnt
     }
+    if (bLo != bHi) {
+      // r2 = r1 + 1 and they land in DIFFERENT buckets ⇒ r1 is the last
+      // row of bucket bLo and r2 the first of bucket bHi — one aggregate
+      // resolves both exactly. (Narrowing instead would be a trap: with
+      // mass at both range extremes, [bLo..bHi] spans the whole range and
+      // the recursion would make no progress — an infinite loop.)
+      val r = vals.agg(
+        max(when(bucket === bLo, col("v"))).as("a"),
+        min(when(bucket === bHi, col("v"))).as("b")).head()
+      return (r.getDouble(0), r.getDouble(1))
+    }
     val need = r2 - before
-    val inRange = vals.filter(bucket.between(bLo, bHi))
+    val inRange = vals.filter(bucket === bLo)
     if (need <= maxCollect) {
+      // bounded distributed top-k: TakeOrdered of `need` rows, never the
+      // whole bucket
       val arr = inRange.orderBy(col("v").asc).limit(need.toInt)
         .collect().map(_.getDouble(0))
       ((arr((r1 - before).toInt - 1), arr((r2 - before).toInt - 1)))
     } else {
-      // narrow to the covering buckets' value range and re-rank inside it;
+      // narrow to the single covering bucket and re-rank inside it — the
+      // range shrinks by the bucket count each level, so this terminates;
       // boundary-rounded stragglers are clamped into the edge buckets by
       // the greatest/least guards, so no counted row can escape the range
       val newLo = lo + bLo * width
-      val newHi = math.min(hi, lo + (bHi + 1) * width)
+      val newHi = math.min(hi, lo + (bLo + 1) * width)
       rankValues(inRange, r1 - before, r2 - before, newLo, newHi, buckets, maxCollect)
     }
   }

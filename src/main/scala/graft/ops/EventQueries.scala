@@ -175,6 +175,10 @@ object EventQueries {
     import java.nio.file.{Files, Paths}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$dir/events.parquet"
+    // raw nanos-long read (not Tables.events): the sentinel file must carry
+    // the SOURCE schema so the stream can union them, and the ns→us bridge
+    // below mirrors Tables.events' integral-div rule (see its doc for why
+    // float division corrupts ~1e18 ns) — the q81/q90 streaming pattern
     val raw = spark.read.parquet(src)
     val maxNanos = raw.agg(max($"ts")).head().getLong(0)
     val sentinelNanos = maxNanos + 100L * 24 * 3600 * 1000000000L
@@ -213,7 +217,19 @@ object EventQueries {
         .filter($"session_start" < timestamp_micros(lit(sentinelUs)))
         .select($"user_id", $"n_events", $"session_start", $"session_end",
           ($"total_cents".cast("double") / lit(100.0)).as("total_value"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      // the drive is synchronous and the memory sink holds the result —
+      // the scratch source dirs are dead once runOnce returns
+      def rm(f: java.io.File): Unit = {
+        // never recurse THROUGH a symlink (tmp holds one into the
+        // read-only dataset) — deleting the link itself is safe
+        if (!Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(staging); rm(tmp)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -77,6 +77,17 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("balanced two-valued data resolves without narrowing (straddle case)") {
+    // r1 falls on the last row of the first bucket and r2 on the first row
+    // of the last — narrowing would keep the full range forever; the
+    // straddle must resolve via the max/min-of-edge-buckets aggregate
+    val df = (Seq.fill(1000)(0.0) ++ Seq.fill(1000)(1.0)).toDF("v")
+    assert(Stats.exactPercentile(df, "v", 0.5, buckets = 16, maxCollect = 2) == 0.5)
+    val g = (Seq.fill(5000)(("g0", 0.0)) ++ Seq.fill(5000)(("g0", 1.0))).toDF("g", "v")
+    assert(Stats.groupedPercentile(g, "g", "v", 0.5,
+      buckets = 16, maxCollect = 8) == Map[Any, Double]("g0" -> 0.5))
+  }
+
   test("recursive narrowing (tiny maxCollect) returns the same quantiles") {
     // maxCollect=4 forces the histogram to narrow several levels before
     // the final bounded take — must agree with the one-shot answer
