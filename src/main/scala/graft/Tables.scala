@@ -63,10 +63,17 @@ object Tables {
     * truncation, so oracle comparisons stay exact. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    rebuildNanosTs(load(spark, dir, "events"))
   }
+
+  /** The ONE ns→us bridge (see [[events]]' doc for the `div`-not-`/`
+    * rationale) — also applied by the streaming gate drives (q81/q90/q92),
+    * which must read the raw long themselves because `readStream` needs the
+    * on-disk schema. Any change to the bridge must stay here or the
+    * streaming twins silently diverge from the batch oracles they share. */
+  def rebuildNanosTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

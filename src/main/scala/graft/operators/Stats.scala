@@ -41,19 +41,27 @@ object Stats {
       buckets: Int = 2048, maxCollect: Int = MaxCollect): Double =
     exactPercentiles(df, valueCol, Seq(p), buckets, maxCollect).head
 
-  /** Exact quantiles for several p values, sharing the head statistics and
-    * the cardinality probe across all of them. Route choice: a cheap HLL
-    * probe picks between (a) LOW-CARDINALITY — one `groupBy(value).count`
-    * pass resolves every quantile from the (small) value distribution, the
-    * right algorithm when the column holds few distinct values (integral
-    * quantities, categories); and (b) CONTINUOUS — per-quantile iterative
-    * histogram narrowing. The probe only selects the route; both routes
-    * are exact. */
+  /** Exact quantiles for several p values, sharing the head statistics,
+    * the cardinality probe, AND the first-level histogram across all of
+    * them. Route choice: a cheap HLL probe picks between
+    * (a) LOW-CARDINALITY — one `groupBy(value).count` pass resolves every
+    * quantile from the (small) value distribution, the right algorithm
+    * when the column holds few distinct values (integral quantities,
+    * categories); and (b) CONTINUOUS — ONE shared histogram over
+    * [min, max] locates every p's covering bucket(s), then only the
+    * per-p tails narrow independently. The probe only selects the route;
+    * both routes are exact.
+    *
+    * Null, NaN, and ±Infinity rows are EXCLUDED (nulls per SQL; the
+    * non-finite values would poison the histogram arithmetic — min/NaN
+    * makes the range NaN, ±Inf makes bucket widths infinite — and send
+    * data-sized state to the driver. Callers that assign meaning to
+    * non-finite values should clamp them to finite sentinels first). */
   def exactPercentiles(df: DataFrame, valueCol: String, ps: Seq[Double],
       buckets: Int = 2048, maxCollect: Int = MaxCollect): Seq[Double] = {
     require(ps.forall(p => p >= 0.0 && p <= 1.0), s"p must be in [0,1]: $ps")
     val vals = df.select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(finite(col("v")))
     val head = vals.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
       count(lit(1)).as("n"), approx_count_distinct(col("v")).as("nd")).head()
     if (head.isNullAt(2) || head.getLong(2) == 0L) return ps.map(_ => Double.NaN)
@@ -83,13 +91,51 @@ object Stats {
         if (frac == 0.0) a else a + (b - a) * frac
       }
     } else {
-      ps.map { p =>
-        val (r1, r2, frac) = ranks(p)
-        val (a, b) = rankValues(vals, r1, r2, mn, mx, buckets, maxCollect)
-        if (frac == 0.0) a else a + (b - a) * frac
+      // continuous: ONE level-1 histogram over [mn, mx] serves every p —
+      // each p re-uses it to find its covering bucket(s), and only the
+      // (bucket-sized) tails narrow per p
+      val width = (mx - mn) / buckets
+      if (width == 0.0 || width.isNaN) {
+        // range below double resolution at the top level
+        ps.map { p =>
+          val (r1, r2, frac) = ranks(p)
+          val (a, b) = rankValues(vals, r1, r2, mn, mx, buckets, maxCollect)
+          if (frac == 0.0) a else a + (b - a) * frac
+        }
+      } else {
+        val bucket = least(lit(buckets - 1),
+          greatest(lit(0), floor((col("v") - mn) / width))).cast("int")
+        val hist = vals.groupBy(bucket.as("b")).agg(count(lit(1)).as("cnt"))
+          .orderBy("b").collect().map(r => (r.getInt(0), r.getLong(1)))
+        ps.map { p =>
+          val (r1, r2, frac) = ranks(p)
+          var cum = 0L; var before = 0L; var bLo = -1; var bHi = -1
+          for ((b, cnt) <- hist) {
+            if (bLo < 0 && cum + cnt >= r1) { bLo = b; before = cum }
+            if (bHi < 0 && cum + cnt >= r2) bHi = b
+            cum += cnt
+          }
+          val (a, b) =
+            if (bLo != bHi) {
+              // straddle: r1 = max of bucket bLo, r2 = min of bucket bHi
+              val r = vals.agg(
+                max(when(bucket === bLo, col("v"))).as("a"),
+                min(when(bucket === bHi, col("v"))).as("b")).head()
+              (r.getDouble(0), r.getDouble(1))
+            } else rankValues(vals.filter(bucket === bLo),
+              r1 - before, r2 - before,
+              mn + bLo * width, math.min(mx, mn + (bLo + 1) * width),
+              buckets, maxCollect)
+          if (frac == 0.0) a else a + (b - a) * frac
+        }
       }
     }
   }
+
+  /** Finite-value predicate: not null, not NaN, not ±Infinity. */
+  private def finite(c: Column): Column =
+    c.isNotNull && !isnan(c) &&
+      c =!= lit(Double.PositiveInfinity) && c =!= lit(Double.NegativeInfinity)
 
   /** Exact per-group p-quantile for a SMALL number of HUGE groups — the
     * regime where both standard formulations break down: a per-group
@@ -114,8 +160,9 @@ object Stats {
       p: Double, buckets: Int = 1024, maxCollect: Int = 4096): Map[Any, Double] = {
     require(p >= 0.0 && p <= 1.0, s"p must be in [0,1]: $p")
     val spark = df.sparkSession
+    // null/NaN/±Inf excluded, as in exactPercentiles (same rationale)
     val vals = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(finite(col("v")))
     val gType = vals.schema("g").dataType
     final class St(var lo: Double, var hi: Double, var r1: Long, var r2: Long,
       val frac: Double)
@@ -260,7 +307,10 @@ object Stats {
     * scanning only within [lo, hi]. */
   @tailrec private def rankValues(vals: DataFrame, r1: Long, r2: Long,
       lo: Double, hi: Double, buckets: Int, maxCollect: Int): (Double, Double) = {
-    if (lo == hi) return (lo, lo)
+    // NOTE: a collapsed range (lo == hi) deliberately falls into the
+    // width==0 branch below — returning `lo` directly would hand back a
+    // bucket BOUNDARY, and boundary-rounded rows clamped into the range
+    // may carry a neighboring representable double, not `lo` itself.
     val width = (hi - lo) / buckets
     if (width == 0.0 || width.isNaN) {
       // Range below double resolution: only a handful of representable

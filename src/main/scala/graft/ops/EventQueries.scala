@@ -123,8 +123,7 @@ object EventQueries {
   def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
-      ev => graft.streaming.Streaming.hourlyCounts(
-        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+      ev => graft.streaming.Streaming.hourlyCounts(Tables.rebuildNanosTs(ev)),
       name = "q81_streaming_hourly_sink")
   }
 
@@ -150,7 +149,7 @@ object EventQueries {
     try {
       graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
         ev => {
-          val fixed = ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val fixed = Tables.rebuildNanosTs(ev)
           graft.streaming.Streaming.clickErrorJoin(
             fixed.filter($"event_type" === "click"),
             fixed.filter($"event_type" === "error"))
@@ -176,9 +175,8 @@ object EventQueries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$dir/events.parquet"
     // raw nanos-long read (not Tables.events): the sentinel file must carry
-    // the SOURCE schema so the stream can union them, and the ns→us bridge
-    // below mirrors Tables.events' integral-div rule (see its doc for why
-    // float division corrupts ~1e18 ns) — the q81/q90 streaming pattern
+    // the SOURCE schema so the stream can union them; the ns→us rebuild
+    // goes through Tables.rebuildNanosTs inside the plan, as q81/q90
     val raw = spark.read.parquet(src)
     val maxNanos = raw.agg(max($"ts")).head().getLong(0)
     val sentinelNanos = maxNanos + 100L * 24 * 3600 * 1000000000L
@@ -204,8 +202,7 @@ object EventQueries {
     try {
       graft.streaming.Streaming.runOnce(spark, tmp.getAbsolutePath,
         ev => {
-          val typed = ev
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val typed = Tables.rebuildNanosTs(ev)
             .withWatermark("ts", "1 minute")
             .select($"event_id", $"ts", $"user_id",
               ($"value".cast("decimal(14,2)") * lit(100)).cast("long").as("cents"))

@@ -18,12 +18,7 @@ object Explain {
       .getOrElse("/root/testdata/sf0.01")
     val names = args.filterNot(_.startsWith("--")).filterNot(a => args.sliding(2)
       .exists { case Array(f, v) => f == "--dir" && v == a; case _ => false })
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.LocalSession.fromEnv(defaultCpus = "8", logLevel = "ERROR")
     val chosen = if (names.nonEmpty) names.toSeq else SparkEntry.queries.keys.toSeq.sorted
     chosen.foreach { name =>
       SparkEntry.queries.get(name) match {

@@ -24,12 +24,7 @@ object PlanAudit {
         case Array(f, v) => f == "--dir" && v == a; case _ => false
       }).headOption
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.LocalSession.fromEnv(defaultCpus = "8", logLevel = "ERROR")
 
     def flatten(p: SparkPlan): Seq[SparkPlan] = {
       val self = p match {

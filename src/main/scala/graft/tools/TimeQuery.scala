@@ -12,15 +12,7 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: TimeQuery <queryName>...")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.LocalSession.fromEnv(defaultCpus = "32")
     for (q <- args) {
       val fn = SparkEntry.queries(q)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

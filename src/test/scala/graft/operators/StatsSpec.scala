@@ -77,6 +77,16 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("NaN and infinities are excluded instead of poisoning the histogram") {
+    val df = (Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity) ++
+      (1 to 99).map(_.toDouble)).toDF("v")
+    // quantiles over the 99 finite values only (no degenerate driver path)
+    assert(Stats.exactPercentile(df, "v", 0.5, buckets = 16, maxCollect = 8) == 50.0)
+    val g = df.withColumn("g", lit("x"))
+    assert(Stats.groupedPercentile(g, "g", "v", 0.5,
+      buckets = 16, maxCollect = 8) == Map[Any, Double]("x" -> 50.0))
+  }
+
   test("balanced two-valued data resolves without narrowing (straddle case)") {
     // r1 falls on the last row of the first bucket and r2 on the first row
     // of the last — narrowing would keep the full range forever; the
