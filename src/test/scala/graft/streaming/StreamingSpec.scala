@@ -128,6 +128,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer state survives a checkpointed restart") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val srcDir = java.nio.file.Files.createTempDirectory("ckpt-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ckpt-out").toString
+    def writeFile(name: String, rows: Seq[(Long, Timestamp, Long, Long)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("ckpt-stage")
+      rows.toDF("event_id", "ts", "user_id", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, name))
+    }
+    writeFile("a.parquet", Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 100L),
+      (2L, ts("2024-01-01 10:10:00"), 7L, 200L)))
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val q = Streaming.sessionizeEventTime(
+        spark.readStream.schema(schema).parquet(srcDir)
+          .withWatermark("ts", "0 seconds")
+          .as[Streaming.CentsEvent])
+        .toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // session (10:00, 10:10) open in state when the query stops
+    // "deploy restart": same checkpoint, new data — the recovered state
+    // must stitch file B's 10:15 event into file A's open session
+    writeFile("b.parquet", Seq(
+      (3L, ts("2024-01-01 10:15:00"), 7L, 400L),
+      (4L, ts("2024-01-01 11:30:00"), 7L, 800L))) // >30 min gap → closes it
+    run()
+    val sessions = spark.read.parquet(outDir)
+      .select("user_id", "n_events", "session_start", "session_end", "total_cents")
+      .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(sessions == Set(
+      (7L, 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00"), 700L)))
+  }
+
   test("event-time sessionizer matches a reference implementation on random data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
