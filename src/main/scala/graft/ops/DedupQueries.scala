@@ -25,9 +25,37 @@ object DedupQueries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** MinHash accuracy audit — the q64 pattern (sketch vs exact, in-query)
+    * applied to the dedup family: for every LSH candidate pair, the
+    * signature-estimated Jaccard (matching hashes / 12) next to the exact
+    * shingle-set Jaccard and their absolute error. This is the number that
+    * justifies sizing the signature at 12 hashes: at 100 TB the exact
+    * column is dropped and decisions ride the estimate, so its error must
+    * be measured — on candidates, where it matters — not assumed.
+    * All ratios are integer/integer doubles; the error is one IEEE
+    * subtraction — both engine-exact. */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      ShingleSize, NumHashes, Bands, threshold = 0.3)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", ShingleSize, NumHashes)
+    val sa = sigs.toDF("doc_a" +: (0 until NumHashes).map(i => s"a$i"): _*)
+    val sb = sigs.toDF("doc_b" +: (0 until NumHashes).map(i => s"b$i"): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select($"doc_a", $"doc_b", $"jaccard",
+        (matches.cast("double") / lit(NumHashes).cast("double")).as("est_jaccard"))
+      .withColumn("abs_err", abs($"jaccard" - $"est_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_minhash_lsh" -> (minhashLsh _),
-    "q28_dedup_simhash" -> (simhash _))
+    "q28_dedup_simhash" -> (simhash _),
+    "q100_minhash_accuracy" -> (minhashAccuracy _))
 
   // ---- oracle SQL (programmatically assembled to keep the 12-hash /
   // ---- 6-band structure in one place) ----
@@ -99,7 +127,47 @@ object DedupQueries {
        |  CAST(($bitSum) // 256 AS INTEGER) AS bucket
        |FROM votes""".stripMargin
 
+  private val estMatches = (0 until NumHashes)
+    .map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  private val minhashAccuracyOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list(s)) AS shset FROM ex GROUP BY doc_id
+       |), scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(sx.shset, sy.shset)) AS DOUBLE)
+       |      / CAST(len(sx.shset) + len(sy.shset)
+       |             - len(list_intersect(sx.shset, sy.shset)) AS DOUBLE) AS jaccard,
+       |    CAST($estMatches AS DOUBLE) / CAST($NumHashes AS DOUBLE) AS est_jaccard
+       |  FROM cand c
+       |  JOIN sets sx ON c.doc_a = sx.doc_id
+       |  JOIN sets sy ON c.doc_b = sy.doc_id
+       |  JOIN sig x ON c.doc_a = x.doc_id
+       |  JOIN sig y ON c.doc_b = y.doc_id
+       |)
+       |SELECT doc_a, doc_b, jaccard, est_jaccard,
+       |  abs(jaccard - est_jaccard) AS abs_err
+       |FROM scored""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q27_dedup_minhash_lsh" -> minhashOracle,
-    "q28_dedup_simhash" -> simhashOracle)
+    "q28_dedup_simhash" -> simhashOracle,
+    "q100_minhash_accuracy" -> minhashAccuracyOracle)
 }
