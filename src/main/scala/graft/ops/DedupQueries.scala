@@ -40,7 +40,10 @@ object DedupQueries {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       ShingleSize, NumHashes, Bands, threshold = 0.3)
       .select($"doc_a", $"doc_b", $"jaccard")
+    // cached: referenced once per pair side — uncached, each side re-runs
+    // the full shingle+min-agg pass (Bench/Verify clearCache() drops it)
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", ShingleSize, NumHashes)
+      .cache()
     val sa = sigs.toDF("doc_a" +: (0 until NumHashes).map(i => s"a$i"): _*)
     val sb = sigs.toDF("doc_b" +: (0 until NumHashes).map(i => s"b$i"): _*)
     val matches = (0 until NumHashes)
