@@ -47,4 +47,17 @@ class DedupSpec extends SparkSpec {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 4)
     assert(sigs.filter($"doc_id" === 5L).count() == 1)
   }
+
+  test("minhash estimate tracks exact Jaccard within the 12-hash error budget") {
+    // the quantitative gate behind q100: on the real corpus's LSH
+    // candidates, the signature estimate must stay within the binomial
+    // error of a 12-hash signature (std ≈ sqrt(J(1−J)/12) ≈ 0.09 at
+    // J ≈ 0.9) — mean well under one std, max bounded by a few
+    val out = graft.ops.DedupQueries.minhashAccuracy(spark, "/root/testdata/sf0.001")
+      .select("abs_err").as[Double].collect()
+    assert(out.nonEmpty)
+    val mean = out.sum / out.length
+    assert(mean < 0.15, s"mean |est - exact| = $mean")
+    assert(out.max < 0.5, s"max |est - exact| = ${out.max}")
+  }
 }
