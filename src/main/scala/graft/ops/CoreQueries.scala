@@ -409,12 +409,18 @@ object CoreQueries {
         sum(x * x).cast("double").as("sxx"),
         sum(y * y).cast("double").as("syy"),
         sum(x * y).cast("double").as("sxy"))
+      // round(…, 6): the decimal sums are exact, but once a scaled
+      // significand exceeds 2^53 (syy at larger groups) the decimal→double
+      // CONVERSION itself can differ by an ulp between engines (Java
+      // rounds the full rational once; DuckDB converts the int128 then
+      // divides) — so the derived moments get the same 6-decimal pin the
+      // ranking rule uses. Caught at sf0.001, where the drift surfaced.
       .select($"l_returnflag", $"n",
-        sqrt(($"sxx" - $"sx" * $"sx" / $"n".cast("double")) /
-          ($"n".cast("double") - lit(1.0))).as("stddev_qty"),
-        (($"n".cast("double") * $"sxy" - $"sx" * $"sy") /
+        round(sqrt(($"sxx" - $"sx" * $"sx" / $"n".cast("double")) /
+          ($"n".cast("double") - lit(1.0))), 6).as("stddev_qty"),
+        round(($"n".cast("double") * $"sxy" - $"sx" * $"sy") /
           (sqrt($"n".cast("double") * $"sxx" - $"sx" * $"sx") *
-            sqrt($"n".cast("double") * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+            sqrt($"n".cast("double") * $"syy" - $"sy" * $"sy")), 6).as("corr_qty_price"))
   }
 
   /** Unpivot (melt): wide per-row metrics → long (row, metric, value) form —
@@ -545,9 +551,9 @@ object CoreQueries {
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |SELECT l_returnflag, n,
-        |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_qty,
-        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
-        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+        |  round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev_qty,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
         |FROM s""".stripMargin,
     "q38_rank_family" ->
       """SELECT o_orderkey, o_custkey,
