@@ -30,8 +30,8 @@ object Tables {
 
   /** `df.rdd.getNumPartitions` plans the scan (driver-side work per call);
     * the answer is a pure function of the files on disk, so memoize it —
-    * 52 bench queries × several tables each would otherwise re-plan the
-    * same scans hundreds of times. */
+    * the 100+-query bench suite × several tables each would otherwise
+    * re-plan the same scans hundreds of times. */
   private val scanPartsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -60,8 +60,21 @@ object Stats {
   def exactPercentiles(df: DataFrame, valueCol: String, ps: Seq[Double],
       buckets: Int = 2048, maxCollect: Int = MaxCollect): Seq[Double] = {
     require(ps.forall(p => p >= 0.0 && p <= 1.0), s"p must be in [0,1]: $ps")
+    // The prune makes ≥3 passes over the projected values (head stats,
+    // level-1 histogram, per-p tail resolves) — persist the single-column
+    // projection for the prune's lifetime so each pass reads the cached
+    // column, not the full source scan (q64 r3 regression: uncached, every
+    // pass re-scanned lineitem). MEMORY_AND_DISK: a too-big cache spills
+    // rather than recomputing.
     val vals = df.select(col(valueCol).cast("double").as("v"))
       .filter(finite(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try exactPercentilesOn(vals, ps, buckets, maxCollect)
+    finally vals.unpersist(blocking = false)
+  }
+
+  private def exactPercentilesOn(vals: DataFrame, ps: Seq[Double],
+      buckets: Int, maxCollect: Int): Seq[Double] = {
     val head = vals.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
       count(lit(1)).as("n"), approx_count_distinct(col("v")).as("nd")).head()
     if (head.isNullAt(2) || head.getLong(2) == 0L) return ps.map(_ => Double.NaN)
@@ -160,9 +173,21 @@ object Stats {
       p: Double, buckets: Int = 1024, maxCollect: Int = 4096): Map[Any, Double] = {
     require(p >= 0.0 && p <= 1.0, s"p must be in [0,1]: $p")
     val spark = df.sparkSession
-    // null/NaN/±Inf excluded, as in exactPercentiles (same rationale)
+    // null/NaN/±Inf excluded, as in exactPercentiles (same rationale).
+    // Persisted for the loop's lifetime: every level joins the (g, v)
+    // projection against the broadcast ranges up to three times (tiny-range
+    // resolve, histogram, bucket resolve/narrow) — without the cache each
+    // pass would re-scan the source.
     val vals = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .filter(finite(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try groupedPercentileOn(vals, p, buckets, maxCollect)
+    finally vals.unpersist(blocking = false)
+  }
+
+  private def groupedPercentileOn(vals: DataFrame, p: Double,
+      buckets: Int, maxCollect: Int): Map[Any, Double] = {
+    val spark = vals.sparkSession
     val gType = vals.schema("g").dataType
     final class St(var lo: Double, var hi: Double, var r1: Long, var r2: Long,
       val frac: Double)

@@ -205,7 +205,12 @@ object EventQueries {
           val typed = Tables.rebuildNanosTs(ev)
             .withWatermark("ts", "1 minute")
             .select($"event_id", $"ts", $"user_id",
-              ($"value".cast("decimal(14,2)") * lit(100)).cast("long").as("cents"))
+              // null-safe: CentsEvent.cents is a primitive Long, and a null
+              // value must contribute 0 while the event still counts —
+              // exactly SQL sum's skip-nulls semantics, so the batch twin
+              // and oracle need no mirror change (ADVICE r3)
+              coalesce(($"value".cast("decimal(14,2)") * lit(100)).cast("long"),
+                lit(0L)).as("cents"))
             .as[graft.streaming.Streaming.CentsEvent]
           graft.streaming.Streaming.sessionizeEventTime(typed).toDF()
         },

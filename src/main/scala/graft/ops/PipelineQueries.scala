@@ -188,22 +188,26 @@ object PipelineQueries {
 
   /** Deterministic global shuffle + shard assignment — the training-export
     * step: every document gets a pseudo-random but reproducible position
-    * (salted-md5 sort key), sharded by the key's first nibble so each shard
-    * is an independent, internally-ordered unit. The scalable formulation:
-    * NO global row_number (a total order would serialize onto one
-    * partition); instead the window partitions BY SHARD, so the sorts run
-    * shard-parallel and each shard's ordered rows stream straight into its
-    * export file. In production the nibble widens to however many shards
-    * the writer wants — the plan shape is unchanged. */
-  def shardAssignment(spark: SparkSession, dir: String): DataFrame = {
+    * (salted-md5 sort key), sharded by the key's leading hex digits so each
+    * shard is an independent, internally-ordered unit. The scalable
+    * formulation: NO global row_number (a total order would serialize onto
+    * one partition); instead the window partitions BY SHARD, so the sorts
+    * run shard-parallel and each shard's ordered rows stream straight into
+    * its export file. `nibbles` sets the shard count (16^nibbles): the gate
+    * runs 2 → 256 shards, so the sort parallelism exceeds any plausible
+    * core count (VERDICT r3 #5 — 16 shards meant 16 sorting tasks); widening
+    * further never changes the plan shape. */
+  def shardAssignment(spark: SparkSession, dir: String): DataFrame =
+    shardAssignment(spark, dir, nibbles = 2)
+
+  def shardAssignment(spark: SparkSession, dir: String, nibbles: Int): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"shard_id").orderBy($"shuffle_key", $"doc_id")
     Tables.documents(spark, dir)
       .select($"doc_id",
         md5(concat(lit("shuffle:"), $"doc_id".cast("string"))).as("shuffle_key"))
       .withColumn("shard_id",
-        (expr("instr('0123456789abcdef', substring(shuffle_key, 1, 1))") - 1)
-          .cast("int"))
+        conv(substring($"shuffle_key", 1, nibbles), 16, 10).cast("int"))
       .withColumn("pos_in_shard", row_number().over(w))
   }
 
@@ -425,9 +429,10 @@ object PipelineQueries {
         |  FROM documents
         |)
         |SELECT doc_id, shuffle_key,
-        |  CAST(instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1 AS INTEGER) AS shard_id,
+        |  CAST((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) AS INTEGER) AS shard_id,
         |  CAST(row_number() OVER (
-        |    PARTITION BY instr('0123456789abcdef', substr(shuffle_key, 1, 1))
+        |    PARTITION BY substr(shuffle_key, 1, 2)
         |    ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos_in_shard
         |FROM h""".stripMargin,
     "q91_temperature_mix" ->

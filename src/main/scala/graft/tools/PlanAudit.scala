@@ -35,7 +35,10 @@ object PlanAudit {
         p.subqueries.flatMap(flatten)
     }
 
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // numeric qNN(N) order, not lexicographic (q100 after q99, not at q10)
+    val rows = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      ("""\d+""".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue), name)
+    }.map { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan
         val nodes = flatten(plan)

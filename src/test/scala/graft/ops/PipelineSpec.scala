@@ -112,7 +112,7 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, String, Int, Int)].collect()
     assert(out.length == 64)
     out.foreach { case (_, key, shard, _) =>
-      assert(shard == "0123456789abcdef".indexOf(key.head)) // first nibble
+      assert(shard == Integer.parseInt(key.take(2), 16)) // first two nibbles
     }
     // positions are 1..k dense within each shard, ordered by the hash key
     out.groupBy(_._3).foreach { case (_, rows) =>
