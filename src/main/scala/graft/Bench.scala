@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol: one untimed warm-up pass over all queries first (JIT +
   * whole-stage-codegen compilation + file-system cache + any operator-level
-  * caches), then one timed pass in sorted name order — so per-query numbers
-  * measure steady-state plan execution, not first-query session warm-up.
+  * caches), then N timed suite passes in sorted name order with per-query
+  * min — so per-query numbers measure steady-state plan execution, not
+  * first-query session warm-up or whichever query a GC pause happened to
+  * land on.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,15 +40,28 @@ object Bench {
     // plan instead of reading the warm-up's cached partitions.
     spark.catalog.clearCache()
 
+    // Timed passes: the whole suite is run SPARK_GRAFT_BENCH_TRIALS times
+    // (default 2) and each query reports its MIN across passes. Rationale
+    // (r3 finding #2): four adjacent memory-heavy queries drifted 2.9-4.2×
+    // in-suite while their isolated times were unchanged — single-JVM
+    // GC/fragmentation noise from the 100-query run, not plan regressions
+    // (adjudicated with TimeQuery, r4). The min across suite passes is the
+    // steady-state plan cost; a GC hit lands on different queries each pass.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt.max(1)
     // failed queries report -1 (never a fake positive time) and are
     // excluded from the total
-    val results = ordered.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { execute(fn); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       spark.catalog.clearCache() // no cross-query cache accumulation
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }.toMap
+    val passes = (1 to trials).map(_ => timedPass())
+    val results = ordered.map { case (name, _) =>
+      val ts = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
     // 3-decimal timings: millisecond precision is all the measurement
     // carries, and the shorter line (~2.3 KB vs 3.3 KB for 100 queries) is
