@@ -161,14 +161,19 @@ object EventQueries {
 
   /** q18's STREAMING twin via `flatMapGroupsWithState` — the third stateful
     * streaming operator class at the gate (custom per-key state, vs q81's
-    * window state and q90's join state). Deterministic one-shot drive: a
-    * far-future sentinel event is appended PER USER (a symlinked source dir
-    * — no data copy), so every real session is closed by its own group's
-    * sentinel inside the first micro-batch. Correctness never depends on the
-    * engine racing a watermark-timeout no-data batch; the event-time timeout
-    * path stays live for production and is exercised by StreamingSpec.
-    * Output equals the batch sessionizer modulo session_id (the oracle
-    * groups by it but does not emit it). */
+    * window state and q90's join state). Deterministic MULTI-batch drive
+    * (VERDICT r3 #8): `maxFilesPerTrigger=1` forces the real events
+    * (batch 1) and the per-user far-future sentinels (batch 2, a newer
+    * file, so FileStreamSource's oldest-first ordering is stable) into
+    * separate micro-batches — open sessions must survive in the state
+    * store across a genuine batch boundary and watermark advance before
+    * each group's sentinel closes them. Every user has a sentinel, so no
+    * group ever depends on racing a watermark-timeout no-data batch (and
+    * the sentinel's open "session" can never time out: the watermark trails
+    * the sentinel's own event time). The event-time timeout path stays live
+    * for production and is exercised by StreamingSpec. Output equals the
+    * batch sessionizer modulo session_id (the oracle groups by it but does
+    * not emit it). */
   def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
@@ -215,7 +220,8 @@ object EventQueries {
           graft.streaming.Streaming.sessionizeEventTime(typed).toDF()
         },
         name = "q92_streaming_sessions_sink",
-        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
         .filter($"session_start" < timestamp_micros(lit(sentinelUs)))
         .select($"user_id", $"n_events", $"session_start", $"session_end",
           ($"total_cents".cast("double") / lit(100.0)).as("total_value"))

@@ -206,18 +206,20 @@ object Streaming {
     * basePath — so a plain file path can never work. Rewriting the file
     * path as a one-file glob (`…/events.parque[t]`) suppresses that
     * override; glob base paths resolve to the parent directory. */
-  private def fileStream(spark: SparkSession, source: String): DataFrame = {
+  private def fileStream(spark: SparkSession, source: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val schema = spark.read.parquet(source).schema
     val f = new java.io.File(source)
     val path =
       if (f.isFile) s"${source.dropRight(1)}[${source.last}]"
       else source
-    spark.readStream.schema(schema).parquet(path)
+    spark.readStream.schema(schema).options(options).parquet(path)
   }
 
   def runForeachBatch(spark: SparkSession, sourceDir: String, outDir: String,
-      plan: DataFrame => DataFrame, name: String): Unit = {
-    val stream = fileStream(spark, sourceDir)
+      plan: DataFrame => DataFrame, name: String,
+      sourceOptions: Map[String, String] = Map.empty): Unit = {
+    val stream = fileStream(spark, sourceDir, sourceOptions)
     val q = plan(stream).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -239,8 +241,9 @@ object Streaming {
     * (flatMapGroupsWithState) that require it in a live deployment. */
   def runOnce(spark: SparkSession, sourceDir: String,
       plan: DataFrame => DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val stream = fileStream(spark, sourceDir)
+      mode: OutputMode = OutputMode.Complete(),
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
+    val stream = fileStream(spark, sourceDir, sourceOptions)
     val q = plan(stream).writeStream
       .outputMode(mode)
       .format("memory").queryName(name)

@@ -174,6 +174,48 @@ class StreamingSpec extends SparkSpec {
       (7L, 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00"), 700L)))
   }
 
+  test("session state crosses a forced micro-batch boundary (maxFilesPerTrigger=1)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val srcDir = java.nio.file.Files.createTempDirectory("mb-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mb-out").toString
+    def writeFile(name: String, ageSec: Long,
+        rows: Seq[(Long, Timestamp, Long, Long)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("mb-stage")
+      rows.toDF("event_id", "ts", "user_id", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      // explicit mtimes pin FileStreamSource's oldest-first batch order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000))
+    }
+    writeFile("a.parquet", 60, Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 100L),
+      (2L, ts("2024-01-01 10:10:00"), 7L, 200L)))
+    writeFile("b.parquet", 0, Seq(
+      (3L, ts("2024-01-01 10:15:00"), 7L, 400L),  // continues file A's session
+      (4L, ts("2024-01-01 11:30:00"), 7L, 800L))) // >30 min gap → closes it
+    Streaming.runForeachBatch(spark, srcDir, outDir,
+      df => Streaming.sessionizeEventTime(
+        df.withWatermark("ts", "0 seconds").as[Streaming.CentsEvent]).toDF(),
+      "mb_test", sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    // two data batches ran (one file each) …
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(batchDirs.take(2).toSeq == Seq("batch_id=0", "batch_id=1"))
+    // … and the session stitched file A's open state to file B's events:
+    // emitted by batch 1's same-user successor, never visible in batch 0
+    val sessions = spark.read.parquet(outDir)
+      .select("batch_id", "user_id", "n_events", "session_start", "session_end",
+        "total_cents")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(sessions ==
+      Set((1L, 7L, 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00"), 700L)))
+  }
+
   test("event-time sessionizer matches a reference implementation on random data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
