@@ -112,6 +112,35 @@ object EventQueries {
         $"user_id", $"ts".as("error_ts"), $"r_ts".as("click_ts"))
   }
 
+  /** Streaming DEDUP-within-watermark as a gate query — the fourth
+    * stateful streaming operator class at the gate (dedup state, vs q81's
+    * window, q90's join, and q92's custom session state). The
+    * first-arrival WINNER of a duplicate group is scheduling-dependent, so
+    * the gate output projects ONLY columns that are pure functions of the
+    * dedup key — every possible winner yields byte-identical rows, which
+    * unblocks the oracle (DuckDB DISTINCT) without a fake determinism
+    * rule. A one-shot drive keeps all rows in one micro-batch, where
+    * dropDuplicatesWithinWatermark dedups unconditionally; the
+    * cross-batch re-emit-after-eviction semantics are exercised in
+    * StreamingSpec, not here, because they are BY DESIGN time-dependent. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // dedup state store: size partitions to state volume, as q90/q92
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
+        ev => graft.streaming.Streaming.dedupStream(
+            Tables.rebuildNanosTs(ev)
+              .withColumn("content", concat_ws(":", $"user_id", $"event_type")),
+            "content", "ts")
+          .select($"user_id", $"event_type"),
+        name = "q103_streaming_dedup_sink",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** q19's STREAMING twin as a gate query (VERDICT r2 #9): the same
     * windowed-aggregate expression as [[tumblingHourly]], executed by the
     * Structured Streaming engine (file source → watermarked tumbling
@@ -249,7 +278,8 @@ object EventQueries {
     "q21_inter_event_gaps" -> (interEventGaps _),
     "q81_streaming_hourly" -> (streamingHourly _),
     "q90_streaming_join" -> (streamingClickErrorJoin _),
-    "q92_streaming_sessions" -> (streamingSessions _))
+    "q92_streaming_sessions" -> (streamingSessions _),
+    "q103_streaming_dedup" -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
     "q46_range_join" ->
@@ -300,6 +330,11 @@ object EventQueries {
         |  ON c.user_id = e.user_id
         | AND e.ts <= c.ts
         | AND e.ts >= c.ts - INTERVAL 60 MINUTE""".stripMargin,
+    // q103 = streaming dropDuplicatesWithinWatermark; the output projects
+    // only key-derived columns, so DISTINCT is exact whichever duplicate
+    // the stream saw first.
+    "q103_streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     // q81 = q19 executed by the streaming engine; the oracle is shared
     // because the declarative query is identical — that equivalence IS the
     // thing this gate entry proves.

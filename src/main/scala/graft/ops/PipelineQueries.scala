@@ -163,7 +163,33 @@ object PipelineQueries {
     * Scale: per-source counts are a tiny agg broadcast back onto the fan-out
     * scan; the doc-level pass is a scan + map-side filter + hash-agg — no
     * data-sized shuffle, no skew exposure. */
-  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    mixWithRate(spark, dir, salt = "mix:")(sqrt)
+
+  /** Temperature mixing with a CONFIGURABLE dyadic α (here 3/4) — the
+    * generalization the α=1/2 gate's comment promises: any α = k/2^m is
+    * cross-engine exact through [[dyadicPow]] (a product of iterated square
+    * roots), where an arbitrary α would ride pow()'s per-libm error bounds.
+    * α = 3/4 is the mid-point between uniform (α=1) and q91's aggressive
+    * rebalance: kept_i ∝ n_i^(3/4). */
+  def temperatureMixAlpha34(spark: SparkSession, dir: String): DataFrame =
+    mixWithRate(spark, dir, salt = "mix34:")(dyadicPow(_, 3, 2))
+
+  /** x^(k / 2^m) (0 < k < 2^m) as a LEFT-TO-RIGHT product of iterated
+    * square roots: bit j of k (counting from the high end) contributes
+    * sqrt^j(x). sqrt, multiply, and divide are the IEEE ops with REQUIRED
+    * correct rounding, so every engine evaluating this same expression tree
+    * produces identical bits — pow/exp/ln do not have that guarantee (the
+    * q86 lesson). The oracle mirrors the same product, in the same order. */
+  private[ops] def dyadicPow(x: Column, k: Int, m: Int): Column = {
+    require(k > 0 && k < (1 << m), s"need 0 < k < 2^m, got k=$k m=$m")
+    val roots = Iterator.iterate(x)(sqrt).take(m + 1).toSeq // roots(j) = x^(1/2^j)
+    (1 to m).filter(j => (k & (1 << (m - j))) != 0).map(roots)
+      .reduceLeft(_ * _)
+  }
+
+  private def mixWithRate(spark: SparkSession, dir: String, salt: String)(
+      rateOf: Column => Column): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     // Per-source counts are a tiny grouped result (one row per corpus
@@ -175,11 +201,11 @@ object PipelineQueries {
       .as[(String, Long)].collect()
     val nMin = counts.map(_._2).min
     val rates = counts.toSeq.toDF("source", "n_docs")
-      .withColumn("sample_rate", sqrt(lit(nMin).cast("double") / $"n_docs".cast("double")))
+      .withColumn("sample_rate", rateOf(lit(nMin).cast("double") / $"n_docs".cast("double")))
       .withColumn("thr", lpad(hex(floor($"sample_rate" * lit(65536)).cast("long")), 4, "0"))
     val kept = docs.join(broadcast(rates), "source")
       .filter($"sample_rate" >= lit(1.0) ||
-        upper(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 4)) < $"thr")
+        upper(substring(md5(concat(lit(salt), $"doc_id".cast("string"))), 1, 4)) < $"thr")
       .groupBy($"source").agg(count(lit(1)).as("n_kept"))
     rates.join(broadcast(kept), Seq("source"), "left_outer")
       .select($"source", $"n_docs", coalesce($"n_kept", lit(0L)).as("n_kept"),
@@ -285,6 +311,7 @@ object PipelineQueries {
     "q88_decontamination" -> (decontamination _),
     "q89_edit_distance_pairs" -> (editDistancePairs _),
     "q91_temperature_mix" -> (temperatureMix _),
+    "q102_temperature_mix_alpha34" -> (temperatureMixAlpha34 _),
     "q94_shard_assignment" -> (shardAssignment _),
     "q95_stratified_sample" -> (stratifiedSample _),
     "q96_bigram_lm" -> (bigramLm _),
@@ -435,6 +462,28 @@ object PipelineQueries {
         |    PARTITION BY substr(shuffle_key, 1, 2)
         |    ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos_in_shard
         |FROM h""".stripMargin,
+    "q102_temperature_mix_alpha34" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        |), m AS (
+        |  SELECT min(n_docs) AS n_min FROM c
+        |), r AS (
+        |  SELECT source, n_docs,
+        |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      * sqrt(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS sample_rate,
+        |    lpad(to_hex(CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      * sqrt(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))) * 65536) AS BIGINT)), 4, '0') AS thr
+        |  FROM c CROSS JOIN m
+        |), k AS (
+        |  SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE r.sample_rate >= CAST(1.0 AS DOUBLE)
+        |     OR upper(substr(md5('mix34:' || CAST(d.doc_id AS VARCHAR)), 1, 4)) < r.thr
+        |  GROUP BY d.source
+        |)
+        |SELECT r.source, r.n_docs, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  r.sample_rate
+        |FROM r LEFT JOIN k USING (source)""".stripMargin,
     "q91_temperature_mix" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source

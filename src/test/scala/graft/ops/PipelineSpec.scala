@@ -93,6 +93,67 @@ class PipelineSpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("temperature mix α=3/4: rates follow (n_min/n)^(3/4) exactly") {
+    val rows = (0L to 15L).map(i => (i, s"doc $i", "en", "big", 10L)) :+
+      ((100L, "only one", "en", "small", 8L))
+    val dir = docsDir(rows: _*)
+    val out = PipelineQueries.temperatureMixAlpha34(spark, dir)
+      .orderBy("source").as[(String, Long, Long, Double)].collect()
+    val Array(big, small) = out
+    // (1/16)^(3/4) = sqrt(1/16)·sqrt(sqrt(1/16)) = 0.25 · 0.5 = 0.125
+    assert(big == (("big", 16L, big._3, 0.125)))
+    assert(small == (("small", 1L, 1L, 1.0)))
+    // α=3/4 keeps at least as much of the big source as α=1/2 drops:
+    // the rate is gentler than sqrt's (0.125 vs 0.25 is HARSHER here —
+    // n_min/n < 1 so a larger exponent shrinks it). Just pin determinism.
+    val again = PipelineQueries.temperatureMixAlpha34(spark, dir)
+      .orderBy("source").as[(String, Long, Long, Double)].collect()
+    assert(out.sameElements(again))
+  }
+
+  test("dyadicPow: iterated-sqrt products hit every dyadic exponent") {
+    val xs = Seq(0.017, 0.25, 0.5, 0.9, 1.0, 3.7)
+    val df = xs.toDF("x")
+    def eval(k: Int, m: Int): Seq[Double] =
+      df.select(PipelineQueries.dyadicPow($"x", k, m).as("y"))
+        .as[Double].collect().toSeq
+    // exact identities: the column tree is literally the same op sequence
+    assert(eval(1, 1) == xs.map(math.sqrt))
+    assert(eval(1, 2) == xs.map(x => math.sqrt(math.sqrt(x))))
+    assert(eval(3, 2) == xs.map(x => math.sqrt(x) * math.sqrt(math.sqrt(x))))
+    assert(eval(5, 3) == xs.map(x =>
+      math.sqrt(x) * math.sqrt(math.sqrt(math.sqrt(x)))))
+    // and the products approximate the real power to double precision
+    for ((y, x) <- eval(5, 3).zip(xs))
+      assert(math.abs(y - math.pow(x, 0.625)) < 1e-12)
+    intercept[IllegalArgumentException](PipelineQueries.dyadicPow($"x", 4, 2))
+  }
+
+  test("stratified sample: exact-k smallest salted hashes per stratum") {
+    // two strata; k=20 exceeds one and bounds the other
+    val rows = (0L until 30L).map(i =>
+      (i, s"doc $i", "en", if (i < 25) "big" else "tiny", 5L))
+    val dir = docsDir(rows: _*)
+    val out = PipelineQueries.stratifiedSample(spark, dir)
+      .select("source", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect()
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("big").length == 20 && bySrc("tiny").length == 5)
+    // reference ordering: md5("strat:" + id) first 12 hex as a long,
+    // ascending (the query negates for its max-heap TopK)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): Long = {
+      val hex = md.digest(s"strat:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for ((src, ids) <- Map("big" -> (0L until 25L), "tiny" -> (25L until 30L))) {
+      val expect = ids.sortBy(key).take(20).toSeq
+      val got = bySrc(src).sortBy(_._3).map(_._2).toSeq
+      assert(got == expect, s"stratum $src")
+    }
+  }
+
   test("text scrub: stopword, denylist, and cleaned-length accounting") {
     val dir = docsDir(
       (0L, "a customer saw the customer", "en", "s0", 27L),
