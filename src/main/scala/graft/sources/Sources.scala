@@ -77,6 +77,22 @@ object Sources {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** ORC read — the second columnar format (ORC and parquet share the
+    * predicate-pushdown / column-pruning / partition-pruning machinery via
+    * the same v2 file-source framework, so every scan optimization in
+    * ARCHITECTURE.md applies unchanged). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink with the same file-size bound as the parquet writers. */
+  def writeOrc(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val w = df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** Console sink — S3 (`.show()` of small result frames). */
   def printResult(df: DataFrame, rows: Int = 20): Unit =
     df.show(rows, truncate = false)

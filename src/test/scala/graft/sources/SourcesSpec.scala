@@ -47,6 +47,25 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, "hello world"), (2L, "the quick fox")))
   }
 
+  test("ORC round-trip, partitioned layout, and pushed filters") {
+    val dir = tmp("graft-orc")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+      .toDF("id", "grp", "v")
+    Sources.writeOrc(df, dir, partitionCols = Seq("grp"))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("grp=a", "grp=b"))
+    val back = Sources.readOrc(spark, dir)
+    assert(back.orderBy("id").select("id", "v").as[(Long, Double)].collect().toSeq
+      == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // same scan machinery as parquet: partition AND data filters push down
+    val pruned = back.filter($"grp" === "a" && $"id" > 1L)
+    assert(pruned.count() == 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,1"))
+  }
+
   test("partitioned parquet write lays out one directory per key value") {
     val dir = tmp("graft-part")
     val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
