@@ -173,6 +173,41 @@ object Multimodal {
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else None
 
+  /** JPEG (width, height) from the SOFn frame header — metadata WITHOUT
+    * decode, the 100 TB filter-before-decode pattern: dimension/aspect
+    * predicates prune a media corpus before any row pays entropy-decode
+    * cost (the full decode needs libjpeg and stays behind the stub).
+    * Walks the marker segments from SOI; standalone markers (RSTn/TEM)
+    * have no length field. Returns None on truncation, a missing SOF
+    * before scan data, or any malformed segment — never throws. */
+  def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 4 || bytes(0) != 0xFF.toByte || bytes(1) != 0xD8.toByte)
+      return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var pos = 2
+    while (pos + 3 < bytes.length) {
+      if (u8(pos) != 0xFF) return None
+      val marker = u8(pos + 1)
+      if (marker == 0xFF) pos += 1 // fill byte before a marker
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) pos += 2
+      else {
+        val segLen = u16(pos + 2)
+        if (segLen < 2 || pos + 2 + segLen > bytes.length) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC // not DHT/JPG/DAC
+        if (isSof) {
+          if (segLen < 7) return None
+          val h = u16(pos + 5); val w = u16(pos + 7)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        if (marker == 0xDA) return None // scan data reached, no SOF seen
+        pos += 2 + segLen
+      }
+    }
+    None
+  }
+
   /** REAL decode pass over a media table: partition-local CRC context is
     * allocated once per partition and reset per row (the codec-init
     * amortization the stub documents — here it actually decodes).

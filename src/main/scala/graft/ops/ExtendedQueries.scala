@@ -135,6 +135,54 @@ object ExtendedQueries {
       .sortBy(_._1).toDF("l_returnflag", "p75_cents")
   }
 
+  /** Runtime Bloom-filter join pruning AT THE GATE — the 100 TB lever
+    * where static pushdown can't help: a selective predicate on one side
+    * of a fact-fact join becomes a `might_contain(bloom_filter_agg(...))`
+    * probe on the other side's SCAN, killing most rows before the shuffle.
+    * Spark's InjectRuntimeFilter fires on its own past cluster-scale size
+    * thresholds; at gate scale the thresholds are lowered FOR THIS QUERY
+    * ONLY (set/restored around a synchronous execution, the q90/q92 conf
+    * pattern — the join runs inside the window, so the executed plan
+    * really carries the probe, and a `require` aborts the query if the
+    * rewrite ever stops firing). Raw scans, not Tables.load: the
+    * parallelism-floor repartition breaks the scan/filter/project shape
+    * the injection rule descends through (real deployments hit the
+    * many-files branch where no repartition is inserted). The rewrite is
+    * semantically invisible, so the oracle is the plain join SQL. */
+  def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // at 100 TB both sides exceed the broadcast threshold; model that
+      // (InjectRuntimeFilter skips broadcast joins — correctly, the build
+      // side is already hashed locally)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      val joined = lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(sum(dec2($"l_quantity")).cast("double").as("total_qty"),
+          count(lit(1)).as("n_items"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      require(optimized.contains("might_contain")
+          && optimized.contains("bloom_filter_agg"),
+        "runtime bloom filter was not injected — the eligible plan shape regressed")
+      // execute INSIDE the conf window so the probe is in the executed plan;
+      // the grouped result is a handful of rows (one per priority)
+      val rows = joined.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ----------------------------------------------------- window family #2
 
   /** Second window-function family: percent_rank / cume_dist (exact integer
@@ -682,7 +730,8 @@ object ExtendedQueries {
     "q79_lateral_subquery" -> (lateralSubquery _),
     "q80_quantifier_hofs" -> (quantifierHofs _),
     "q87_quantiles_pruned" -> (quantilesPruned _),
-    "q101_grouped_quantile_pruned" -> (groupedQuantilePruned _))
+    "q101_grouped_quantile_pruned" -> (groupedQuantilePruned _),
+    "q104_runtime_filter_join" -> (runtimeFilterJoin _))
 
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
@@ -880,6 +929,13 @@ object ExtendedQueries {
         |FROM part""".stripMargin,
     "q78_correlated_scalar" -> CorrelatedScalarQuery,
     "q79_lateral_subquery" -> LateralQuery,
+    "q104_runtime_filter_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin,
     "q101_grouped_quantile_pruned" ->
       """SELECT l_returnflag,
         |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT), 0.75) AS p75_cents
