@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Connect, Dedup}
 
 /** Gate queries for the near-dup family (MinHash+LSH, SimHash) with full
   * DuckDB oracle parity. Parameters are pinned here (the library API in
@@ -55,10 +55,27 @@ object DedupQueries {
       .withColumn("abs_err", abs($"jaccard" - $"est_jaccard"))
   }
 
+  /** Near-dup CLUSTER resolution — the decision step the pair queries stop
+    * short of: q27's verified pairs become per-document cluster labels via
+    * [[Connect.components]] (alternating large-star/small-star), and the
+    * cluster minimum is the canonical survivor. The oracle computes the
+    * same fixpoint with a recursive CTE (min reachable id per node), which
+    * is unique, so iteration order cannot cause drift. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
+      "doc_id", "text", ShingleSize, NumHashes, Bands, threshold = 0.3)
+      .filter($"is_near_dup")
+      .select($"doc_a", $"doc_b")
+    Connect.dedupDecisions(pairs, "doc_a", "doc_b")
+      .select($"node".as("doc_id"), $"component", $"is_canonical")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_minhash_lsh" -> (minhashLsh _),
     "q28_dedup_simhash" -> (simhash _),
-    "q100_minhash_accuracy" -> (minhashAccuracy _))
+    "q100_minhash_accuracy" -> (minhashAccuracy _),
+    "q105_dup_clusters" -> (dupClusters _))
 
   // ---- oracle SQL (programmatically assembled to keep the 12-hash /
   // ---- 6-band structure in one place) ----
@@ -169,8 +186,51 @@ object DedupQueries {
        |  abs(jaccard - est_jaccard) AS abs_err
        |FROM scored""".stripMargin
 
+  // Connected components as a recursive CTE: reach = every node reachable
+  // from `node` (self seeded), component = min(reach). UNION (not UNION
+  // ALL) is the fixpoint's termination guarantee.
+  private val dupClustersOracle =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list(s)) AS shset FROM ex GROUP BY doc_id
+       |), dup AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sets x ON cand.doc_a = x.doc_id
+       |  JOIN sets y ON cand.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+       |    / CAST(len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+       |    >= CAST(0.3 AS DOUBLE)
+       |), e AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM dup
+       |  UNION
+       |  SELECT doc_b, doc_a FROM dup
+       |), walk(node, reach) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT w.node, e2.v FROM walk w JOIN e e2 ON e2.u = w.reach
+       |)
+       |SELECT node AS doc_id, min(reach) AS component,
+       |  node = min(reach) AS is_canonical
+       |FROM walk GROUP BY node""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q27_dedup_minhash_lsh" -> minhashOracle,
     "q28_dedup_simhash" -> simhashOracle,
-    "q100_minhash_accuracy" -> minhashAccuracyOracle)
+    "q100_minhash_accuracy" -> minhashAccuracyOracle,
+    "q105_dup_clusters" -> dupClustersOracle)
 }
