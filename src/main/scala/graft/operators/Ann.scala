@@ -233,6 +233,58 @@ object Ann {
       .filter(col("cosine") >= lit(threshold))
   }
 
+  /** Per-vector symmetric int8 scalar quantization: q_i = floor(x_i ·
+    * (127/max|x|)) ∈ [-127, 127]. The memory/bandwidth lever of a
+    * 100 TB vector store — 8× smaller than float64 scoring input, and dot
+    * products of int8 values are EXACT integer arithmetic in double
+    * (|dot| ≤ dim·127² « 2^53), so quantized scores are bit-identical on
+    * any engine — no fold-order or libm concerns at all. Callers must
+    * exclude zero vectors (no scale exists; `array_max(|x|) > 0`). The
+    * output is array<double> holding integral values so it feeds the same
+    * fused cosine kernel as full-precision vectors. */
+  def quantize(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val scale = lit(127.0) / array_max(transform(v, x => abs(x)))
+    transform(v, x => floor(x * scale).cast("double"))
+  }
+
+  /** Brute-force top-k scored on QUANTIZED vectors, then the exact cosine
+    * computed for the k survivors only — the production shape: the cheap
+    * integer score ranks the whole corpus, full precision is spent on
+    * k·|queries| rows (not |corpus|·|queries|), and the gate output carries
+    * the quantization error per kept neighbor so the precision loss is
+    * measured where it matters, not assumed. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nonzero = corpus
+      .filter(array_max(transform(col(vecCol).cast("array<double>"), x => abs(x))) > 0)
+    val q = queries
+      .filter(array_max(transform(col(vecCol).cast("array<double>"), x => abs(x))) > 0)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+    val c = nonzero.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("cq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineFast(col("qq"), col("cq")), 6).as("q_cosine"))
+    val tk = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.scoredTopK(col("q_cosine"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.cand_id").as("cand_id"),
+        col("s.cosine").as("q_cosine"), (col("pos") + 1).cast("int").as("rank"))
+    // exact-precision audit for the k·|queries| survivors only: stream the
+    // corpus past the broadcast top-k twice (query side rides along — the
+    // joined frame stays k·|queries| rows throughout)
+    val exQ = nonzero.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qx"))
+    val exC = nonzero.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cx"))
+    val withQ = exQ.join(broadcast(tk), "query_id")
+    exC.join(broadcast(withQ), "cand_id")
+      .select(col("query_id"), col("cand_id"), col("q_cosine"),
+        round(cosineFast(col("qx"), col("cx")), 6).as("cosine"),
+        abs(col("q_cosine") - round(cosineFast(col("qx"), col("cx")), 6)).as("quant_err"),
+        col("rank"))
+  }
+
   /** K-means-free coarse centroids: mean vector per cell via per-dimension
     * aggregation (posexplode → avg per (cell, dim) → re-assemble). Used to
     * build a real IVF assignment when no label exists. */

@@ -81,7 +81,20 @@ object AnnQueries {
       emb.filter($"vec_id" < 10), 10)
   }
 
+  /** Int8-quantized top-k with per-survivor precision audit: the corpus is
+    * ranked on [[Ann.quantize]]d vectors (integer dot products — exact in
+    * double, so bit-identical on any engine) and the full-precision cosine
+    * plus quantization error are computed ONLY for the k kept neighbors.
+    * The 8×-smaller scoring input is the bandwidth lever at 100 TB; the
+    * in-query `quant_err` column is the evidence the loss is tolerable. */
+  def quantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Ann.quantizedTopK(emb, emb.filter($"vec_id" < 10), 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_quantized_ann" -> (quantizedAnn _),
     "q97_filtered_ann" -> (filteredAnn _),
     "q29_ann_bruteforce" -> (bruteForce _),
     "q30_ann_ivf" -> (ivf _),
@@ -93,6 +106,36 @@ object AnnQueries {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   val oracle: Map[String, String] = Map(
+    "q108_quantized_ann" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+         |  FROM embeddings
+         |), qn AS (
+         |  SELECT vec_id, v,
+         |    CAST(list_transform(v, x -> floor(x * (CAST(127.0 AS DOUBLE) / maxabs))) AS DOUBLE[]) AS qv
+         |  FROM e WHERE maxabs > CAST(0.0 AS DOUBLE)
+         |), q AS (
+         |  SELECT vec_id AS query_id, qv AS qq FROM qn WHERE vec_id < 10
+         |), c AS (
+         |  SELECT vec_id AS cand_id, qv AS cq FROM qn
+         |), s AS (
+         |  SELECT query_id, cand_id, ${cosSql("qq", "cq")} AS q_cosine
+         |  FROM c, q WHERE query_id <> cand_id
+         |), r AS (
+         |  SELECT query_id, cand_id, q_cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY q_cosine DESC, cand_id ASC) AS INTEGER) AS rank
+         |  FROM s
+         |), t AS (
+         |  SELECT * FROM r WHERE rank <= 10
+         |)
+         |SELECT t.query_id, t.cand_id, t.q_cosine,
+         |  ${cosSql("a.v", "b.v")} AS cosine,
+         |  abs(t.q_cosine - ${cosSql("a.v", "b.v")}) AS quant_err,
+         |  t.rank
+         |FROM t
+         |JOIN qn a ON t.query_id = a.vec_id
+         |JOIN qn b ON t.cand_id = b.vec_id""".stripMargin,
     "q97_filtered_ann" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

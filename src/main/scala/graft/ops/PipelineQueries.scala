@@ -303,7 +303,43 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("total_toks"))
   }
 
+  /** CDC merge (SCD type-1 upsert): apply a change feed — updates, deletes,
+    * inserts, several versions per key — onto a base snapshot, latest
+    * version wins. The feed here is derived deterministically from the base
+    * (doc_id % 5 → update, % 10 → a later delete of half of those, % 7 →
+    * insert under a fresh key), so the gate needs no side table; the
+    * operator shape is the real one: latest-per-key is a BOUNDED `max_by`
+    * aggregate (no row_number sort over the whole feed), and the apply is
+    * ONE full-outer join on the key. At 100 TB both sides shuffle hash-on-
+    * key (or the feed broadcasts when small) — the exact MERGE INTO
+    * dataflow of a lakehouse table format. */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val updates = base.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", lit(1L).as("seq"), lit("U").as("op"),
+        upper($"source").as("src"), ($"n_chars" + 1L).as("nc"))
+    val deletes = base.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", lit(2L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("src"), lit(null).cast("long").as("nc"))
+    val inserts = base.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"), lit(1L).as("seq"),
+        lit("I").as("op"), lit("backfill").as("src"), $"n_chars".as("nc"))
+    val latest = updates.union(deletes).union(inserts)
+      .groupBy($"doc_id")
+      .agg(max_by(struct($"op", $"src", $"nc"), $"seq").as("c"))
+      .select($"doc_id", $"c.op".as("op"), $"c.src".as("src"), $"c.nc".as("nc"))
+    base.join(latest, Seq("doc_id"), "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select($"doc_id",
+        coalesce($"src", $"source").as("source"),
+        coalesce($"nc", $"n_chars").as("n_chars"),
+        coalesce($"op", lit("K")).as("last_op"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_cdc_merge" -> (cdcMerge _),
     "q82_repetition_signals" -> (repetitionSignals _),
     "q83_hash_split" -> (hashSplit _),
     "q84_weighted_repeat" -> (weightedRepeat _),
@@ -324,6 +360,29 @@ object PipelineQueries {
       | ELSE [array_to_string(tk, ' ')] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q106_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), changes AS (
+        |  SELECT doc_id, 1 AS seq, 'U' AS op, upper(source) AS src,
+        |    n_chars + 1 AS nc
+        |  FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'D', NULL, NULL FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 1, 'I', 'backfill', n_chars
+        |  FROM base WHERE doc_id % 7 = 0
+        |), latest AS (
+        |  SELECT doc_id, op, src, nc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM changes) WHERE rn = 1
+        |)
+        |SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+        |  coalesce(l.src, b.source) AS source,
+        |  CAST(coalesce(l.nc, b.n_chars) AS BIGINT) AS n_chars,
+        |  coalesce(l.op, 'K') AS last_op
+        |FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
     "q82_repetition_signals" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents

@@ -165,7 +165,28 @@ object TextQueries {
         denyPat, "<TERM>")).as("clean_len"))
   }
 
+  /** Sliding-window document chunking (RAG / context-window prep): each
+    * document's token stream becomes overlapping chunks of ≤ 64 tokens at
+    * stride 48 (16-token overlap), so every token is covered and chunk
+    * boundaries never split more than the overlap. The chunk starts are a
+    * per-row `sequence` + `posexplode` — generated rows stay on their
+    * source partition (NO shuffle at all; the operator is embarrassingly
+    * parallel at any scale), and output size is input/stride-bounded. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 1)
+      .select($"doc_id", $"tk",
+        posexplode(sequence(lit(1), size($"tk"), lit(48))).as(Seq("ci", "start")))
+      .select($"doc_id",
+        ($"ci" + 1).cast("int").as("chunk_id"),
+        least(size($"tk") - $"start" + 1, lit(64)).cast("int").as("n_toks"),
+        concat_ws(" ", slice($"tk", $"start", lit(64))).as("chunk_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_chunking" -> (chunkDocs _),
     "q93_text_scrub" -> (textScrub _),
     "q86_tfidf_topterms" -> (tfidfTopTerms _),
     "q47_top_tokens" -> (topTokens _),
@@ -182,6 +203,18 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q107_chunking" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), s AS (
+         |  SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 48)) AS start
+         |  FROM toks WHERE len(tk) >= 1
+         |)
+         |SELECT doc_id,
+         |  CAST((start - 1) // 48 + 1 AS INTEGER) AS chunk_id,
+         |  CAST(least(len(tk) - start + 1, 64) AS INTEGER) AS n_toks,
+         |  array_to_string(tk[start:start + 63], ' ') AS chunk_text
+         |FROM s""".stripMargin,
     // \b is ASCII word-boundary in BOTH Java regex and RE2 — equal on this
     // lowercase-ASCII corpus (the doubled backslash survives s-interpolation)
     "q93_text_scrub" ->

@@ -188,4 +188,25 @@ class AnnSpec extends SparkSpec {
       assert(math.abs(got - want) < 1e-6, s"centroid $got vs $want")
     }
   }
+
+  test("quantize: integral values in [-127,127], max-magnitude dim hits ±127 or -128-free floor") {
+    val q = Seq((0L, Array(0.5f, -1.0f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(Ann.quantize($"embedding").as("q"))
+      .as[Array[Double]].head()
+    // scale = 127/1.0; floor(0.5*127)=63, floor(-1*127)=-127, floor(0.25*127)=31
+    assert(q.toSeq == Seq(63.0, -127.0, 31.0, 0.0))
+    assert(q.forall(x => x == math.floor(x) && x >= -127 && x <= 127))
+  }
+
+  test("quantized top-k: small per-neighbor error and consistent audit columns") {
+    val out = Ann.quantizedTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
+      .select("q_cosine", "cosine", "quant_err")
+      .as[(Double, Double, Double)].collect()
+    assert(out.length == 4)
+    out.foreach { case (qc, c, err) =>
+      assert(err == math.abs(qc - c))
+      assert(err < 0.02, s"int8 cosine error $err too large") // 3-dim int8 worst case is small
+    }
+  }
 }

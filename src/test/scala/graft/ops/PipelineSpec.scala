@@ -218,6 +218,42 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set(("odd", 3L, 3.0), ("even", 2L, 3.0)))
   }
 
+  test("cdc merge: latest change wins, deletes drop, inserts appear") {
+    // doc 10: update (seq 1) then delete (seq 2) → gone
+    // doc  5: update only → upper(source), n_chars+1
+    // doc  7: insert twin at 10000007 with source 'backfill'
+    // doc  3: untouched → last_op K
+    val dir = docsDir(
+      (3L, "t", "en", "s0", 30L), (5L, "t", "en", "s0", 50L),
+      (7L, "t", "en", "s0", 70L), (10L, "t", "en", "s0", 100L))
+    val out = PipelineQueries.cdcMerge(spark, dir)
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(out == Set(
+      (3L, "s0", 30L, "K"),
+      (5L, "S0", 51L, "U"),
+      (7L, "s0", 70L, "K"),
+      (10000007L, "backfill", 70L, "I")))
+  }
+
+  test("chunking: stride-48 windows cover every token; short docs get one chunk") {
+    val t100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(
+      (0L, t100, "en", "s0", 100L), // starts 1, 49, 97 → 64, 52, 4 tokens
+      (1L, "tiny doc", "en", "s0", 8L)) // one 2-token chunk
+    val out = TextQueries.chunkDocs(spark, dir)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_toks", "chunk_text")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0L, 1, 64), (0L, 2, 52), (0L, 3, 4), (1L, 1, 2)))
+    assert(out(0)._4.startsWith("w1 w2 ") && out(0)._4.endsWith(" w64"))
+    assert(out(2)._4 == "w97 w98 w99 w100")
+    assert(out(3)._4 == "tiny doc")
+    // overlap invariant: chunk i+1 starts 48 tokens after chunk i → the
+    // last 16 tokens of a full chunk reappear at the head of the next
+    assert(out(0)._4.split(" ").drop(48).toSeq == out(1)._4.split(" ").take(16).toSeq)
+  }
+
   test("decontamination fractions are well-formed on the real corpus") {
     val out = PipelineQueries.decontamination(spark, "/root/testdata/sf0.001")
       .select("n_shingles", "n_shared", "contamination_frac")
