@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Skew}
+import graft.operators.{Dedup, Layout, Skew}
 
 /** Round-2 gate queries (q53+): the SQL/operator surface beyond SURVEY §2's
   * literal inventory that a production engine is expected to carry —
@@ -698,9 +698,38 @@ object ExtendedQueries {
           .as("median_chars"))
   }
 
+  /** Z-order layout audit — the OPTIMIZE ZORDER primitive behind
+    * multi-dimension file pruning: both keys are rescaled onto the full
+    * 16-bit range (integral math, so any key domain gets the same
+    * treatment), Morton-interleaved, and bucketed by the z-value's top 6
+    * bits. The output is the per-bucket bounding box of BOTH original
+    * keys: tight rectangles are exactly what makes file-footer min/max
+    * stats prune reads on either column. Everything is shift/mask/add
+    * integer math — term-for-term mirrored in the oracle. LayoutSpec
+    * proves the pruning claim quantitatively (z-buckets vs linear-sort
+    * buckets). */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_partkey", $"l_suppkey")
+    // key maxima: tiny agg, materialized driver-side (the q77 centroid
+    // pattern) and re-entered as literals — a scalar-subquery-free plan
+    val (maxP, maxS) = li.agg(max($"l_partkey"), max($"l_suppkey"))
+      .as[(Long, Long)].head()
+    val z = Layout.zValue(
+      Layout.rescale($"l_partkey", lit(maxP), 16),
+      Layout.rescale($"l_suppkey", lit(maxS), 16), 16)
+    li.select($"l_partkey", $"l_suppkey",
+      shiftright(z, 26).cast("int").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("min_part"), max($"l_partkey").as("max_part"),
+        min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_zorder_layout" -> (zorderLayout _),
     "q98_grouped_median" -> (groupedMedian _),
     "q53_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q54_percentiles" -> (percentiles _),
@@ -736,7 +765,30 @@ object ExtendedQueries {
   private val jaccardSql =
     "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE)"
 
+  // Morton interleave, term-for-term: bit j of a → position 2j, of b →
+  // 2j+1 (4^15·2 = 2^31 < 2^63, all BIGINT-safe)
+  private val zTermsSql = (0 until 16).flatMap { j =>
+    Seq(s"((a >> $j) & 1) * ${1L << (2 * j)}",
+      s"((b >> $j) & 1) * ${1L << (2 * j + 1)}")
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q109_zorder_layout" ->
+      s"""WITH m AS (
+         |  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+         |), r AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    (l_partkey * 65535) // mp AS a,
+         |    (l_suppkey * 65535) // ms AS b
+         |  FROM lineitem CROSS JOIN m
+         |), z AS (
+         |  SELECT l_partkey, l_suppkey, $zTermsSql AS zv FROM r
+         |)
+         |SELECT CAST(zv >> 26 AS INTEGER) AS bucket,
+         |  count(*) AS n_rows,
+         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |FROM z GROUP BY bucket""".stripMargin,
     "q98_grouped_median" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  quantile_cont(n_chars, 0.5) AS median_chars
