@@ -71,7 +71,56 @@ object DedupQueries {
       .select($"node".as("doc_id"), $"component", $"is_canonical")
   }
 
+  /** EXACT set-similarity join via prefix filtering (AllPairs/PPJoin) — the
+    * deterministic complement of q27's probabilistic MinHash+LSH: all pairs
+    * with shingle-set Jaccard ≥ 0.3, with NO false negatives by theorem
+    * rather than by banding probability. Tokens get a global canonical
+    * order (document frequency asc, shingle asc — rarest first); each doc
+    * indexes only its PREFIX, the first |d| − ⌈0.3·|d|⌉ + 1 shingles of
+    * that order. PPJoin Lemma 1: two sets with J ≥ t share their
+    * smallest-in-order common shingle inside BOTH prefixes, so the
+    * prefix-on-prefix equi-join is a complete candidate set — and it is the
+    * SCALE lever: candidates pair only within a (rare) prefix token's
+    * bucket, never within the high-frequency tokens that make a naive
+    * share-any-token join quadratic. Verification counts shared shingles
+    * per candidate (join bounded by candidate count) and keeps
+    * J ≥ 0.3 via the INTEGER cross-multiplication 13·c ≥ 3·(|a|+|b|)
+    * (⟺ 10c ≥ 3(|a|+|b|−c)) — no float compare at the boundary. The
+    * oracle is the brute-force all-pairs join: equality proves the filter
+    * lost nothing. ⌈0.3n⌉ = (3n+9) div 10 — integer math on both sides. */
+  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // distinct shingle sets, reused by ordering, prefixes, and verify
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Dedup.wordShingles($"text", ShingleSize)).as("s"))
+      .distinct().cache()
+    val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val prefixes = sh.join(dfreq, "s")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"s"))).as("ord"))
+      .select($"doc_id",
+        explode(slice(transform($"ord", x => x.getField("s")), lit(1),
+          (size($"ord") - expr("(3 * size(ord) + 9) div 10") + 1).cast("int")))
+          .as("ps"))
+    val cands = prefixes.select($"doc_id".as("doc_a"), $"ps")
+      .join(prefixes.select($"doc_id".as("doc_b"), $"ps"), "ps")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val shared = cands
+      .join(sh.select($"doc_id".as("doc_a"), $"s"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    shared
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sa")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sb")), "doc_b")
+      .filter($"c" * 13 >= ($"sa" + $"sb") * 3)
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / ($"sa" + $"sb" - $"c").cast("double")).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_similarity_join_prefix" -> (prefixFilterJoin _),
     "q27_dedup_minhash_lsh" -> (minhashLsh _),
     "q28_dedup_simhash" -> (simhash _),
     "q100_minhash_accuracy" -> (minhashAccuracy _),
@@ -228,7 +277,32 @@ object DedupQueries {
        |  node = min(reach) AS is_canonical
        |FROM walk GROUP BY node""".stripMargin
 
+  // Brute-force all-pairs oracle for the prefix-filtered join: every pair
+  // sharing ANY shingle, exact Jaccard, same integer threshold — hash
+  // equality proves the prefix filter generated a complete candidate set.
+  private val prefixFilterOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks
+       |), shx AS (
+       |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+       |FROM shared
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE 13 * c >= 3 * (sa.n + sb.n)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q112_similarity_join_prefix" -> prefixFilterOracle,
     "q27_dedup_minhash_lsh" -> minhashOracle,
     "q28_dedup_simhash" -> simhashOracle,
     "q100_minhash_accuracy" -> minhashAccuracyOracle,

@@ -269,7 +269,60 @@ object EventQueries {
     }
   }
 
+  /** Ordered conversion funnel (view → click → purchase): per user, the
+    * first view, the first click strictly after it, and the first purchase
+    * strictly after that, plus the funnel stage reached. Each step is a
+    * filtered hash-agg joined on user_id — three shuffles on the SAME key,
+    * so at cluster scale AQE/exchange reuse co-locates them (and each step's
+    * agg shrinks the frame to one row per surviving user, so steps 2 and 3
+    * join a contracting per-user frame against a type-filtered scan, never
+    * event×event). Step ordering compares event-time directly; strict `>`
+    * makes a same-timestamp view+click NOT a conversion — pinned semantics,
+    * mirrored in the oracle. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .join(views, "user_id").filter($"ts" > $"view_ts")
+      .groupBy($"user_id").agg(min($"ts").as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(clicks, "user_id").filter($"ts" > $"click_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    views.join(clicks, Seq("user_id"), "left_outer")
+      .join(purchases, Seq("user_id"), "left_outer")
+      .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts",
+        (lit(1) + when($"click_ts".isNotNull, 1).otherwise(0)
+          + when($"purchase_ts".isNotNull, 1).otherwise(0))
+          .cast("int").as("stage"))
+  }
+
+  /** Cohort retention: users are cohorted by the ISO week of their first
+    * event, and each (cohort, week-offset) cell counts the distinct users
+    * still active that many weeks later — the standard retention triangle.
+    * Two keyed shuffles (user_id for the cohort agg + distinct, then the
+    * cohort/offset rollup); the offset is integer microsecond arithmetic on
+    * Monday-aligned `date_trunc('week')` values (both engines truncate to
+    * Monday 00:00, and week starts differ by exact 604800-second multiples
+    * in UTC), so no float date math anywhere. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weeks = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+    val cohorts = weeks.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    weeks.distinct()
+      .join(cohorts, "user_id")
+      .select($"user_id", $"cohort_week",
+        ((unix_micros($"wk") - unix_micros($"cohort_week")) / lit(604800000000L))
+          .cast("int").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_funnel" -> (funnel _),
+    "q114_cohort_retention" -> (cohortRetention _),
     "q46_range_join" -> (errorFollowedByClick _),
     "q45_asof_join" -> (asofLastError _),
     "q18_sessionize" -> (sessionize _),
@@ -282,6 +335,41 @@ object EventQueries {
     "q103_streaming_dedup" -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q110_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |  CAST(1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END
+        |    AS INTEGER) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q114_cohort_retention" ->
+      """WITH w AS (
+        |  -- DuckDB's week-trunc yields DATE; Spark's yields TIMESTAMP — pin it
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id, wk FROM w
+        |)
+        |SELECT f.cohort_week,
+        |  CAST((epoch_us(a.wk) - epoch_us(f.cohort_week)) / 604800000000
+        |    AS INTEGER) AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q46_range_join" ->
       """WITH errors AS (SELECT * FROM events WHERE event_type = 'error'),
         |     clicks AS (SELECT * FROM events WHERE event_type = 'click')

@@ -726,9 +726,50 @@ object ExtendedQueries {
         min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
   }
 
+  /** HLL sketch RE-AGGREGATION — the property that makes approximate
+    * distinct-counting an OPERATIONAL primitive at 100 TB, beyond q64's
+    * single-shot estimate: DataSketches HLL sketches built per group
+    * (here per event_type; in production per day/partition) are UNIONED
+    * into a rollup WITHOUT re-reading the data — `hll_union_agg` over the
+    * five per-type sketches yields the global distinct-users estimate,
+    * the pattern that turns daily sketch columns into monthly uniques for
+    * free. Sketch bytes are engine-specific, so the gate follows the q64
+    * contract: the OUTPUT is the exact twins (deterministic, oracle-
+    * checkable), and every sketch estimate — including the one that only
+    * mergeability can produce — must land within 5% of its exact twin or
+    * `bounds_ok` raise_error-aborts the whole query. The exact twins are
+    * the yardstick; the production query at scale is the sketch columns
+    * alone. */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    // one pass: per-type sketch + exact distinct twin side by side
+    val perType = ev.groupBy($"event_type").agg(
+      hll_sketch_agg($"user_id").as("sk"),
+      countDistinct($"user_id").as("n_users"))
+    // the rollup union reads ONLY the five sketches — never the events
+    val globalRow = perType.agg(hll_union_agg($"sk").as("gsk"))
+      .crossJoin(broadcast(ev.agg(countDistinct($"user_id").as("n_users"))))
+      .select(lit("ALL").as("event_type"), $"n_users",
+        hll_sketch_estimate($"gsk").as("est"))
+    val rows = perType
+      .select($"event_type", $"n_users", hll_sketch_estimate($"sk").as("est"))
+      .union(globalRow)
+    rows
+      .withColumn("rel_err",
+        abs($"est".cast("double") - $"n_users".cast("double"))
+          / $"n_users".cast("double"))
+      .select($"event_type", $"n_users",
+        when($"rel_err" <= 0.05, lit(true))
+          .otherwise(raise_error(concat(
+            lit("q115 HLL estimate out of bounds: "), $"rel_err")))
+          .as("bounds_ok"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_hll_rollup" -> (hllRollup _),
     "q109_zorder_layout" -> (zorderLayout _),
     "q98_grouped_median" -> (groupedMedian _),
     "q53_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -773,6 +814,15 @@ object ExtendedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // q115's output is the exact twins only (sketch estimates are
+    // engine-specific and are gated in-query by raise_error, the q64
+    // contract) — so the oracle is plain exact distincts.
+    "q115_hll_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  true AS bounds_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT user_id), true FROM events""".stripMargin,
     "q109_zorder_layout" ->
       s"""WITH m AS (
          |  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem

@@ -313,10 +313,12 @@ object PipelineQueries {
     * ONE full-outer join on the key. At 100 TB both sides shuffle hash-on-
     * key (or the feed broadcasts when small) — the exact MERGE INTO
     * dataflow of a lakehouse table format. */
-  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", $"n_chars")
+  /** The deterministic change feed (several versioned updates / deletes /
+    * inserts derived from the base snapshot, so the gate needs no side
+    * table) shared by q106's SCD1 merge and q111's SCD2 history build.
+    * Columns: (doc_id, seq, op, src, nc). */
+  private def changeFeed(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
     val updates = base.filter($"doc_id" % 5 === 0)
       .select($"doc_id", lit(1L).as("seq"), lit("U").as("op"),
         upper($"source").as("src"), ($"n_chars" + 1L).as("nc"))
@@ -326,7 +328,14 @@ object PipelineQueries {
     val inserts = base.filter($"doc_id" % 7 === 0)
       .select(($"doc_id" + 10000000L).as("doc_id"), lit(1L).as("seq"),
         lit("I").as("op"), lit("backfill").as("src"), $"n_chars".as("nc"))
-    val latest = updates.union(deletes).union(inserts)
+    updates.union(deletes).union(inserts)
+  }
+
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val latest = changeFeed(base)
       .groupBy($"doc_id")
       .agg(max_by(struct($"op", $"src", $"nc"), $"seq").as("c"))
       .select($"doc_id", $"c.op".as("op"), $"c.src".as("src"), $"c.nc".as("nc"))
@@ -338,8 +347,35 @@ object PipelineQueries {
         coalesce($"op", lit("K")).as("last_op"))
   }
 
+  /** SCD TYPE-2 history build — the versioned complement of q106's
+    * latest-wins merge: every key's attribute timeline becomes closed
+    * [valid_from_seq, valid_to_seq) intervals with an `is_current` flag,
+    * exactly the slowly-changing-dimension table a lakehouse time-travel
+    * query reads. The base snapshot is version 0, the change feed's
+    * updates/inserts open new versions, and a delete CLOSES the last
+    * version without emitting a row of its own. One keyed window
+    * (partitionBy doc_id, orderBy seq) computes every interval end via
+    * `lead` — per-key state is the version count (tiny), the shuffle is
+    * hash-on-key, and no global ordering exists anywhere, so the shape is
+    * unchanged at 100 TB. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val v0 = base.select($"doc_id", lit(0L).as("seq"), lit("B").as("op"),
+      $"source".as("src"), $"n_chars".as("nc"))
+    val w = Window.partitionBy($"doc_id").orderBy($"seq")
+    v0.union(changeFeed(base))
+      .withColumn("valid_to_seq", lead($"seq", 1).over(w))
+      .filter($"op" =!= "D")
+      .select($"doc_id", $"seq".as("valid_from_seq"), $"valid_to_seq",
+        $"src".as("source"), $"nc".as("n_chars"),
+        $"valid_to_seq".isNull.as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_cdc_merge" -> (cdcMerge _),
+    "q111_scd2_history" -> (scd2History _),
     "q82_repetition_signals" -> (repetitionSignals _),
     "q83_hash_split" -> (hashSplit _),
     "q84_weighted_repeat" -> (weightedRepeat _),
@@ -360,6 +396,29 @@ object PipelineQueries {
       | ELSE [array_to_string(tk, ' ')] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q111_scd2_history" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), versions AS (
+        |  SELECT doc_id, 0 AS seq, 'B' AS op, source AS src, n_chars AS nc
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'U', upper(source), n_chars + 1
+        |  FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'D', NULL, NULL FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 1, 'I', 'backfill', n_chars
+        |  FROM base WHERE doc_id % 7 = 0
+        |), v AS (
+        |  SELECT *, lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS vt
+        |  FROM versions
+        |)
+        |SELECT doc_id, CAST(seq AS BIGINT) AS valid_from_seq,
+        |  CAST(vt AS BIGINT) AS valid_to_seq,
+        |  src AS source, CAST(nc AS BIGINT) AS n_chars,
+        |  vt IS NULL AS is_current
+        |FROM v WHERE op <> 'D'""".stripMargin,
     "q106_cdc_merge" ->
       """WITH base AS (
         |  SELECT doc_id, source, n_chars FROM documents

@@ -185,7 +185,62 @@ object TextQueries {
         concat_ws(" ", slice($"tk", $"start", lit(64))).as("chunk_text"))
   }
 
+  /** Exact heavy hitters (tokens with ≥ 1% of corpus mass) via the scalable
+    * TWO-PASS pattern: pass 1 runs the bounded Misra–Gries summary
+    * ([[graft.functions.Frequent]], k = 1024) — partial states are ≤ k
+    * counters, so the candidate shuffle is k·partitions rows, never the
+    * token multiset a full groupBy(token) would exchange; pass 2 exact-counts
+    * ONLY the ≤ k candidates (an `isin` map-side filter, so the agg keys
+    * are candidate-bounded too). MG guarantees every item above n/(k+1)
+    * survives pass 1 (58× margin under the 1% threshold), and pass 2's exact
+    * integer compare (100·cnt ≥ n) kills all false positives — the composed
+    * result is EXACT, which is what lets a plain frequency oracle check it.
+    * The candidate list is a driver-side collect bounded at k = 1024 entries
+    * (documented driver-small, as the q77 centroids). The threshold compares
+    * integers — no double epsilon at the boundary. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // cached: pass 1 (candidates + n) and pass 2 (exact counts) share the
+    // tokenized corpus; Verify/Bench clearCache() drops it after the query
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok")).cache()
+    val head = toks.agg(
+      graft.functions.Frequent.misraGries($"tok", 1024).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands = head.getSeq[String](0)
+    val n = head.getLong(1)
+    toks.filter($"tok".isin(cands: _*))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * lit(100L) >= lit(n))
+      .select($"tok", $"cnt",
+        ($"cnt".cast("double") / lit(n).cast("double")).as("frac"))
+  }
+
+  /** Positional-inverted-index phrase search: occurrences of the exact
+    * phrase "hash join" per document. The index is the classic
+    * (token → [(doc, position)]) posting relation — `posexplode` of the
+    * token stream — and the phrase match is the POSTING-LIST INTERSECTION:
+    * equi-join of the first term's postings with the second term's postings
+    * shifted by one position, on (doc_id, pos). That join is keyed on
+    * (doc, pos) — uniformly distributed, candidate-bounded by the rarer
+    * term's posting list, exactly how a search engine intersects postings
+    * at corpus scale (term-frequency skew lands on distinct (doc,pos) keys,
+    * so no hot partition). The oracle checks it against the flat
+    * adjacent-bigram count formulation — same answer, different algorithm. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val postings = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    val first = postings.filter($"tok" === "hash").select($"doc_id", $"pos")
+    val second = postings.filter($"tok" === "join")
+      .select($"doc_id", ($"pos" - 1).as("pos"))
+    first.join(second, Seq("doc_id", "pos"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_heavy_hitters" -> (heavyHitters _),
+    "q116_phrase_search" -> (phraseSearch _),
     "q107_chunking" -> (chunkDocs _),
     "q93_text_scrub" -> (textScrub _),
     "q86_tfidf_topterms" -> (tfidfTopTerms _),
@@ -203,6 +258,25 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q113_heavy_hitters" ->
+      s"""WITH tk AS (
+         |  SELECT unnest($toksSql) AS tok FROM documents
+         |), n AS (
+         |  SELECT count(*) AS n FROM tk
+         |), c AS (
+         |  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+         |)
+         |SELECT tok, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS frac
+         |FROM c CROSS JOIN n WHERE cnt * 100 >= n""".stripMargin,
+    "q116_phrase_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+         |)
+         |SELECT doc_id, count(*) AS n_occurrences
+         |FROM bg WHERE w1 = 'hash' AND w2 = 'join' GROUP BY doc_id""".stripMargin,
     "q107_chunking" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the round-4 analytics/search operators
+  * (funnel, retention, phrase search, HLL rollup, prefix-filter similarity
+  * join). The gate checks them against DuckDB on the real corpus; these pin
+  * the semantics on inputs small enough to verify by eye. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (event_id, ts NANOS, user_id, event_type, value) → a dir
+    * Tables.events reads (ts stored as long nanos, as the corpus). */
+  private def eventsDir(rows: (Long, Long, Long, String, Double)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def docsDir(rows: (Long, String, String, String, Long)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def mins(m: Long): Long = m * 60L * 1000000000L // minutes → nanos
+
+  test("funnel: ordered steps, strict time ordering, stage counting") {
+    val dir = eventsDir(
+      // user 1 completes the funnel in order → stage 3
+      (0L, mins(10), 1L, "view", 0.0),
+      (1L, mins(20), 1L, "click", 0.0),
+      (2L, mins(30), 1L, "purchase", 0.0),
+      // user 2's click PRECEDES the first view → not a conversion, stage 1
+      (3L, mins(5), 2L, "click", 0.0),
+      (4L, mins(10), 2L, "view", 0.0),
+      // user 3 never viewed → absent from the funnel entirely
+      (5L, mins(10), 3L, "click", 0.0),
+      // user 4's click is SIMULTANEOUS with the view (strict >) → stage 1
+      (6L, mins(10), 4L, "view", 0.0),
+      (7L, mins(10), 4L, "click", 0.0))
+    val out = EventQueries.funnel(spark, dir).orderBy("user_id")
+      .select($"user_id", $"stage", $"click_ts".isNull, $"purchase_ts".isNull)
+      .as[(Long, Int, Boolean, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 3, false, false), (2L, 1, true, true), (4L, 1, true, true)))
+  }
+
+  test("cohort retention: Monday-aligned weeks, integer offsets") {
+    val wk = 7L * 24 * 60 // one week in minutes
+    // epoch week 0 starts Thu 1970-01-01; Monday alignment means the
+    // cells below are asserted by cohort VALUE equality, not arithmetic
+    val dir = eventsDir(
+      (0L, mins(8 * 24 * 60), 1L, "view", 0.0),      // u1 week of Jan 5 1970 (Mon)
+      (1L, mins(8 * 24 * 60 + wk), 1L, "view", 0.0), // u1 active next week too
+      (2L, mins(8 * 24 * 60 + wk), 2L, "view", 0.0)) // u2 cohorted one week later
+    val out = EventQueries.cohortRetention(spark, dir)
+      .orderBy("cohort_week", "week_offset")
+      .select($"week_offset", $"n_users").as[(Int, Long)].collect()
+    assert(out.toSeq == Seq((0, 1L), (1, 1L), (0, 1L)))
+  }
+
+  test("phrase search: adjacent positions only, per-doc occurrence counts") {
+    val dir = docsDir(
+      (0L, "hash join hash join x hash", "en", "s", 1L), // two occurrences
+      (1L, "join hash", "en", "s", 1L),                  // reversed → none
+      (2L, "hash x join", "en", "s", 1L))                // gap → none
+    val out = TextQueries.phraseSearch(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L)))
+  }
+
+  test("hll rollup: per-type exact twins + mergeable global, bounds gated") {
+    val out = ExtendedQueries.hllRollup(spark, sf0001)
+      .orderBy("event_type")
+      .as[(String, Long, Boolean)].collect()
+    assert(out.length == 6) // 5 event types + ALL
+    assert(out.forall(_._3)) // raise_error would have fired otherwise
+    val exact = graft.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(out.find(_._1 == "ALL").get._2 == exact)
+  }
+
+  test("prefix-filter similarity join: equals brute-force all-pairs Jaccard") {
+    val out = DedupQueries.prefixFilterJoin(spark, sf0001)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect()
+    // brute force: every pair sharing ANY shingle (no prefix filter), exact
+    // Jaccard, same integer threshold — proves the filter lost nothing
+    val sh = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        explode(graft.operators.Dedup.wordShingles($"text", 3)).as("s"))
+      .distinct()
+    val sz = sh.groupBy("doc_id").count()
+    val brute = sh.toDF("doc_a", "s").join(sh.toDF("doc_b", "s"), "s")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      .join(sz.toDF("doc_a", "sa"), "doc_a")
+      .join(sz.toDF("doc_b", "sb"), "doc_b")
+      .filter($"c" * 13 >= ($"sa" + $"sb") * 3)
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / ($"sa" + $"sb" - $"c").cast("double")).as("jaccard"))
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.toSeq == brute.toSeq)
+    spark.catalog.clearCache() // prefixFilterJoin caches its shingle frame
+  }
+}

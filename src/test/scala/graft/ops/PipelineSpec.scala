@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.{coalesce, lit}
+
 import graft.SparkSpec
 
 /** Hand-computed fixtures for the curation operators (the gate checks them
@@ -233,6 +235,27 @@ class PipelineSpec extends SparkSpec {
       (5L, "S0", 51L, "U"),
       (7L, "s0", 70L, "K"),
       (10000007L, "backfill", 70L, "I")))
+  }
+
+  test("scd2 history: versioned intervals, delete closes, insert opens") {
+    // same feed as cdc merge; every key's timeline becomes
+    // [valid_from_seq, valid_to_seq) rows, delete rows vanish but close
+    val dir = docsDir(
+      (3L, "t", "en", "s0", 30L), (5L, "t", "en", "s0", 50L),
+      (7L, "t", "en", "s0", 70L), (10L, "t", "en", "s0", 100L))
+    val out = PipelineQueries.scd2History(spark, dir)
+      .select($"doc_id", $"valid_from_seq",
+        coalesce($"valid_to_seq", lit(-1L)), $"source", $"n_chars",
+        $"is_current")
+      .as[(Long, Long, Long, String, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (3L, 0L, -1L, "s0", 30L, true),            // untouched: v0 still open
+      (5L, 0L, 1L, "s0", 50L, false),            // closed by the update
+      (5L, 1L, -1L, "S0", 51L, true),            // updated version current
+      (7L, 0L, -1L, "s0", 70L, true),            // source row untouched
+      (10000007L, 1L, -1L, "backfill", 70L, true), // insert twin current
+      (10L, 0L, 1L, "s0", 100L, false),          // closed by the update
+      (10L, 1L, 2L, "S0", 101L, false)))         // closed by the DELETE: none current
   }
 
   test("chunking: stride-48 windows cover every token; short docs get one chunk") {
