@@ -320,7 +320,35 @@ object EventQueries {
       .agg(countDistinct($"user_id").as("n_users"))
   }
 
+  /** Time-series GAP FILL (resample-to-dense): the hourly × event-type count
+    * grid with MISSING cells materialized as explicit zeros — what every
+    * downstream charting/anomaly job needs, and what a plain groupBy can
+    * never produce (it cannot emit groups it never saw). The dense spine is
+    * `sequence(min_hour, max_hour)` exploded from a 1-row bounds aggregate
+    * cross-joined with the distinct types — grid-sized (hours × types),
+    * data-INDEPENDENT, and broadcast onto the hourly aggregate; the events
+    * themselves are touched exactly twice (bounds + counts), both one-pass
+    * aggregates. At 100 TB the grid for a decade of hours × 1000 types is
+    * still only ~90M rows — the spine never becomes the bottleneck. */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val hours = ev
+      .agg(date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 hour")))
+        .as("hour_start"))
+    hours.crossJoin(ev.select($"event_type").distinct())
+      .join(hourly, Seq("hour_start", "event_type"), "left_outer")
+      .select($"hour_start", $"event_type",
+        coalesce($"n_events", lit(0L)).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
     "q46_range_join" -> (errorFollowedByClick _),
@@ -335,6 +363,24 @@ object EventQueries {
     "q103_streaming_dedup" -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q120_gap_fill" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hs, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |         date_trunc('hour', max(ts)) AS hi
+        |  FROM events
+        |), g AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        |  FROM b
+        |), t AS (
+        |  SELECT DISTINCT event_type FROM events
+        |)
+        |SELECT g.hour_start, t.event_type,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_events
+        |FROM g CROSS JOIN t
+        |LEFT JOIN h ON h.hs = g.hour_start AND h.event_type = t.event_type""".stripMargin,
     "q110_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS view_ts

@@ -766,10 +766,31 @@ object ExtendedQueries {
           .as("bounds_ok"))
   }
 
+  /** Median absolute deviation — the robust dispersion statistic (outliers
+    * move a stddev arbitrarily; they cannot move a MAD) — computed by
+    * COMPOSING the histogram-pruned exact-quantile operator with itself:
+    * pass 1 prunes to the exact median m, pass 2 runs the same prune over
+    * |x − m|. Each pass is the q87 shape (O(buckets) driver state, bounded
+    * resolve), so the whole statistic is two bounded-shuffle scans — the
+    * 100 TB formulation of a statistic usually written as two full sorts.
+    * Exactness: n_chars is integral, so m is k or k + 0.5 exactly and every
+    * |x − m| is a dyadic-exact double; DuckDB's quantile_cont interpolates
+    * with the same correctly-rounded arithmetic. */
+  def madStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"n_chars".cast("double").as("v"))
+    val m = graft.operators.Stats.exactMedian(docs, "v")
+    val mad = graft.operators.Stats.exactMedian(
+      docs.select(abs($"v" - lit(m)).as("v")), "v")
+    Seq((m, mad)).toDF("median_chars", "mad_chars")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_hll_rollup" -> (hllRollup _),
+    "q121_mad" -> (madStats _),
     "q109_zorder_layout" -> (zorderLayout _),
     "q98_grouped_median" -> (groupedMedian _),
     "q53_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -823,6 +844,15 @@ object ExtendedQueries {
         |FROM events GROUP BY event_type
         |UNION ALL
         |SELECT 'ALL', count(DISTINCT user_id), true FROM events""".stripMargin,
+    "q121_mad" ->
+      """WITH m AS (
+        |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        |  FROM documents
+        |)
+        |SELECT med AS median_chars,
+        |  (SELECT quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5)
+        |   FROM documents) AS mad_chars
+        |FROM m""".stripMargin,
     "q109_zorder_layout" ->
       s"""WITH m AS (
          |  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem

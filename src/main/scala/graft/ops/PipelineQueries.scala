@@ -373,9 +373,49 @@ object PipelineQueries {
         $"valid_to_seq".isNull.as("is_current"))
   }
 
+  /** INCREMENTAL aggregate maintenance — the materialized-view delta-update
+    * pattern that makes standing rollups affordable at 100 TB: the per-source
+    * (count, char-volume) aggregate is updated from the CHANGE FEED alone
+    * (retract the replaced row's contribution, add the new row's), never by
+    * rescanning the base. Every frame here is feed-sized except the one
+    * standing aggregate (tiny: one row per group) and the old-row lookup
+    * join — which is keyed on doc_id, the exact point lookup a lakehouse
+    * serves from the MV's base-table index; updates that MOVE a row across
+    * groups retract from the old group and add to the new one, the case
+    * naive "just re-agg the changed groups" formulations get wrong. The
+    * oracle recomputes the aggregate FROM the merged state (q106's SQL),
+    * so hash equality is precisely the MV-maintenance correctness theorem:
+    * incremental(old, Δ) = recompute(apply(old, Δ)). */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val oldAgg = base.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+    // net latest change per key, with the key's OLD attributes alongside
+    val latest = changeFeed(base)
+      .groupBy($"doc_id")
+      .agg(max_by(struct($"op", $"src", $"nc"), $"seq").as("c"))
+      .select($"doc_id", $"c.op".as("op"), $"c.src".as("src"), $"c.nc".as("nc"))
+    val joined = latest.join(base, Seq("doc_id"), "left_outer")
+    val retract = joined.filter($"op".isin("U", "D"))
+      .select($"source", lit(-1L).as("dn"), (-$"n_chars").as("dc"))
+    val add = joined.filter($"op".isin("U", "I"))
+      .select(coalesce($"src", $"source").as("source"),
+        lit(1L).as("dn"), coalesce($"nc", $"n_chars").as("dc"))
+    val delta = retract.union(add)
+      .groupBy($"source").agg(sum($"dn").as("dn"), sum($"dc").as("dc"))
+    oldAgg.join(delta, Seq("source"), "full_outer")
+      .select($"source",
+        (coalesce($"n_docs", lit(0L)) + coalesce($"dn", lit(0L))).as("n_docs"),
+        (coalesce($"total_chars", lit(0L)) + coalesce($"dc", lit(0L))).as("total_chars"))
+      .filter($"n_docs" > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_cdc_merge" -> (cdcMerge _),
     "q111_scd2_history" -> (scd2History _),
+    "q117_incremental_agg" -> (incrementalAgg _),
     "q82_repetition_signals" -> (repetitionSignals _),
     "q83_hash_split" -> (hashSplit _),
     "q84_weighted_repeat" -> (weightedRepeat _),
@@ -396,6 +436,34 @@ object PipelineQueries {
       | ELSE [array_to_string(tk, ' ')] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Recompute-from-merged-state: q106's merge CTEs, then a plain rollup.
+    // Hash equality against the incremental path IS the MV-maintenance
+    // correctness statement.
+    "q117_incremental_agg" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), changes AS (
+        |  SELECT doc_id, 1 AS seq, 'U' AS op, upper(source) AS src,
+        |    n_chars + 1 AS nc
+        |  FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'D', NULL, NULL FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 1, 'I', 'backfill', n_chars
+        |  FROM base WHERE doc_id % 7 = 0
+        |), latest AS (
+        |  SELECT doc_id, op, src, nc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM changes) WHERE rn = 1
+        |), merged AS (
+        |  SELECT coalesce(l.src, b.source) AS source,
+        |    coalesce(l.nc, b.n_chars) AS n_chars
+        |  FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+        |  WHERE l.op IS NULL OR l.op <> 'D'
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM merged GROUP BY source""".stripMargin,
     "q111_scd2_history" ->
       """WITH base AS (
         |  SELECT doc_id, source, n_chars FROM documents

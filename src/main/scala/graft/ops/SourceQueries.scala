@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Sources
+
+/** Source/sink round-trip GATE queries — the file-format surface
+  * ([[graft.sources.Sources]]) proven at the DuckDB oracle, not just in
+  * SourcesSpec: a query whose INPUT passed through the sink+source pair can
+  * only hash-match an oracle reading the original parquet if the format
+  * round trip was lossless.
+  */
+object SourceQueries {
+
+  /** JSONL (newline-delimited JSON) sink → source round trip: the documents
+    * table is exported to JSONL (the lingua franca of training-data
+    * interchange), read back with an explicit schema (no inference pass —
+    * one scan, stable types), and aggregated per (source, lang). The
+    * distinct-md5 column pins CONTENT equality (any mangled text/escaping
+    * changes a digest), the sums pin numeric fidelity. Write and read are
+    * both distributed (one file per partition out, parallel scan back);
+    * the export lands in a run-scoped temp dir, Verify/Bench-safe. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft_q118_")
+      .resolve("docs_jsonl").toString
+    Sources.writeJsonl(docs, out)
+    Sources.readJsonl(spark, out, docs.schema)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(length($"text")).cast("long").as("total_text_len"),
+        countDistinct(md5($"text")).as("n_uniq_texts"))
+  }
+
+  /** Header-CSV sink → source round trip — the reference's own interchange
+    * format (its results/events tables are header CSVs, SURVEY §2 S1/S4) put
+    * under the oracle: same aggregate contract as [[jsonlRoundtrip]]; the
+    * explicit read schema (no inference scan) and quoting must preserve
+    * every byte or the md5-distinct column diverges. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft_q119_")
+      .resolve("docs_csv").toString
+    Sources.writeCsv(docs, out)
+    Sources.readCsv(spark, out, docs.schema)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(length($"text")).cast("long").as("total_text_len"),
+        countDistinct(md5($"text")).as("n_uniq_texts"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "q119_csv_roundtrip" -> (csvRoundtrip _))
+
+  val oracle: Map[String, String] = Map(
+    // The oracle reads the ORIGINAL parquet — equality proves the JSONL
+    // hop was lossless.
+    "q118_jsonl_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+        |  count(DISTINCT md5(text)) AS n_uniq_texts
+        |FROM documents GROUP BY source, lang""".stripMargin,
+    "q119_csv_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+        |  count(DISTINCT md5(text)) AS n_uniq_texts
+        |FROM documents GROUP BY source, lang""".stripMargin)
+}

@@ -86,6 +86,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.find(_._1 == "ALL").get._2 == exact)
   }
 
+  test("jsonl round trip: aggregates equal the direct parquet path") {
+    val rt = SourceQueries.jsonlRoundtrip(spark, sf0001)
+      .orderBy("source", "lang")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val direct = graft.Tables.documents(spark, sf0001)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+        sum(length($"text")).cast("long").as("total_text_len"),
+        countDistinct(md5($"text")).as("n_uniq_texts"))
+      .orderBy("source", "lang")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rt.nonEmpty && rt.toSeq == direct.toSeq)
+  }
+
+  test("csv round trip: aggregates equal the jsonl path (same contract)") {
+    val csv = SourceQueries.csvRoundtrip(spark, sf0001)
+      .orderBy("source", "lang")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val jsonl = SourceQueries.jsonlRoundtrip(spark, sf0001)
+      .orderBy("source", "lang")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(csv.nonEmpty && csv.toSeq == jsonl.toSeq)
+  }
+
+  test("gap fill: missing hour-type cells appear as explicit zeros") {
+    val dir = eventsDir(
+      (0L, mins(10), 1L, "view", 0.0),   // hour 0
+      (1L, mins(130), 1L, "click", 0.0)) // hour 2 — hour 1 is a gap
+    val out = EventQueries.gapFillHourly(spark, dir)
+      .orderBy("hour_start", "event_type")
+      .select($"event_type", $"n_events").as[(String, Long)].collect()
+    // 3 hours × 2 types = 6 cells, two of them ones
+    assert(out.toSeq == Seq(
+      ("click", 0L), ("view", 1L),
+      ("click", 0L), ("view", 0L),
+      ("click", 1L), ("view", 0L)))
+  }
+
+  test("mad: hand-computed median and deviation") {
+    // n_chars 10, 20, 100 → median 20; |x−20| = 10, 0, 80 → MAD 10
+    val dir = docsDir(
+      (0L, "t", "en", "s", 10L), (1L, "t", "en", "s", 20L),
+      (2L, "t", "en", "s", 100L))
+    val out = ExtendedQueries.madStats(spark, dir)
+      .as[(Double, Double)].head()
+    assert(out == ((20.0, 10.0)))
+  }
+
   test("prefix-filter similarity join: equals brute-force all-pairs Jaccard") {
     val out = DedupQueries.prefixFilterJoin(spark, sf0001)
       .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect()

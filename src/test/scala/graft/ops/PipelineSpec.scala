@@ -258,6 +258,24 @@ class PipelineSpec extends SparkSpec {
       (10L, 1L, 2L, "S0", 101L, false)))         // closed by the DELETE: none current
   }
 
+  test("incremental agg maintenance equals recompute from the merged state") {
+    // includes a group-moving update (doc 5/10's source flips case) and a
+    // delete — the two cases delta maintenance must retract correctly
+    val dir = docsDir(
+      (3L, "t", "en", "s0", 30L), (5L, "t", "en", "s0", 50L),
+      (7L, "t", "en", "s1", 70L), (10L, "t", "en", "s1", 100L))
+    val inc = PipelineQueries.incrementalAgg(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    val recompute = PipelineQueries.cdcMerge(spark, dir)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_chars").as("total_chars"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(inc == recompute)
+    // hand-check one cell: s0 keeps doc 3 only (5 moved to S0) → (1, 30)
+    assert(inc.contains(("s0", 1L, 30L)))
+  }
+
   test("chunking: stride-48 windows cover every token; short docs get one chunk") {
     val t100 = (1 to 100).map(i => s"w$i").mkString(" ")
     val dir = docsDir(
