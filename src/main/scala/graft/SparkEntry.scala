@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AnnQueries, CoreQueries, DedupQueries, EventQueries, ExtendedQueries, MultimodalQueries, PipelineQueries, SourceQueries, TextQueries}
+import graft.ops.{AnnQueries, CoreQueries, DedupQueries, EventQueries, ExtendedQueries, GraphQueries, MultimodalQueries, PipelineQueries, SourceQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ AnnQueries.queries ++ MultimodalQueries.queries ++
-      ExtendedQueries.queries ++ PipelineQueries.queries ++ SourceQueries.queries
+      ExtendedQueries.queries ++ PipelineQueries.queries ++ SourceQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ AnnQueries.oracle ++ MultimodalQueries.oracle ++
-      ExtendedQueries.oracle ++ PipelineQueries.oracle ++ SourceQueries.oracle
+      ExtendedQueries.oracle ++ PipelineQueries.oracle ++ SourceQueries.oracle ++
+      GraphQueries.oracle
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge lists — the co-occurrence /
+  * similarity-graph layer of a data-curation pipeline (near-dup clusters
+  * already ride on [[Connect]]; this adds closed-triangle structure, the
+  * classic clustering-coefficient / community-density signal).
+  *
+  * Everything is DataFrame joins on vertex keys: no vertex-program
+  * framework, no driver-side adjacency — the shapes below are the
+  * MapReduce-era algorithms re-expressed declaratively so Catalyst handles
+  * partitioning and AQE handles skew.
+  */
+object Graph {
+
+  /** Exact triangle count via DEGREE-ORDERED wedge counting (Cohen's
+    * MapReduce algorithm / Schank-Wagner "forward"): orient every edge from
+    * its lower-(degree, id) endpoint to the higher, enumerate wedges only
+    * at each edge's SOURCE, and close them against the canonical edge set.
+    *
+    * Why orientation is the 100 TB move: a naive wedge enumeration emits
+    * deg(v)² pairs at every vertex — a single celebrity vertex with 10M
+    * neighbors emits 10¹⁴ wedges. Orienting by degree bounds every
+    * out-degree by O(√(2m)) (a vertex only points at HIGHER-degree
+    * neighbors, and there can be at most √(2m) vertices of degree ≥ √(2m)),
+    * so the total wedge volume is Σ out-deg² ≤ O(m^1.5) with NO hot vertex:
+    * the hub's pairs are enumerated by its (many, low-degree) spokes, one
+    * wedge each. Every triangle {a≺b≺c} is counted exactly once — as the
+    * wedge (a→b, a→c) closed by b→c.
+    *
+    * `edges` must be canonical undirected simple edges: columns `u`, `v`
+    * with `u < v`, distinct. Returns one row:
+    * (n_edges, n_wedges, n_triangles). Three keyed shuffles (degree agg,
+    * orientation join, wedge self-join) + one closing equi-join — every key
+    * is a vertex id, so input skew is handled by the orientation itself.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("vtx"))
+      .unionAll(edges.select(col("v").as("vtx")))
+      .groupBy(col("vtx")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("vtx").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("vtx").as("v"), col("deg").as("dv")), "v")
+    val uFirst = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("d"))
+    // wedge pairs at each source, canonicalized by id so they line up with
+    // the canonical (u < v) edge set regardless of the closing edge's
+    // degree orientation
+    val wedges = oriented.select(col("s"), col("d").as("x"))
+      .join(oriented.select(col("s"), col("d").as("y")), "s")
+      .filter(col("x") < col("y"))
+      .select(least(col("x"), col("y")).as("d1"),
+        greatest(col("x"), col("y")).as("d2"))
+    val closing = edges.select(col("u").as("d1"), col("v").as("d2"),
+      lit(1).as("hit"))
+    wedges.join(closing, Seq("d1", "d2"), "left_outer")
+      .agg(count(lit(1)).as("n_wedges"), count(col("hit")).as("n_triangles"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
+  }
+
+  /** Degree histogram of an undirected edge list: how many vertices have
+    * each degree — the one-pass shape/health report of any large graph
+    * (power-law check, hub detection). Two keyed aggs, both map-side
+    * combinable. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("vtx"))
+      .unionAll(edges.select(col("v").as("vtx")))
+      .groupBy(col("vtx")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+
+  /** PageRank in EXACT INTEGER arithmetic (damping 0.85 = 17/20), `iters`
+    * unrolled iterations over an undirected edge list. Scores start at
+    * `scale` per vertex and every step is integer-only:
+    * pr' = 3·scale/20 + (17 · Σ_incoming (pr div deg)) div 20 — BIGINT
+    * division truncates identically on every engine, so the final scores
+    * are bit-exact and ORACLE-CHECKABLE, which float PageRank never is
+    * (per-vertex float sums are association-order-dependent). Ranking
+    * behavior matches float PageRank to ~1/scale relative error.
+    *
+    * Dataflow per iteration: one equi-join (contributions flow src→dst)
+    * and one hash-agg — both keyed on vertex id, partial-aggregated map
+    * side. The driver only builds the (iters-deep) plan; no per-vertex
+    * driver state. At web scale pick `scale` so |V|·scale·17 < 2⁶³ (the
+    * sum bound) — or shard the rank column into hi/lo longs. */
+  def integerPageRank(edges: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(scale % 20 == 0, "scale must be divisible by 20 for an exact base term")
+    val adj = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src").as("vtx")).agg(count(lit(1)).as("deg"))
+    val base = lit(scale / 20 * 3)
+    var pr = deg.select(col("vtx"), lit(scale).as("pr"), col("deg"))
+    (1 to iters).foreach { _ =>
+      val contrib = adj.join(pr, adj("src") === pr("vtx"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+      pr = contrib.groupBy(col("dst").as("vtx")).agg(sum(col("c")).as("s"))
+        .select(col("vtx"), (base + expr("(17 * s) div 20")).as("pr"))
+        .join(deg, "vtx")
+    }
+    pr.select(col("vtx"), col("pr"))
+  }
+}

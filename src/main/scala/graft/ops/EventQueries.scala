@@ -347,7 +347,119 @@ object EventQueries {
         coalesce($"n_events", lit(0L)).as("n_events"))
   }
 
+  /** Exponentially-weighted moving average over each user's last 6 event
+    * values — the time-series smoothing feature of an anomaly/trend
+    * pipeline, formulated for EXACT cross-engine equality: the decay is
+    * dyadic (weights 32,16,8,4,2,1 = 2^(5-k) for lag k), values ride as
+    * integer cents, so numerator and denominator are exact BIGINT sums and
+    * the only float op is ONE correctly-rounded final division. A float
+    * `pow(alpha,k)` recursion would drift in the last ulp across engines;
+    * integer dyadic weights cannot. One window pass over one (user, time)
+    * sort — at 100 TB this is a single exchange, same spec as every other
+    * per-user feature (the W1/W2 shared-window lesson). */
+  def dyadicEwma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = Tables.events(spark, dir).withColumn("cents",
+      coalesce(($"value".cast("decimal(14,2)") * lit(100)).cast("long"), lit(0L)))
+    val terms = (0 to 5).map { k =>
+      val w = 1L << (5 - k)
+      val v = if (k == 0) $"cents" else lag($"cents", k).over(byUser)
+      (when(v.isNotNull, v * lit(w)).otherwise(lit(0L)),
+        when(v.isNotNull, lit(w)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    ev.select($"event_id", $"user_id",
+      (num.cast("double") / den.cast("double")).as("ewma"))
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent PRECEDING non-purchase event (type + time). The ignore-nulls
+    * `last` over an unbounded-preceding frame is the classic attribution
+    * scan — one pass over the same (user, time) window spec as the other
+    * per-user features, so at scale it shares their single exchange+sort.
+    * No self-join, no per-purchase lookback query. */
+  def lastTouch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("touch_type",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(w))
+      .withColumn("touch_ts",
+        last(when($"event_type" =!= "purchase", $"ts"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".as("purchase_ts"),
+        $"touch_type", $"touch_ts")
+  }
+
+  /** STREAM-STATIC join as a gate query — the fifth streaming operator
+    * class at the gate (stateless per-batch enrichment, vs q81's window
+    * state, q90's join state, q92's custom session state, q103's dedup
+    * state). Each streamed event is enriched with a STATIC per-user
+    * dimension (first-seen timestamp, computed batch-side) and derives the
+    * user's age-in-days at event time — integer microsecond `div`
+    * arithmetic, no float date math. A stream-static inner join keeps NO
+    * state: every micro-batch joins against the (re-broadcast) static
+    * side, which is exactly how a dimension enrichment deploys at scale.
+    * Age is truncating division on non-negative deltas, floor in both
+    * engines. */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(min($"ts").as("first_ts"))
+    graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
+      ev => Tables.rebuildNanosTs(ev)
+        .join(broadcast(firstSeen), "user_id")
+        .select($"event_id", $"user_id",
+          expr("(unix_micros(ts) - unix_micros(first_ts)) div 86400000000")
+            .cast("int").as("age_days")),
+      name = "q122_stream_static_sink",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** INTERVAL-OVERLAP self-join: per session, how many OTHER users had a
+    * session open at the same time (concurrency / co-presence analysis).
+    * This is the interval×interval join class — distinct from q46's
+    * point-in-range — and the naive formulation is an O(n²) theta-join.
+    * The scale shape: explode each interval onto the hour grid it touches
+    * and EQUI-join on the grid cell, then filter to true overlaps and
+    * dedup pairs — candidate cost tracks (intervals × avg span) + true
+    * overlap volume, never n². Grid cells are time buckets: uniformly
+    * distributed, no hot key (a pathological span-everything interval
+    * would be cross-bucket salted in production; sessions are gap-bounded
+    * so spans are short here). The oracle is DuckDB's IEJoin over the
+    * same q18 session CTEs — same answer, different join algorithm. */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = sessionize(spark, dir)
+      .select($"user_id", $"session_id",
+        $"session_start".as("st"), $"session_end".as("en"))
+    val b = s.select($"user_id", $"session_id", $"st", $"en",
+      explode(sequence(date_trunc("hour", $"st"), date_trunc("hour", $"en"),
+        expr("interval 1 hour"))).as("hb"))
+    val l = b.select($"hb", $"user_id".as("u1"), $"session_id".as("s1"),
+      $"st".as("st1"), $"en".as("en1"))
+    val r = b.select($"hb", $"user_id".as("u2"), $"session_id".as("s2"),
+      $"st".as("st2"), $"en".as("en2"))
+    val pairs = l.join(r, "hb")
+      .filter($"u1" =!= $"u2" && $"st1" <= $"en2" && $"st2" <= $"en1")
+      .select($"u1", $"s1", $"u2", $"s2").distinct()
+    val counts = pairs
+      .groupBy($"u1".as("user_id"), $"s1".as("session_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    s.join(counts, Seq("user_id", "session_id"), "left_outer")
+      .select($"user_id", $"session_id",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_session_overlap" -> (sessionOverlap _),
+    "q122_stream_static_enrich" -> (streamStaticEnrich _),
+    "q123_dyadic_ewma" -> (dyadicEwma _),
+    "q124_last_touch" -> (lastTouch _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -363,6 +475,80 @@ object EventQueries {
     "q103_streaming_dedup" -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q132_session_overlap" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged
+        |), agg AS (
+        |  SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+        |  FROM sess GROUP BY user_id, session_id
+        |), ov AS (
+        |  SELECT a.user_id, a.session_id, count(*) AS n
+        |  FROM agg a JOIN agg b
+        |    ON a.user_id <> b.user_id AND a.st <= b.en AND b.st <= a.en
+        |  GROUP BY a.user_id, a.session_id
+        |)
+        |SELECT a.user_id, a.session_id,
+        |  CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap
+        |FROM agg a LEFT JOIN ov
+        |  ON ov.user_id = a.user_id AND ov.session_id = a.session_id""".stripMargin,
+    // q122 = streaming enrichment against a static dim; the batch twin is
+    // the plain join — equality IS what the stream-static gate proves.
+    "q122_stream_static_enrich" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  CAST((epoch_us(e.ts) - epoch_us(f.first_ts)) // 86400000000
+        |    AS INTEGER) AS age_days
+        |FROM events e JOIN f ON e.user_id = f.user_id""".stripMargin,
+    // exact dyadic EWMA: BIGINT cents × power-of-two weights, one final
+    // correctly-rounded double division — the identical op tree as Spark
+    "q123_dyadic_ewma" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    coalesce(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT), 0) AS cents
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(32 * cents
+        |     + coalesce(16 * lag(cents, 1) OVER w, 0)
+        |     + coalesce(8 * lag(cents, 2) OVER w, 0)
+        |     + coalesce(4 * lag(cents, 3) OVER w, 0)
+        |     + coalesce(2 * lag(cents, 4) OVER w, 0)
+        |     + coalesce(1 * lag(cents, 5) OVER w, 0) AS DOUBLE)
+        |  / CAST(32
+        |     + CASE WHEN lag(cents, 1) OVER w IS NULL THEN 0 ELSE 16 END
+        |     + CASE WHEN lag(cents, 2) OVER w IS NULL THEN 0 ELSE 8 END
+        |     + CASE WHEN lag(cents, 3) OVER w IS NULL THEN 0 ELSE 4 END
+        |     + CASE WHEN lag(cents, 4) OVER w IS NULL THEN 0 ELSE 2 END
+        |     + CASE WHEN lag(cents, 5) OVER w IS NULL THEN 0 ELSE 1 END
+        |    AS DOUBLE) AS ewma
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q124_last_touch" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS) OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+        |        IGNORE NULLS) OVER w AS touch_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts AS purchase_ts, touch_type, touch_ts
+        |FROM t WHERE event_type = 'purchase'""".stripMargin,
     "q120_gap_fill" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS hs, event_type, count(*) AS n

@@ -786,9 +786,82 @@ object ExtendedQueries {
     Seq((m, mad)).toDF("median_chars", "mad_chars")
   }
 
+  /** Per-group feature normalization (min-max + z-score) — the feature-
+    * engineering pass before any model consumes tabular columns, formulated
+    * on the EXACT-MOMENTS BRIDGE: per-brand count/sum/sum-of-squares are
+    * computed over integer cents (BIGINT, exact), and the float pipeline
+    * mean → variance → sqrt → scale runs the IDENTICAL correctly-rounded
+    * op tree in both engines, so even the z-scores hash-match. One
+    * whole-partition window spec serves all five moments (single exchange,
+    * no sort — the frame is the entire group). Both scores are
+    * scale-invariant, so cents vs dollars cancels. Degenerate groups
+    * (zero variance / constant value) pin to 0.5 / 0.0 rather than
+    * dividing by zero; the identical-tree variance is branch-identical
+    * across engines. At 100 TB sum(c²) wants the decimal headroom of the
+    * A1 rule (2^63 caps ~4·10⁸ rows of max-priced cents²); the gate keeps
+    * BIGINT to stay term-for-term mirrorable. */
+  def featureScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand")
+    val base = Tables.part(spark, dir).select($"p_partkey", $"p_brand",
+      ($"p_retailprice".cast("decimal(14,2)") * 100).cast("long").as("c"))
+    val m = $"s".cast("double") / $"n".cast("double")
+    val varr = $"ss".cast("double") / $"n".cast("double") - m * m
+    val sd = sqrt(varr)
+    base
+      .withColumn("mn", min($"c").over(w))
+      .withColumn("mx", max($"c").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum($"c").over(w))
+      .withColumn("ss", sum($"c" * $"c").over(w))
+      .select($"p_partkey", $"p_brand",
+        when($"mx" === $"mn", lit(0.5))
+          .otherwise(($"c" - $"mn").cast("double")
+            / ($"mx" - $"mn").cast("double")).as("minmax"),
+        when(varr <= 0.0, lit(0.0))
+          .otherwise(($"c".cast("double") - m) / sd).as("zscore"))
+  }
+
+  /** 2-D SKYLINE (Pareto frontier): the parts no other part beats on BOTH
+    * price (minimize) and size (maximize) — the multi-objective selection
+    * operator of data-curation tradeoffs (quality vs length, score vs
+    * cost). The naive test is an O(n²) NOT EXISTS; the scale formulation
+    * exploits that a skyline is DISTRIBUTIVE (skyline of a union =
+    * skyline of the skylines): phase 1 computes per-price-band local
+    * skylines with a PARTITIONED two-frame window (parallel everywhere,
+    * and any point dominated inside its band is dominated globally —
+    * dominance is transitive, so survivors are a superset of the true
+    * skyline); phase 2 re-runs the same two frames globally over the tiny
+    * survivor set. Dominance-by-cheaper uses a RANGE frame ending at
+    * 1-preceding on integer cents (strictly cheaper), dominance-by-peer a
+    * frame ending at current (price ties, strictly larger size) —
+    * duplicates of a frontier point all survive (neither strictly
+    * dominates). Null guards: the first row's empty frame yields null
+    * maxes = not dominated. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.part(spark, dir).select($"p_partkey",
+      ($"p_retailprice".cast("decimal(14,2)") * 100).cast("long").as("price_cents"),
+      $"p_size")
+    def survivors(df: DataFrame, partCols: Seq[Column]): DataFrame = {
+      val base = Window.partitionBy(partCols: _*).orderBy(col("price_cents"))
+      val ltFrame = base.rangeBetween(Window.unboundedPreceding, -1)
+      val leFrame = base.rangeBetween(Window.unboundedPreceding, 0)
+      df.withColumn("m_lt", max(col("p_size")).over(ltFrame))
+        .withColumn("m_le", max(col("p_size")).over(leFrame))
+        .filter(!coalesce(col("m_lt") >= col("p_size"), lit(false)) &&
+          !coalesce(col("m_le") > col("p_size"), lit(false)))
+        .drop("m_lt", "m_le")
+    }
+    val local = survivors(pts, Seq(expr("price_cents div 10000")))
+    survivors(local, Seq.empty)
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_skyline" -> (skyline _),
+    "q129_feature_scale" -> (featureScale _),
     "q115_hll_rollup" -> (hllRollup _),
     "q121_mad" -> (madStats _),
     "q109_zorder_layout" -> (zorderLayout _),
@@ -835,6 +908,50 @@ object ExtendedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // the oracle states skyline SEMANTICS directly (NOT EXISTS dominance);
+    // the engine's banded two-phase window formulation must agree exactly
+    "q133_skyline" ->
+      """WITH c AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    p_size
+        |  FROM part
+        |)
+        |SELECT p.p_partkey, p.price_cents, p.p_size
+        |FROM c p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c q
+        |  WHERE (q.price_cents < p.price_cents AND q.p_size >= p.p_size)
+        |     OR (q.price_cents <= p.price_cents AND q.p_size > p.p_size))""".stripMargin,
+    // exact-moments bridge: BIGINT cents moments (DuckDB window sums
+    // promote to HUGEINT — pinned back), then the identical double op tree
+    "q129_feature_scale" ->
+      """WITH c AS (
+        |  SELECT p_partkey, p_brand,
+        |    CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+        |  FROM part
+        |), m AS (
+        |  SELECT p_partkey, p_brand, c,
+        |    min(c) OVER w AS mn, max(c) OVER w AS mx,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(c) OVER w AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER w AS BIGINT) AS ss
+        |  FROM c WINDOW w AS (PARTITION BY p_brand)
+        |)
+        |SELECT p_partkey, p_brand,
+        |  CASE WHEN mx = mn THEN 0.5
+        |       ELSE CAST(c - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END
+        |    AS minmax,
+        |  CASE WHEN CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) <= 0.0 THEN 0.0
+        |       ELSE (CAST(c AS DOUBLE)
+        |          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) END AS zscore
+        |FROM m""".stripMargin,
     // q115's output is the exact twins only (sketch estimates are
     // engine-specific and are gated in-query by raise_error, the q64
     // contract) — so the oracle is plain exact distincts.

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph-analytics gate queries over the part co-occurrence graph: two
+  * parts are connected iff some order contains both (the classic
+  * market-basket projection). Edge building is itself a scale exercise —
+  * the per-order pair explosion is bounded by orders' line counts (TPC-H
+  * ≤ 7 lines/order ⇒ ≤ 21 pairs), never by part popularity.
+  */
+object GraphQueries {
+
+  /** Canonical co-occurrence edges (u < v, distinct) from lineitem. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    items.select($"o", $"p".as("u"))
+      .join(items.select($"o", $"p".as("v")), "o")
+      .filter($"u" < $"v")
+      .select($"u", $"v").distinct()
+  }
+
+  /** Exact triangle census of the co-purchase graph
+    * ([[graft.operators.Graph.triangleCount]] — degree-ordered wedge
+    * enumeration; see its doc for the O(m^1.5), hot-vertex-proof bound).
+    * The oracle replays the identical orientation in SQL, so n_wedges (an
+    * orientation-dependent intermediate) is checked too, not just the
+    * orientation-invariant triangle count. */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCount(coPurchaseEdges(spark, dir))
+
+  /** Degree histogram of the same graph — the power-law / hub-shape report
+    * (and the statistic that justifies q125's orientation bound). */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.degreeHistogram(coPurchaseEdges(spark, dir))
+
+  /** Integer-exact PageRank, 3 iterations
+    * ([[graft.operators.Graph.integerPageRank]] — see its doc for why
+    * integer damping is the only oracle-checkable formulation). The oracle
+    * unrolls the same three iterations as chained CTEs with `//` floor
+    * division; DuckDB's HUGEINT window sums are pinned back to BIGINT. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.integerPageRank(coPurchaseEdges(spark, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_triangle_count" -> (triangles _),
+    "q126_degree_histogram" -> (degreeHist _),
+    "q130_pagerank" -> (pagerank _))
+
+  private val edgesSql =
+    """i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q125_triangle_count" ->
+      s"""WITH $edgesSql,
+         |d AS (
+         |  SELECT vtx, count(*) AS deg
+         |  FROM (SELECT u AS vtx FROM e UNION ALL SELECT v AS vtx FROM e)
+         |  GROUP BY vtx
+         |), o AS (
+         |  SELECT
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |         THEN e.u ELSE e.v END AS s,
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |         THEN e.v ELSE e.u END AS d
+         |  FROM e JOIN d du ON du.vtx = e.u JOIN d dv ON dv.vtx = e.v
+         |), w AS (
+         |  SELECT least(a.d, b.d) AS d1, greatest(a.d, b.d) AS d2
+         |  FROM o a JOIN o b ON a.s = b.s AND a.d < b.d
+         |)
+         |SELECT (SELECT count(*) FROM e) AS n_edges,
+         |       (SELECT count(*) FROM w) AS n_wedges,
+         |       (SELECT count(*) FROM w JOIN e ON e.u = w.d1 AND e.v = w.d2)
+         |         AS n_triangles""".stripMargin,
+    "q126_degree_histogram" ->
+      s"""WITH $edgesSql,
+         |d AS (
+         |  SELECT vtx, count(*) AS deg
+         |  FROM (SELECT u AS vtx FROM e UNION ALL SELECT v AS vtx FROM e)
+         |  GROUP BY vtx
+         |)
+         |SELECT deg, count(*) AS n_vertices FROM d GROUP BY deg""".stripMargin,
+    "q130_pagerank" ->
+      s"""WITH $edgesSql,
+         |adj AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v AS src, u AS dst FROM e
+         |),
+         |d AS (SELECT src AS vtx, count(*) AS deg FROM adj GROUP BY src),
+         |p0 AS (SELECT vtx, CAST(1000000000000 AS BIGINT) AS pr, deg FROM d),
+         |s1 AS (
+         |  SELECT a.dst AS vtx, CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+         |  FROM adj a JOIN p0 p ON p.vtx = a.src GROUP BY a.dst
+         |),
+         |p1 AS (
+         |  SELECT s1.vtx, CAST(150000000000 + (17 * s1.s) // 20 AS BIGINT) AS pr, d.deg
+         |  FROM s1 JOIN d ON d.vtx = s1.vtx
+         |),
+         |s2 AS (
+         |  SELECT a.dst AS vtx, CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+         |  FROM adj a JOIN p1 p ON p.vtx = a.src GROUP BY a.dst
+         |),
+         |p2 AS (
+         |  SELECT s2.vtx, CAST(150000000000 + (17 * s2.s) // 20 AS BIGINT) AS pr, d.deg
+         |  FROM s2 JOIN d ON d.vtx = s2.vtx
+         |),
+         |s3 AS (
+         |  SELECT a.dst AS vtx, CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+         |  FROM adj a JOIN p2 p ON p.vtx = a.src GROUP BY a.dst
+         |)
+         |SELECT s3.vtx, CAST(150000000000 + (17 * s3.s) // 20 AS BIGINT) AS pr
+         |FROM s3""".stripMargin)
+}

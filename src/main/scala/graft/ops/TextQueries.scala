@@ -238,7 +238,79 @@ object TextQueries {
       .groupBy($"doc_id").agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** PII redaction — the privacy-scrub stage every production corpus needs:
+    * detect + mask emails and IPv4 addresses, reporting hit counts and a
+    * digest of the redacted text. The test corpus is synthetic word salad
+    * with no natural PII, so a deterministic contact line is DERIVED from
+    * doc_id in-query (identically in the oracle) — what's under test is the
+    * redaction machinery itself: RE2-safe character-class patterns (no
+    * lookarounds/backrefs, so Java regex and RE2 agree), count-then-replace
+    * over one embarrassingly-parallel scan. In production the patterns
+    * arrive as a broadcast list folded into the same regexp_replace chain. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val contact = concat($"text", lit(" contact doc"), $"doc_id".cast("string"),
+      lit("@crawl.example from 10."), ($"doc_id" % 256).cast("string"),
+      lit("."), ($"doc_id" % 100).cast("string"), lit(".7"))
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val redacted = regexp_replace(
+      regexp_replace(contact, emailPat, "<EMAIL>"), ipPat, "<IP>")
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(regexp_extract_all(contact, lit(emailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(contact, lit(ipPat), lit(0))).as("n_ips"),
+      length(redacted).as("redacted_len"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Inverted-index build: token → document frequency + the head of its
+    * posting list (5 smallest doc ids). The scale problem is posting-list
+    * SKEW — a stopword's postings are the whole corpus, so
+    * `collect_list(doc_id)` buffers unboundedly on the hottest keys
+    * exactly where it hurts most. The k-bounded TopK heap aggregate solves
+    * it: partial states are ≤ k entries REGARDLESS of df, so the shuffle
+    * carries k·partitions rows per term and the stopword term costs the
+    * same as a rare one (full posting lists would go to a partitioned sink
+    * keyed the same way, never through one agg buffer). Score = −doc_id:
+    * heap keeps the k smallest ids, ids < 2^53 are exact doubles. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.TopK.scoredTopK(
+          -$"doc_id".cast("double"), $"doc_id", 5).as("top"))
+      .filter($"df" >= 10)
+      .select($"tok", $"df",
+        concat_ws(",",
+          transform($"top", e => e.getField("cand_id").cast("string")))
+          .as("postings_head"))
+  }
+
+  /** Vocabulary diversity per source via the Gini–Simpson index
+    * 1 − Σ(c/n)² — the "is this source repetitive boilerplate" corpus
+    * signal. Chosen over Shannon entropy DELIBERATELY: entropy needs a
+    * per-term `ln` whose last-ulp varies by libm AND an
+    * association-order-dependent float sum, while Simpson's Σc² is an
+    * exact BIGINT aggregate with ONE float division at the end —
+    * hash-exact at any scale. Two map-side-combinable hash aggs. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"source").agg(sum($"c" * $"c").as("ssq"), sum($"c").as("n"))
+      .select($"source", $"n",
+        (lit(1.0) - $"ssq".cast("double")
+          / ($"n".cast("double") * $"n".cast("double"))).as("simpson"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_simpson_diversity" -> (simpsonDiversity _),
+    "q127_pii_redaction" -> (piiRedact _),
+    "q128_inverted_index" -> (invertedIndex _),
     "q113_heavy_hitters" -> (heavyHitters _),
     "q116_phrase_search" -> (phraseSearch _),
     "q107_chunking" -> (chunkDocs _),
@@ -258,6 +330,57 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q131_simpson_diversity" ->
+      s"""WITH tf AS (
+         |  SELECT source, t AS tok, count(*) AS c
+         |  FROM (SELECT source, unnest($toksSql) AS t FROM documents)
+         |  GROUP BY source, t
+         |), a AS (
+         |  SELECT source, CAST(sum(c * c) AS BIGINT) AS ssq,
+         |         CAST(sum(c) AS BIGINT) AS n
+         |  FROM tf GROUP BY source
+         |)
+         |SELECT source, n,
+         |  CAST(1.0 AS DOUBLE) - CAST(ssq AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS simpson
+         |FROM a""".stripMargin,
+    // same derived contact line, same RE2-safe patterns; DuckDB needs the
+    // 'g' flag for global replace and BIGINT len() pinned to INTEGER
+    "q127_pii_redaction" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact doc' || CAST(doc_id AS VARCHAR)
+        |         || '@crawl.example from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |         || '.' || CAST(doc_id % 100 AS VARCHAR) || '.7' AS contact
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, contact,
+        |    regexp_replace(
+        |      regexp_replace(contact,
+        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<IP>', 'g') AS redacted
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS INTEGER) AS n_ips,
+        |  CAST(length(redacted) AS INTEGER) AS redacted_len,
+        |  md5(redacted) AS redacted_md5
+        |FROM r""".stripMargin,
+    "q128_inverted_index" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |  FROM documents
+         |)
+         |SELECT tok, count(*) AS df,
+         |  array_to_string(
+         |    list_transform(list_sort(list(doc_id))[1:5],
+         |                   x -> CAST(x AS VARCHAR)), ',') AS postings_head
+         |FROM p GROUP BY tok HAVING count(*) >= 10""".stripMargin,
     "q113_heavy_hitters" ->
       s"""WITH tk AS (
          |  SELECT unnest($toksSql) AS tok FROM documents
