@@ -58,7 +58,13 @@ object Graph {
         greatest(col("x"), col("y")).as("d2"))
     val closing = edges.select(col("u").as("d1"), col("v").as("d2"),
       lit(1).as("hit"))
-    wedges.join(closing, Seq("d1", "d2"), "left_outer")
+    // SHUFFLE_HASH on the edge side: the probe stream is the wedge volume
+    // (O(m^1.5)) — a sort-merge join would SORT it, and sorting the wedge
+    // stream costs more than the rest of the query; hashing the m-sized
+    // edge side per partition is the plan that scales (build side is
+    // edges/shuffle-partitions per task, the knob that grows with the
+    // cluster)
+    wedges.join(closing.hint("shuffle_hash"), Seq("d1", "d2"), "left_outer")
       .agg(count(lit(1)).as("n_wedges"), count(col("hit")).as("n_triangles"))
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"))

@@ -455,7 +455,63 @@ object EventQueries {
         coalesce($"n_overlap", lit(0L)).as("n_overlap"))
   }
 
+  /** Click-path mining: the top 20 event-type TRIGRAMS inside sessions —
+    * the "what do users do next" path analysis behind funnel design. No
+    * per-session list collection: the trigram is two `lead`s over the
+    * session-partitioned window, so state is O(1) per row and the whole
+    * operator is one sort + one hash-agg regardless of session length
+    * (a collect_list formulation would buffer whole sessions — the
+    * hottest session becomes the biggest buffer exactly where it hurts).
+    * Fully tie-broken top-20 (count desc, then the trigram itself). */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(byUser)
+    val isNew = when(gapUs.isNull || gapUs > lit(1800000000L), 1L).otherwise(0L)
+    val bySess = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("is_new", isNew)
+      .withColumn("session_id",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"event_type".as("t1"),
+        lead($"event_type", 1).over(bySess).as("t2"),
+        lead($"event_type", 2).over(bySess).as("t3"))
+      .filter($"t2".isNotNull && $"t3".isNotNull)
+      .groupBy($"t1", $"t2", $"t3").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"t1", $"t2", $"t3").limit(20)
+  }
+
+  /** Time-weighted average (TWAP): each value holds until the user's next
+    * event, so its weight is that duration — the standard
+    * irregular-sampling average of finance/telemetry. Exactness: weights
+    * are integer MICROSECONDS, values integer cents, so Σ(cents·µs) and
+    * Σµs are exact BIGINT aggregates and the one float op is the final
+    * correctly-rounded division (zero-duration users — all events on one
+    * timestamp — yield NULL in both engines rather than 0/0). At corpus
+    * scale the product wants decimal(38) headroom (cents·µs·rows can pass
+    * 2⁶³); BIGINT is exact at gate scale and keeps the oracle
+    * term-for-term. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("cents",
+        coalesce(($"value".cast("decimal(14,2)") * lit(100)).cast("long"), lit(0L)))
+      .withColumn("dur",
+        lead(unix_micros($"ts"), 1).over(byUser) - unix_micros($"ts"))
+      .filter($"dur".isNotNull)
+      .groupBy($"user_id")
+      .agg(sum($"cents" * $"dur").as("wsum"), sum($"dur").as("tsum"))
+      .select($"user_id",
+        when($"tsum" === 0L, lit(null).cast("double"))
+          .otherwise($"wsum".cast("double") / $"tsum".cast("double"))
+          .as("twap_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_path_trigrams" -> (pathTrigrams _),
+    "q135_twap" -> (twap _),
     "q132_session_overlap" -> (sessionOverlap _),
     "q122_stream_static_enrich" -> (streamStaticEnrich _),
     "q123_dyadic_ewma" -> (dyadicEwma _),
@@ -475,6 +531,50 @@ object EventQueries {
     "q103_streaming_dedup" -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q134_path_trigrams" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), tri AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w2 AS t2,
+        |    lead(event_type, 2) OVER w2 AS t3
+        |  FROM sess
+        |  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+        |)
+        |SELECT t1, t2, t3, count(*) AS n
+        |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    "q135_twap" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    coalesce(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT), 0) AS cents
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - epoch_us(ts) AS dur
+        |  FROM c
+        |), a AS (
+        |  SELECT user_id,
+        |    CAST(sum(cents * dur) AS BIGINT) AS wsum,
+        |    CAST(sum(dur) AS BIGINT) AS tsum
+        |  FROM d WHERE dur IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |  CASE WHEN tsum = 0 THEN NULL
+        |       ELSE CAST(wsum AS DOUBLE) / CAST(tsum AS DOUBLE) END AS twap_cents
+        |FROM a""".stripMargin,
     "q132_session_overlap" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

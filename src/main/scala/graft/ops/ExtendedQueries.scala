@@ -857,9 +857,35 @@ object ExtendedQueries {
     survivors(local, Seq.empty)
   }
 
+  /** GROUPED sketch gate — q64's contract extended to per-group sketches:
+    * `approx_percentile` (KLL-style quantile sketch, the 100 TB median
+    * path whose state is O(accuracy), not O(n)) runs per returnflag next
+    * to its exact twin in ONE aggregate pass, and any group whose sketch
+    * strays beyond 0.5% relative error `raise_error`-aborts the query.
+    * The OUTPUT is the exact twins only (sketch numbers are
+    * engine-specific); exactness of the twin rides on integral cents —
+    * the exact median is k or k+0.5 and DuckDB's quantile_cont
+    * interpolates with the same correctly-rounded arithmetic. */
+  def groupedSketchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_returnflag",
+      ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("c"))
+    li.groupBy($"l_returnflag")
+      .agg(expr("percentile(c, 0.5)").as("median_cents"),
+        percentile_approx($"c", lit(0.5), lit(10000)).as("approx"))
+      .withColumn("rel_err",
+        abs($"approx".cast("double") - $"median_cents") / $"median_cents")
+      .select($"l_returnflag", $"median_cents",
+        when($"rel_err" <= 0.005, lit(true))
+          .otherwise(raise_error(concat(
+            lit("q137 grouped quantile sketch out of bounds: "), $"rel_err")))
+          .as("bounds_ok"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_grouped_sketch_gate" -> (groupedSketchGate _),
     "q133_skyline" -> (skyline _),
     "q129_feature_scale" -> (featureScale _),
     "q115_hll_rollup" -> (hllRollup _),
@@ -908,6 +934,14 @@ object ExtendedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // exact twins only; the sketch is gated in-query (q64/q115 contract)
+    "q137_grouped_sketch_gate" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT),
+        |    0.5) AS median_cents,
+        |  true AS bounds_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // the oracle states skyline SEMANTICS directly (NOT EXISTS dominance);
     // the engine's banded two-phase window formulation must agree exactly
     "q133_skyline" ->

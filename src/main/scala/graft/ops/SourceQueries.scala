@@ -57,9 +57,34 @@ object SourceQueries {
         countDistinct(md5($"text")).as("n_uniq_texts"))
   }
 
+  /** Hive-partitioned parquet sink → PRUNED source round trip: documents
+    * land partitioned by `lang` (writePartitionedParquet: one directory
+    * per value, the lakehouse layout), and the read-back filters two
+    * languages — a filter the v2 file source satisfies by LISTING only
+    * those two directories (partition pruning; never opens the rest, the
+    * property that makes partition columns the first-order I/O lever at
+    * 100 TB — SourcesSpec asserts the pruned plan, this gate proves the
+    * data that flows through it is intact). The oracle filters the
+    * original table: equality = lossless layout + correct pruning. */
+  def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft_q136_")
+      .resolve("docs_bylang").toString
+    Sources.writePartitionedParquet(docs, out, Seq("lang"))
+    Sources.readParquet(spark, out)
+      .filter($"lang".isin("en", "fr"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct(md5($"text")).as("n_uniq_texts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_jsonl_roundtrip" -> (jsonlRoundtrip _),
-    "q119_csv_roundtrip" -> (csvRoundtrip _))
+    "q119_csv_roundtrip" -> (csvRoundtrip _),
+    "q136_partitioned_roundtrip" -> (partitionedRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     // The oracle reads the ORIGINAL parquet — equality proves the JSONL
@@ -75,5 +100,11 @@ object SourceQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
         |  count(DISTINCT md5(text)) AS n_uniq_texts
-        |FROM documents GROUP BY source, lang""".stripMargin)
+        |FROM documents GROUP BY source, lang""".stripMargin,
+    "q136_partitioned_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT md5(text)) AS n_uniq_texts
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY source, lang""".stripMargin)
 }
