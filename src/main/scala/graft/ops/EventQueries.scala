@@ -509,7 +509,70 @@ object EventQueries {
           .as("twap_cents"))
   }
 
+  /** Declarative SESSION WINDOWS via Spark's `session_window(ts, gap)` —
+    * the one-expression form of what q18 builds from gap-flag + cumsum
+    * CTEs (and the same expression `readStream` executes with merging
+    * session state). Gate parity against the CTE formulation proves the
+    * built-in's semantics: window.start = first event, window.end = last
+    * event + gap. Money rides the exact decimal bridge as everywhere. */
+  def sessionWindowFn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end_gap"), $"n_events", $"total_value")
+  }
+
+  /** Streaming foreachBatch sink gate: the stream lands as per-micro-batch
+    * parquet subdirectories (`batch_id=N`, the idempotent exactly-once-to-
+    * storage layout — a replayed batch overwrites itself), then the landed
+    * files are read back THROUGH the partition-discovery layer and
+    * re-aggregated. Oracle equality proves the sink wrote exactly the
+    * input — no duplicate, no loss — and that the batch_id partitioning
+    * round-trips. The aggregation is q19's hourly rollup, so any
+    * dropped/duplicated event flips a count. */
+  def streamingForeachSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = java.nio.file.Files.createTempDirectory("graft_q140_")
+      .resolve("landed").toString
+    graft.streaming.Streaming.runForeachBatch(spark, s"$dir/events.parquet", out,
+      ev => Tables.rebuildNanosTs(ev), name = "q140_foreach_sink")
+    spark.read.parquet(out)
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(14,2)")).cast("double").as("total_value"))
+  }
+
+  /** FORWARD as-of join — "next error at-or-after each click" — by running
+    * the backward as-of operator on NEGATED time: order-reversal is an
+    * involution, so one merge-join implementation serves both directions
+    * (backward asof on −t ⟺ forward asof on t, inclusive at equality).
+    * The negation is integer microseconds (exact); outputs surface the
+    * original timestamps. Same single-pass O(1)-state merge as q45. */
+  def asofNextError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", (-unix_micros($"ts")).as("tneg"), $"ts", $"event_id")
+    val errors = ev.filter($"event_type" === "error")
+      .withColumn("err_ts", $"ts")
+      .select($"user_id", (-unix_micros($"ts")).as("tneg"), $"event_id",
+        $"err_ts", $"value")
+    graft.operators.AsOf.asofJoin(clicks, errors,
+      keys = Seq("user_id"), tsCol = "tneg",
+      valueCols = Seq("err_ts", "value"), tieBreak = "event_id")
+      .select($"event_id", $"user_id", $"ts".as("click_ts"),
+        $"asof_err_ts".as("next_error_ts"),
+        $"asof_value".as("next_error_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_session_window_fn" -> (sessionWindowFn _),
+    "q140_streaming_foreach_sink" -> (streamingForeachSink _),
+    "q141_asof_forward" -> (asofNextError _),
     "q134_path_trigrams" -> (pathTrigrams _),
     "q135_twap" -> (twap _),
     "q132_session_overlap" -> (sessionOverlap _),
@@ -531,6 +594,41 @@ object EventQueries {
     "q103_streaming_dedup" -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
+    // the CTE sessionizer with window.end = last event + 30 min — the
+    // session_window() contract
+    "q138_session_window_fn" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // equality with the direct batch rollup proves the foreachBatch sink
+    // landed exactly the stream (no dup, no loss)
+    "q140_streaming_foreach_sink" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q141_asof_forward" ->
+      """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     errors AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |       e.ts AS next_error_ts, e.value AS next_error_value
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND c.ts <= e.ts""".stripMargin,
     "q134_path_trigrams" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -882,9 +882,31 @@ object ExtendedQueries {
           .as("bounds_ok"))
   }
 
+  /** Equal-height quantile binning via `ntile(10)` per group — the
+    * decile-feature / monotonic-binning transform of credit-scoring and
+    * feature pipelines. The window is PARTITIONED by returnflag, so sorts
+    * run group-parallel (a global ntile would serialize onto one task —
+    * the q94 lesson); the ordering is total (cents, orderkey, linenumber),
+    * which pins every tie so both engines assign identical bins (SQL
+    * ntile is deterministic GIVEN a total order, undefined otherwise).
+    * Per-bin stats aggregate bin membership down to 30 rows. */
+  def ntileBinning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"c", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("c"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy($"l_returnflag", $"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"c").as("min_cents"), max($"c").as("max_cents"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_ntile_binning" -> (ntileBinning _),
     "q137_grouped_sketch_gate" -> (groupedSketchGate _),
     "q133_skyline" -> (skyline _),
     "q129_feature_scale" -> (featureScale _),
@@ -934,6 +956,20 @@ object ExtendedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q139_ntile_binning" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT l_returnflag, c,
+        |    ntile(10) OVER (PARTITION BY l_returnflag
+        |      ORDER BY c, l_orderkey, l_linenumber) AS bin
+        |  FROM c
+        |)
+        |SELECT l_returnflag, CAST(bin AS INTEGER) AS bin, count(*) AS n,
+        |  min(c) AS min_cents, max(c) AS max_cents
+        |FROM b GROUP BY l_returnflag, bin""".stripMargin,
     // exact twins only; the sketch is gated in-query (q64/q115 contract)
     "q137_grouped_sketch_gate" ->
       """SELECT l_returnflag,
