@@ -93,7 +93,28 @@ object AnnQueries {
     Ann.quantizedTopK(emb, emb.filter($"vec_id" < 10), 10)
   }
 
+  /** kNN LABEL PROPAGATION — the weak-supervision / auto-labeling pass of
+    * a training-data pipeline: each query vector takes the majority label
+    * of its 10 exact nearest neighbors (q29's deterministic rank rule:
+    * 6-decimal cosine, id tie-break), vote ties broken toward the smaller
+    * label. The neighbor search is the bounded TopK aggregate; the label
+    * lookup is an id equi-join against the (pre-partitioned) corpus; the
+    * vote is a two-level hash-agg + 1-row-per-query max_by — every stage
+    * keyed and bounded, nothing grows with corpus size except the scan. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val topk = Ann.bruteForceTopK(emb, emb.filter($"vec_id" < 50), 10)
+    topk.join(emb.select($"vec_id".as("cand_id"), $"label"), "cand_id")
+      .groupBy($"query_id", $"label").agg(count(lit(1)).as("votes"))
+      .groupBy($"query_id")
+      .agg(max(struct($"votes", (-$"label").as("nl"))).as("m"))
+      .select($"query_id", (-$"m.nl").cast("int").as("predicted_label"),
+        $"m.votes".as("votes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_knn_classify" -> (knnClassify _),
     "q108_quantized_ann" -> (quantizedAnn _),
     "q97_filtered_ann" -> (filteredAnn _),
     "q29_ann_bruteforce" -> (bruteForce _),
@@ -106,6 +127,32 @@ object AnnQueries {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   val oracle: Map[String, String] = Map(
+    "q142_knn_classify" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 50
+         |), c AS (
+         |  SELECT vec_id AS cand_id, label, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT query_id, cand_id, label, ${cosSql("qv", "cv")} AS cosine
+         |  FROM c, q WHERE query_id <> cand_id
+         |), r AS (
+         |  SELECT query_id, label,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, cand_id ASC) AS rnk
+         |  FROM s
+         |), v AS (
+         |  SELECT query_id, label, count(*) AS votes
+         |  FROM r WHERE rnk <= 10 GROUP BY query_id, label
+         |), w AS (
+         |  SELECT query_id, label, votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, label ASC) AS rn
+         |  FROM v
+         |)
+         |SELECT query_id, CAST(label AS INTEGER) AS predicted_label, votes
+         |FROM w WHERE rn = 1""".stripMargin,
     "q108_quantized_ann" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

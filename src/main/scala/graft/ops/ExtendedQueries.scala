@@ -903,9 +903,59 @@ object ExtendedQueries {
         min($"c").as("min_cents"), max($"c").as("max_cents"))
   }
 
+  /** Pearson correlation per group on the EXACT-MOMENTS BRIDGE (q129's
+    * pattern extended to bivariate moments): n, Σx, Σy, Σx², Σy², Σxy as
+    * exact BIGINT aggregates over integer cents × integer size, then
+    * corr = (nΣxy − ΣxΣy) / √((nΣx²−Σx²ᵗᵉʳᵐ)(nΣy²−Σy²ᵗᵉʳᵐ)) in an
+    * identical correctly-rounded double tree — a hash-exact `corr()`,
+    * which the float streaming corr aggregate can never be.
+    * Constant-column groups (zero variance on exact INTEGER terms — no
+    * epsilon) yield NULL in both engines. Headroom: the BIGINT cross
+    * terms bound n·Σx² < 2⁶³, fine through sf0.1's 8k-row brands; at
+    * 100 TB the same sums ride decimal(38) (the A1 rule). One hash-agg
+    * pass, map-side combined. */
+  def exactCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val num = $"n" * $"sxy" - $"sx" * $"sy"
+    val dx = $"n" * $"sxx" - $"sx" * $"sx"
+    val dy = $"n" * $"syy" - $"sy" * $"sy"
+    Tables.part(spark, dir)
+      .select($"p_brand",
+        ($"p_retailprice".cast("decimal(14,2)") * 100).cast("long").as("x"),
+        $"p_size".cast("long").as("y"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"p_brand", $"n",
+        when(dx === 0L || dy === 0L, lit(null).cast("double"))
+          .otherwise(num.cast("double")
+            / sqrt(dx.cast("double") * dy.cast("double"))).as("corr"))
+  }
+
+  /** Exact MODE per group (most frequent quantity per returnflag, ties to
+    * the smaller value) as a two-level hash-agg + struct-max — the
+    * NO-WINDOW formulation: a row_number over (group, value) counts would
+    * sort every distinct value; `max(struct(n, −value))` reduces each
+    * group to one row in the partial aggregate, so the second shuffle
+    * carries one candidate per group per partition. Engines' `mode()`
+    * aggregates leave ties unspecified — this formulation pins them. */
+  def modeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_quantity".cast("int").as("qty"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"l_returnflag")
+      .agg(max(struct($"n", (-$"qty").as("nq"))).as("m"))
+      .select($"l_returnflag", (-$"m.nq").cast("int").as("mode_qty"),
+        $"m.n".as("n"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_exact_corr" -> (exactCorr _),
+    "q144_mode" -> (modeAgg _),
     "q139_ntile_binning" -> (ntileBinning _),
     "q137_grouped_sketch_gate" -> (groupedSketchGate _),
     "q133_skyline" -> (skyline _),
@@ -956,6 +1006,40 @@ object ExtendedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // bivariate exact moments: DuckDB's HUGEINT sums/products are exact,
+    // and HUGEINT→DOUBLE / BIGINT→DOUBLE are both correctly rounded IEEE
+    // conversions, so the final float tree matches term for term
+    "q143_exact_corr" ->
+      """WITH c AS (
+        |  SELECT p_brand,
+        |    CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS x,
+        |    CAST(p_size AS BIGINT) AS y
+        |  FROM part
+        |), m AS (
+        |  SELECT p_brand, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM c GROUP BY p_brand
+        |)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                 * CAST(n * syy - sy * sy AS DOUBLE)) END AS corr
+        |FROM m""".stripMargin,
+    "q144_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS qty,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, qty
+        |), r AS (
+        |  SELECT l_returnflag, qty, n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n DESC, qty ASC) AS rn
+        |  FROM c
+        |)
+        |SELECT l_returnflag, qty AS mode_qty, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1""".stripMargin,
     "q139_ntile_binning" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
