@@ -569,7 +569,48 @@ object EventQueries {
         $"asof_value".as("next_error_value"))
   }
 
+  /** Sequence-completeness audit — the ingestion health check run after
+    * every load: are all ids in [min, max] present, and how many are
+    * duplicated? The expected count is pure integer bounds arithmetic
+    * (max − min + 1) from a 1-row aggregate — NO dense spine is ever
+    * materialized, so the audit costs one scan regardless of the id
+    * range (an exploded `sequence` + anti-join would build a
+    * range-sized frame just to count absences; subtraction is free).
+    * n_missing > 0 ⇒ dropped records; n_dups > 0 ⇒ replayed ones. */
+  def sequenceAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .agg(min($"event_id").as("min_id"), max($"event_id").as("max_id"),
+        count(lit(1)).as("n_rows"),
+        countDistinct($"event_id").as("n_distinct"))
+      .select($"min_id", $"max_id", $"n_rows",
+        ($"max_id" - $"min_id" + 1L).as("n_expected"),
+        ($"max_id" - $"min_id" + 1L - $"n_distinct").as("n_missing"),
+        ($"n_rows" - $"n_distinct").as("n_dups"))
+  }
+
+  /** Schema-ENFORCED JSON parsing via `from_json` — distinct from q20's
+    * path extraction: the payload is parsed once into a typed struct
+    * against a declared schema (malformed rows → null struct, the
+    * PERMISSIVE contract), and downstream code reads typed fields, not
+    * strings. Per event type: parse success count and exact stats on the
+    * typed field. The parse is a per-row codegen'd expression — an
+    * embarrassingly parallel scan at any scale. */
+  def typedJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("p", from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count($"p.k").as("n_parsed"),
+        sum($"p.k".cast("long")).as("sum_k"),
+        min($"p.k").as("min_k"), max($"p.k").as("max_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_sequence_audit" -> (sequenceAudit _),
+    "q146_typed_json" -> (typedJson _),
     "q138_session_window_fn" -> (sessionWindowFn _),
     "q140_streaming_foreach_sink" -> (streamingForeachSink _),
     "q141_asof_forward" -> (asofNextError _),
@@ -594,6 +635,23 @@ object EventQueries {
     "q103_streaming_dedup" -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q145_sequence_audit" ->
+      """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
+        |  count(*) AS n_rows,
+        |  max(event_id) - min(event_id) + 1 AS n_expected,
+        |  max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+        |    AS n_missing,
+        |  count(*) - count(DISTINCT event_id) AS n_dups
+        |FROM events""".stripMargin,
+    "q146_typed_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS n_parsed,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     // the CTE sessionizer with window.end = last event + 30 min — the
     // session_window() contract
     "q138_session_window_fn" ->
