@@ -113,7 +113,29 @@ object AnnQueries {
         $"m.votes".as("votes"))
   }
 
+  /** MUTUAL-kNN pairs: (a, b) kept iff b is in a's top-5 AND a is in b's
+    * top-5 — the reciprocal-neighbor criterion that seeds density
+    * clustering and high-precision near-dup blocking (one-directional
+    * neighbors are noisy near cluster boundaries; mutual ones rarely
+    * are). One all-corpus top-k pass builds the directed neighbor edges;
+    * MUTUALITY is then a pure equi-join of the edge list with itself
+    * reversed — k·n edges joined on (a,b), never a rescore. The gate's
+    * exact top-k is brute force (every vector a query); at corpus scale
+    * the same mutuality join runs unchanged over IVF-produced edges
+    * (q30/q77) — the operator composes with any neighbor source. */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val directed = Ann.bruteForceTopK(emb, emb, 5)
+      .select($"query_id".as("a"), $"cand_id".as("b"), $"cosine")
+    directed
+      .join(directed.select($"b".as("a"), $"a".as("b")), Seq("a", "b"))
+      .filter($"a" < $"b")
+      .select($"a".as("vec_a"), $"b".as("vec_b"), $"cosine")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_mutual_knn" -> (mutualKnn _),
     "q142_knn_classify" -> (knnClassify _),
     "q108_quantized_ann" -> (quantizedAnn _),
     "q97_filtered_ann" -> (filteredAnn _),
@@ -127,6 +149,28 @@ object AnnQueries {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   val oracle: Map[String, String] = Map(
+    "q148_mutual_knn" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+         |  FROM c, q WHERE query_id <> cand_id
+         |), r AS (
+         |  SELECT query_id, cand_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, cand_id ASC) AS rnk
+         |  FROM s
+         |), t AS (
+         |  SELECT query_id, cand_id, cosine FROM r WHERE rnk <= 5
+         |)
+         |SELECT t1.query_id AS vec_a, t1.cand_id AS vec_b, t1.cosine
+         |FROM t t1 JOIN t t2
+         |  ON t2.query_id = t1.cand_id AND t2.cand_id = t1.query_id
+         |WHERE t1.query_id < t1.cand_id""".stripMargin,
     "q142_knn_classify" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

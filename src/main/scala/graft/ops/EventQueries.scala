@@ -608,7 +608,48 @@ object EventQueries {
         min($"p.k").as("min_k"), max($"p.k").as("max_k"))
   }
 
+  /** RFM segmentation — the classic behavioral scoring operator: per user,
+    * Recency (days from last purchase to the corpus horizon, integer
+    * `div`), Frequency (purchase count), Monetary (exact cents), each
+    * scored 1-5 by quintile. Scoring uses BROADCAST CUTPOINTS (exact
+    * 20/40/60/80th percentiles of each metric, one tiny aggregate) and
+    * per-row comparisons — NOT a global `ntile`, whose unpartitioned
+    * window would serialize the whole user frame through one sorting task
+    * at scale. Cutpoint exactness rides on integral metrics (the
+    * q54/q87 rule: interpolating integral values is exact in both
+    * engines), so every >-comparison branches identically. Recency scores
+    * INVERTED (recent = 5), the convention. At 100 TB the cutpoint agg
+    * swaps for the Stats histogram pruner; the scoring scan is unchanged. */
+  def rfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(coalesce(($"value".cast("decimal(14,2)") * lit(100)).cast("long"),
+          lit(0L))).as("monetary_cents"))
+    val horizon = ev.agg(max(unix_micros($"ts")).as("h_us"))
+    val scored = purchases.crossJoin(broadcast(horizon))
+      .select($"user_id",
+        expr("(h_us - last_us) div 86400000000").cast("int").as("recency_days"),
+        $"frequency", $"monetary_cents")
+    val cuts = scored.agg(
+      expr("percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rc"),
+      expr("percentile(frequency, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fc"),
+      expr("percentile(monetary_cents, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mc"))
+    def above(v: org.apache.spark.sql.Column, cutsCol: String): org.apache.spark.sql.Column =
+      (0 to 3).map(i => when(v > col(cutsCol).getItem(i), 1).otherwise(0))
+        .reduce(_ + _)
+    scored.crossJoin(broadcast(cuts))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
+        (lit(5) - above($"recency_days", "rc")).cast("int").as("r_score"),
+        (lit(1) + above($"frequency", "fc")).cast("int").as("f_score"),
+        (lit(1) + above($"monetary_cents", "mc")).cast("int").as("m_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_rfm_segmentation" -> (rfmSegmentation _),
     "q145_sequence_audit" -> (sequenceAudit _),
     "q146_typed_json" -> (typedJson _),
     "q138_session_window_fn" -> (sessionWindowFn _),
@@ -635,6 +676,42 @@ object EventQueries {
     "q103_streaming_dedup" -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q147_rfm_segmentation" ->
+      """WITH p AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,
+        |    CAST(sum(coalesce(CAST(CAST(value AS DECIMAL(14,2)) * 100
+        |      AS BIGINT), 0)) AS BIGINT) AS monetary_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), h AS (
+        |  SELECT max(epoch_us(ts)) AS h_us FROM events
+        |), s AS (
+        |  SELECT user_id,
+        |    CAST((h_us - last_us) // 86400000000 AS INTEGER) AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM p CROSS JOIN h
+        |), c AS (
+        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |         quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+        |  FROM s
+        |)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  CAST(5 - (CASE WHEN recency_days > rc[1] THEN 1 ELSE 0 END
+        |          + CASE WHEN recency_days > rc[2] THEN 1 ELSE 0 END
+        |          + CASE WHEN recency_days > rc[3] THEN 1 ELSE 0 END
+        |          + CASE WHEN recency_days > rc[4] THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS r_score,
+        |  CAST(1 + (CASE WHEN frequency > fc[1] THEN 1 ELSE 0 END
+        |          + CASE WHEN frequency > fc[2] THEN 1 ELSE 0 END
+        |          + CASE WHEN frequency > fc[3] THEN 1 ELSE 0 END
+        |          + CASE WHEN frequency > fc[4] THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS f_score,
+        |  CAST(1 + (CASE WHEN monetary_cents > mc[1] THEN 1 ELSE 0 END
+        |          + CASE WHEN monetary_cents > mc[2] THEN 1 ELSE 0 END
+        |          + CASE WHEN monetary_cents > mc[3] THEN 1 ELSE 0 END
+        |          + CASE WHEN monetary_cents > mc[4] THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS m_score
+        |FROM s CROSS JOIN c""".stripMargin,
     "q145_sequence_audit" ->
       """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
         |  count(*) AS n_rows,
