@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+/** Run-scoped scratch directories for gate queries that must write real
+  * files (sink round trips, streaming foreachBatch sinks, derived-table
+  * checkpoints).
+  *
+  * Two contracts (VERDICT r4 #3/#4 — a Verify+Bench pass used to leave
+  * ~12 orphaned `/tmp/graft_*` copies behind):
+  *  - [[named]] returns ONE stable directory per key per JVM, so repeat
+  *    executions of the same gate (bench warm-up + N timed trials) reuse
+  *    and overwrite a single directory instead of minting a fresh leak
+  *    each pass;
+  *  - every directory handed out (named or [[fresh]]) is registered with
+  *    a JVM shutdown hook that deletes it recursively, so the run ends
+  *    with /tmp clean. Deletion never recurses THROUGH a symlink (some
+  *    gates link the read-only dataset into their scratch dir — q92's
+  *    pattern); deleting the link itself is safe.
+  */
+object Scratch {
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private val byKey = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    registered.forEach(p => delete(p.toFile))
+  }))
+
+  /** Stable scratch dir for `key`: created (and registered for cleanup)
+    * on first use, the same path on every later call in this JVM. */
+  def named(key: String): Path =
+    byKey.computeIfAbsent(key, k => fresh(s"graft_${k}_"))
+
+  /** A new temp dir, registered for shutdown-hook deletion. */
+  def fresh(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    registered.add(p)
+    p
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (!Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete(): Unit
+  }
+}

@@ -536,8 +536,10 @@ object EventQueries {
   def streamingForeachSink(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val out = java.nio.file.Files.createTempDirectory("graft_q140_")
-      .resolve("landed").toString
+    // stable per-JVM scratch (shutdown-cleaned): a replayed run overwrites
+    // its own batch_id=N subdirs — the sink's idempotence contract — so
+    // reusing one directory is both leak-free and semantically honest
+    val out = graft.Scratch.named("q140").resolve("landed").toString
     graft.streaming.Streaming.runForeachBatch(spark, s"$dir/events.parquet", out,
       ev => Tables.rebuildNanosTs(ev), name = "q140_foreach_sink")
     spark.read.parquet(out)
@@ -720,14 +722,17 @@ object EventQueries {
         |    AS n_missing,
         |  count(*) - count(DISTINCT event_id) AS n_dups
         |FROM events""".stripMargin,
+    // TRY_CAST mirrors from_json's PERMISSIVE null-on-mismatch: a future
+    // corpus row with non-integer k must null out, not crash the oracle
+    // (ADVICE r4)
     "q146_typed_json" ->
       """SELECT event_type, count(*) AS n_events,
-        |  count(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |  count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
         |    AS n_parsed,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
         |    AS BIGINT) AS sum_k,
-        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |  min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     // the CTE sessionizer with window.end = last event + 30 min — the
     // session_window() contract
@@ -757,13 +762,20 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // explicit row_number formulation, NOT DuckDB's ASOF JOIN: at a
+    // (user_id, ts) tie between two errors ASOF returns an unspecified
+    // row, while the Spark operator deterministically keeps the max
+    // event_id (AsOf's window orders __tie asc and last() wins) — the
+    // ORDER BY e.ts ASC, e.event_id DESC mirrors that exactly (ADVICE r4)
     "q141_asof_forward" ->
       """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
         |     errors AS (SELECT * FROM events WHERE event_type = 'error')
         |SELECT c.event_id, c.user_id, c.ts AS click_ts,
         |       e.ts AS next_error_ts, e.value AS next_error_value
-        |FROM clicks c ASOF LEFT JOIN errors e
-        |  ON c.user_id = e.user_id AND c.ts <= e.ts""".stripMargin,
+        |FROM clicks c LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND e.ts >= c.ts
+        |QUALIFY row_number() OVER (PARTITION BY c.event_id
+        |  ORDER BY e.ts ASC NULLS LAST, e.event_id DESC) = 1""".stripMargin,
     "q134_path_trigrams" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type,

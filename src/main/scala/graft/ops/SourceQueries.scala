@@ -26,8 +26,9 @@ object SourceQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val out = java.nio.file.Files.createTempDirectory("graft_q118_")
-      .resolve("docs_jsonl").toString
+    // stable per-JVM scratch dir (shutdown-cleaned; repeat runs overwrite
+    // one directory instead of leaking a fresh one per pass — VERDICT r4 #4)
+    val out = graft.Scratch.named("q118").resolve("docs_jsonl").toString
     Sources.writeJsonl(docs, out)
     Sources.readJsonl(spark, out, docs.schema)
       .groupBy($"source", $"lang")
@@ -46,8 +47,7 @@ object SourceQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val out = java.nio.file.Files.createTempDirectory("graft_q119_")
-      .resolve("docs_csv").toString
+    val out = graft.Scratch.named("q119").resolve("docs_csv").toString
     Sources.writeCsv(docs, out)
     Sources.readCsv(spark, out, docs.schema)
       .groupBy($"source", $"lang")
@@ -70,8 +70,7 @@ object SourceQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val out = java.nio.file.Files.createTempDirectory("graft_q136_")
-      .resolve("docs_bylang").toString
+    val out = graft.Scratch.named("q136").resolve("docs_bylang").toString
     Sources.writePartitionedParquet(docs, out, Seq("lang"))
     Sources.readParquet(spark, out)
       .filter($"lang".isin("en", "fr"))

@@ -154,7 +154,7 @@ class HockeySpec extends SparkSpec {
       Pipeline.buildMatchups(spark, eventsCsv, resultsCsv)).cache()
     val cfg = Models.ModelConfig(rfNumTrees = 3, rfMaxDepth = 3, lrMaxIter = 5,
       gbtMaxIter = 2, gbtMaxDepth = 2, mlpMaxIter = 3)
-    val dir = java.nio.file.Files.createTempDirectory("models").toString
+    val dir = graft.Scratch.fresh("models").toString
     for ((name, pipe) <- Models.all(cfg)) {
       val slug = name.toLowerCase.replace(' ', '_')
       val model = pipe.fit(labeled)
@@ -171,7 +171,7 @@ class HockeySpec extends SparkSpec {
   }
 
   test("subsampler keeps events and results referentially intact") {
-    val out = java.nio.file.Files.createTempDirectory("subsample").toString
+    val out = graft.Scratch.fresh("subsample").toString
     Subsample.run(spark, eventsCsv, resultsCsv, out, fraction = 0.6, seed = 7)
     val res = spark.read.option("header", "true").csv(s"$out/results_subset")
     val ev = spark.read.option("header", "true").csv(s"$out/events_subset")

@@ -153,7 +153,7 @@ class AnnSpec extends SparkSpec {
     val direct = Ann.ivfTopK(celled, probes, 5, "cell")
       .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
 
-    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    val path = graft.Scratch.fresh("ivf").toString
     Ann.saveIndex(centroids, celled, path)
     val fromIndex = Ann.searchIndex(spark, path, queries, k = 5, nprobe = 2)
       .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet

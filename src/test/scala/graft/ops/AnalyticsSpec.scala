@@ -14,7 +14,7 @@ class AnalyticsSpec extends SparkSpec {
   /** (event_id, ts NANOS, user_id, event_type, value) → a dir
     * Tables.events reads (ts stored as long nanos, as the corpus). */
   private def eventsDir(rows: (Long, Long, Long, String, Double)*): String = {
-    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    val dir = graft.Scratch.fresh("ev").toString
     rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("props", lit(null).cast("string"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -22,7 +22,7 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   private def docsDir(rows: (Long, String, String, String, Long)*): String = {
-    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    val dir = graft.Scratch.fresh("docs").toString
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -122,6 +122,37 @@ class AnalyticsSpec extends SparkSpec {
       ("click", 0L), ("view", 1L),
       ("click", 0L), ("view", 0L),
       ("click", 1L), ("view", 0L)))
+  }
+
+  test("session_window boundary: an exact 30:00 gap MERGES (window end is " +
+    "treated as inclusive by the merge rule), matching the oracle's gap > " +
+    "30min split condition") {
+    // ADVICE r4: pin the boundary semantics instead of relying on the
+    // corpus never hitting it. Three users:
+    //  u1: gap = exactly 30:00           → one session iff Spark merges
+    //      adjacent [t, t+gap) windows that touch at the boundary
+    //  u2: gap = 30:00 − 1 us            → unambiguously one session
+    //  u3: gap = 30:00 + 1 us            → unambiguously two sessions
+    val gapNs = 30L * 60 * 1000000000L
+    val dir = eventsDir(
+      (0L, mins(10), 1L, "view", 0.0),
+      (1L, mins(10) + gapNs, 1L, "click", 0.0),
+      (2L, mins(10), 2L, "view", 0.0),
+      (3L, mins(10) + gapNs - 1000L, 2L, "click", 0.0),
+      (4L, mins(10), 3L, "view", 0.0),
+      (5L, mins(10) + gapNs + 1000L, 3L, "click", 0.0))
+    val out = EventQueries.sessionWindowFn(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+        max($"n_events").as("max_events"))
+      .orderBy("user_id")
+      .select($"user_id", $"n_sessions", $"max_events")
+      .as[(Long, Long, Long)].collect()
+    // Spark merges sessions when the next event's start <= current end
+    // (session_window end = last_ts + gap, and the exact-boundary event
+    // starts AT that end) — the same contract as the oracle CTE's
+    // "new session only when gap > 30 min". If a Spark upgrade ever flips
+    // this to a strict <, u1 breaks here before the gate does.
+    assert(out.toSeq == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 2L, 1L)))
   }
 
   test("mad: hand-computed median and deviation") {

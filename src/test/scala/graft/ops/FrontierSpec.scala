@@ -22,7 +22,7 @@ class FrontierSpec extends SparkSpec {
     }.toSet
 
   private def sparkSkyline(pts: Seq[(Long, Long, Int)]): Set[(Long, Long, Int)] = {
-    val dir = java.nio.file.Files.createTempDirectory("sky").toString
+    val dir = graft.Scratch.fresh("sky").toString
     pts.toDF("p_partkey", "cents", "p_size")
       .select($"p_partkey",
         ($"cents".cast("double") / 100).as("p_retailprice"), $"p_size",
@@ -57,7 +57,7 @@ class FrontierSpec extends SparkSpec {
     val rnd = new scala.util.Random(11)
     val xs = (1 to 300).map(_ => 100L + rnd.nextInt(100000).toLong)
     val ys = xs.map(x => (x / 1000 + rnd.nextInt(20)).toInt) // correlated
-    val dir = java.nio.file.Files.createTempDirectory("corr").toString
+    val dir = graft.Scratch.fresh("corr").toString
     xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
       (i.toLong, x.toDouble / 100, y, "B", "t", "n")
     }.toDF("p_partkey", "p_retailprice", "p_size", "p_brand", "p_type", "p_name")
@@ -75,7 +75,7 @@ class FrontierSpec extends SparkSpec {
   }
 
   test("correlation is NULL for zero-variance groups") {
-    val dir = java.nio.file.Files.createTempDirectory("corr0").toString
+    val dir = graft.Scratch.fresh("corr0").toString
     Seq((1L, 10.0, 5, "B", "t", "n"), (2L, 10.0, 9, "B", "t", "n"))
       .toDF("p_partkey", "p_retailprice", "p_size", "p_brand", "p_type", "p_name")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")

@@ -13,7 +13,7 @@ class PipelineSpec extends SparkSpec {
 
   /** (doc_id, text, lang, source, n_chars) rows → a dir Tables.documents reads. */
   private def docsDir(rows: (Long, String, String, String, Long)*): String = {
-    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    val dir = graft.Scratch.fresh("docs").toString
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir

@@ -12,8 +12,10 @@ import graft.SparkSpec
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
+  // Scratch registers the dir for shutdown-hook deletion — a test run
+  // leaves /tmp clean (the old bare createTempDirectory leaked 4 dirs/run)
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.Scratch.fresh(prefix).toString
 
   test("CSV round-trip preserves values; \\N parses as null") {
     val dir = tmp("graft-csv")

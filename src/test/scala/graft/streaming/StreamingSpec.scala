@@ -10,7 +10,7 @@ class StreamingSpec extends SparkSpec {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   private lazy val eventsDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("stream-events").toString
+    val dir = graft.Scratch.fresh("stream-events").toString
     Seq(
       Streaming.Event(1, ts("2024-01-01 00:05:00"), 7, "click", 1.5),
       Streaming.Event(2, ts("2024-01-01 00:25:00"), 7, "click", 2.5),
@@ -42,7 +42,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup keeps one row per content fingerprint") {
-    val dir = java.nio.file.Files.createTempDirectory("stream-docs").toString
+    val dir = graft.Scratch.fresh("stream-docs").toString
     Seq(
       (1L, ts("2024-01-01 00:00:00"), "the quick brown fox"),
       (2L, ts("2024-01-01 00:05:00"), "the quick brown fox"), // dup content
@@ -58,8 +58,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream join pairs clicks with preceding errors within the gap") {
-    val clickDir = java.nio.file.Files.createTempDirectory("ss-clicks").toString
-    val errorDir = java.nio.file.Files.createTempDirectory("ss-errors").toString
+    val clickDir = graft.Scratch.fresh("ss-clicks").toString
+    val errorDir = graft.Scratch.fresh("ss-errors").toString
     Seq((7L, ts("2024-01-01 01:00:00"), 11L))
       .toDF("user_id", "ts", "event_id").write.mode("overwrite").parquet(clickDir)
     Seq(
@@ -82,8 +82,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("foreachBatch sink writes idempotent batch-keyed parquet") {
-    val srcDir = java.nio.file.Files.createTempDirectory("fb-src").toString
-    val outDir = java.nio.file.Files.createTempDirectory("fb-out").toString
+    val srcDir = graft.Scratch.fresh("fb-src").toString
+    val outDir = graft.Scratch.fresh("fb-out").toString
     Seq(
       Streaming.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.5),
       Streaming.Event(2, ts("2024-01-01 00:10:00"), 9, "view", 2.5))
@@ -130,11 +130,11 @@ class StreamingSpec extends SparkSpec {
 
   test("sessionizer state survives a checkpointed restart") {
     import org.apache.spark.sql.streaming.OutputMode
-    val srcDir = java.nio.file.Files.createTempDirectory("ckpt-src").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-state").toString
-    val outDir = java.nio.file.Files.createTempDirectory("ckpt-out").toString
+    val srcDir = graft.Scratch.fresh("ckpt-src").toString
+    val ckpt = graft.Scratch.fresh("ckpt-state").toString
+    val outDir = graft.Scratch.fresh("ckpt-out").toString
     def writeFile(name: String, rows: Seq[(Long, Timestamp, Long, Long)]): Unit = {
-      val stage = java.nio.file.Files.createTempDirectory("ckpt-stage")
+      val stage = graft.Scratch.fresh("ckpt-stage")
       rows.toDF("event_id", "ts", "user_id", "cents")
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = stage.toFile.listFiles()
@@ -176,11 +176,11 @@ class StreamingSpec extends SparkSpec {
 
   test("session state crosses a forced micro-batch boundary (maxFilesPerTrigger=1)") {
     import org.apache.spark.sql.streaming.OutputMode
-    val srcDir = java.nio.file.Files.createTempDirectory("mb-src").toString
-    val outDir = java.nio.file.Files.createTempDirectory("mb-out").toString
+    val srcDir = graft.Scratch.fresh("mb-src").toString
+    val outDir = graft.Scratch.fresh("mb-out").toString
     def writeFile(name: String, ageSec: Long,
         rows: Seq[(Long, Timestamp, Long, Long)]): Unit = {
-      val stage = java.nio.file.Files.createTempDirectory("mb-stage")
+      val stage = graft.Scratch.fresh("mb-stage")
       rows.toDF("event_id", "ts", "user_id", "cents")
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = stage.toFile.listFiles()
