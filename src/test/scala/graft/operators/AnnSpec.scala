@@ -98,6 +98,24 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall < 0.6")
   }
 
+  test("q149 IVF mutual-kNN recovers most exact mutual pairs, no corpus broadcast") {
+    // The quantitative gate for the q148→q149 composition (VERDICT r4 #2):
+    // cell-restricted edges must recover most of the exact reciprocal
+    // pairs, and the edge pass's cell join must not broadcast the corpus.
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.ops.AnnQueries.mutualKnn(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val ivfDf = graft.ops.AnnQueries.mutualKnnIvf(spark, dir)
+    val ivf = ivfDf.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"mutual-pair recall = $recall < 0.6")
+    // the scale property itself: the cell join hash-shuffles both sides
+    // (SHUFFLE_HASH hint honored), so no plan node broadcasts the corpus
+    val plan = ivfDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled cell join in:\n$plan")
+  }
+
   test("nearDupPairs: cells under the cap produce exactly the unguarded pairing") {
     val out = Ann.nearDupPairs(vecs, threshold = 0.35, hotCellCap = 100)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
