@@ -38,6 +38,22 @@ object Scratch {
     p
   }
 
+  /** A new temp dir on tmpfs (/dev/shm) when available, else the normal
+    * temp root — for artifacts whose durability is explicitly unwanted:
+    * the one-shot streaming drives' checkpoints pair with a MEMORY sink,
+    * so fsyncing their state/offset files to real disk buys nothing and
+    * costs most of the streaming gates' fixed overhead (VERDICT r4 #6).
+    * Production drives point checkpointLocation at durable storage. */
+  def freshFast(prefix: String): Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)
+    registered.add(p)
+    p
+  }
+
   private def delete(f: java.io.File): Unit = {
     if (!Files.isSymbolicLink(f.toPath))
       Option(f.listFiles()).foreach(_.foreach(delete))

@@ -126,19 +126,15 @@ object EventQueries {
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // dedup state store: size partitions to state volume, as q90/q92
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
-        ev => graft.streaming.Streaming.dedupStream(
-            Tables.rebuildNanosTs(ev)
-              .withColumn("content", concat_ws(":", $"user_id", $"event_type")),
-            "content", "ts")
-          .select($"user_id", $"event_type"),
-        name = "q103_streaming_dedup_sink",
-        mode = org.apache.spark.sql.streaming.OutputMode.Append())
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // dedup state store partitions sized by runOnce (statePartitions=8)
+    graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
+      ev => graft.streaming.Streaming.dedupStream(
+          Tables.rebuildNanosTs(ev)
+            .withColumn("content", concat_ws(":", $"user_id", $"event_type")),
+          "content", "ts")
+        .select($"user_id", $"event_type"),
+      name = "q103_streaming_dedup_sink",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** q19's STREAMING twin as a gate query (VERDICT r2 #9): the same
@@ -169,23 +165,16 @@ object EventQueries {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A stream-stream join materializes FOUR state stores per shuffle
-    // partition; state partitioning is a per-deployment sizing decision
-    // (it is pinned into the checkpoint), so size it to this drive's
-    // state volume rather than inheriting the batch session's CPU count.
-    // Restored after the (synchronous) drive — batch queries unaffected.
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
-        ev => {
-          val fixed = Tables.rebuildNanosTs(ev)
-          graft.streaming.Streaming.clickErrorJoin(
-            fixed.filter($"event_type" === "click"),
-            fixed.filter($"event_type" === "error"))
-        },
-        name = "q90_streaming_join_sink",
-        mode = org.apache.spark.sql.streaming.OutputMode.Append())
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // partition; runOnce sizes state partitions to the drive (8).
+    graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
+      ev => {
+        val fixed = Tables.rebuildNanosTs(ev)
+        graft.streaming.Streaming.clickErrorJoin(
+          fixed.filter($"event_type" === "click"),
+          fixed.filter($"event_type" === "error"))
+      },
+      name = "q90_streaming_join_sink",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** q18's STREAMING twin via `flatMapGroupsWithState` — the third stateful
@@ -230,9 +219,7 @@ object EventQueries {
     Files.move(part.toPath, new java.io.File(tmp, "zz_sentinel.parquet").toPath)
     Files.createSymbolicLink(
       new java.io.File(tmp, "aa_events.parquet").toPath, Paths.get(src))
-    // per-key state store: size partitions to state volume, as q90
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // per-key state store partitions sized by runOnce (statePartitions=8)
     try {
       graft.streaming.Streaming.runOnce(spark, tmp.getAbsolutePath,
         ev => {
@@ -255,7 +242,6 @@ object EventQueries {
         .select($"user_id", $"n_events", $"session_start", $"session_end",
           ($"total_cents".cast("double") / lit(100.0)).as("total_value"))
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", saved)
       // the drive is synchronous and the memory sink holds the result —
       // the scratch source dirs are dead once runOnce returns
       def rm(f: java.io.File): Unit = {

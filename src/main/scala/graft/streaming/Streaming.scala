@@ -216,15 +216,32 @@ object Streaming {
     spark.readStream.schema(schema).options(options).parquet(path)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` (= the stateful
+    * operators' state-store partition count) sized to the drive's state
+    * volume instead of the batch session's CPU count, restoring after.
+    * State partitioning is a per-deployment sizing decision pinned into
+    * the checkpoint; for the gate drives, 32 partitions would mean 4×
+    * the state files, fsyncs, and per-batch task launches for toy state
+    * (the ~12-14 s streaming-family fixed overhead of VERDICT r4 #6 was
+    * dominated by exactly this). Production sizes it to keys×bytes. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   def runForeachBatch(spark: SparkSession, sourceDir: String, outDir: String,
       plan: DataFrame => DataFrame, name: String,
-      sourceOptions: Map[String, String] = Map.empty): Unit = {
+      sourceOptions: Map[String, String] = Map.empty,
+      statePartitions: Int = 8): Unit = withStatePartitions(spark, statePartitions) {
     val stream = fileStream(spark, sourceDir, sourceOptions)
     val q = plan(stream).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
+      .option("checkpointLocation",
+        graft.Scratch.freshFast(s"ckpt_${name}_").resolve("ckpt").toString)
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -242,10 +259,15 @@ object Streaming {
   def runOnce(spark: SparkSession, sourceDir: String,
       plan: DataFrame => DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete(),
-      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
+      sourceOptions: Map[String, String] = Map.empty,
+      statePartitions: Int = 8): DataFrame = withStatePartitions(spark, statePartitions) {
     val stream = fileStream(spark, sourceDir, sourceOptions)
     val q = plan(stream).writeStream
       .outputMode(mode)
+      // tmpfs checkpoint: the memory sink makes this drive non-durable by
+      // construction, so disk-fsynced state/offset logs are pure overhead
+      .option("checkpointLocation",
+        graft.Scratch.freshFast(s"ckpt_${name}_").resolve("ckpt").toString)
       .format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
