@@ -66,16 +66,29 @@ object Bench {
       val ts = passes.map(_(name)).filter(_ >= 0)
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
+    // Self-adjudication (VERDICT r4 #1): min-of-N alone cannot distinguish
+    // a plan regression from host contention after the fact. Alongside the
+    // per-query min, the artifact records each trial's full-suite total and
+    // every query's max across trials, so a reader can see the spread (a
+    // quiet run shows trial totals within ~1.3×; a contended one does not)
+    // and which queries absorbed the noise — without re-running anything.
+    val trialTotals = passes.map(_.values.filter(_ >= 0).sum)
+    val maxima = ordered.map { case (name, _) =>
+      val ts = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (ts.nonEmpty) ts.max else -1.0)
+    }
     // 3-decimal timings: millisecond precision is all the measurement
-    // carries, and the shorter line (~2.3 KB vs 3.3 KB for 100 queries) is
-    // likelier to survive the driver's log-tail intact (r2 AND r3 both
-    // head-truncated the full-precision line).
+    // carries, and shorter lines are likelier to survive the driver's
+    // log-tail intact (r2 AND r3 both head-truncated full-precision lines).
     def r3d(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
       .mkString("{", ",", "}")
+    val qsMax = maxima.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
+      .mkString("{", ",", "}")
+    val totals = trialTotals.map(r3d).mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trial_totals":$totals,"queries_max":$qsMax}"""
     println(line)
     // Artifact robustness (VERDICT r2 #4, r3 #3), belt and braces:
     //  1. the full line above (complete per-query map, if the tail holds);
@@ -83,7 +96,7 @@ object Bench {
     //  3. the full JSON written to bench.json in the repo (committed per
     //     round) and to $SPARK_GRAFT_BENCH_OUT (default /tmp/bench.json,
     //     kept for compatibility with the r2/r3 recovery path).
-    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","nq":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","nq":${results.size},"sf":"$sfDir","trial_totals":$totals}""")
     def persist(path: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (line + "\n").getBytes("UTF-8"))
