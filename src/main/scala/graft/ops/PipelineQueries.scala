@@ -282,6 +282,66 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Per-document SURPRISAL under the corpus's own bigram LM — the
+    * perplexity-style quality signal of a pretraining pipeline (rare-
+    * bigram-heavy gibberish scores high, templated boilerplate scores
+    * low), made ENGINE-EXACT by an integer surprisal: each bigram
+    * occurrence contributes s = floor(log2(c(w1·) div c(w1,w2))),
+    * computed as `length(bin(q)) - 1` — pure integer ops that hash
+    * identically on any engine, where a float ln()/log2() diverges in
+    * ULPs and breaks the oracle (the same determinism trade as q86's
+    * ln-free tf-idf and q130's integer PageRank). Dataflow: ONE cached
+    * shingle pass feeds both the LM build (bigram hash-agg + w1-keyed
+    * window denominator — vocab²-bounded, never doc-bounded) and the
+    * occurrence-scoring join (shuffle keyed on the bigram); the per-doc
+    * rollup is a plain hash-agg. Nothing corpus-sized is broadcast or
+    * collected; at 100 TB the LM is the (auto-broadcast-able) small side. */
+  def surprisalScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val occ = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Dedup.wordShingles($"text", 2)).as("bg"))
+      .select($"doc_id", split($"bg", " ").as("p"))
+      .filter(size($"p") === 2)
+      .select($"doc_id", $"p".getItem(0).as("w1"), $"p".getItem(1).as("w2"))
+      .cache()
+    val lm = occ.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+      .withColumn("c_a", sum($"c_ab").over(Window.partitionBy($"w1")))
+    occ.join(lm, Seq("w1", "w2"))
+      .select($"doc_id", (length(bin(expr("c_a div c_ab"))) - 1).as("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"s").as("total_surprisal"))
+      .select($"doc_id", $"n_bigrams", $"total_surprisal",
+        ($"total_surprisal".cast("double") / $"n_bigrams".cast("double"))
+          .as("avg_surprisal"))
+  }
+
+  /** Per-document N-GRAM NOVELTY: the fraction of a document's DISTINCT
+    * word 3-gram shingles that appear in no other document — q88's
+    * contamination lens inverted into a keep-priority signal (when a
+    * near-dup cluster or token budget forces drops, keep the novel docs).
+    * Within-doc dedup happens BEFORE the explode (`array_distinct` on the
+    * shingle array — the cheap set operation runs pre-shuffle), document
+    * frequency is a shingle-keyed hash-agg whose cost tracks the shingle
+    * VOCABULARY (never doc×doc pairs), and the scoring join is keyed on
+    * the shingle — the exact join shape of decontamination, so the same
+    * 100 TB argument holds. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(array_distinct(Dedup.wordShingles($"text", 3))).as("sh"))
+      .cache()
+    // sh is distinct per (doc_id, sh), so count-per-shingle IS doc freq
+    val df = sh.groupBy($"sh").agg(count(lit(1)).as("doc_freq"))
+    sh.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"doc_freq" === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select($"doc_id", $"n_shingles", $"n_unique",
+        ($"n_unique".cast("double") / $"n_shingles".cast("double"))
+          .as("novelty_frac"))
+  }
+
   /** End-to-end curation capstone — the operators composed the way a real
     * pretraining pipeline chains them: quality gate (≥ 20 tokens) →
     * exact dedup (min-doc_id survivor per content fingerprint) →
@@ -427,7 +487,9 @@ object PipelineQueries {
     "q94_shard_assignment" -> (shardAssignment _),
     "q95_stratified_sample" -> (stratifiedSample _),
     "q96_bigram_lm" -> (bigramLm _),
-    "q99_curation_pipeline" -> (curationPipeline _))
+    "q99_curation_pipeline" -> (curationPipeline _),
+    "q150_surprisal_score" -> (surprisalScore _),
+    "q151_ngram_novelty" -> (ngramNovelty _))
 
   private val toksSql = DedupQueries.toksSql
   private val bigramsSql =
@@ -620,6 +682,44 @@ object PipelineQueries {
         |  FROM h
         |)
         |SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
+    // Integer surprisal mirror: DuckDB `//` floors and Spark `div`
+    // truncates, identical on the positive c_a/c_ab ratio; bin() is
+    // unpadded binary in BOTH engines, so length(bin(q))-1 = floor(log2 q)
+    // exactly — no float log anywhere.
+    "q150_surprisal_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+         |), counts AS (
+         |  SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2
+         |), lm AS (
+         |  SELECT w1, w2, c_ab,
+         |    CAST(sum(c_ab) OVER (PARTITION BY w1) AS BIGINT) AS c_a
+         |  FROM counts
+         |), sc AS (
+         |  SELECT b.doc_id, length(bin(l.c_a // l.c_ab)) - 1 AS s
+         |  FROM bg b JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(s) AS BIGINT) AS total_surprisal,
+         |  CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_surprisal
+         |FROM sc GROUP BY doc_id""".stripMargin,
+    "q151_ngram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(${DedupQueries.shinglesSql})) AS s FROM toks
+         |), df AS (
+         |  SELECT s, count(*) AS doc_freq FROM sh GROUP BY s
+         |)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  CAST(sum(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty_frac
+         |FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id""".stripMargin,
     "q96_bigram_lm" ->
       s"""WITH toks AS (
          |  SELECT ${DedupQueries.toksSql} AS tk FROM documents

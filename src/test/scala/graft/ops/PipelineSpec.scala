@@ -306,4 +306,36 @@ class PipelineSpec extends SparkSpec {
       assert(frac == shared.toDouble / n)
     }
   }
+
+  test("surprisal: hand-computed integer floor(log2) per bigram") {
+    // corpus bigrams: "a b" ×4 (doc0 ×3 + doc2 ×1), "a c" ×1 (doc1), so
+    // c(a·)=5; s("a b") = floor(log2(5 div 4)) = 0, s("a c") =
+    // floor(log2(5 div 1)) = 2
+    val dir = docsDir(
+      (0L, "a b a b a b", "en", "s0", 11L), // bigrams: ab, ba, ab, ba, ab
+      (1L, "a c", "en", "s0", 3L),
+      (2L, "a b", "en", "s0", 3L))
+    val out = PipelineQueries.surprisalScore(spark, dir)
+      .orderBy("doc_id")
+      .select("n_bigrams", "total_surprisal", "avg_surprisal")
+      .as[(Long, Long, Double)].collect()
+    // doc0: ab,ba,ab,ba,ab — c(b·)=2 ("b a" ×2), s(ba)=floor(log2(2 div 2))=0
+    assert(out(0) == ((5L, 0L, 0.0)))
+    assert(out(1) == ((1L, 2L, 2.0))) // "a c": 5 div 1 = 5 → floor log2 = 2
+    assert(out(2) == ((1L, 0L, 0.0))) // "a b": 5 div 4 = 1 → 0
+  }
+
+  test("ngram novelty: shared shingles score 0, unique ones score 1") {
+    val dir = docsDir(
+      (0L, "p q r s", "en", "s0", 7L), // shingles: pqr, qrs — both also in doc1
+      (1L, "p q r s", "en", "s0", 7L),
+      (2L, "u v w x", "en", "s0", 7L)) // uvw, vwx — unique to doc2
+    val out = PipelineQueries.ngramNovelty(spark, dir)
+      .orderBy("doc_id")
+      .select("n_shingles", "n_unique", "novelty_frac")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0) == ((2L, 0L, 0.0)))
+    assert(out(1) == ((2L, 0L, 0.0)))
+    assert(out(2) == ((2L, 2L, 1.0)))
+  }
 }
