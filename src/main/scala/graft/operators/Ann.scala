@@ -271,17 +271,28 @@ object Ann {
   }
 
   /** Search a persisted IVF index: probe each query's `nprobe` nearest
-    * centroids, then top-k only over the probed cells — the cell filter
-    * prunes cell partitions at the scan. */
+    * centroids, then top-k only over the probed cells. The probed cell set
+    * is collected to the driver and applied as a LITERAL `isin` filter —
+    * static partition pruning, visible as `PartitionFilters: [cell IN …]`
+    * in the scan, so only the probed cells' directories are ever listed or
+    * read (AnnSpec asserts this on the executed plan). Driver-small by
+    * construction: there are at most `k_centroids` distinct cells (the
+    * quantizer's k, typically ≤ 2¹⁶), never data-scale — collecting them
+    * is O(k), and the literal filter beats a semi-join here because it
+    * prunes at PLANNING time instead of relying on runtime DPP.
+    * Set `dedup` when the index was built with multi-assignment
+    * (probeCells n > 1 on the corpus side) — see [[ivfTopK]]. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dedup: Boolean = false): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val probes = probeCells(queries, centroids, nprobe, idCol, vecCol)
     val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0))
     val cells = spark.read.parquet(s"$path/cells")
-      .join(broadcast(probedCells), Seq("cell"), "left_semi")
-    ivfTopK(cells, probes, k, "cell", idCol, vecCol)
+      .filter(col("cell").isin(probedCells: _*))
+    ivfTopK(cells, probes, k, "cell", idCol, vecCol, dedup = dedup)
   }
 
   /** Same-cell near-duplicate pairs with cosine ≥ `threshold`, guarded

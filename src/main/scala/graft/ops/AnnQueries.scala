@@ -60,6 +60,32 @@ object AnnQueries {
     Ann.ivfTopK(celled, probes, 10, "cell", dedup = true)
   }
 
+  /** PERSISTED-index IVF search — the save/load twin of [[ivfTrained]]
+    * (q77) and the API a user hits first once the corpus outlives a
+    * session: the same grid-Lloyd index is written with
+    * [[Ann.saveIndex]] (centroid table + corpus `partitionBy("cell")`)
+    * and searched back through [[Ann.searchIndex]], whose probed-cell
+    * `isin` filter becomes static PARTITION PRUNING at the parquet scan —
+    * at 100 TB the search touches ~nprobe/k of the corpus files, never
+    * all of them (AnnSpec asserts the pruned plan; this gate proves the
+    * data flowing through the pruned scan is intact). Index layout,
+    * training, and ranking are exactly q77's, so the result — and the
+    * DuckDB oracle — are identical: equality = lossless persistence +
+    * correct pruning. */
+  def ivfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.embeddings(spark, dir)
+      .select($"vec_id", Ann.gridQuantize($"embedding").as("embedding"))
+      .withColumn("seed", pmod($"vec_id", lit(8)).cast("int"))
+      .cache()
+    val centroids = Ann.trainCentroidsGrid(iv, "seed", iters = 2)
+    val celled = Ann.probeCells(iv, centroids, nprobe = 2)
+    val path = graft.Scratch.named(s"q152_${dir.hashCode}").toString
+    Ann.saveIndex(centroids, celled, path)
+    Ann.searchIndex(spark, path, iv.filter($"vec_id" < 10),
+      k = 10, nprobe = 3, dedup = true)
+  }
+
   /** Embedding near-dup pairs: same-cell (label) pairs with cosine ≥ 0.35,
     * through [[Ann.nearDupPairs]]' hot-cell guard — cells above the cap
     * pair only within a sign-byte LSH sub-bucket, so no cell can go
@@ -182,7 +208,8 @@ object AnnQueries {
     "q29_ann_bruteforce" -> (bruteForce _),
     "q30_ann_ivf" -> (ivf _),
     "q31_embedding_near_dup" -> (embeddingNearDup _),
-    "q77_ann_ivf_trained" -> (ivfTrained _))
+    "q77_ann_ivf_trained" -> (ivfTrained _),
+    "q152_ann_ivf_persisted" -> (ivfPersisted _))
 
   /** Cosine in DuckDB, mirroring Ann.cosine's formula dot/(sqrt·sqrt). */
   private def cosSql(a: String, b: String): String =
@@ -235,6 +262,27 @@ object AnnQueries {
        |)""".stripMargin
   }
 
+  /** Shared replay for q77 (in-session index) and q152 (persisted index):
+    * both rank the same grid-Lloyd cells, so one SQL gates both. */
+  private lazy val ivfTrainedSql: String =
+    s"""WITH $gridLloydSql,
+       |p AS (
+       |  SELECT vec_id, cell FROM s2 WHERE vec_id < 10
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, cell ASC) <= 3
+       |), sc AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS cand_id,
+       |    ${cosSql("ia.v", "ib.v")} AS cosine
+       |  FROM p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+       |  JOIN iv ia ON ia.vec_id = p.vec_id
+       |  JOIN iv ib ON ib.vec_id = b.vec_id
+       |)
+       |SELECT query_id, cand_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
+       |FROM sc
+       |QUALIFY rank <= 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q149_mutual_knn_ivf" ->
       s"""WITH $gridLloydSql,
@@ -257,24 +305,11 @@ object AnnQueries {
          |FROM t t1 JOIN t t2
          |  ON t2.query_id = t1.cand_id AND t2.cand_id = t1.query_id
          |WHERE t1.query_id < t1.cand_id""".stripMargin,
-    "q77_ann_ivf_trained" ->
-      s"""WITH $gridLloydSql,
-         |p AS (
-         |  SELECT vec_id, cell FROM s2 WHERE vec_id < 10
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cos DESC, cell ASC) <= 3
-         |), sc AS (
-         |  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS cand_id,
-         |    ${cosSql("ia.v", "ib.v")} AS cosine
-         |  FROM p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
-         |  JOIN iv ia ON ia.vec_id = p.vec_id
-         |  JOIN iv ib ON ib.vec_id = b.vec_id
-         |)
-         |SELECT query_id, cand_id, cosine,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
-         |FROM sc
-         |QUALIFY rank <= 10""".stripMargin,
+    "q77_ann_ivf_trained" -> ivfTrainedSql,
+    // q152 persists q77's exact index (saveIndex → searchIndex) — identical
+    // semantics, so the identical replay: equality proves the parquet
+    // round trip + partition-pruned search lose nothing.
+    "q152_ann_ivf_persisted" -> ivfTrainedSql,
     "q148_mutual_knn" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

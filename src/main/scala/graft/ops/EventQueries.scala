@@ -406,39 +406,76 @@ object EventQueries {
       mode = org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
-  /** INTERVAL-OVERLAP self-join: per session, how many OTHER users had a
-    * session open at the same time (concurrency / co-presence analysis).
-    * This is the interval×interval join class — distinct from q46's
-    * point-in-range — and the naive formulation is an O(n²) theta-join.
-    * The scale shape: explode each interval onto the hour grid it touches
-    * and EQUI-join on the grid cell, then filter to true overlaps and
-    * dedup pairs — candidate cost tracks (intervals × avg span) + true
-    * overlap volume, never n². Grid cells are time buckets: uniformly
-    * distributed, no hot key (a pathological span-everything interval
-    * would be cross-bucket salted in production; sessions are gap-bounded
-    * so spans are short here). The oracle is DuckDB's IEJoin over the
-    * same q18 session CTEs — same answer, different join algorithm. */
+  /** INTERVAL-OVERLAP without the interval×interval join: per session, how
+    * many OTHER users had a session open at the same time (concurrency /
+    * co-presence analysis). The naive formulation is an O(n²) theta-join,
+    * and even the hour-bucket equi-join variant (the r5 implementation) is
+    * |bucket|² in a hot hour — the classic interval-join skew killer once
+    * the number of concurrently-open sessions tracks data size.
+    *
+    * This version never materializes a pair. By inclusion–exclusion over a
+    * sorted sweep, the number of sessions overlapping [st_i, en_i] is
+    *
+    *   #{j : st_j <= en_i} − #{j : en_j < st_i}
+    *
+    * (every non-overlapping j with st_j <= en_i must have en_j < st_i).
+    * Two distributed rank counts ([[graft.operators.Sweep.countUpTo]]:
+    * range-partitioned parallel prefix sum, no single-task global window)
+    * give the all-users term; the same two counts restricted per user —
+    * plain `user_id`-partitioned running sums over the union of point and
+    * query rows — give the same-user correction, which also cancels the
+    * session's self-overlap. Cost: two range shuffles + per-user windows,
+    * O(n log n) total, independent of overlap density — the plan contains
+    * no self-join at all. The oracle is DuckDB's IEJoin over the same q18
+    * session CTEs — same answer, different join algorithm. */
   def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val s = sessionize(spark, dir)
       .select($"user_id", $"session_id",
-        $"session_start".as("st"), $"session_end".as("en"))
-    val b = s.select($"user_id", $"session_id", $"st", $"en",
-      explode(sequence(date_trunc("hour", $"st"), date_trunc("hour", $"en"),
-        expr("interval 1 hour"))).as("hb"))
-    val l = b.select($"hb", $"user_id".as("u1"), $"session_id".as("s1"),
-      $"st".as("st1"), $"en".as("en1"))
-    val r = b.select($"hb", $"user_id".as("u2"), $"session_id".as("s2"),
-      $"st".as("st2"), $"en".as("en2"))
-    val pairs = l.join(r, "hb")
-      .filter($"u1" =!= $"u2" && $"st1" <= $"en2" && $"st2" <= $"en1")
-      .select($"u1", $"s1", $"u2", $"s2").distinct()
-    val counts = pairs
-      .groupBy($"u1".as("user_id"), $"s1".as("session_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-    s.join(counts, Seq("user_id", "session_id"), "left_outer")
+        unix_micros($"session_start").as("stu"),
+        unix_micros($"session_end").as("enu"))
+
+    // Global terms, chained so the second sweep carries the first's count.
+    val starts = s.select($"stu".as("v"))
+    val ends = s.select($"enu".as("v"))
+    val c1 = graft.operators.Sweep.countUpTo(
+      points = starts,
+      queries = s.select($"user_id", $"session_id", $"stu", $"enu".as("v")),
+      valueCol = "v", outCol = "c_start_le", strict = false)
+    val c12 = graft.operators.Sweep.countUpTo(
+      points = ends,
+      queries = c1.select($"user_id", $"session_id", $"c_start_le",
+        $"v".as("enu"), $"stu".as("v")),
+      valueCol = "v", outCol = "c_end_lt", strict = true)
+      .select($"user_id", $"session_id", $"v".as("stu"), $"enu",
+        ($"c_start_le" - $"c_end_lt").as("n_all"))
+
+    // Same-user correction (includes self, cancelling i's own overlap):
+    // identical sweep, but the running sums are per-user windows — point
+    // rows (delta 1) and query rows (delta 0) union on the same sort keys.
+    val wUser = Window.partitionBy($"user_id").orderBy($"v", $"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // starts <= en_i: point starts sort before equal-valued queries (k 0<1)
+    val uStartLe = s.select($"user_id", $"stu".as("v"), lit(0).as("k"),
+        lit(1L).as("d"), lit(null).cast("bigint").as("session_id"))
+      .unionByName(s.select($"user_id", $"enu".as("v"), lit(1).as("k"),
+        lit(0L).as("d"), $"session_id"))
+      .withColumn("run", sum($"d").over(wUser))
+      .filter($"d" === 0L)
+      .select($"user_id", $"session_id", $"run".as("u_start_le"))
+    // ends < st_i: queries sort before equal-valued point ends (k 0<1)
+    val uEndLt = s.select($"user_id", $"enu".as("v"), lit(1).as("k"),
+        lit(1L).as("d"), lit(null).cast("bigint").as("session_id"))
+      .unionByName(s.select($"user_id", $"stu".as("v"), lit(0).as("k"),
+        lit(0L).as("d"), $"session_id"))
+      .withColumn("run", sum($"d").over(wUser))
+      .filter($"d" === 0L)
+      .select($"user_id", $"session_id", $"run".as("u_end_lt"))
+
+    c12.join(uStartLe, Seq("user_id", "session_id"))
+      .join(uEndLt, Seq("user_id", "session_id"))
       .select($"user_id", $"session_id",
-        coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+        ($"n_all" - ($"u_start_le" - $"u_end_lt")).as("n_overlap"))
   }
 
   /** Click-path mining: the top 20 event-type TRIGRAMS inside sessions —
@@ -524,8 +561,12 @@ object EventQueries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // stable per-JVM scratch (shutdown-cleaned): a replayed run overwrites
     // its own batch_id=N subdirs — the sink's idempotence contract — so
-    // reusing one directory is both leak-free and semantically honest
-    val out = graft.Scratch.named("q140").resolve("landed").toString
+    // reusing one directory is both leak-free and semantically honest.
+    // Keyed by (query, input dir), NOT query alone: each runForeachBatch
+    // call gets a fresh checkpoint so batch ids restart at 0, and a later
+    // same-JVM run against a DIFFERENT dataset (or one landing fewer
+    // batches) must not read the earlier run's leftover batch_id=N dirs.
+    val out = graft.Scratch.named(s"q140_${dir.hashCode}").resolve("landed").toString
     graft.streaming.Streaming.runForeachBatch(spark, s"$dir/events.parquet", out,
       ev => Tables.rebuildNanosTs(ev), name = "q140_foreach_sink")
     spark.read.parquet(out)

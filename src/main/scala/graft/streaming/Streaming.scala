@@ -223,7 +223,15 @@ object Streaming {
     * the checkpoint; for the gate drives, 32 partitions would mean 4×
     * the state files, fsyncs, and per-batch task launches for toy state
     * (the ~12-14 s streaming-family fixed overhead of VERDICT r4 #6 was
-    * dominated by exactly this). Production sizes it to keys×bytes. */
+    * dominated by exactly this). Production sizes it to keys×bytes.
+    *
+    * CONTRACT: the conf change is SESSION-GLOBAL while `body` runs — any
+    * batch query planned concurrently in the same session would silently
+    * inherit the streaming state sizing. The gate drives (Verify/Bench)
+    * execute queries strictly sequentially, which is the only mode this
+    * helper supports; a host that plans batch work concurrently with a
+    * streaming drive must run the drive in `spark.cloneSession()` (per-
+    * session conf isolation) instead. */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)

@@ -110,10 +110,17 @@ class AnnSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"mutual-pair recall = $recall < 0.6")
-    // the scale property itself: the cell join hash-shuffles both sides
-    // (SHUFFLE_HASH hint honored), so no plan node broadcasts the corpus
+    // the scale property itself: THE CELL JOIN — keyed on `cell` — must
+    // hash-shuffle both sides. Pinning the join key closes the r5 ADVICE
+    // gap: a plan that broadcast the corpus-sized probe side at the cell
+    // join while some other join happened to be shuffled would have
+    // passed a bare contains("ShuffledHashJoin") check.
     val plan = ivfDf.queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled cell join in:\n$plan")
+    assert("ShuffledHashJoin \\[cell#\\d+\\], \\[cell#\\d+\\]".r
+      .findFirstIn(plan).nonEmpty,
+      s"expected the cell join to be a ShuffledHashJoin on [cell], in:\n$plan")
+    assert(!"BroadcastHashJoin \\[cell#\\d+\\]".r.findFirstIn(plan).isDefined,
+      "the cell join must not be a broadcast join (corpus-sized sides)")
   }
 
   test("nearDupPairs: cells under the cap produce exactly the unguarded pairing") {
@@ -178,6 +185,25 @@ class AnnSpec extends SparkSpec {
     assert(fromIndex == direct)
     assert(fromIndex.nonEmpty)
     emb.unpersist()
+  }
+
+  test("q152 persisted-index search partition-prunes the cells scan") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.AnnQueries.ivfPersisted(spark, dir)
+    assert(out.select("query_id").distinct().count() > 0)
+    // the 100 TB property: the probed-cell filter reaches the parquet scan
+    // of the partitionBy("cell") layout as a PARTITION filter (directories
+    // never listed), not a post-scan data filter.
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell#\\d+[^\\]]* IN ".r
+      .findFirstIn(plan).nonEmpty ||
+      "PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r.findFirstIn(plan).nonEmpty,
+      s"expected cell IN (...) partition filter on the cells scan, in:\n$plan")
+    // and only the probed cells' directories are actually read
+    val probed = "cell#\\d+[^)]*? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(probed.nonEmpty, s"no IN-list in:\n$plan")
   }
 
   test("filtered ANN only returns candidates passing the metadata predicate") {
