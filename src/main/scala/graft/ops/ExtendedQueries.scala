@@ -619,12 +619,12 @@ object ExtendedQueries {
 
   /** Approximate aggregates — the 100 TB scale path for q39/q54 (HLL++ and
     * t-digest-style sketches: one pass, tiny fixed-size state, no exact
-    * distinct shuffle). Sketch internals differ per engine, so there is no
-    * DuckDB oracle; instead the query carries its OWN quantitative gate
-    * (VERDICT r2 #3): the exact twins run in the same aggregate, each
-    * approximation's relative error is a published column, and `bounds_ok`
-    * raise_error-aborts the query if any error exceeds 5% — so the driver's
-    * rows-only check can only pass when the sketches are within bounds.
+    * distinct shuffle). Sketch internals differ per engine, so the sketch
+    * ESTIMATES never appear in the gate output; instead the query carries
+    * its own quantitative gate (VERDICT r2 #3, made hash-exact in r6): the
+    * exact twins and per-sketch in-bound booleans are the output — each
+    * boolean raise_error-aborts the query if its error exceeds 5%, so the
+    * only emittable value is TRUE and the whole row is DuckDB-replayable.
     * (The exact twins exist here purely as the yardstick; the production
     * query at 100 TB is the approx columns alone.)
     *
@@ -660,16 +660,28 @@ object ExtendedQueries {
     // the two-pass prune is bounded-shuffle and the 100 TB-shaped yardstick.
     val exactMedian = graft.operators.Stats.exactMedian(
       Tables.lineitem(spark, dir), "l_extendedprice")
+    // Gate output = exact yardstick values + in-bound BOOLEANS (VERDICT r5
+    // "next" #5): the sketch estimates are engine-internal and never leave
+    // the query, but every output column is now DuckDB-derivable — the
+    // exact counts/median directly, and the booleans as literal TRUE,
+    // because an out-of-bounds sketch raise_error-aborts the whole query
+    // (each boolean carries its own guard, so column pruning can never
+    // drop the check). This retires q64's `no_oracle` status: hash-exact
+    // like every other gate, while the 5% bound stays enforced in-query.
+    val inBounds = (err: Column, which: String) =>
+      when(err <= 0.05, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"q64 $which approx error out of bounds: "), err)))
     approx.crossJoin(exactDistinct)
       .withColumn("exact_median_price", lit(exactMedian))
-      .withColumn("rel_err_parts", relErr($"approx_parts", $"exact_parts"))
-      .withColumn("rel_err_supps", relErr($"approx_supps", $"exact_supps"))
-      .withColumn("rel_err_median", relErr($"approx_median_price", $"exact_median_price"))
-      .withColumn("bounds_ok",
-        when($"rel_err_parts" <= 0.05 && $"rel_err_supps" <= 0.05 &&
-          $"rel_err_median" <= 0.05, lit(true))
-          .otherwise(raise_error(concat(lit("q64 approx error out of bounds: "),
-            $"rel_err_parts", lit(" / "), $"rel_err_supps", lit(" / "), $"rel_err_median"))))
+      .select(
+        $"n_rows", $"exact_parts", $"exact_supps", $"exact_median_price",
+        inBounds(relErr($"approx_parts", $"exact_parts"), "parts")
+          .as("parts_in_bounds"),
+        inBounds(relErr($"approx_supps", $"exact_supps"), "supps")
+          .as("supps_in_bounds"),
+        inBounds(relErr($"approx_median_price", $"exact_median_price"), "median")
+          .as("median_in_bounds"))
   }
 
   /** GROUPED exact median (vs q54's global scalar and q87's histogram
@@ -1054,6 +1066,19 @@ object ExtendedQueries {
         |SELECT l_returnflag, CAST(bin AS INTEGER) AS bin, count(*) AS n,
         |  min(c) AS min_cents, max(c) AS max_cents
         |FROM b GROUP BY l_returnflag, bin""".stripMargin,
+    // exact yardstick values + literal-TRUE bounds: the sketch estimates
+    // are engine-internal and out-of-bounds aborts in-query, so the row
+    // is fully DuckDB-derivable (retires q64's no_oracle status)
+    "q64_approx_aggs" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_suppkey) AS exact_supps,
+        |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+        |    AS exact_median_price,
+        |  true AS parts_in_bounds,
+        |  true AS supps_in_bounds,
+        |  true AS median_in_bounds
+        |FROM lineitem""".stripMargin,
     // exact twins only; the sketch is gated in-query (q64/q115 contract)
     "q137_grouped_sketch_gate" ->
       """SELECT l_returnflag,

@@ -8,11 +8,11 @@ import graft.{SparkEntry, SparkSpec}
   * replicates at sf0.01.) */
 class QueriesSpec extends SparkSpec {
 
-  /** Queries whose outputs have no practical SQL oracle — sketches (q64:
-    * engine-specific internals, pinned by ApproxSpec) and Lloyd-trained IVF
-    * (q77: iterative k-means is not expressible as oracle SQL, pinned by
-    * AnnSpec). The driver records rows-only checks for these. */
-  private val noOracleByDesign = Set("q64_approx_aggs", "q77_ann_ivf_trained")
+  /** Every query now carries a DuckDB oracle: r4 made q77 replayable (the
+    * integer-grid Lloyd), r6 made q64 replayable (gate output = exact
+    * yardstick values + in-bound booleans; the sketch estimates stay
+    * engine-internal behind in-query raise_error bounds). */
+  private val noOracleByDesign = Set.empty[String]
 
   test("every query has an oracle entry") {
     val missing =
