@@ -152,18 +152,37 @@ object Ann {
     * broadcast is impossible) and sorting the per-cell candidate stream
     * buys nothing for a hash-partitioned equi-join. Per-cell work is
     * |cell|², the IVF contract (cells are the quantizer's job to keep
-    * bounded — compose with [[nearDupPairs]]' hot-cell sub-bucketing when
-    * the quantizer can't guarantee it). The per-query top-k stays the
+    * bounded), WITH [[nearDupPairs]]' hot-cell guard built in for when the
+    * quantizer can't guarantee it: cells whose candidate count exceeds
+    * `hotCellCap` add a sign-byte LSH sub-key (the 8-bit sign pattern of
+    * the vector's first 8 dims) to the join, so a degenerate quantizer —
+    * one giant cell — degrades to ≤ cap²/256-ish banded pairing instead of
+    * |cell|², trading recall exactly like any LSH band. Cells at or under
+    * the cap keep a CONSTANT sub-key, so their output is bit-identical to
+    * the unguarded join (the gate corpora sit far under the default cap —
+    * hash-exactness is untouched). The cell-count frame is one small
+    * aggregate broadcast to both sides. The per-query top-k stays the
     * BOUNDED aggregate: the only post-join exchange carries k rows per
     * query per partition. */
   def ivfTopKShuffled(corpus: DataFrame, queries: DataFrame, k: Int,
       cellCol: String, idCol: String = "vec_id", vecCol: String = "embedding",
-      dedup: Boolean = false): DataFrame = {
+      dedup: Boolean = false, hotCellCap: Int = 10000): DataFrame = {
+    val counts = corpus.groupBy(col(cellCol).as("cell"))
+      .agg(count(lit(1)).as("__n"))
+    val signByte = (v: String) => (0 until 8).map(j => // <8 dims pad with 0-bits
+      when(try_element_at(col(v), lit(j + 1)) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val sub = (v: String) =>
+      when(col("__n") > hotCellCap, signByte(v)).otherwise(lit(0)).as("__sub")
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"), col(cellCol).as("cell"))
+      .join(broadcast(counts), Seq("cell"))
+      .select(col("query_id"), col("qv"), col("cell"), sub("qv"))
     val c = corpus.select(col(idCol).as("cand_id"),
       col(vecCol).cast("array<double>").as("cv"), col(cellCol).as("cell"))
-    val scored = c.hint("shuffle_hash").join(q, Seq("cell"))
+      .join(broadcast(counts), Seq("cell"))
+      .select(col("cand_id"), col("cv"), col("cell"), sub("cv"))
+    val scored = c.hint("shuffle_hash").join(q, Seq("cell", "__sub"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosineFast(col("qv"), col("cv")), 6).as("cosine"))

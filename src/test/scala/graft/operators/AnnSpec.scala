@@ -115,12 +115,37 @@ class AnnSpec extends SparkSpec {
     // gap: a plan that broadcast the corpus-sized probe side at the cell
     // join while some other join happened to be shuffled would have
     // passed a bare contains("ShuffledHashJoin") check.
+    // The candidate join is the only [cell, __sub] two-key join (the
+    // hot-cell guard's sub-key); the cell-count frames broadcast-join on
+    // [cell] alone and are O(#cells)-tiny, so they are allowed.
     val plan = ivfDf.queryExecution.executedPlan.toString
-    assert("ShuffledHashJoin \\[cell#\\d+\\], \\[cell#\\d+\\]".r
+    assert("ShuffledHashJoin \\[cell#\\d+, __sub#\\d+\\], \\[cell#\\d+, __sub#\\d+\\]".r
       .findFirstIn(plan).nonEmpty,
-      s"expected the cell join to be a ShuffledHashJoin on [cell], in:\n$plan")
-    assert(!"BroadcastHashJoin \\[cell#\\d+\\]".r.findFirstIn(plan).isDefined,
-      "the cell join must not be a broadcast join (corpus-sized sides)")
+      s"expected the candidate join to be a ShuffledHashJoin on [cell, __sub], in:\n$plan")
+    assert(!"BroadcastHashJoin \\[cell#\\d+, __sub#\\d+\\]".r.findFirstIn(plan).isDefined,
+      "the candidate join must not be a broadcast join (corpus-sized sides)")
+  }
+
+  test("ivfTopKShuffled: a forced hot cell degrades to sign-byte sub-buckets") {
+    // one cell of 4 vectors, cap 2 → hot: {0,1} share a positive sign byte,
+    // {2,3} a negative one — candidates come only from the same sub-bucket
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.5f, 0.5f), 7),
+      (1L, Array(0.9f, 0.4f, 0.5f), 7),
+      (2L, Array(-1.0f, -1.0f, -1.0f), 7),
+      (3L, Array(-0.9f, -1.0f, -1.0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val hot = Ann.ivfTopKShuffled(corpus, corpus, 3, "label", hotCellCap = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(hot == Map(0L -> Set(1L), 1L -> Set(0L),
+      2L -> Set(3L), 3L -> Set(2L)))
+    // the same corpus under the cap pairs every query with all 3 others
+    val cold = Ann.ivfTopKShuffled(corpus, corpus, 3, "label")
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((0L to 3L).forall(q =>
+      cold(q) == Set(0L, 1L, 2L, 3L) - q), s"cold=$cold")
   }
 
   test("nearDupPairs: cells under the cap produce exactly the unguarded pairing") {
