@@ -21,6 +21,11 @@ object Bench {
     // ExtendedQueries.yardstickEnabled. SPARK_GRAFT_YARDSTICK=on re-enables.
     if (!sys.props.contains("graft.yardstick"))
       System.setProperty("graft.yardstick", "off")
+    // q148 (exact O(n²) mutual-kNN) is likewise a yardstick — it exists
+    // only as q149's recall baseline (AnnQueries.mutualKnn doc). It stays
+    // in the bench because at the gate corpus it is cheap (~1.4 s at
+    // sf0.1), but it must NOT be scaled with the corpus: any scale-up of
+    // the embeddings gate should cap or disable q148, not inherit it.
     val spark = LocalSession.fromEnv(defaultCpus = "4")
 
     // Execute the FULL physical plan via the noop sink: a plain df.count()
