@@ -430,10 +430,15 @@ object EventQueries {
     * session CTEs — same answer, different join algorithm. */
   def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The session frame feeds seven branches below (two global sweeps +
+    // four per-user union legs); localCheckpoint materializes the
+    // events-scan + sessionize window ONCE so each branch reads the
+    // checkpointed rows instead of re-deriving the full lineage.
     val s = sessionize(spark, dir)
       .select($"user_id", $"session_id",
         unix_micros($"session_start").as("stu"),
         unix_micros($"session_end").as("enu"))
+      .localCheckpoint()
 
     // Global terms, chained so the second sweep carries the first's count.
     val starts = s.select($"stu".as("v"))
