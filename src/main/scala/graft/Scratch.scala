@@ -31,20 +31,15 @@ object Scratch {
   def named(key: String): Path =
     byKey.computeIfAbsent(key, k => fresh(s"graft_${k}_"))
 
-  /** A new temp dir, registered for shutdown-hook deletion. */
+  /** A new temp dir, registered for shutdown-hook deletion. Lands on
+    * tmpfs (/dev/shm) when available: EVERY Scratch directory is
+    * run-scoped and shutdown-deleted by contract, so durability is
+    * explicitly unwanted for all of them — sink round-trip outputs,
+    * derived-table checkpoints, streaming checkpoints alike (the gates
+    * exercise the sink/scan/committer code paths, not the disk). The
+    * ext4 journal charged every partitioned write's file-create/rename
+    * storm to the gate; production sinks point at durable storage. */
   def fresh(prefix: String): Path = {
-    val p = Files.createTempDirectory(prefix)
-    registered.add(p)
-    p
-  }
-
-  /** A new temp dir on tmpfs (/dev/shm) when available, else the normal
-    * temp root — for artifacts whose durability is explicitly unwanted:
-    * the one-shot streaming drives' checkpoints pair with a MEMORY sink,
-    * so fsyncing their state/offset files to real disk buys nothing and
-    * costs most of the streaming gates' fixed overhead (VERDICT r4 #6).
-    * Production drives point checkpointLocation at durable storage. */
-  def freshFast(prefix: String): Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val p =
       if (Files.isDirectory(shm) && Files.isWritable(shm))
@@ -53,6 +48,10 @@ object Scratch {
     registered.add(p)
     p
   }
+
+  /** Alias of [[fresh]], kept for the streaming drives that adopted the
+    * tmpfs contract first (VERDICT r4 #6). */
+  def freshFast(prefix: String): Path = fresh(prefix)
 
   private def delete(f: java.io.File): Unit = {
     if (!Files.isSymbolicLink(f.toPath))

@@ -193,8 +193,11 @@ object AnnQueries {
   def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
+    // both sides of the mutuality join read the edge list; cache so the
+    // all-pairs top-k pass runs once, not once per join side
     val directed = Ann.bruteForceTopK(emb, emb, 5)
       .select($"query_id".as("a"), $"cand_id".as("b"), $"cosine")
+      .cache()
     directed
       .join(directed.select($"b".as("a"), $"a".as("b")), Seq("a", "b"))
       .filter($"a" < $"b")
@@ -218,8 +221,11 @@ object AnnQueries {
     import spark.implicits._
     val (grid, corpus, centroids) = gridIndex(spark, dir)
     val queries = Ann.probeCells(grid, centroids, nprobe = 3)
+    // both sides of the mutuality join read the edge list; cache so the
+    // cell-join + top-k edge pass runs once, not once per join side
     val directed = Ann.ivfTopKShuffled(corpus, queries, 5, "cell", dedup = true)
       .select($"query_id".as("a"), $"cand_id".as("b"), $"cosine")
+      .cache()
     directed
       .join(directed.select($"b".as("a"), $"a".as("b")), Seq("a", "b"))
       .filter($"a" < $"b")

@@ -102,6 +102,9 @@ object DedupQueries {
         explode(slice(transform($"ord", x => x.getField("s")), lit(1),
           (size($"ord") - expr("(3 * size(ord) + 9) div 10") + 1).cast("int")))
           .as("ps"))
+      // both sides of the candidate self-join read this frame; cache so
+      // the df-join + per-doc sort + explode runs once, not twice
+      .cache()
     // candidates: same prefix shingle + PPJoin's LENGTH filter (J ≥ t needs
     // t·|larger| ≤ |smaller|, i.e. 10·min ≥ 3·max — integer, prunes pairs
     // whose sizes alone forbid the threshold before any verification)
