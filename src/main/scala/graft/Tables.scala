@@ -11,22 +11,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * projection/filtering stays declarative on top of it.
   */
 object Tables {
-  /** Parquet scan with an adaptive parallelism floor: the test corpus ships
-    * ONE row group per file, and parquet row groups are the unit of split —
-    * no file-split config can spread one row group over more than one task,
-    * so every downstream operator would run single-threaded. When the scan
-    * yields far fewer partitions than the session's parallelism, insert one
-    * round-robin exchange (a few MB here) so aggregation/join work fans out.
-    * At production scale (many files / many row groups) the condition is
-    * false and no exchange is added; Catalyst still pushes filters and
-    * projections below the repartition either way. */
-  /** Fact tables get spread by a hash of their (uniform, unique) id key —
-    * hash exchange, unlike round-robin, needs no sort-before-repartition
-    * pass. Dimension tables are never respread: they end up broadcast, and
-    * an exchange before a BroadcastExchange is pure overhead. */
-  private val factKeys = Map(
-    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
-    "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id")
+  /** Parquet scan with an adaptive parallelism floor for the COMPUTE-HEAVY
+    * corpora only. The test corpus ships ONE row group per file, and parquet
+    * row groups are the unit of split — no file-split config can spread one
+    * row group over more than one task. For `documents`/`embeddings` that
+    * matters: their operators do real per-row CPU BEFORE the first shuffle
+    * (shingling, minhash banding, tokenization, vector arithmetic), so a
+    * 1-partition scan would run that work single-threaded; one hash exchange
+    * on the unique id (a few MB here) fans it out. When the scan already
+    * yields enough partitions the condition is false and no exchange is
+    * added — at production scale (many files / many row groups) this branch
+    * never fires. Catalyst still pushes filters and projections below the
+    * repartition either way.
+    *
+    * The TPC-H facts (`lineitem`, `orders`) and `events` are deliberately
+    * NOT spread: every gate query over them reaches a shuffle of its own
+    * (groupBy / join / window partitionBy) within a few cheap narrow ops of
+    * the scan, so parallelism recovers at that exchange and AQE right-sizes
+    * it; a load-time exchange would be a second full-data shuffle per query.
+    * Measured at sf0.1/local[32] (r6 micro-bench): spread cost ~+0.22 s per
+    * lineitem query, benefit nil for agg/join/window shapes. Dimension
+    * tables are never respread: they end up broadcast, and an exchange
+    * before a BroadcastExchange is pure overhead. */
+  private val spreadKeys = Map(
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
 
   /** `df.rdd.getNumPartitions` plans the scan (driver-side work per call);
     * the answer is a pure function of the files on disk, so memoize it —
@@ -36,7 +44,7 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    factKeys.get(name) match {
+    spreadKeys.get(name) match {
       case Some(key) =>
         val scanParts =
           scanPartsCache.getOrElseUpdate(s"$dir/$name", df.rdd.getNumPartitions)
