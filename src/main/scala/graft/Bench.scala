@@ -63,8 +63,11 @@ object Bench {
       val ok = try { execute(fn); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
+      // stop the clock BEFORE the inter-query cache clear: unpersisting
+      // another query's leftovers is harness bookkeeping, not plan cost
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // no cross-query cache accumulation
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) dt else -1.0)
     }.toMap
     val passes = (1 to trials).map(_ => timedPass())
     val results = ordered.map { case (name, _) =>

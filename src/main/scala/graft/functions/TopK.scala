@@ -36,7 +36,18 @@ object TopK {
     }
   }
 
+  /** `dedup = true` makes the aggregate a top-k over the DISTINCT (score,
+    * id) tuples — the multi-probe IVF case, where a (query, cand) pair
+    * meeting in two probed cells arrives twice with an IDENTICAL tuple
+    * (grid scores are exact and rounded identically). Equality-skip inside
+    * the bounded heap reproduces distinct-then-top-k bit for bit WITHOUT
+    * the full-candidate-set exchange a `.distinct()` would add: a
+    * duplicate of an in-heap entry is skipped by the containment check,
+    * and a duplicate of an EVICTED entry compares worse than the current
+    * worst (the heap minimum only ever rises), so the ordinary eviction
+    * test already rejects it — in update and in merge alike. */
   case class ScoredTopK(score: Expression, id: Expression, k: Int,
+      dedup: Boolean = false,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[mutable.PriorityQueue[Entry]] {
 
@@ -50,9 +61,15 @@ object TopK {
       mutable.PriorityQueue.empty[Entry](worstFirst)
 
     private def add(buf: mutable.PriorityQueue[Entry], e: Entry): Unit = {
-      if (buf.size < k) buf.enqueue(e)
-      else if (worstFirst.compare(e, buf.head) < 0) { // e better than current worst
-        buf.dequeue(); buf.enqueue(e)
+      if (buf.size < k) {
+        // O(k) containment scan: k is single-digit here, and the check
+        // only runs while the heap is still filling or on a would-replace
+        if (!(dedup && buf.exists(x => x._1 == e._1 && x._2 == e._2)))
+          buf.enqueue(e)
+      } else if (worstFirst.compare(e, buf.head) < 0) { // e better than current worst
+        if (!(dedup && buf.exists(x => x._1 == e._1 && x._2 == e._2))) {
+          buf.dequeue(); buf.enqueue(e)
+        }
       }
     }
 
@@ -97,9 +114,10 @@ object TopK {
       copy(score = newChildren(0), id = newChildren(1))
   }
 
-  /** Column form: array<struct<cand_id, cosine>> of the k best, best first. */
-  def scoredTopK(score: Column, id: Column, k: Int): Column =
+  /** Column form: array<struct<cand_id, cosine>> of the k best, best first.
+    * `dedup` = top-k over distinct (score, id) tuples (see [[ScoredTopK]]). */
+  def scoredTopK(score: Column, id: Column, k: Int, dedup: Boolean = false): Column =
     bridge.column(
-      ScoredTopK(bridge.expression(score), bridge.expression(id), k)
+      ScoredTopK(bridge.expression(score), bridge.expression(id), k, dedup)
         .toAggregateExpression())
 }

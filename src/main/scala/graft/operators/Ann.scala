@@ -62,9 +62,9 @@ object Ann {
 
   /** Fold a (query_id, cand_id, cosine) scored set into ranked top-k rows
     * via the bounded aggregate. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, k: Int, dedup: Boolean = false): DataFrame =
     scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopK.scoredTopK(col("cosine"), col("cand_id"), k).as("top"))
+      .agg(graft.functions.TopK.scoredTopK(col("cosine"), col("cand_id"), k, dedup).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("query_id"), col("s.cand_id").as("cand_id"),
         col("s.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
@@ -86,8 +86,10 @@ object Ann {
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosineFast(col("qv"), col("cv")), 6).as("cosine"))
-    // see ivfTopKShuffled: required when corpus or queries are multi-assigned
-    rankTopK(if (dedup) scored.distinct() else scored, k)
+    // see ivfTopKShuffled: required when corpus or queries are multi-assigned.
+    // Dedup happens INSIDE the bounded heap (TopK equality-skip) — a
+    // `.distinct()` here would exchange the full candidate set first.
+    rankTopK(scored, k, dedup)
   }
 
   /** INTEGER-GRID vector quantization: `floor(x · 1e6)` per dimension,
@@ -189,8 +191,11 @@ object Ann {
     // dedup MUST be set when either side is multi-assigned (probeCells
     // with n > 1): a (query, cand) pair meeting in two probed cells would
     // otherwise occupy two of the k slots. Identical cosine both times
-    // (grid scores are exact), so distinct collapses them losslessly.
-    rankTopK(if (dedup) scored.distinct() else scored, k)
+    // (grid scores are exact), so equality-skip INSIDE the bounded heap
+    // collapses them losslessly — where a `.distinct()` would exchange
+    // the full candidate set (|cells|·|cell|² rows) before the k-bounded
+    // aggregate got to shrink it.
+    rankTopK(scored, k, dedup)
   }
 
   /** Assign every corpus vector to its nearest centroid by cosine (the IVF
