@@ -95,15 +95,21 @@ object DedupQueries {
       .select($"doc_id", explode(Dedup.wordShingles($"text", ShingleSize)).as("s"))
       .distinct().cache()
     val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-    val prefixes = sh.join(dfreq, "s")
+    // ONE df-join + per-doc sort pass feeds BOTH the prefix index and the
+    // verify arrays (r6: a second groupBy+collect_list over sh for the
+    // verify sets re-shuffled and re-sorted the same 250k shingle rows)
+    val docArr = sh.join(dfreq, "s")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"df", $"s"))).as("ord"))
-      .select($"doc_id", size($"ord").as("sz"),
-        explode(slice(transform($"ord", x => x.getField("s")), lit(1),
-          (size($"ord") - expr("(3 * size(ord) + 9) div 10") + 1).cast("int")))
-          .as("ps"))
+      .select($"doc_id", transform($"ord", x => x.getField("s")).as("sarr"),
+        size($"ord").as("sz"))
+      .cache()
+    val prefixes = docArr
+      .select($"doc_id", $"sz",
+        explode(slice($"sarr", lit(1),
+          ($"sz" - expr("(3 * sz + 9) div 10") + 1).cast("int"))).as("ps"))
       // both sides of the candidate self-join read this frame; cache so
-      // the df-join + per-doc sort + explode runs once, not twice
+      // the explode runs once, not twice
       .cache()
     // candidates: same prefix shingle + PPJoin's LENGTH filter (J ≥ t needs
     // t·|larger| ≤ |smaller|, i.e. 10·min ≥ 3·max — integer, prunes pairs
@@ -113,16 +119,15 @@ object DedupQueries {
       .filter($"doc_a" < $"doc_b" &&
         $"sa" * 10 >= $"sb" * 3 && $"sb" * 10 >= $"sa" * 3)
       .select($"doc_a", $"doc_b").distinct()
-    // verify per PAIR against the materialized sorted shingle arrays:
-    // array_intersect is one hash-set probe per element — O(|a|+|b|) per
-    // candidate in place, versus the explode-to-shingle-rows join that
-    // re-shuffles candidates×|doc| rows (measured 8.1 s → this shape at
-    // sf0.1; the arrays table is doc-keyed and broadcasts when small)
-    val sets = sh.groupBy($"doc_id")
-      .agg(sort_array(collect_list($"s")).as("sset"), count(lit(1)).as("sz"))
+    // verify per PAIR against the materialized shingle arrays (df-order —
+    // array_intersect hashes one side, so element order is irrelevant):
+    // one hash-set probe per element, O(|a|+|b|) per candidate in place,
+    // versus the explode-to-shingle-rows join that re-shuffles
+    // candidates×|doc| rows (measured 8.1 s → this shape at sf0.1; the
+    // arrays table is doc-keyed and broadcasts when small)
     cands
-      .join(sets.select($"doc_id".as("doc_a"), $"sset".as("seta"), $"sz".as("sa")), "doc_a")
-      .join(sets.select($"doc_id".as("doc_b"), $"sset".as("setb"), $"sz".as("sb")), "doc_b")
+      .join(docArr.select($"doc_id".as("doc_a"), $"sarr".as("seta"), $"sz".as("sa")), "doc_a")
+      .join(docArr.select($"doc_id".as("doc_b"), $"sarr".as("setb"), $"sz".as("sb")), "doc_b")
       .select($"doc_a", $"doc_b", $"sa", $"sb",
         size(array_intersect($"seta", $"setb")).cast("long").as("c"))
       .filter($"c" * 13 >= ($"sa" + $"sb") * 3)
