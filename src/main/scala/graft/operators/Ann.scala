@@ -294,6 +294,22 @@ object Ann {
     celled.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Incremental index maintenance — the no-retrain upsert of a growing
+    * corpus: `delta` vectors are assigned to the EXISTING centroid table
+    * (the coarse quantizer is FROZEN; retraining is a separate offline
+    * decision, the standard train-then-add contract of IVF indexes) with
+    * the same multi-assignment width as the original build, then APPENDED
+    * into the `partitionBy("cell")` layout. Append, not dynamic overwrite:
+    * new files land inside each touched `cell=` directory, a reader
+    * mid-scan keeps a consistent view, and [[searchIndex]]'s probed-cell
+    * partition pruning is untouched — at 100 TB a daily delta touches
+    * |delta| rows of write, never the index. */
+  def appendIndex(centroids: DataFrame, delta: DataFrame, path: String,
+      assignProbes: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    probeCells(delta, centroids, assignProbes, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+
   /** Search a persisted IVF index: probe each query's `nprobe` nearest
     * centroids, then top-k only over the probed cells. The probed cell set
     * is collected to the driver and applied as a LITERAL `isin` filter —

@@ -118,6 +118,50 @@ object AnnQueries {
       k = 10, nprobe = 3, dedup = true)
   }
 
+  /** Centroids trained on the BASE slice only (vec_id % 5 ≠ 0), memoized
+    * per dir like [[gridIndex]] — the upsert gate's frozen quantizer. */
+  private val upsertCentroids = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row],
+             org.apache.spark.sql.types.StructType)]()
+
+  /** INCREMENTAL index maintenance (q153) — the upsert path a growing
+    * corpus needs: the coarse quantizer is trained ONCE on the base slice
+    * (vec_id % 5 ≠ 0 — 80% of the corpus), persisted with
+    * [[Ann.saveIndex]]; the remaining 20% arrives later and is
+    * [[Ann.appendIndex]]ed — assigned to the FROZEN centroids with the
+    * build's ×2 multi-assignment, appended inside the touched `cell=`
+    * partition directories, NO retrain and NO rewrite of existing index
+    * files. The search then probes the upserted index exactly like q152.
+    * The DuckDB oracle replays the same split — train on base, assign
+    * base∪delta to the frozen centroids, search — so hash-equality proves
+    * the appended files carry precisely the frozen-quantizer assignment
+    * (an accidental retrain, or a lost/duplicated delta row, breaks it).
+    * At 100 TB the daily-delta cost is |delta| assignment + append;
+    * the base index is never touched. */
+  def ivfUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (grid, _, _) = gridIndex(spark, dir)
+    val (centRows, centSchema) = upsertCentroids.computeIfAbsent(dir, _ => {
+      val base = grid.filter($"vec_id" % 5 =!= 0)
+        .withColumn("seed", pmod($"vec_id", lit(8)).cast("int")).cache()
+      val c = Ann.trainCentroidsGrid(base, "seed", iters = 2)
+      base.unpersist(blocking = false)
+      (c.collect(), c.schema)
+    })
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centSchema)
+    val path = graft.Scratch.named(s"q153_${dir.hashCode}").toString
+    // overwrite-then-append per invocation: re-runs in one JVM can never
+    // double-append (static partition overwrite truncates the cells dir)
+    Ann.saveIndex(centroids,
+      Ann.probeCells(grid.filter($"vec_id" % 5 =!= 0), centroids, nprobe = 2),
+      path)
+    Ann.appendIndex(centroids, grid.filter($"vec_id" % 5 === 0), path,
+      assignProbes = 2)
+    Ann.searchIndex(spark, path, grid.filter($"vec_id" < 10),
+      k = 10, nprobe = 3, dedup = true)
+  }
+
   /** Embedding near-dup pairs: same-cell (label) pairs with cosine ≥ 0.35,
     * through [[Ann.nearDupPairs]]' hot-cell guard — cells above the cap
     * pair only within a sign-byte LSH sub-bucket, so no cell can go
@@ -242,7 +286,8 @@ object AnnQueries {
     "q30_ann_ivf" -> (ivf _),
     "q31_embedding_near_dup" -> (embeddingNearDup _),
     "q77_ann_ivf_trained" -> (ivfTrained _),
-    "q152_ann_ivf_persisted" -> (ivfPersisted _))
+    "q152_ann_ivf_persisted" -> (ivfPersisted _),
+    "q153_ann_index_upsert" -> (ivfUpsert _))
 
   /** Cosine in DuckDB, mirroring Ann.cosine's formula dot/(sqrt·sqrt). */
   private def cosSql(a: String, b: String): String =
@@ -260,7 +305,7 @@ object AnnQueries {
     * final per-vector cell scores `s2`. Consumers rank s2 into single or
     * multi assignments. `ivd` explodes dims 1..64 via generate_series
     * (embeddings are 64-d; DuckDB lacks WITH ORDINALITY). */
-  private val gridLloydSql: String = {
+  private def gridLloydSqlFor(trainPred: String): String = {
     val mStep = (src: String) =>
       s"""SELECT cell, dim, ${floorDivSql("sum(CAST(x AS BIGINT))", "count(*)")} AS cx
          |  FROM $src GROUP BY cell, dim""".stripMargin
@@ -272,18 +317,20 @@ object AnnQueries {
        |), ivd AS (
        |  SELECT vec_id, seed, v[dim] AS x, dim
        |  FROM iv, (SELECT unnest(generate_series(1, 64)) AS dim)
+       |), tr AS (
+       |  SELECT * FROM ivd WHERE $trainPred
        |), c0 AS (
-       |  ${mStep("(SELECT seed AS cell, dim, x FROM ivd)")}
+       |  ${mStep("(SELECT seed AS cell, dim, x FROM tr)")}
        |), s1 AS (
        |  SELECT i.vec_id, c.cell,
        |    sum(i.x * c.cx) / (sqrt(sum(i.x * i.x)) * sqrt(sum(c.cx * c.cx))) AS cos
-       |  FROM ivd i JOIN c0 c ON i.dim = c.dim GROUP BY i.vec_id, c.cell
+       |  FROM tr i JOIN c0 c ON i.dim = c.dim GROUP BY i.vec_id, c.cell
        |), a1 AS (
        |  SELECT vec_id, cell FROM s1
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |    ORDER BY cos DESC, cell ASC) = 1
        |), c1 AS (
-       |  ${mStep("(SELECT a1.cell, i.dim, i.x FROM ivd i JOIN a1 USING (vec_id))")}
+       |  ${mStep("(SELECT a1.cell, i.dim, i.x FROM tr i JOIN a1 USING (vec_id))")}
        |), s2 AS (
        |  SELECT i.vec_id, c.cell,
        |    sum(i.x * c.cx) / (sqrt(sum(i.x * i.x)) * sqrt(sum(c.cx * c.cx))) AS cos
@@ -295,10 +342,17 @@ object AnnQueries {
        |)""".stripMargin
   }
 
+  /** Training set = whole corpus (q77/q149/q152). The E/M CTEs (`s1`,
+    * `a1`, `c1`) run over `tr` (the training slice); the ASSIGNMENT pass
+    * `s2`/`a2` always scores EVERY vector against the trained centroids —
+    * for the full-corpus gates the two coincide, for the upsert gate
+    * (q153) they are exactly the frozen-quantizer semantics. */
+  private val gridLloydSql: String = gridLloydSqlFor("TRUE")
+
   /** Shared replay for q77 (in-session index) and q152 (persisted index):
     * both rank the same grid-Lloyd cells, so one SQL gates both. */
-  private lazy val ivfTrainedSql: String =
-    s"""WITH $gridLloydSql,
+  private def searchReplaySql(lloyd: String): String =
+    s"""WITH $lloyd,
        |p AS (
        |  SELECT vec_id, cell FROM s2 WHERE vec_id < 10
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -315,6 +369,14 @@ object AnnQueries {
        |    ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
        |FROM sc
        |QUALIFY rank <= 10""".stripMargin
+
+  private lazy val ivfTrainedSql: String = searchReplaySql(gridLloydSql)
+
+  /** q153 replay: train on the base slice only; `s2`/`a2` still assign
+    * EVERY vector to the frozen centroids — the appended delta rows must
+    * land in exactly those cells or the hash breaks. */
+  private lazy val ivfUpsertSql: String =
+    searchReplaySql(gridLloydSqlFor("vec_id % 5 <> 0"))
 
   val oracle: Map[String, String] = Map(
     "q149_mutual_knn_ivf" ->
@@ -343,6 +405,10 @@ object AnnQueries {
     // semantics, so the identical replay: equality proves the parquet
     // round trip + partition-pruned search lose nothing.
     "q152_ann_ivf_persisted" -> ivfTrainedSql,
+    // q153: base-trained centroids, frozen-quantizer assignment of the
+    // delta — equality proves the incremental append carried exactly the
+    // frozen assignment (a retrain, lost row, or double-append breaks it).
+    "q153_ann_index_upsert" -> ivfUpsertSql,
     "q148_mutual_knn" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -231,6 +231,22 @@ class AnnSpec extends SparkSpec {
     assert(probed.nonEmpty, s"no IN-list in:\n$plan")
   }
 
+  test("q153 upsert: delta vectors are searchable, appended under frozen centroids") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.AnnQueries.ivfUpsert(spark, dir).cache()
+    assert(out.count() > 0)
+    // the appended 20% slice (vec_id % 5 == 0) must be reachable by search —
+    // if appendIndex dropped it, only base candidates would ever rank
+    val deltaHits = out.filter($"cand_id" % 5 === 0).count()
+    assert(deltaHits > 0, "no delta vector ranked — the append never landed")
+    // frozen-quantizer check: re-running the query is a full overwrite +
+    // re-append (idempotence), so results are stable within a JVM
+    val again = graft.ops.AnnQueries.ivfUpsert(spark, dir)
+    assert(again.collect().toSet == out.collect().toSet)
+    out.unpersist()
+  }
+
   test("filtered ANN only returns candidates passing the metadata predicate") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
