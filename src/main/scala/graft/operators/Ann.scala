@@ -310,6 +310,25 @@ object Ann {
     probeCells(delta, centroids, assignProbes, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
 
+  /** Small-file compaction — the other half of append-based maintenance:
+    * after N daily [[appendIndex]] runs every hot cell holds N+1 files,
+    * and file-open overhead starts to dominate the probed-cell scans.
+    * Rewrites the index as a NEW GENERATION at `into` (write-new then
+    * swap-pointer, the LSM/table-format maintenance pattern — never an
+    * in-place overwrite of a directory a concurrent search may be
+    * scanning): one shuffle on the cell key so each cell's rows land in
+    * one task, then one file per cell in the same `partitionBy` layout.
+    * Pure rewrite — row set, assignment, and search pruning are
+    * untouched (q154 gates this by hash-equality with q153). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, into: String): Unit = {
+    spark.read.parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$into/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    cells.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$into/cells")
+  }
+
   /** Search a persisted IVF index: probe each query's `nprobe` nearest
     * centroids, then top-k only over the probed cells. The probed cell set
     * is collected to the driver and applied as a LITERAL `isin` filter —

@@ -138,7 +138,11 @@ object AnnQueries {
     * (an accidental retrain, or a lost/duplicated delta row, breaks it).
     * At 100 TB the daily-delta cost is |delta| assignment + append;
     * the base index is never touched. */
-  def ivfUpsert(spark: SparkSession, dir: String): DataFrame = {
+  /** Builds the upserted index on disk (train-on-base save + frozen-
+    * quantizer delta append — see [[ivfUpsert]]) and returns its path.
+    * Overwrite-then-append per invocation: re-runs in one JVM can never
+    * double-append (static partition overwrite truncates the cells dir). */
+  private def upsertedIndex(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val (grid, _, _) = gridIndex(spark, dir)
     val (centRows, centSchema) = upsertCentroids.computeIfAbsent(dir, _ => {
@@ -151,14 +155,38 @@ object AnnQueries {
     val centroids = spark.createDataFrame(
       java.util.Arrays.asList(centRows: _*), centSchema)
     val path = graft.Scratch.named(s"q153_${dir.hashCode}").toString
-    // overwrite-then-append per invocation: re-runs in one JVM can never
-    // double-append (static partition overwrite truncates the cells dir)
     Ann.saveIndex(centroids,
       Ann.probeCells(grid.filter($"vec_id" % 5 =!= 0), centroids, nprobe = 2),
       path)
     Ann.appendIndex(centroids, grid.filter($"vec_id" % 5 === 0), path,
       assignProbes = 2)
-    Ann.searchIndex(spark, path, grid.filter($"vec_id" < 10),
+    path
+  }
+
+  def ivfUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (grid, _, _) = gridIndex(spark, dir)
+    Ann.searchIndex(spark, upsertedIndex(spark, dir),
+      grid.filter($"vec_id" < 10), k = 10, nprobe = 3, dedup = true)
+  }
+
+  /** INDEX COMPACTION (q154) — the maintenance sibling of q153: the
+    * append-built index (whose hot cells hold base + delta files) is
+    * rewritten as a NEW GENERATION with one file per cell
+    * ([[Ann.compactIndex]]: one cell-keyed shuffle, write-new then
+    * swap-pointer, never an in-place overwrite under a concurrent
+    * reader), and the search runs against the compacted generation.
+    * Compaction is a pure physical rewrite, so the oracle is IDENTICAL
+    * to q153's — hash-equality proves no row was lost, duplicated, or
+    * re-assigned by the rewrite, and AnnSpec pins the physical claim
+    * (file count per cell collapses to 1, pruning intact). */
+  def ivfCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (grid, _, _) = gridIndex(spark, dir)
+    val gen1 = upsertedIndex(spark, dir)
+    val gen2 = graft.Scratch.named(s"q154_${dir.hashCode}").toString
+    Ann.compactIndex(spark, gen1, gen2)
+    Ann.searchIndex(spark, gen2, grid.filter($"vec_id" < 10),
       k = 10, nprobe = 3, dedup = true)
   }
 
@@ -287,7 +315,8 @@ object AnnQueries {
     "q31_embedding_near_dup" -> (embeddingNearDup _),
     "q77_ann_ivf_trained" -> (ivfTrained _),
     "q152_ann_ivf_persisted" -> (ivfPersisted _),
-    "q153_ann_index_upsert" -> (ivfUpsert _))
+    "q153_ann_index_upsert" -> (ivfUpsert _),
+    "q154_ann_index_compact" -> (ivfCompacted _))
 
   /** Cosine in DuckDB, mirroring Ann.cosine's formula dot/(sqrt·sqrt). */
   private def cosSql(a: String, b: String): String =
@@ -409,6 +438,10 @@ object AnnQueries {
     // delta — equality proves the incremental append carried exactly the
     // frozen assignment (a retrain, lost row, or double-append breaks it).
     "q153_ann_index_upsert" -> ivfUpsertSql,
+    // q154 compacts q153's index — a pure physical rewrite, so the same
+    // replay: equality proves the one-file-per-cell generation carries
+    // exactly the upserted row set.
+    "q154_ann_index_compact" -> ivfUpsertSql,
     "q148_mutual_knn" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -247,6 +247,34 @@ class AnnSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q154 compaction: one file per cell, identical search results") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val compacted = graft.ops.AnnQueries.ivfCompacted(spark, dir)
+      .collect().toSet
+    val upserted = graft.ops.AnnQueries.ivfUpsert(spark, dir)
+      .collect().toSet
+    assert(compacted == upserted && compacted.nonEmpty)
+    // physical claim: gen1's hot cells hold base+delta files; gen2 holds
+    // exactly one parquet file per cell directory
+    val gen2 = new java.io.File(
+      graft.Scratch.named(s"q154_${dir.hashCode}").toString, "cells")
+    val cellDirs = gen2.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${d.getName} has ${parts.length} files after compaction")
+    }
+    val gen1 = new java.io.File(
+      graft.Scratch.named(s"q153_${dir.hashCode}").toString, "cells")
+    val multiFile = gen1.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("cell=")).exists(
+      _.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(multiFile, "gen1 should hold appended (multi-file) cells")
+  }
+
   test("filtered ANN only returns candidates passing the metadata predicate") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
