@@ -80,10 +80,30 @@ object SourceQueries {
         countDistinct(md5($"text")).as("n_uniq_texts"))
   }
 
+  /** XML sink → source round trip — the ARRIVAL format of crawl dumps and
+    * feed exports (Spark 4's built-in xml source). Same aggregate contract
+    * as [[jsonlRoundtrip]]: the md5-distinct column means any asymmetric
+    * entity escaping or whitespace mangling in text content (`&amp;`,
+    * `<`, newlines inside elements) breaks the hash. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val out = graft.Scratch.named("q155").resolve("docs_xml").toString
+    Sources.writeXml(docs, out, rowTag = "doc")
+    Sources.readXml(spark, out, docs.schema, rowTag = "doc")
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(length($"text")).cast("long").as("total_text_len"),
+        countDistinct(md5($"text")).as("n_uniq_texts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q119_csv_roundtrip" -> (csvRoundtrip _),
-    "q136_partitioned_roundtrip" -> (partitionedRoundtrip _))
+    "q136_partitioned_roundtrip" -> (partitionedRoundtrip _),
+    "q155_xml_roundtrip" -> (xmlRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     // The oracle reads the ORIGINAL parquet — equality proves the JSONL
@@ -105,5 +125,11 @@ object SourceQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  count(DISTINCT md5(text)) AS n_uniq_texts
         |FROM documents WHERE lang IN ('en', 'fr')
-        |GROUP BY source, lang""".stripMargin)
+        |GROUP BY source, lang""".stripMargin,
+    "q155_xml_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+        |  count(DISTINCT md5(text)) AS n_uniq_texts
+        |FROM documents GROUP BY source, lang""".stripMargin)
 }

@@ -77,6 +77,20 @@ object Sources {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** XML read (Spark 4's built-in xml source, one row per `rowTag`
+    * element) with explicit schema — same no-inference contract as
+    * [[readJsonl]]: sampling XML at corpus scale is a wasted pass. */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String = "row"): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).xml(path)
+
+  /** XML sink — the interchange format of crawl dumps and feed exports
+    * (the usual ARRIVAL format of raw web corpora; columnar formats are
+    * what the pipeline converts INTO). Distributed: one file per
+    * partition, each a well-formed document of `rowTag` elements. */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag).xml(path)
+
   /** ORC read — the second columnar format (ORC and parquet share the
     * predicate-pushdown / column-pruning / partition-pruning machinery via
     * the same v2 file-source framework, so every scan optimization in

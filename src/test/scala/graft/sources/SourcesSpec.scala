@@ -68,6 +68,21 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,1"))
   }
 
+  test("XML round-trip escapes entities and preserves newlines byte-exactly") {
+    val dir = tmp("graft-xml")
+    val hostile = Seq(
+      (1L, "a & b < c > d \"quoted\" 'apos'"),
+      (2L, "line one\nline two\n\ttabbed"),
+      (3L, "]]> cdata-closer & <tag-like/> content"),
+      (4L, "unicode: café 中文 😀"))
+      .toDF("id", "text")
+    Sources.writeXml(hostile, dir, rowTag = "doc")
+    val back = Sources.readXml(spark, dir, hostile.schema, rowTag = "doc")
+      .as[(Long, String)].collect().toMap
+    val orig = hostile.as[(Long, String)].collect().toMap
+    assert(back == orig, s"XML hop mangled content: $back vs $orig")
+  }
+
   test("partitioned parquet write lays out one directory per key value") {
     val dir = tmp("graft-part")
     val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
