@@ -17,18 +17,32 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed parquet table. Sorting within
-    * buckets additionally removes the sort step of later sort-merge joins. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+  /** Write `df` as a bucketed+sorted parquet table — managed (warehouse)
+    * by default, or EXTERNAL at `path` (the catalog keeps the bucket spec
+    * either way; an explicit path keeps gate scratch out of the
+    * warehouse). Sorting within buckets additionally removes the sort
+    * step of later sort-merge joins. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w.saveAsTable(table)) { p =>
+      // overwrite on an external table re-resolves against the OLD
+      // catalog entry; drop first so re-runs recreate cleanly
+      df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+      w.option("path", p).saveAsTable(table)
+    }
+  }
 
-  /** Exchange-free equi-join of two co-bucketed tables. */
+  /** Exchange-free equi-join of two co-bucketed tables. The `merge` hint
+    * pins the sort-merge strategy the bucket layout feeds — without it, a
+    * small side would auto-broadcast and the co-location would go unused
+    * (fine for results, wrong for proving the zero-shuffle plan). */
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
       leftTable: String, rightTable: String, key: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), key)
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable).hint("merge"), key)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Bucketing
 import graft.sources.Sources
 
 /** Source/sink round-trip GATE queries — the file-format surface
@@ -99,11 +100,42 @@ object SourceQueries {
         countDistinct(md5($"text")).as("n_uniq_texts"))
   }
 
+  /** BUCKETED-table join gate — the write-once/join-many co-location
+    * lever promoted from spec-only (BucketingSpec) to the oracle: both
+    * fact sides land as 8-bucket hash-bucketed sorted parquet on the join
+    * key ([[graft.operators.Bucketing]]), and the fact-fact join + the
+    * follow-on aggregation run off the bucket layout — at 100 TB this is
+    * the plan with NO exchange on either join side (BucketingSpec asserts
+    * exchange-freeness; this gate proves the bucketed files carry the
+    * data intact). Monetary sum through DECIMAL(14,2) per the cross-engine
+    * float rule. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sfx = math.abs(dir.hashCode).toString
+    val liT = s"li_bucketed_$sfx"
+    val orT = s"or_bucketed_$sfx"
+    val scratch = graft.Scratch.named(s"q156_$sfx")
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice"),
+      liT, "l_orderkey", 8, Some(scratch.resolve("li").toString))
+    Bucketing.writeBucketed(
+      Tables.orders(spark, dir)
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority"),
+      orT, "l_orderkey", 8, Some(scratch.resolve("or").toString))
+    Bucketing.bucketedJoin(spark, liT, orT, "l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("sum_qty"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q119_csv_roundtrip" -> (csvRoundtrip _),
     "q136_partitioned_roundtrip" -> (partitionedRoundtrip _),
-    "q155_xml_roundtrip" -> (xmlRoundtrip _))
+    "q155_xml_roundtrip" -> (xmlRoundtrip _),
+    "q156_bucketed_join" -> (bucketedJoin _))
 
   val oracle: Map[String, String] = Map(
     // The oracle reads the ORIGINAL parquet — equality proves the JSONL
@@ -131,5 +163,13 @@ object SourceQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
         |  count(DISTINCT md5(text)) AS n_uniq_texts
-        |FROM documents GROUP BY source, lang""".stripMargin)
+        |FROM documents GROUP BY source, lang""".stripMargin,
+    // plain join over the originals: equality proves the bucketed layout
+    // (hash-bucketed, sorted, external path) carries every row
+    "q156_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
 }

@@ -40,4 +40,17 @@ class BucketingSpec extends SparkSpec {
       assert(expected > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q156 gate: the bucketed fact-fact join itself plans with zero exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    // running the gate registers the external bucketed tables in-session
+    assert(graft.ops.SourceQueries.bucketedJoin(spark, dir).count() > 0)
+    val sfx = math.abs(dir.hashCode).toString
+    val join = Bucketing.bucketedJoin(spark,
+      s"li_bucketed_$sfx", s"or_bucketed_$sfx", "l_orderkey")
+    val plan = join.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"the gate's bucket layout must make the join exchange-free:\n$plan")
+  }
 }
