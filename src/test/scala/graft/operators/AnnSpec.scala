@@ -275,6 +275,19 @@ class AnnSpec extends SparkSpec {
     assert(multiFile, "gen1 should hold appended (multi-file) cells")
   }
 
+  test("exact-baseline scale cap fails fast past the bound (q148 guard)") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(11).select($"id".as("vec_id"),
+      array(lit(1.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.requireExactBaselineScale(big, cap = 10, "q149 mutualKnnIvf")
+    }
+    assert(e.getMessage.contains("q149"), "error must point at the IVF path")
+    // at or under the cap the corpus passes through untouched
+    val ok = Ann.requireExactBaselineScale(big.limit(10), 10, "q149")
+    assert(ok.count() == 10)
+  }
+
   test("filtered ANN only returns candidates passing the metadata predicate") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
