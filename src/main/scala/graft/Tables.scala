@@ -63,25 +63,57 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as raw long nanos (legacy conf) and
-    * rebuild a micros timestamp with integral division — `div`, not `/`:
-    * float division of ~1.7e18 ns exceeds double's 2^53 integer range and
-    * would corrupt low-order digits. Floor semantics match DuckDB's ns→us
-    * truncation, so oracle comparisons stay exact. */
+  /** `events.parquet`'s `ts` encoding has varied across corpus generations:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * readable only as a raw long under the legacy conf) and
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    * [[enableNanosRead]] + the type-dispatching [[rebuildNanosTs]] accept
+    * either and normalize to session-TZ TIMESTAMP, so every downstream
+    * query and oracle sees one schema regardless of the corpus vintage. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enableNanosRead(spark)
     rebuildNanosTs(load(spark, dir, "events"))
   }
 
-  /** The ONE ns→us bridge (see [[events]]' doc for the `div`-not-`/`
-    * rationale) — also applied by the streaming gate drives (q81/q90/q92),
-    * which must read the raw long themselves because `readStream` needs the
-    * on-disk schema. Any change to the bridge must stay here or the
-    * streaming twins silently diverge from the batch oracles they share. */
-  def rebuildNanosTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** Lets a parquet read survive a TIMESTAMP(NANOS) column by surfacing it
+    * as a raw nanos LONG (`spark.sql.legacy.parquet.nanosAsLong`). The conf
+    * only affects NANOS-typed columns — micros corpora read identically with
+    * or without it — so setting it unconditionally before any events read
+    * (batch or readStream schema derivation) is a no-op unless it is exactly
+    * what makes the read possible. */
+  def enableNanosRead(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** The ONE events-`ts` normalization bridge — also applied by the
+    * streaming gate drives (q81/q90/q92/q103/q122/q140), which must read the
+    * on-disk schema themselves because `readStream` needs it. Dispatches on
+    * the column's actual type so either corpus encoding lands on the SAME
+    * output type (session-TZ TIMESTAMP, the type all 156 oracles were
+    * proven against):
+    *  - LONG (nanos under [[enableNanosRead]]) → `timestamp_micros(ts div
+    *    1000)`. Integral `div`, not `/`: float division of ~1.7e18 ns
+    *    exceeds double's 2^53 integer range and would corrupt low-order
+    *    digits; floor matches DuckDB's ns→us truncation.
+    *  - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false) → `cast("timestamp")`.
+    *    The session TZ is pinned to UTC (LocalSession), so the wall-clock
+    *    micros are preserved exactly.
+    *  - TIMESTAMP → already the target type; pass through.
+    * Any change to the bridge must stay here or the streaming twins silently
+    * diverge from the batch oracles they share. */
+  def rebuildNanosTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported on-disk type $other (expected LONG nanos, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -125,7 +125,7 @@ object EventQueries {
     * StreamingSpec, not here, because they are BY DESIGN time-dependent. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.enableNanosRead(spark)
     // dedup state store partitions sized by runOnce (statePartitions=8)
     graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
       ev => graft.streaming.Streaming.dedupStream(
@@ -144,9 +144,9 @@ object EventQueries {
     * [[graft.streaming.Streaming.runOnce]]). Shares q19's oracle SQL —
     * hash-exact parity here proves the batch and streaming plans compute
     * the identical result from the identical declarative query. The ts
-    * rebuild mirrors Tables.events (nanos long → micros, integral div). */
+    * rebuild mirrors Tables.events (encoding-dispatching bridge). */
   def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.enableNanosRead(spark)
     graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
       ev => graft.streaming.Streaming.hourlyCounts(Tables.rebuildNanosTs(ev)),
       name = "q81_streaming_hourly_sink")
@@ -163,7 +163,7 @@ object EventQueries {
     * streaming operator class (join state, vs q81's window state). */
   def streamingClickErrorJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.enableNanosRead(spark)
     // A stream-stream join materializes FOUR state stores per shuffle
     // partition; runOnce sizes state partitions to the drive (8).
     graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
@@ -195,20 +195,34 @@ object EventQueries {
   def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.enableNanosRead(spark)
     val src = s"$dir/events.parquet"
-    // raw nanos-long read (not Tables.events): the sentinel file must carry
-    // the SOURCE schema so the stream can union them; the ns→us rebuild
-    // goes through Tables.rebuildNanosTs inside the plan, as q81/q90
+    // raw on-disk-schema read (not Tables.events): the sentinel file must
+    // carry the SOURCE schema so the stream can union them; the ts
+    // normalization goes through Tables.rebuildNanosTs inside the plan, as
+    // q81/q90. The sentinel arithmetic below therefore dispatches on the
+    // corpus' actual ts encoding (long nanos vs timestamp micros).
     val raw = spark.read.parquet(src)
-    val maxNanos = raw.agg(max($"ts")).head().getLong(0)
-    val sentinelNanos = maxNanos + 100L * 24 * 3600 * 1000000000L
-    val sentinelUs = sentinelNanos / 1000
+    val tsType = raw.schema("ts").dataType
+    val maxUs = tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.agg(max($"ts")).head().getLong(0) / 1000
+      case _ =>
+        Tables.rebuildNanosTs(raw)
+          .agg(max(unix_micros($"ts"))).head().getLong(0)
+    }
+    val sentinelUs = maxUs + 100L * 24 * 3600 * 1000000L
+    // emit the sentinel ts in the same encoding the corpus uses, so the
+    // sentinel parquet's schema unions cleanly with the source files
+    val sentinelTs = tsType match {
+      case org.apache.spark.sql.types.LongType => lit(sentinelUs * 1000L)
+      case t => timestamp_micros(lit(sentinelUs)).cast(t)
+    }
     val tmp = Files.createTempDirectory("graft_q92_").toFile
     val staging = Files.createTempDirectory("graft_q92_staging_").toFile
     raw.select($"user_id").distinct()
       .withColumn("event_id", lit(-1L))
-      .withColumn("ts", lit(sentinelNanos))
+      .withColumn("ts", sentinelTs)
       .withColumn("event_type", lit("sentinel"))
       .withColumn("value", lit(0.0))
       .withColumn("props", lit(null).cast("string"))
@@ -393,7 +407,7 @@ object EventQueries {
     * engines. */
   def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.enableNanosRead(spark)
     val firstSeen = Tables.events(spark, dir)
       .groupBy($"user_id").agg(min($"ts").as("first_ts"))
     graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
@@ -563,7 +577,7 @@ object EventQueries {
     * dropped/duplicated event flips a count. */
   def streamingForeachSink(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.enableNanosRead(spark)
     // stable per-JVM scratch (shutdown-cleaned): a replayed run overwrites
     // its own batch_id=N subdirs — the sink's idempotence contract — so
     // reusing one directory is both leak-free and semantically honest.

@@ -32,6 +32,40 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("ts bridge normalizes BOTH corpus encodings to the same timestamps") {
+    // The corpus has shipped events.ts as parquet TIMESTAMP(NANOS) (read as
+    // a raw long under enableNanosRead) and as TIMESTAMP(MICROS)/NTZ; a
+    // regeneration can flip the encoding again. rebuildNanosTs must map
+    // either to identical session-TZ TIMESTAMP values (r7: the micros
+    // regeneration broke 28 gates — this pins the dispatch).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val us = Seq(0L, 1L, 1700000000123456L, -987654321L)
+    val dir = Scratch.fresh("tsbridge")
+    val longPath = dir.resolve("long").toString
+    val ntzPath = dir.resolve("ntz").toString
+    us.map(u => (u * 1000L, u)).toDF("ts", "us")
+      .write.mode("overwrite").parquet(longPath)
+    us.toDF("us")
+      .withColumn("ts", timestamp_micros($"us")
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .write.mode("overwrite").parquet(ntzPath)
+    val fromLong = Tables.rebuildNanosTs(spark.read.parquet(longPath))
+    val fromNtz = Tables.rebuildNanosTs(spark.read.parquet(ntzPath))
+    for (df <- Seq(fromLong, fromNtz))
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+    val longVals = fromLong.select(unix_micros($"ts"), $"us")
+      .as[(Long, Long)].collect().toMap
+    val ntzVals = fromNtz.select(unix_micros($"ts"), $"us")
+      .as[(Long, Long)].collect().toMap
+    assert(longVals.keySet == us.toSet && ntzVals.keySet == us.toSet,
+      s"bridge changed values: long=$longVals ntz=$ntzVals")
+    // an already-normalized frame passes through untouched
+    assert(Tables.rebuildNanosTs(fromNtz).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("column pruning passes through the documents spread") {
     // the exchange must not widen the scan: a 1-column projection above
     // Tables.documents should reach the parquet reader as a 1-2 column
