@@ -50,12 +50,18 @@ object Ann {
     * instead of quietly burning n² work. */
   def requireExactBaselineScale(corpus: DataFrame, cap: Long,
       productionAlt: String): DataFrame = {
-    val n = corpus.count()
+    requireExactBaselineScale(corpus.count(), cap, productionAlt)
+    corpus
+  }
+
+  /** Count-taking overload so callers can memoize the one count job per
+    * corpus (ADVICE r7 — the guard must not re-count inside every timed
+    * bench pass). */
+  def requireExactBaselineScale(n: Long, cap: Long,
+      productionAlt: String): Unit =
     require(n <= cap,
       s"exact all-pairs baseline is O(n²) and capped at $cap rows; " +
         s"corpus has $n - use $productionAlt (cell-restricted IVF edges) at this scale")
-    corpus
-  }
 
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * (it is broadcast); the corpus side streams, and the per-query top-k is

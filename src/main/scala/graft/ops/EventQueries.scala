@@ -585,7 +585,7 @@ object EventQueries {
     // call gets a fresh checkpoint so batch ids restart at 0, and a later
     // same-JVM run against a DIFFERENT dataset (or one landing fewer
     // batches) must not read the earlier run's leftover batch_id=N dirs.
-    val out = graft.Scratch.named(s"q140_${dir.hashCode}").resolve("landed").toString
+    val out = graft.Scratch.named(s"q140_${graft.Scratch.dirKey(dir)}").resolve("landed").toString
     graft.streaming.Streaming.runForeachBatch(spark, s"$dir/events.parquet", out,
       ev => Tables.rebuildNanosTs(ev), name = "q140_foreach_sink")
     spark.read.parquet(out)

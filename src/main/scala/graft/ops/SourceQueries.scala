@@ -31,7 +31,7 @@ object SourceQueries {
     // one directory instead of leaking a fresh one per pass — VERDICT r4 #4),
     // keyed by (query, input dir) so two sf dirs driven in one JVM never
     // share an export directory (VERDICT r6 wrong #1)
-    val out = graft.Scratch.named(s"q118_${dir.hashCode}").resolve("docs_jsonl").toString
+    val out = graft.Scratch.named(s"q118_${graft.Scratch.dirKey(dir)}").resolve("docs_jsonl").toString
     Sources.writeJsonl(docs, out)
     Sources.readJsonl(spark, out, docs.schema)
       .groupBy($"source", $"lang")
@@ -50,7 +50,7 @@ object SourceQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val out = graft.Scratch.named(s"q119_${dir.hashCode}").resolve("docs_csv").toString
+    val out = graft.Scratch.named(s"q119_${graft.Scratch.dirKey(dir)}").resolve("docs_csv").toString
     Sources.writeCsv(docs, out)
     Sources.readCsv(spark, out, docs.schema)
       .groupBy($"source", $"lang")
@@ -73,7 +73,7 @@ object SourceQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val out = graft.Scratch.named(s"q136_${dir.hashCode}").resolve("docs_bylang").toString
+    val out = graft.Scratch.named(s"q136_${graft.Scratch.dirKey(dir)}").resolve("docs_bylang").toString
     Sources.writePartitionedParquet(docs, out, Seq("lang"))
     Sources.readParquet(spark, out)
       .filter($"lang".isin("en", "fr"))
@@ -92,7 +92,7 @@ object SourceQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val out = graft.Scratch.named(s"q155_${dir.hashCode}").resolve("docs_xml").toString
+    val out = graft.Scratch.named(s"q155_${graft.Scratch.dirKey(dir)}").resolve("docs_xml").toString
     Sources.writeXml(docs, out, rowTag = "doc")
     Sources.readXml(spark, out, docs.schema, rowTag = "doc")
       .groupBy($"source", $"lang")
@@ -113,7 +113,7 @@ object SourceQueries {
     * float rule. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sfx = math.abs(dir.hashCode).toString
+    val sfx = graft.Scratch.dirKey(dir)
     val liT = s"li_bucketed_$sfx"
     val orT = s"or_bucketed_$sfx"
     val scratch = graft.Scratch.named(s"q156_$sfx")

@@ -258,7 +258,7 @@ class AnnSpec extends SparkSpec {
     // physical claim: gen1's hot cells hold base+delta files; gen2 holds
     // exactly one parquet file per cell directory
     val gen2 = new java.io.File(
-      graft.Scratch.named(s"q154_${dir.hashCode}").toString, "cells")
+      graft.Scratch.named(s"q154_${graft.Scratch.dirKey(dir)}").toString, "cells")
     val cellDirs = gen2.listFiles().filter(f =>
       f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty)
@@ -268,7 +268,7 @@ class AnnSpec extends SparkSpec {
         s"${d.getName} has ${parts.length} files after compaction")
     }
     val gen1 = new java.io.File(
-      graft.Scratch.named(s"q153_${dir.hashCode}").toString, "cells")
+      graft.Scratch.named(s"q153_${graft.Scratch.dirKey(dir)}").toString, "cells")
     val multiFile = gen1.listFiles().filter(f =>
       f.isDirectory && f.getName.startsWith("cell=")).exists(
       _.listFiles().count(_.getName.endsWith(".parquet")) > 1)

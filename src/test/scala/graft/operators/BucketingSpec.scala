@@ -45,7 +45,7 @@ class BucketingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     // running the gate registers the external bucketed tables in-session
     assert(graft.ops.SourceQueries.bucketedJoin(spark, dir).count() > 0)
-    val sfx = math.abs(dir.hashCode).toString
+    val sfx = graft.Scratch.dirKey(dir)
     val join = Bucketing.bucketedJoin(spark,
       s"li_bucketed_$sfx", s"or_bucketed_$sfx", "l_orderkey")
     val plan = join.queryExecution.executedPlan.toString
