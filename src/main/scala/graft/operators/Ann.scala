@@ -352,6 +352,117 @@ object Ann {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$into/cells")
   }
 
+  // ---------------------------------------------------------------------
+  // Generation pointer (_CURRENT) — atomic publish/resolve for the index
+  // lifecycle (VERDICT r6 #2 / r7 #5). Layout under one index ROOT:
+  //
+  //   root/gen-000001/{centroids,cells/}   immutable once published
+  //   root/gen-000002/...
+  //   root/_CURRENT                        one line: the live generation
+  //
+  // Writers build a generation's files COMPLETELY, then publish by writing
+  // a temp manifest and atomically renaming it onto _CURRENT (manifest-
+  // written-last, commit-by-rename — the LSM/table-format pattern). A
+  // reader resolves _CURRENT once and scans only that generation, so a
+  // concurrent compaction can never hand it a half-written directory:
+  // until the rename lands the pointer still names the old, complete
+  // generation. Old generations are left in place for in-flight readers;
+  // retention/GC is a separate operational decision, exactly as in
+  // table formats. Hadoop FileSystem API throughout, so the same code
+  // drives local disk, HDFS (atomic rename), or an object store.
+  // ---------------------------------------------------------------------
+
+  private val CurrentPointer = "_CURRENT"
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Generation directory name for ordinal `n` — zero-padded so
+    * lexicographic listing order equals generation order. */
+  def generationName(n: Int): String = f"gen-$n%06d"
+
+  /** The live generation's name, or None before the first publish. */
+  def currentGeneration(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[String] = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    val cur = new org.apache.hadoop.fs.Path(rootP, CurrentPointer)
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Resolve the live generation's PATH (root/gen-NNNNNN); fails if the
+    * index has never been published. */
+  def currentGenerationPath(spark: org.apache.spark.sql.SparkSession,
+      root: String): String =
+    currentGeneration(spark, root) match {
+      case Some(gen) => s"$root/$gen"
+      case None => throw new IllegalStateException(
+        s"no $CurrentPointer pointer under index root $root — " +
+          "publishGeneration must run after the generation's files are written")
+    }
+
+  /** Atomically point `root/_CURRENT` at `gen`. The manifest is written to
+    * a temp name in the SAME directory and renamed over the pointer
+    * (FileContext rename with OVERWRITE — atomic on POSIX and HDFS), so a
+    * concurrent reader sees either the old pointer or the new one, never a
+    * partial file and never a missing pointer. MUST be called only after
+    * every file of `root/gen/` is fully written — the pointer IS the
+    * commit. */
+  def publishGeneration(spark: org.apache.spark.sql.SparkSession,
+      root: String, gen: String): Unit = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    fs.mkdirs(rootP)
+    val tmp = new org.apache.hadoop.fs.Path(rootP,
+      s"$CurrentPointer.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootP.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootP, CurrentPointer),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Next unused generation name under `root` (max existing ordinal + 1 —
+    * existing generations stay immutable, published or not). */
+  def nextGenerationName(spark: org.apache.spark.sql.SparkSession,
+      root: String): String = {
+    val (fs, rootP) = hadoopFs(spark, root)
+    val existing =
+      if (!fs.exists(rootP)) Array.empty[Int]
+      else fs.listStatus(rootP).map(_.getPath.getName)
+        .collect { case s if s.startsWith("gen-") => s.stripPrefix("gen-").toInt }
+    generationName(if (existing.isEmpty) 1 else existing.max + 1)
+  }
+
+  /** [[compactIndex]] of the LIVE generation into the next one, published
+    * via the pointer once fully written: a concurrent [[searchCurrent]]
+    * that resolved the pointer before the rename keeps scanning the old
+    * complete generation; one that resolves after gets the compacted one.
+    * Returns the new generation's name. */
+  def compactCurrent(spark: org.apache.spark.sql.SparkSession,
+      root: String): String = {
+    val from = currentGenerationPath(spark, root)
+    val next = nextGenerationName(spark, root)
+    compactIndex(spark, from, s"$root/$next")
+    publishGeneration(spark, root, next)
+    next
+  }
+
+  /** [[searchIndex]] against whatever generation `root/_CURRENT` names at
+    * call time — the reader half of the pointer protocol. */
+  def searchCurrent(spark: org.apache.spark.sql.SparkSession, root: String,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dedup: Boolean = false): DataFrame =
+    searchIndex(spark, currentGenerationPath(spark, root), queries, k, nprobe,
+      idCol, vecCol, dedup)
+
   /** Search a persisted IVF index: probe each query's `nprobe` nearest
     * centroids, then top-k only over the probed cells. The probed cell set
     * is collected to the driver and applied as a LITERAL `isin` filter —

@@ -202,6 +202,50 @@ object AnnQueries {
       k = 10, nprobe = 3, dedup = true)
   }
 
+  /** FULL index LIFECYCLE through the atomic `_CURRENT` pointer (q157,
+    * VERDICT r7 #5): build gen-000001 (train-on-base save + frozen-
+    * quantizer delta append — q153's exact index), PUBLISH it, compact the
+    * live generation into gen-000002 via [[Ann.compactCurrent]] (which
+    * re-publishes the pointer only after the rewrite is fully on disk),
+    * then search through [[Ann.searchCurrent]] — the reader never names a
+    * generation, only the root. The oracle is IDENTICAL to q153's:
+    * hash-equality proves pointer resolution handed the reader a complete,
+    * correct generation (a search that raced onto a half-written directory,
+    * or resolved a stale pointer to a missing gen, breaks it). Lifecycle
+    * writes are memoized per dir like [[upsertedIndex]]; the gate times
+    * pointer-read + pruned search. AnnSpec pins the mid-swap contract
+    * (pre-publish readers keep the old complete generation). */
+  private val lifecycleRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ivfLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (grid, _, _) = gridIndex(spark, dir)
+    val root = lifecycleRoot.computeIfAbsent(dir, _ => {
+      val (centRows, centSchema) = upsertCentroids.computeIfAbsent(dir, _ => {
+        val base = grid.filter($"vec_id" % 5 =!= 0)
+          .withColumn("seed", pmod($"vec_id", lit(8)).cast("int")).cache()
+        val c = Ann.trainCentroidsGrid(base, "seed", iters = 2)
+        base.unpersist(blocking = false)
+        (c.collect(), c.schema)
+      })
+      val centroids = spark.createDataFrame(
+        java.util.Arrays.asList(centRows: _*), centSchema)
+      val r = graft.Scratch.named(s"q157_${graft.Scratch.dirKey(dir)}").toString
+      val gen1 = Ann.nextGenerationName(spark, r)
+      Ann.saveIndex(centroids,
+        Ann.probeCells(grid.filter($"vec_id" % 5 =!= 0), centroids, nprobe = 2),
+        s"$r/$gen1")
+      Ann.appendIndex(centroids, grid.filter($"vec_id" % 5 === 0), s"$r/$gen1",
+        assignProbes = 2)
+      Ann.publishGeneration(spark, r, gen1)
+      Ann.compactCurrent(spark, r)
+      r
+    })
+    Ann.searchCurrent(spark, root, grid.filter($"vec_id" < 10),
+      k = 10, nprobe = 3, dedup = true)
+  }
+
   /** Embedding near-dup pairs: same-cell (label) pairs with cosine ≥ 0.35,
     * through [[Ann.nearDupPairs]]' hot-cell guard — cells above the cap
     * pair only within a sign-byte LSH sub-bucket, so no cell can go
@@ -344,7 +388,8 @@ object AnnQueries {
     "q77_ann_ivf_trained" -> (ivfTrained _),
     "q152_ann_ivf_persisted" -> (ivfPersisted _),
     "q153_ann_index_upsert" -> (ivfUpsert _),
-    "q154_ann_index_compact" -> (ivfCompacted _))
+    "q154_ann_index_compact" -> (ivfCompacted _),
+    "q157_ann_index_lifecycle" -> (ivfLifecycle _))
 
   /** Cosine in DuckDB, mirroring Ann.cosine's formula dot/(sqrt·sqrt). */
   private def cosSql(a: String, b: String): String =
@@ -470,6 +515,11 @@ object AnnQueries {
     // replay: equality proves the one-file-per-cell generation carries
     // exactly the upserted row set.
     "q154_ann_index_compact" -> ivfUpsertSql,
+    // q157 runs q153's build + q154's compaction through the atomic
+    // _CURRENT pointer and searches via the pointer — still a pure
+    // physical lifecycle over the same row set, so the same replay:
+    // equality proves the pointer committed a complete generation.
+    "q157_ann_index_lifecycle" -> ivfUpsertSql,
     "q148_mutual_knn" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

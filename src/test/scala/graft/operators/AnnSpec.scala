@@ -240,8 +240,8 @@ class AnnSpec extends SparkSpec {
     // if appendIndex dropped it, only base candidates would ever rank
     val deltaHits = out.filter($"cand_id" % 5 === 0).count()
     assert(deltaHits > 0, "no delta vector ranked — the append never landed")
-    // frozen-quantizer check: re-running the query is a full overwrite +
-    // re-append (idempotence), so results are stable within a JVM
+    // frozen-quantizer check: the built index is memoized per dir, so a
+    // re-run searches the same on-disk index — results stable within a JVM
     val again = graft.ops.AnnQueries.ivfUpsert(spark, dir)
     assert(again.collect().toSet == out.collect().toSet)
     out.unpersist()
@@ -273,6 +273,46 @@ class AnnSpec extends SparkSpec {
       f.isDirectory && f.getName.startsWith("cell=")).exists(
       _.listFiles().count(_.getName.endsWith(".parquet")) > 1)
     assert(multiFile, "gen1 should hold appended (multi-file) cells")
+  }
+
+  test("q157 lifecycle: _CURRENT pointer commits complete generations atomically") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // end-to-end: build → publish → compact-via-pointer → search-via-pointer
+    // equals the directly-addressed upserted index (same oracle as q153)
+    val viaPointer = graft.ops.AnnQueries.ivfLifecycle(spark, dir).collect().toSet
+    val direct = graft.ops.AnnQueries.ivfUpsert(spark, dir).collect().toSet
+    assert(viaPointer == direct && viaPointer.nonEmpty)
+    // the pointer names the COMPACTED generation, not the append-built one
+    val root = graft.Scratch.named(s"q157_${graft.Scratch.dirKey(dir)}").toString
+    assert(Ann.currentGeneration(spark, root).contains(Ann.generationName(2)))
+    // no stray tmp manifest survives a publish (commit-by-rename)
+    val strays = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("_CURRENT.tmp"))
+    assert(strays.isEmpty, s"unrenamed manifests: ${strays.mkString(", ")}")
+
+    // MID-SWAP contract on a fresh root: readers that resolved the pointer
+    // before a publish keep a complete old generation; the pointer flips
+    // only after the new generation's files are all on disk.
+    val r2 = graft.Scratch.fresh("genptr").toString
+    val cent = spark.read.parquet(s"$root/${Ann.generationName(1)}/centroids")
+    val cells = spark.read.parquet(s"$root/${Ann.generationName(1)}/cells")
+    val g1 = Ann.nextGenerationName(spark, r2)
+    assert(g1 == Ann.generationName(1))
+    Ann.saveIndex(cent, cells, s"$r2/$g1")
+    Ann.publishGeneration(spark, r2, g1)
+    assert(Ann.currentGenerationPath(spark, r2) == s"$r2/$g1")
+    // writer starts gen2 (files fully written) but has NOT published yet:
+    val g2 = Ann.nextGenerationName(spark, r2)
+    assert(g2 == Ann.generationName(2), "unpublished gens must not be reused")
+    Ann.compactIndex(spark, s"$r2/$g1", s"$r2/$g2")
+    assert(Ann.currentGenerationPath(spark, r2) == s"$r2/$g1",
+      "a reader mid-swap must still resolve the old complete generation")
+    Ann.publishGeneration(spark, r2, g2)
+    assert(Ann.currentGenerationPath(spark, r2) == s"$r2/$g2")
+    // and nextGenerationName never collides with an existing (even
+    // unpublished) generation directory
+    assert(Ann.nextGenerationName(spark, r2) == Ann.generationName(3))
   }
 
   test("exact-baseline scale cap fails fast past the bound (q148 guard)") {
