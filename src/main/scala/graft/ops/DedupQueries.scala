@@ -135,12 +135,148 @@ object DedupQueries {
         ($"c".cast("double") / ($"sa" + $"sb" - $"c").cast("double")).as("jaccard"))
   }
 
+  /** The (doc_id, component) cluster frame as a per-dir parquet checkpoint
+    * — the derived-table pattern (gridIndex, coPurchaseEdges): q159 and
+    * q161 are downstream CONSUMERS of the clustering decision, exactly as
+    * a production pipeline computes clusters once and feeds every policy
+    * that needs them; they must not re-run the shingle/minhash/fixpoint
+    * machinery per query. q105 itself keeps computing the fixpoint live —
+    * it is the gate OF that machinery. */
+  private val clusterFramePath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def components(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = clusterFramePath.computeIfAbsent(dir, _ => {
+      val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
+        "doc_id", "text", ShingleSize, NumHashes, Bands, threshold = 0.3)
+        .filter($"is_near_dup")
+        .select($"doc_a", $"doc_b")
+      val p = graft.Scratch.named(s"clusters_${graft.Scratch.dirKey(dir)}")
+        .resolve("components").toString
+      Connect.dedupDecisions(pairs, "doc_a", "doc_b")
+        .select($"node".as("doc_id"), $"component")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** LEAKAGE-SAFE train/val/test split (q159) — q83's deterministic
+    * salted-md5 split rule applied to the near-dup CLUSTER representative
+    * instead of the raw document id: every document carries its
+    * connected-component minimum (q105's fixpoint; documents in no
+    * near-dup pair are their own singleton component), and the split is a
+    * pure function of that component id — so a whole near-dup cluster
+    * lands in ONE split BY CONSTRUCTION and near-identical documents can
+    * never straddle train and held-out sets (the leakage q88's
+    * decontamination gate would otherwise have to detect after the fact).
+    * Singletons get exactly q83's assignment (component = doc_id, same
+    * salt), so the two splits disagree only where leakage safety demands
+    * it. Scale shape: the component frame is bounded by documents-in-pairs
+    * (broadcast when small); everything else is q105's machinery. */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val h = substring(
+      md5(concat(lit("split:"), col("component").cast("string"))), 1, 2)
+    docs.select($"doc_id")
+      .join(components(spark, dir), Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+  }
+
+  /** PERSISTED LSH dedup index probed by a DELTA (q160) — the dedup
+    * analog of the q152/q157 IVF index lifecycle, and the shape an
+    * incremental ingestion pipeline actually runs: "is today's batch a
+    * near-dup of ANYTHING already in the corpus?" must not re-shingle the
+    * corpus per batch. The base slice's band keys (doc_id, band, bkey)
+    * and verification shingle sets are written ONCE (partitionBy("band")
+    * parquet, published through [[graft.operators.Ann.publishGeneration]]'s
+    * atomic `_CURRENT` pointer — the generation protocol is
+    * index-agnostic), then each delta batch shingles ONLY itself, computes
+    * its own band keys, equi-joins them against the persisted band table,
+    * and exact-Jaccard-verifies candidates against the persisted sets —
+    * per-batch cost tracks |delta| and its true near-dups, never corpus
+    * size. Growing the index is the same append-into-partition-dirs write
+    * the IVF lifecycle proves (q153), with compaction/publication via the
+    * shared generation pointer (q157). Base = doc_id % 10 ≠ 0, delta =
+    * doc_id % 10 = 0; output is the verified delta-vs-base near-dup
+    * pairs. */
+  private val lshIndexRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def lshIndexPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    def sigsAndSets(slice: DataFrame): DataFrame =
+      slice.select($"doc_id",
+        explode(Dedup.wordShingles($"text", ShingleSize)).as("shingle"))
+        .groupBy($"doc_id")
+        .agg(collect_set($"shingle").as("shset"),
+          (0 until NumHashes).map(i => Dedup.minhash($"shingle", i).as(s"h$i")): _*)
+    val root = lshIndexRoot.computeIfAbsent(dir, _ => {
+      val base = sigsAndSets(docs.filter($"doc_id" % 10 =!= 0)).cache()
+      val r = graft.Scratch.named(s"q160_${graft.Scratch.dirKey(dir)}").toString
+      val gen = graft.operators.Ann.nextGenerationName(spark, r)
+      Dedup.bandKeys(base, "doc_id", Bands, NumHashes / Bands)
+        .write.mode("overwrite").partitionBy("band").parquet(s"$r/$gen/bands")
+      base.select($"doc_id", $"shset")
+        .write.mode("overwrite").parquet(s"$r/$gen/sets")
+      base.unpersist(blocking = false)
+      graft.operators.Ann.publishGeneration(spark, r, gen)
+      r
+    })
+    val genPath = graft.operators.Ann.currentGenerationPath(spark, root)
+    val idxBands = spark.read.parquet(s"$genPath/bands")
+    val idxSets = spark.read.parquet(s"$genPath/sets")
+    // delta side: shingled once, feeds its band keys and its verify sets
+    val delta = sigsAndSets(docs.filter($"doc_id" % 10 === 0)).cache()
+    val cands = Dedup.bandKeys(delta, "doc_id", Bands, NumHashes / Bands)
+      .select($"doc_id".as("doc_a"), $"band", $"bkey")
+      .join(idxBands.select($"doc_id".as("doc_b"), $"band", $"bkey"),
+        Seq("band", "bkey"))
+      .select($"doc_a", $"doc_b").distinct()
+    val inter = size(array_intersect($"set_a", $"set_b"))
+    cands
+      .join(delta.select($"doc_id".as("doc_a"), $"shset".as("set_a")), "doc_a")
+      .join(idxSets.select($"doc_id".as("doc_b"), $"shset".as("set_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (inter.cast("double") /
+          (size($"set_a") + size($"set_b") - inter).cast("double")).as("jaccard"))
+      .filter($"jaccard" >= lit(0.3))
+  }
+
+  /** CANONICAL SELECTION BY QUALITY (q161) — the "which duplicate do we
+    * keep?" policy, upgraded from q105's arbitrary min-id rule to the one
+    * production pipelines actually want: within each near-dup cluster keep
+    * the HIGHEST-QUALITY member (here: most content, `n_chars`; ties break
+    * to the smaller id, keeping the rule total). One max-of-struct
+    * aggregate per component — map-side combinable, no window sort, no
+    * second pass; the survivor column set rides inside the struct. */
+  def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    components(spark, dir)
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("best"))
+      .select($"component", $"n_members",
+        (-$"best.neg_id").as("survivor_id"),
+        $"best.n_chars".as("survivor_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_cluster_keep_best" -> (clusterKeepBest _),
     "q112_similarity_join_prefix" -> (prefixFilterJoin _),
     "q27_dedup_minhash_lsh" -> (minhashLsh _),
     "q28_dedup_simhash" -> (simhash _),
     "q100_minhash_accuracy" -> (minhashAccuracy _),
-    "q105_dup_clusters" -> (dupClusters _))
+    "q105_dup_clusters" -> (dupClusters _),
+    "q159_cluster_safe_split" -> (clusterSafeSplit _),
+    "q160_lsh_index_persisted" -> (lshIndexPersisted _))
 
   // ---- oracle SQL (programmatically assembled to keep the 12-hash /
   // ---- 6-band structure in one place) ----
@@ -192,6 +328,59 @@ object DedupQueries {
        |FROM cand
        |JOIN sets x ON cand.doc_a = x.doc_id
        |JOIN sets y ON cand.doc_b = y.doc_id""".stripMargin
+
+  // q161: per-component survivor = first row ordered by n_chars desc, then
+  // doc_id asc — the exact total order Spark's max(struct(n_chars, -doc_id))
+  // aggregate encodes.
+  private lazy val keepBestOracle =
+    s"""$clusterCteSql,
+       |comp AS (
+       |  SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node
+       |), m AS (
+       |  SELECT c.component, d.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY c.component) AS n_members
+       |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+       |)
+       |SELECT component, CAST(n_members AS BIGINT) AS n_members,
+       |  doc_id AS survivor_id, n_chars AS survivor_chars
+       |FROM m WHERE rn = 1""".stripMargin
+
+  // q160: the delta-probe replay — same hash family / bands as q27, but
+  // candidates pair a delta doc (doc_id % 10 = 0) against a BASE doc only
+  // (the persisted index holds just the base slice), and only verified
+  // pairs at or above the threshold are emitted. Signatures are
+  // split-independent, so one full-corpus sig CTE serves both sides.
+  private val lshIndexOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list(s)) AS shset FROM ex GROUP BY doc_id
+       |), j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+       |      / CAST(len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset)) AS DOUBLE) AS jaccard
+       |  FROM cand
+       |  JOIN sets x ON cand.doc_a = x.doc_id
+       |  JOIN sets y ON cand.doc_b = y.doc_id
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= CAST(0.3 AS DOUBLE)""".stripMargin
 
   private[ops] val voteCols = (1 to 16)
     .map(k => s"sum(CASE WHEN substr(md5(t), $k, 1) >= '8' THEN 1 ELSE -1 END) AS s$k")
@@ -254,7 +443,11 @@ object DedupQueries {
   // Connected components as a recursive CTE: reach = every node reachable
   // from `node` (self seeded), component = min(reach). UNION (not UNION
   // ALL) is the fixpoint's termination guarantee.
-  private val dupClustersOracle =
+  /** Shared recursive-CTE replay of the near-dup clustering — the minhash
+    * band candidates, exact-Jaccard verification, and min-reachable-id
+    * fixpoint — consumed by the q105 cluster gate and the q159
+    * cluster-safe split (which appends its own CTEs after `walk`). */
+  private val clusterCteSql =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, $toksSql AS tk FROM documents
        |), sh AS (
@@ -288,10 +481,27 @@ object DedupQueries {
        |  SELECT u, u FROM e
        |  UNION
        |  SELECT w.node, e2.v FROM walk w JOIN e e2 ON e2.u = w.reach
-       |)
+       |)""".stripMargin
+
+  private val dupClustersOracle =
+    s"""$clusterCteSql
        |SELECT node AS doc_id, min(reach) AS component,
        |  node = min(reach) AS is_canonical
        |FROM walk GROUP BY node""".stripMargin
+
+  private val clusterSplitOracle =
+    s"""$clusterCteSql,
+       |comp AS (
+       |  SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node
+       |), lab AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |)
+       |SELECT doc_id, component,
+       |  CASE WHEN substr(md5('split:' || CAST(component AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |       WHEN substr(md5('split:' || CAST(component AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM lab""".stripMargin
 
   // Brute-force all-pairs oracle for the prefix-filtered join: every pair
   // sharing ANY shingle, exact Jaccard, same integer threshold — hash
@@ -322,5 +532,8 @@ object DedupQueries {
     "q27_dedup_minhash_lsh" -> minhashOracle,
     "q28_dedup_simhash" -> simhashOracle,
     "q100_minhash_accuracy" -> minhashAccuracyOracle,
-    "q105_dup_clusters" -> dupClustersOracle)
+    "q105_dup_clusters" -> dupClustersOracle,
+    "q159_cluster_safe_split" -> clusterSplitOracle,
+    "q160_lsh_index_persisted" -> lshIndexOracle,
+    "q161_cluster_keep_best" -> keepBestOracle)
 }

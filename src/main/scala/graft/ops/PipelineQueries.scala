@@ -472,7 +472,33 @@ object PipelineQueries {
       .filter($"n_docs" > 0)
   }
 
+  /** TOKEN-BUDGET SAMPLING (q162) — the data-mixing primitive q91/q102's
+    * rate-based mixing does not cover: each source gets a fixed TOKEN
+    * budget (not a keep-rate), and documents are admitted in a
+    * deterministic salted-hash order until the source's running token
+    * total would stay within budget — how a training run pins its exact
+    * per-domain token counts. Admission is `cumsum ≤ B` over the salted
+    * order (a pure function of doc_id, so the sample is stable across
+    * runs, engines, and corpus growth — documents later in hash order
+    * never displace earlier ones). One window cumsum per source partition;
+    * the per-source sort is the unavoidable cost of a deterministic
+    * priority order and distributes by source key. */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val TokenBudget = 400L
+    val w = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("budget:"), $"doc_id".cast("string"))), $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", size(tokens($"text")).as("n_toks"))
+      .withColumn("cum", sum($"n_toks".cast("long")).over(w))
+      .filter($"cum" <= lit(TokenBudget))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum($"n_toks".cast("long")).as("n_tokens_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_token_budget_mix" -> (tokenBudgetMix _),
     "q106_cdc_merge" -> (cdcMerge _),
     "q111_scd2_history" -> (scd2History _),
     "q117_incremental_agg" -> (incrementalAgg _),
@@ -498,6 +524,20 @@ object PipelineQueries {
       | ELSE [array_to_string(tk, ' ')] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q162: same salted-hash admission order (md5 hex strings compare
+    // byte-identically) and integer cumsum-≤-budget rule.
+    "q162_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($toksSql) AS n_toks FROM documents
+         |), c AS (
+         |  SELECT source, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source
+         |      ORDER BY md5('budget:' || CAST(doc_id AS VARCHAR)), doc_id) AS cum
+         |  FROM t
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens_kept
+         |FROM c WHERE cum <= 400 GROUP BY source""".stripMargin,
     // Recompute-from-merged-state: q106's merge CTEs, then a plain rollup.
     // Hash equality against the incremental path IS the MV-maintenance
     // correctness statement.

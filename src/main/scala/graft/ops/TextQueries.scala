@@ -185,6 +185,49 @@ object TextQueries {
         concat_ws(" ", slice($"tk", $"start", lit(64))).as("chunk_text"))
   }
 
+  /** PARAGRAPH-level corpus deduplication (q158) — the CCNet/RefinedWeb
+    * line-dedup pass: boilerplate paragraphs repeated across documents
+    * (headers, navigation, license blurbs) are removed EVERYWHERE except
+    * their corpus-wide first occurrence, and each document is reassembled
+    * from its surviving paragraphs. "Paragraph" here is the engine's
+    * deterministic segmentation (non-overlapping 32-token windows — the
+    * corpus' synthetic text has no newlines; a newline split drops in for
+    * real prose without touching the dedup core). First occurrence is the
+    * (doc_id, para_id)-minimal instance — a total, engine-independent
+    * order.
+    *
+    * Scale shape: segmentation is narrow (per-row sequence + posexplode,
+    * rows stay on their scan partition); the dedup decision is ONE hash
+    * shuffle of the paragraphs on their md5 (row_number over a
+    * (doc_id, para_id)-ordered window — within-group sort cost is the
+    * duplicate multiplicity, tiny by construction); reassembly is the
+    * unavoidable second shuffle back to doc_id, with the ordered concat
+    * done by array_sort(collect_list(...)) — no per-group sort pass. Both
+    * keys (md5, doc_id) are uniform, so no skew at 100 TB; memory per
+    * group is one document's paragraphs. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paras = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 1)
+      .select($"doc_id", $"tk",
+        posexplode(sequence(lit(1), size($"tk"), lit(32))).as(Seq("pi", "start")))
+      .select($"doc_id", ($"pi" + 1).cast("int").as("para_id"),
+        concat_ws(" ", slice($"tk", $"start", lit(32))).as("para_text"))
+    val firstOccurrence = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"para_text")).orderBy($"doc_id", $"para_id")
+    paras
+      .withColumn("keep", row_number().over(firstOccurrence) === 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when($"keep", lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"keep",
+              struct($"para_id", $"para_text")))),
+            x => x.getField("para_text")), " ").as("clean_text"))
+  }
+
   /** Exact heavy hitters (tokens with ≥ 1% of corpus mass) via the scalable
     * TWO-PASS pattern: pass 1 runs the bounded Misra–Gries summary
     * ([[graft.functions.Frequent]], k = 1024) — partial states are ≤ k
@@ -314,6 +357,7 @@ object TextQueries {
     "q113_heavy_hitters" -> (heavyHitters _),
     "q116_phrase_search" -> (phraseSearch _),
     "q107_chunking" -> (chunkDocs _),
+    "q158_paragraph_dedup" -> (paragraphDedup _),
     "q93_text_scrub" -> (textScrub _),
     "q86_tfidf_topterms" -> (tfidfTopTerms _),
     "q47_top_tokens" -> (topTokens _),
@@ -412,6 +456,36 @@ object TextQueries {
          |  CAST(least(len(tk) - start + 1, 64) AS INTEGER) AS n_toks,
          |  array_to_string(tk[start:start + 63], ' ') AS chunk_text
          |FROM s""".stripMargin,
+    // q158: same segmentation replay as q107 at stride 32 / width 32 (no
+    // overlap — dedup units must not share tokens). DuckDB partitions the
+    // first-occurrence window by para_text itself (same groups as Spark's
+    // md5 key — the hash only narrows the shuffle key); string_agg skips
+    // the NULLed dropped paragraphs and ORDER BY para_id matches Spark's
+    // array_sort on (para_id, text); coalesce('') covers a document whose
+    // every paragraph was dropped (Spark's array_join of an empty array).
+    "q158_paragraph_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), s AS (
+         |  SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 32)) AS start
+         |  FROM toks WHERE len(tk) >= 1
+         |), p AS (
+         |  SELECT doc_id,
+         |    CAST((start - 1) // 32 + 1 AS INTEGER) AS para_id,
+         |    array_to_string(tk[start:start + 31], ' ') AS para_text
+         |  FROM s
+         |), k AS (
+         |  SELECT doc_id, para_id, para_text,
+         |    row_number() OVER (PARTITION BY para_text
+         |      ORDER BY doc_id, para_id) = 1 AS keep
+         |  FROM p
+         |)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN keep THEN para_text END, ' '
+         |    ORDER BY para_id), '') AS clean_text
+         |FROM k GROUP BY doc_id""".stripMargin,
     // \b is ASCII word-boundary in BOTH Java regex and RE2 — equal on this
     // lowercase-ASCII corpus (the doubled backslash survives s-interpolation)
     "q93_text_scrub" ->

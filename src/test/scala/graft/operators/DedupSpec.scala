@@ -48,6 +48,69 @@ class DedupSpec extends SparkSpec {
     assert(sigs.filter($"doc_id" === 5L).count() == 1)
   }
 
+  test("q159 invariant: no near-dup cluster straddles train/val/test splits") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val split = graft.ops.DedupQueries.clusterSafeSplit(spark, dir).cache()
+    // every document is assigned exactly once
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(split.count() == nDocs)
+    // the leakage-safety guarantee: one split per component
+    val straddling = split.groupBy($"component")
+      .agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1).count()
+    assert(straddling == 0, s"$straddling clusters straddle splits")
+    // and it only diverges from the doc-id split where clustering demands:
+    // singleton components carry q83's exact assignment (same salt/rule)
+    val h = substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2)
+    val q83Rule = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    val divergentSingletons = split.filter($"component" === $"doc_id")
+      .filter($"split" =!= q83Rule).count()
+    assert(divergentSingletons == 0)
+    split.unpersist()
+  }
+
+  test("q160 persisted LSH index: delta probes find exactly the delta-vs-base near-dups") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.DedupQueries.lshIndexPersisted(spark, dir).cache()
+    // doc_a is always delta (id % 10 == 0), doc_b always base
+    assert(out.filter($"doc_a" % 10 =!= 0 || $"doc_b" % 10 === 0).count() == 0)
+    // it agrees with the full-corpus pair query restricted to delta-vs-base
+    val full = graft.ops.DedupQueries.minhashLsh(spark, dir)
+      .filter($"is_near_dup")
+    val expected = full.filter($"doc_a" % 10 === 0 && $"doc_b" % 10 =!= 0)
+      .select($"doc_a", $"doc_b")
+      .union(full.filter($"doc_b" % 10 === 0 && $"doc_a" % 10 =!= 0)
+        .select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .as[(Long, Long)].collect().toSet
+    assert(out.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      == expected)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("q161 keep-best: survivor is the largest member, ties to smaller id") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val best = graft.ops.DedupQueries.clusterKeepBest(spark, dir)
+    val members = graft.ops.DedupQueries.dupClusters(spark, dir)
+      .join(graft.Tables.documents(spark, dir).select($"doc_id", $"n_chars"),
+        "doc_id")
+      .as[(Long, Long, Boolean, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(m => (m._1, m._4))).toMap
+    val rows = best.select($"component", $"n_members", $"survivor_id",
+      $"survivor_chars").as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length == members.size)
+    rows.foreach { case (comp, n, sid, schars) =>
+      val ms = members(comp)
+      assert(n == ms.length)
+      val want = ms.minBy { case (id, chars) => (-chars, id) }
+      assert((sid, schars) == want,
+        s"component $comp kept ($sid,$schars), expected $want")
+    }
+  }
+
   test("minhash estimate tracks exact Jaccard within the 12-hash error budget") {
     // the quantitative gate behind q100: on the real corpus's LSH
     // candidates, the signature estimate must stay within the binomial

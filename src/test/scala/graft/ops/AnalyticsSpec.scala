@@ -165,6 +165,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == ((20.0, 10.0)))
   }
 
+  test("paragraph dedup: corpus-wide first occurrence survives, docs reassemble") {
+    // paragraphs are 32-token windows; build exact-width paragraphs so the
+    // expected segmentation is unambiguous
+    def para(tag: String): String = (1 to 32).map(i => s"$tag$i").mkString(" ")
+    val (p1, p2, p3) = (para("x"), para("y"), para("z"))
+    val tail8 = (1 to 8).map(i => s"t$i").mkString(" ") // partial final window
+    val dir = docsDir(
+      (1L, s"$p1 $p2", "en", "web", 1L),      // first occurrence of p1, p2
+      (2L, s"$p1 $p3", "en", "web", 1L),      // p1 is a dup here → dropped
+      (3L, p1, "en", "web", 1L),              // everything dropped
+      (4L, s"$p2 $tail8", "en", "web", 1L))   // p2 dup + unique 8-token tail
+    val out = TextQueries.paragraphDedup(spark, dir)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_paras", $"n_kept", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, s"$p1 $p2"),
+      (2L, 2L, 1L, p3),
+      (3L, 1L, 0L, ""),
+      (4L, 2L, 1L, tail8)))
+  }
+
+  test("token-budget mix: every source stays within budget; order is stable") {
+    val out = PipelineQueries.tokenBudgetMix(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, nDocs, nToks) =>
+      assert(nDocs > 0 && nToks <= 400L, s"$src kept $nToks tokens (> 400)")
+    }
+    // determinism: a re-run admits the identical selection
+    val again = PipelineQueries.tokenBudgetMix(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("prefix-filter similarity join: equals brute-force all-pairs Jaccard") {
     val out = DedupQueries.prefixFilterJoin(spark, sf0001)
       .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect()
