@@ -92,6 +92,53 @@ object Ann {
       .select(col("query_id"), col("s.cand_id").as("cand_id"),
         col("s.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    * query, the top-k most-similar candidates with a DIFFERENT label
+    * (class/cluster/source) — maximally-confusable negatives, the pairs an
+    * embedding model learns the most from. Same scale shape as
+    * [[bruteForceTopK]] (broadcast queries, streamed corpus, bounded
+    * per-query top-k aggregate); the label inequality replaces the id
+    * inequality as the join predicate, so same-label candidates are
+    * discarded BEFORE scoring ranks them. At corpus-as-queries scale the
+    * cell-restricted [[ivfTopKShuffled]] composition applies unchanged —
+    * the predicate is per-pair either way. */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"), col(labelCol).as("qlab"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"), col(labelCol).as("clab"))
+    val scored = c.join(broadcast(q), col("qlab") =!= col("clab"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineFast(col("qv"), col("cv")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** PROTOTYPICALITY SCORING for pruning — the SemDeDup/SSL-prototype
+    * curation idea: each group's (label's) integer-lattice centroid
+    * ([[gridCellCentroids]] over [[gridQuantize]]d vectors — exact integer
+    * arithmetic, so the score is engine-replayable) is the group
+    * prototype, every member is scored by cosine against its OWN
+    * prototype, and the k LEAST prototypical members per group are
+    * surfaced as pruning candidates (distribution outliers / mislabels).
+    * Bottom-k rides the SAME bounded top-k aggregate on the negated
+    * score — no per-group window sort; the only shuffles are the centroid
+    * M-step and the k-rows-per-group aggregate. */
+  def prototypeOutliers(corpus: DataFrame, k: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val iv = corpus.select(col(idCol), col(labelCol).as("cell"),
+      gridQuantize(col(vecCol)).as("gv"))
+    val cent = materializeSmall(gridCellCentroids(iv, "cell", "gv"))
+    val scored = iv.join(broadcast(cent), "cell")
+      .select(col("cell").as("query_id"), col(idCol).as("cand_id"),
+        (-round(cosineFast(col("gv"), col("centroid")), 6)).as("cosine"))
+    rankTopK(scored, k)
+      .select(col("query_id").as(labelCol), col("cand_id").as(idCol),
+        (-col("cosine")).as("proto_cos"), col("rank"))
+  }
+
   /** IVF-style ANN: restrict each query to corpus rows in the same cell
     * (inverted-file partition). `cellCol` is any coarse-quantizer output —
     * here the corpus ships a label column; in a real index it is the

@@ -376,7 +376,45 @@ object AnnQueries {
       .select($"a".as("vec_a"), $"b".as("vec_b"), $"cosine")
   }
 
+  /** Hard-negative mining gate (q163) — see [[Ann.hardNegativesTopK]]:
+    * for each of the 50 query vectors, the 10 most-similar DIFFERENT-label
+    * candidates. Same deterministic rank rule as q29 (6-decimal cosine,
+    * id tie-break). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Ann.hardNegativesTopK(emb, emb.filter($"vec_id" < 50), 10)
+  }
+
+  /** Prototypicality-pruning gate (q164) — see [[Ann.prototypeOutliers]]:
+    * the 5 least-prototypical members of every label group, scored by
+    * exact integer-grid cosine against the group's lattice centroid. */
+  def protoOutliers(spark: SparkSession, dir: String): DataFrame =
+    Ann.prototypeOutliers(Tables.embeddings(spark, dir), 5)
+
+  /** SemDeDup (q165) — semantic dedup in EMBEDDING space: q31's same-cell
+    * cosine-threshold pairs (hot-cell-guarded — no quadratic cell at
+    * scale) become connected components via the same large-star/small-star
+    * fixpoint the text-side dedup uses ([[graft.operators.Connect]]), and
+    * every non-canonical member (component minimum keeps) is a PRUNE
+    * decision — duplicates in meaning that share no n-gram, which
+    * text-hash dedup (q25/q27) cannot see. Emits one row per document in
+    * a semantic cluster with its keep/prune verdict; the oracle replays
+    * pairs + reachability recursively. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Ann.nearDupPairs(Tables.embeddings(spark, dir),
+      threshold = 0.35, hotCellCap = 10000)
+      .select($"vec_a", $"vec_b")
+    graft.operators.Connect.dedupDecisions(pairs, "vec_a", "vec_b")
+      .select($"node".as("vec_id"), $"component", $"is_canonical",
+        (!$"is_canonical").as("prune"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_semdedup" -> (semDedup _),
+    "q163_hard_negatives" -> (hardNegatives _),
+    "q164_prototype_outliers" -> (protoOutliers _),
     "q149_mutual_knn_ivf" -> (mutualKnnIvf _),
     "q148_mutual_knn" -> (mutualKnn _),
     "q142_knn_classify" -> (knnClassify _),
@@ -481,6 +519,78 @@ object AnnQueries {
     searchReplaySql(gridLloydSqlFor("vec_id % 5 <> 0"))
 
   val oracle: Map[String, String] = Map(
+    // q165: q31's thresholded pairs (6-decimal-rounded cosine, same rule)
+    // fed through the same min-reachable-id fixpoint as the text-side
+    // cluster oracle (DedupQueries) — the component minimum keeps.
+    "q165_semdedup" ->
+      s"""WITH RECURSIVE emb2 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |  FROM embeddings
+         |), dup AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM emb2 a JOIN emb2 b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.35 AS DOUBLE)
+         |), e AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM dup
+         |  UNION
+         |  SELECT doc_b, doc_a FROM dup
+         |), walk(node, reach) AS (
+         |  SELECT u, u FROM e
+         |  UNION
+         |  SELECT w.node, e2.v FROM walk w JOIN e e2 ON e2.u = w.reach
+         |)
+         |SELECT node AS vec_id, min(reach) AS component,
+         |  node = min(reach) AS is_canonical,
+         |  node <> min(reach) AS prune
+         |FROM walk GROUP BY node""".stripMargin,
+    "q163_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, label AS qlab,
+         |    CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 50
+         |), c AS (
+         |  SELECT vec_id AS cand_id, label AS clab,
+         |    CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+         |  FROM c, q WHERE qlab <> clab
+         |), r AS (
+         |  SELECT query_id, cand_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin,
+    // q164: per-label lattice centroid (the gridLloyd M-step over labels
+    // instead of seed cells), exact-integer cosine of each member against
+    // its own centroid, bottom-5 per label — proto_cos ASC, id tie-break,
+    // the exact total order Spark's negated bounded top-k encodes.
+    "q164_prototype_outliers" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id, label,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> floor(x * 1000000.0)) AS v
+         |  FROM embeddings
+         |), ivd AS (
+         |  SELECT vec_id, label, v[dim] AS x, dim
+         |  FROM iv, (SELECT unnest(generate_series(1, 64)) AS dim)
+         |), cent AS (
+         |  SELECT label, dim, ${floorDivSql("sum(CAST(x AS BIGINT))", "count(*)")} AS cx
+         |  FROM ivd GROUP BY label, dim
+         |), s AS (
+         |  SELECT i.vec_id, i.label,
+         |    round(sum(i.x * c.cx)
+         |      / (sqrt(sum(i.x * i.x)) * sqrt(sum(c.cx * c.cx))), 6) AS proto_cos
+         |  FROM ivd i JOIN cent c ON i.label = c.label AND i.dim = c.dim
+         |  GROUP BY i.vec_id, i.label
+         |)
+         |SELECT label, vec_id, proto_cos,
+         |  CAST(row_number() OVER (PARTITION BY label
+         |    ORDER BY proto_cos ASC, vec_id ASC) AS INTEGER) AS rank
+         |FROM s
+         |QUALIFY rank <= 5""".stripMargin,
     "q149_mutual_knn_ivf" ->
       s"""WITH $gridLloydSql,
          |p AS (

@@ -315,6 +315,52 @@ class AnnSpec extends SparkSpec {
     assert(Ann.nextGenerationName(spark, r2) == Ann.generationName(3))
   }
 
+  test("hard negatives: only different-label candidates, nearest first") {
+    import org.apache.spark.sql.functions._
+    // label 0 around +x, label 1 around -x, one label-1 point near +x —
+    // that near point must be every label-0 query's top hard negative
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(-1.0f, 0.0f), 1),
+      (3L, Array(-0.9f, -0.1f), 1),
+      (4L, Array(0.8f, 0.2f), 1) // the confusable negative
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.hardNegativesTopK(emb, emb.filter($"vec_id" < 2), 2)
+      .as[(Long, Long, Double, Int)].collect()
+    // every returned candidate carries a different label than its query
+    val labels = Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1)
+    out.foreach { case (q, c, _, _) => assert(labels(q) != labels(c)) }
+    // rank 1 for both queries is vector 4, the near-side negative
+    assert(out.filter(_._4 == 1).map(r => (r._1, r._2)).toSet ==
+      Set((0L, 4L), (1L, 4L)))
+  }
+
+  test("prototype outliers: the far-from-centroid member ranks first") {
+    import org.apache.spark.sql.functions._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.95f, 0.05f), 7),
+      (2L, Array(0.9f, -0.05f), 7),
+      (3L, Array(-0.2f, 1.0f), 7), // off-prototype outlier
+      (4L, Array(0.0f, 1.0f), 9),
+      (5L, Array(0.1f, 0.9f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.prototypeOutliers(emb, 2)
+      .as[(Int, Long, Double, Int)].collect()
+    // bottom-2 per label, least prototypical first
+    val byLabel = out.groupBy(_._1)
+    assert(byLabel(7).find(_._4 == 1).get._2 == 3L,
+      "the outlier must be label 7's least-prototypical member")
+    assert(byLabel.keySet == Set(7, 9))
+    // scores are valid cosines and ascend with rank within a label
+    out.foreach { case (_, _, cos, _) => assert(cos >= -1.0 && cos <= 1.0) }
+    byLabel.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).toSeq.sorted)
+    }
+  }
+
   test("exact-baseline scale cap fails fast past the bound (q148 guard)") {
     import org.apache.spark.sql.functions._
     val big = spark.range(11).select($"id".as("vec_id"),
