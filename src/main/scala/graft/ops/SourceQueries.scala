@@ -110,21 +110,36 @@ object SourceQueries {
     * the plan with NO exchange on either join side (BucketingSpec asserts
     * exchange-freeness; this gate proves the bucketed files carry the
     * data intact). Monetary sum through DECIMAL(14,2) per the cross-engine
-    * float rule. */
+    * float rule.
+    *
+    * The bucketed tables are built ONCE per (JVM, dir) — bucketing is the
+    * write-once/join-many contract by definition, so the gate times the
+    * exchange-free join (its claim), not a per-pass table rebuild (the
+    * r7 q153/q154 lesson applied here; catalog presence is re-checked so
+    * a fresh session in the same JVM rebuilds). */
+  private val bucketedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sfx = graft.Scratch.dirKey(dir)
-    val liT = s"li_bucketed_$sfx"
-    val orT = s"or_bucketed_$sfx"
-    val scratch = graft.Scratch.named(s"q156_$sfx")
-    Bucketing.writeBucketed(
-      Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_quantity", $"l_extendedprice"),
-      liT, "l_orderkey", 8, Some(scratch.resolve("li").toString))
-    Bucketing.writeBucketed(
-      Tables.orders(spark, dir)
-        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority"),
-      orT, "l_orderkey", 8, Some(scratch.resolve("or").toString))
+    val (liT, orT) = bucketedBuilt.compute(dir, (_, prev) => {
+      val sfx = graft.Scratch.dirKey(dir)
+      val names = (s"li_bucketed_$sfx", s"or_bucketed_$sfx")
+      if (prev != null && spark.catalog.tableExists(names._1)
+          && spark.catalog.tableExists(names._2)) prev
+      else {
+        val scratch = graft.Scratch.named(s"q156_$sfx")
+        Bucketing.writeBucketed(
+          Tables.lineitem(spark, dir)
+            .select($"l_orderkey", $"l_quantity", $"l_extendedprice"),
+          names._1, "l_orderkey", 8, Some(scratch.resolve("li").toString))
+        Bucketing.writeBucketed(
+          Tables.orders(spark, dir)
+            .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority"),
+          names._2, "l_orderkey", 8, Some(scratch.resolve("or").toString))
+        names
+      }
+    })
     Bucketing.bucketedJoin(spark, liT, orT, "l_orderkey")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_rows"),
