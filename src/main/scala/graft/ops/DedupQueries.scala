@@ -253,8 +253,10 @@ object DedupQueries {
     * production pipelines actually want: within each near-dup cluster keep
     * the HIGHEST-QUALITY member (here: most content, `n_chars`; ties break
     * to the smaller id, keeping the rule total). One max-of-struct
-    * aggregate per component — map-side combinable, no window sort, no
-    * second pass; the survivor column set rides inside the struct. */
+    * aggregate per component (struct max plans as a partial+final
+    * SortAggregate — still combiner-style, carrying one row per component
+    * across the exchange; no per-component window pass); the survivor
+    * column set rides inside the struct. */
   def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)

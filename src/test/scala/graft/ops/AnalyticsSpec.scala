@@ -187,6 +187,35 @@ class AnalyticsSpec extends SparkSpec {
       (4L, 2L, 1L, tail8)))
   }
 
+  test("paragraph dedup: equals a reference recomputation on seeded random docs") {
+    // docs are concatenations of shared 32-token templates plus a random
+    // tail, so cross-document duplicate paragraphs are guaranteed and the
+    // partial-final-window path is exercised
+    val rnd = new scala.util.Random(42)
+    val templates = Array.tabulate(8)(t => (1 to 32).map(i => s"w${t}_$i"))
+    val docs = (1L to 30L).map { id =>
+      val picks = Seq.fill(1 + rnd.nextInt(3))(templates(rnd.nextInt(8))).flatten
+      val tail = (1 to rnd.nextInt(20)).map(i => s"tail_${id}_$i")
+      (id, (picks ++ tail).mkString(" "), "en", "web", 1L)
+    }
+    val dir = docsDir(docs: _*)
+    // reference: same segmentation + corpus-wide first occurrence, in Scala
+    val paras = docs.flatMap { case (id, text, _, _, _) =>
+      text.split("\\s+").filter(_.nonEmpty).grouped(32).zipWithIndex
+        .map { case (chunk, i) => (id, i + 1, chunk.mkString(" ")) }.toSeq
+    }
+    val firstOf = paras.groupBy(_._3).map { case (t, occ) =>
+      (t, occ.map(o => (o._1, o._2)).min)
+    }
+    val expected = paras.groupBy(_._1).map { case (id, ps) =>
+      val kept = ps.sortBy(_._2).filter(p => firstOf(p._3) == ((p._1, p._2)))
+      (id, ps.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" "))
+    }.toSeq.sortBy(_._1)
+    val got = TextQueries.paragraphDedup(spark, dir).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("token-budget mix: every source stays within budget; order is stable") {
     val out = PipelineQueries.tokenBudgetMix(spark, sf0001)
       .as[(String, Long, Long)].collect()
