@@ -529,7 +529,7 @@ object Ann {
     val centroids = spark.read.parquet(s"$path/centroids")
     val probes = probeCells(queries, centroids, nprobe, idCol, vecCol)
     val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.get(0))
+      .collect().map(_.get(0)).toIndexedSeq
     val cells = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(probedCells: _*))
     ivfTopK(cells, probes, k, "cell", idCol, vecCol, dedup = dedup)
