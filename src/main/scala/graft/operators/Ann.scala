@@ -501,6 +501,30 @@ object Ann {
     next
   }
 
+  /** Retention for old generations — the GC half the pointer protocol
+    * deliberately defers: compaction leaves superseded generations on
+    * disk so in-flight readers finish against a complete directory; this
+    * prune deletes all but the newest `keep` generations and NEVER the
+    * one `_CURRENT` names (the live generation is retained even if it is
+    * not among the newest `keep` — a stale pointer must stay resolvable).
+    * Run it on the same cadence as table-format VACUUM: after every
+    * reader older than a compaction window has drained. Returns the
+    * deleted generation names. */
+  def pruneGenerations(spark: org.apache.spark.sql.SparkSession,
+      root: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "keep must be >= 1")
+    val (fs, rootP) = hadoopFs(spark, root)
+    if (!fs.exists(rootP)) return Seq.empty
+    val live = currentGeneration(spark, root)
+    val gens = fs.listStatus(rootP).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).sorted
+    val doomed = gens.dropRight(keep).filterNot(live.contains)
+    doomed.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, g), true)
+    }
+    doomed.toSeq
+  }
+
   /** [[searchIndex]] against whatever generation `root/_CURRENT` names at
     * call time — the reader half of the pointer protocol. */
   def searchCurrent(spark: org.apache.spark.sql.SparkSession, root: String,

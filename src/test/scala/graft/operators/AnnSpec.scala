@@ -313,6 +313,20 @@ class AnnSpec extends SparkSpec {
     // and nextGenerationName never collides with an existing (even
     // unpublished) generation directory
     assert(Ann.nextGenerationName(spark, r2) == Ann.generationName(3))
+
+    // RETENTION: prune keeps the newest `keep` generations, never the
+    // live one, and the pointer still resolves afterwards
+    val deleted = Ann.pruneGenerations(spark, r2, keep = 1)
+    assert(deleted == Seq(Ann.generationName(1)))
+    assert(Ann.currentGenerationPath(spark, r2) == s"$r2/$g2")
+    assert(!new java.io.File(s"$r2/$g1").exists())
+    // a stale pointer's generation survives pruning: point back at gen2
+    // after a gen3 lands, prune keep=1 — gen2 (live) must be retained
+    Ann.compactIndex(spark, s"$r2/$g2", s"$r2/${Ann.generationName(3)}")
+    val deleted2 = Ann.pruneGenerations(spark, r2, keep = 1)
+    assert(deleted2.isEmpty || !deleted2.contains(g2),
+      "the generation _CURRENT names must never be pruned")
+    assert(Ann.currentGenerationPath(spark, r2) == s"$r2/$g2")
   }
 
   test("hard negatives: only different-label candidates, nearest first") {
