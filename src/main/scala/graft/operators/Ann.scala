@@ -455,35 +455,69 @@ object Ann {
     }
 
   /** Atomically point `root/_CURRENT` at `gen`. The manifest is written to
-    * a temp name in the SAME directory and renamed over the pointer
-    * (FileContext rename with OVERWRITE — atomic on POSIX and HDFS), so a
+    * a temp name in the SAME directory and renamed over the pointer, so a
     * concurrent reader sees either the old pointer or the new one, never a
     * partial file and never a missing pointer. MUST be called only after
     * every file of `root/gen/` is fully written — the pointer IS the
-    * commit. */
+    * commit.
+    *
+    * Scheme dispatch (ADVICE r8): on `file://`, FileContext rename with
+    * OVERWRITE is NOT atomic — LocalFs/ChecksumFs inherit
+    * AbstractFileSystem's default delete-then-rename, opening a
+    * missing-pointer window a concurrent [[currentGenerationPath]] can fall
+    * into. POSIX `rename(2)` does replace atomically, so the local path
+    * goes through `java.nio.file.Files.move(…, ATOMIC_MOVE)`; HDFS and
+    * object-store schemes keep the FileContext rename (atomic there). */
   def publishGeneration(spark: org.apache.spark.sql.SparkSession,
       root: String, gen: String): Unit = {
     val (fs, rootP) = hadoopFs(spark, root)
     fs.mkdirs(rootP)
-    val tmp = new org.apache.hadoop.fs.Path(rootP,
-      s"$CurrentPointer.tmp-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      rootP.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootP, CurrentPointer),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (fs.getScheme == "file") {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val rootDir = Paths.get(fs.makeQualified(rootP).toUri.getPath)
+      val tmp = rootDir.resolve(s"$CurrentPointer.tmp-${java.util.UUID.randomUUID}")
+      Files.write(tmp, gen.getBytes("UTF-8"))
+      Files.move(tmp, rootDir.resolve(CurrentPointer),
+        StandardCopyOption.ATOMIC_MOVE)
+      // an older FileContext-published pointer leaves a ChecksumFs sidecar
+      // that no longer matches the NIO-written bytes — it would fail every
+      // subsequent fs.open of the pointer
+      Files.deleteIfExists(rootDir.resolve(s".$CurrentPointer.crc")): Unit
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(rootP,
+        s"$CurrentPointer.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(gen.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        rootP.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(rootP, CurrentPointer),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
+
+  /** Generation-directory name filter (ADVICE r8): only `gen-` + all-digit
+    * ordinals participate in lifecycle decisions — a crashed writer's
+    * `gen-000002.partial`, an editor backup, or any other stray root entry
+    * must be ignored, not parsed into a NumberFormatException that bricks
+    * every lifecycle entry point. `\d{6,}` (not exactly 6): ordinals past
+    * 999999 overflow the zero-padding but are still real generations, and
+    * the NUMERIC sort below keeps them ordered where a lexicographic sort
+    * of mixed-width names would not. */
+  private val GenDirName = "^gen-(\\d{6,})$".r
+
+  /** Numeric ordinals of the well-formed generation dirs under `root`. */
+  private def generationOrdinals(fs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path): Seq[Int] =
+    if (!fs.exists(rootP)) Seq.empty
+    else fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+      .collect { case GenDirName(d) => d.toInt }
 
   /** Next unused generation name under `root` (max existing ordinal + 1 —
     * existing generations stay immutable, published or not). */
   def nextGenerationName(spark: org.apache.spark.sql.SparkSession,
       root: String): String = {
     val (fs, rootP) = hadoopFs(spark, root)
-    val existing =
-      if (!fs.exists(rootP)) Array.empty[Int]
-      else fs.listStatus(rootP).map(_.getPath.getName)
-        .collect { case s if s.startsWith("gen-") => s.stripPrefix("gen-").toInt }
+    val existing = generationOrdinals(fs, rootP)
     generationName(if (existing.isEmpty) 1 else existing.max + 1)
   }
 
@@ -516,13 +550,14 @@ object Ann {
     val (fs, rootP) = hadoopFs(spark, root)
     if (!fs.exists(rootP)) return Seq.empty
     val live = currentGeneration(spark, root)
-    val gens = fs.listStatus(rootP).map(_.getPath.getName)
-      .filter(_.startsWith("gen-")).sorted
+    // numeric order via the shared name filter: strays are ignored, and a
+    // >6-digit ordinal still sorts after gen-999999 (ADVICE r8)
+    val gens = generationOrdinals(fs, rootP).sorted.map(generationName)
     val doomed = gens.dropRight(keep).filterNot(live.contains)
     doomed.foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(rootP, g), true)
     }
-    doomed.toSeq
+    doomed
   }
 
   /** [[searchIndex]] against whatever generation `root/_CURRENT` names at

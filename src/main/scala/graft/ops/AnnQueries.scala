@@ -246,15 +246,48 @@ object AnnQueries {
       k = 10, nprobe = 3, dedup = true)
   }
 
+  /** Cap for [[Ann.nearDupPairs]]' hot-cell sub-bucketing in the
+    * same-cell pair gates (q31/q165). */
+  private val HotCellCap = 10000
+
+  /** Largest label-cell size per dir, one count job per JVM (memoized like
+    * [[baselineGuardCount]] so the guard never re-counts inside a timed
+    * bench pass). */
+  private val maxLabelCellCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Gate-scale guard for the same-cell pair oracles (ADVICE r8): q31 and
+    * q165's DuckDB replays recompute the UNGUARDED all-same-label pairing,
+    * which equals the engine output only while every label cell stays at or
+    * under [[HotCellCap]] (above it, [[Ann.nearDupPairs]] silently restricts
+    * pairing to sign-byte sub-buckets — correct scale behavior, but a
+    * silent hash divergence at the gate). A regenerated corpus with a >10k
+    * label cell now fails FAST with this diagnostic instead. */
+  private def requireGateCellScale(spark: SparkSession, dir: String,
+      gate: String): Unit = {
+    import spark.implicits._
+    val n: Long = maxLabelCellCount.computeIfAbsent(dir, _ =>
+      Tables.embeddings(spark, dir).groupBy($"label")
+        .agg(count(lit(1)).as("n")).agg(max($"n")).head().getLong(0))
+    require(n <= HotCellCap,
+      s"$gate: a label cell holds $n vectors > hotCellCap=$HotCellCap — " +
+        "Ann.nearDupPairs would sub-bucket it and the unguarded SQL oracle " +
+        "no longer replays the output; raise the cap for the gate corpus or " +
+        "extend the oracle with the sign-byte sub-bucket rule")
+  }
+
   /** Embedding near-dup pairs: same-cell (label) pairs with cosine ≥ 0.35,
     * through [[Ann.nearDupPairs]]' hot-cell guard — cells above the cap
     * pair only within a sign-byte LSH sub-bucket, so no cell can go
     * quadratic at 100 TB. The gate corpus' cells (≤ ~600 vectors at sf0.1)
     * sit far under the 10k cap, so the output here is exactly the
-    * unguarded pairing and the SQL oracle still matches hash-exact. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    * unguarded pairing and the SQL oracle still matches hash-exact —
+    * [[requireGateCellScale]] asserts that precondition per dir. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    requireGateCellScale(spark, dir, "q31_embedding_near_dup")
     Ann.nearDupPairs(Tables.embeddings(spark, dir),
-      threshold = 0.35, hotCellCap = 10000)
+      threshold = 0.35, hotCellCap = HotCellCap)
+  }
 
   /** Metadata-filtered ("hybrid") search: top-k cosine restricted to the
     * candidates passing a document-metadata predicate — the retrieval shape
@@ -403,8 +436,9 @@ object AnnQueries {
     * pairs + reachability recursively. */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    requireGateCellScale(spark, dir, "q165_semdedup")
     val pairs = Ann.nearDupPairs(Tables.embeddings(spark, dir),
-      threshold = 0.35, hotCellCap = 10000)
+      threshold = 0.35, hotCellCap = HotCellCap)
       .select($"vec_a", $"vec_b")
     graft.operators.Connect.dedupDecisions(pairs, "vec_a", "vec_b")
       .select($"node".as("vec_id"), $"component", $"is_canonical",

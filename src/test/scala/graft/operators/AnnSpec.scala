@@ -329,6 +329,53 @@ class AnnSpec extends SparkSpec {
     assert(Ann.currentGenerationPath(spark, r2) == s"$r2/$g2")
   }
 
+  test("lifecycle survives stray root entries and republish races (ADVICE r8)") {
+    val root = graft.Scratch.fresh("genstray").toString
+    new java.io.File(root).mkdirs()
+    // strays a crashed writer / editor could leave behind: a .partial gen
+    // dir, a backup file, a non-numeric gen name — all must be IGNORED by
+    // the lifecycle, not parsed into a NumberFormatException
+    for (s <- Seq("gen-000002.partial", "gen-abc", "gen-000001~", "notes.txt"))
+      new java.io.File(root, s).mkdirs()
+    assert(Ann.nextGenerationName(spark, root) == Ann.generationName(1))
+    val g1 = Ann.generationName(1)
+    new java.io.File(s"$root/$g1").mkdirs()
+    Ann.publishGeneration(spark, root, g1)
+    // a 7-digit ordinal (past the zero-padding) still sorts newest
+    val big = 1000000
+    new java.io.File(s"$root/${Ann.generationName(big)}").mkdirs()
+    assert(Ann.nextGenerationName(spark, root) == Ann.generationName(big + 1))
+    val deleted = Ann.pruneGenerations(spark, root, keep = 1)
+    assert(deleted == Seq.empty || !deleted.contains(g1),
+      "live gen must survive; strays must not confuse retention")
+    // strays are untouched by pruning
+    assert(new java.io.File(root, "gen-000002.partial").exists())
+
+    // ATOMIC republish on file:// (ADVICE r8: FileContext OVERWRITE rename
+    // is delete-then-rename on LocalFs): hammer publishes while a reader
+    // polls — the pointer must NEVER be missing or partial mid-swap
+    val r2 = graft.Scratch.fresh("genatomic").toString
+    new java.io.File(r2).mkdirs()
+    val gens = Seq(Ann.generationName(1), Ann.generationName(2))
+    Ann.publishGeneration(spark, r2, gens.head)
+    @volatile var stop = false
+    @volatile var readerFailure: Option[Throwable] = None
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          val g = Ann.currentGeneration(spark, r2)
+          assert(g.exists(gens.contains),
+            s"mid-swap read returned $g — missing or partial pointer")
+        }
+      } catch { case t: Throwable => readerFailure = Some(t) }
+    })
+    reader.start()
+    for (i <- 1 to 200) Ann.publishGeneration(spark, r2, gens(i % 2))
+    stop = true
+    reader.join(10000)
+    readerFailure.foreach(throw _)
+  }
+
   test("hard negatives: only different-label candidates, nearest first") {
     import org.apache.spark.sql.functions._
     // label 0 around +x, label 1 around -x, one label-1 point near +x —
