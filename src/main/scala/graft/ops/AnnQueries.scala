@@ -218,10 +218,10 @@ object AnnQueries {
   private val lifecycleRoot =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def ivfLifecycle(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val (grid, _, _) = gridIndex(spark, dir)
-    val root = lifecycleRoot.computeIfAbsent(dir, _ => {
+  private def lifecycleRootFor(spark: SparkSession, dir: String): String =
+    lifecycleRoot.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val (grid, _, _) = gridIndex(spark, dir)
       val (centRows, centSchema) = upsertCentroids.computeIfAbsent(dir, _ => {
         val base = grid.filter($"vec_id" % 5 =!= 0)
           .withColumn("seed", pmod($"vec_id", lit(8)).cast("int")).cache()
@@ -242,8 +242,29 @@ object AnnQueries {
       Ann.compactCurrent(spark, r)
       r
     })
-    Ann.searchCurrent(spark, root, grid.filter($"vec_id" < 10),
-      k = 10, nprobe = 3, dedup = true)
+
+  def ivfLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (grid, _, _) = gridIndex(spark, dir)
+    Ann.searchCurrent(spark, lifecycleRootFor(spark, dir),
+      grid.filter($"vec_id" < 10), k = 10, nprobe = 3, dedup = true)
+  }
+
+  /** Bench fixture hook ([[graft.Fixtures]], VERDICT r8 #2): force every
+    * memoized derived input of this module — trained/persisted/upserted/
+    * lifecycle indexes and the scale-guard counts — to build NOW, so timed
+    * bench trials measure steady-state search/append/compact only and the
+    * artifact charges fixture cost to an explicit `fixture_secs` field. */
+  private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    gridIndex(spark, dir): Unit
+    upsertedIndex(spark, dir): Unit
+    lifecycleRootFor(spark, dir): Unit
+    baselineGuardCount.computeIfAbsent(dir,
+      _ => Tables.embeddings(spark, dir).count()): Unit
+    maxLabelCellCount.computeIfAbsent(dir, _ =>
+      Tables.embeddings(spark, dir).groupBy($"label")
+        .agg(count(lit(1)).as("n")).agg(max($"n")).head().getLong(0)): Unit
   }
 
   /** Cap for [[Ann.nearDupPairs]]' hot-cell sub-bucketing in the

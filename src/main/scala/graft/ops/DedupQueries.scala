@@ -217,17 +217,20 @@ object DedupQueries {
   private val lshDeltaPath =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def lshIndexPersisted(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    def sigsAndSets(slice: DataFrame): DataFrame =
-      slice.select($"doc_id",
-        explode(Dedup.wordShingles($"text", ShingleSize)).as("shingle"))
-        .groupBy($"doc_id")
-        .agg(collect_set($"shingle").as("shset"),
-          (0 until NumHashes).map(i => Dedup.minhash($"shingle", i).as(s"h$i")): _*)
-    val root = lshIndexRoot.computeIfAbsent(dir, _ => {
-      val base = sigsAndSets(docs.filter($"doc_id" % 10 =!= 0)).cache()
+  private def sigsAndSets(slice: DataFrame): DataFrame = {
+    import slice.sparkSession.implicits._
+    slice.select($"doc_id",
+      explode(Dedup.wordShingles($"text", ShingleSize)).as("shingle"))
+      .groupBy($"doc_id")
+      .agg(collect_set($"shingle").as("shset"),
+        (0 until NumHashes).map(i => Dedup.minhash($"shingle", i).as(s"h$i")): _*)
+  }
+
+  private def lshRootFor(spark: SparkSession, dir: String): String =
+    lshIndexRoot.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val base = sigsAndSets(
+        Tables.documents(spark, dir).filter($"doc_id" % 10 =!= 0)).cache()
       val r = graft.Scratch.named(s"q160_${graft.Scratch.dirKey(dir)}").toString
       val gen = graft.operators.Ann.nextGenerationName(spark, r)
       Dedup.bandKeys(base, "doc_id", Bands, NumHashes / Bands)
@@ -238,18 +241,26 @@ object DedupQueries {
       graft.operators.Ann.publishGeneration(spark, r, gen)
       r
     })
+
+  private def lshDeltaFor(spark: SparkSession, dir: String): String =
+    lshDeltaPath.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val p = graft.Scratch.named(s"q160_delta_${graft.Scratch.dirKey(dir)}")
+        .resolve("delta").toString
+      sigsAndSets(Tables.documents(spark, dir).filter($"doc_id" % 10 === 0))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  def lshIndexPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = lshRootFor(spark, dir)
     val genPath = graft.operators.Ann.currentGenerationPath(spark, root)
     val idxBands = spark.read.parquet(s"$genPath/bands")
     val idxSets = spark.read.parquet(s"$genPath/sets")
     // delta side: shingled once per (JVM, dir), feeds its band keys and its
     // verify sets from the checkpoint
-    val delta = spark.read.parquet(lshDeltaPath.computeIfAbsent(dir, _ => {
-      val p = graft.Scratch.named(s"q160_delta_${graft.Scratch.dirKey(dir)}")
-        .resolve("delta").toString
-      sigsAndSets(docs.filter($"doc_id" % 10 === 0))
-        .write.mode("overwrite").parquet(p)
-      p
-    }))
+    val delta = spark.read.parquet(lshDeltaFor(spark, dir))
     val cands = Dedup.bandKeys(delta, "doc_id", Bands, NumHashes / Bands)
       .select($"doc_id".as("doc_a"), $"band", $"bkey")
       .join(idxBands.select($"doc_id".as("doc_b"), $"band", $"bkey"),
@@ -285,6 +296,14 @@ object DedupQueries {
       .select($"component", $"n_members",
         (-$"best.neg_id").as("survivor_id"),
         $"best.n_chars".as("survivor_chars"))
+  }
+
+  /** Bench fixture hook ([[graft.Fixtures]], VERDICT r8 #2): the component
+    * frame and the persisted LSH index + delta checkpoint. */
+  private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit = {
+    components(spark, dir): Unit
+    lshRootFor(spark, dir): Unit
+    lshDeltaFor(spark, dir): Unit
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

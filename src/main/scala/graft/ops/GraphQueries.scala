@@ -50,6 +50,11 @@ object GraphQueries {
     spark.read.parquet(path)
   }
 
+  /** Bench fixture hook ([[graft.Fixtures]], VERDICT r8 #2): the shared
+    * co-purchase edge checkpoint. */
+  private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit =
+    coPurchaseEdges(spark, dir): Unit
+
   /** Exact triangle census of the co-purchase graph
     * ([[graft.operators.Graph.triangleCount]] — degree-ordered wedge
     * enumeration; see its doc for the O(m^1.5), hot-vertex-proof bound).
