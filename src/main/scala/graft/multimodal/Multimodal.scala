@@ -252,6 +252,39 @@ object Multimodal {
     }
   }
 
+  /** Integer-exact decode summary: dimensions + per-channel pixel SUMS —
+    * the oracle-checkable face of the decode path (q167, VERDICT r8 #4):
+    * unlike [[DecodedImage]]'s double means and CRC32 (which no SQL engine
+    * recomputes), every column here is a pure integer function of the
+    * decoded pixel stream, so a fixture whose pixels follow a closed-form
+    * formula makes the whole codec — header parse, padding, bottom-up
+    * flip, BGR→RGB — replayable in DuckDB. */
+  case class ChannelSums(media_id: Long, format: String, width: Int,
+      height: Int, n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** [[decodeImages]]' integer twin: same `mapPartitions` codec pattern,
+    * same poison-row drop contract, channel sums instead of means/CRC. */
+  def decodeChannelSums(media: Dataset[MediaRow]): Dataset[ChannelSums] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        sniffDecode(r.payload).map { img =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < img.rgb.length) {
+            sr += img.rgb(i) & 0xff
+            sg += img.rgb(i + 1) & 0xff
+            sb += img.rgb(i + 2) & 0xff
+            i += 3
+          }
+          ChannelSums(r.media_id, img.format, img.width, img.height,
+            img.width.toLong * img.height, sr, sg, sb)
+        }
+      }
+    }
+  }
+
   /** Encode a top-down RGB raster as a bottom-up 24-bit BI_RGB BMP — the
     * sink-side twin of [[decodeBmp]] (and the round-trip fixture source). */
   def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {

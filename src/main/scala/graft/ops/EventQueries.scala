@@ -269,6 +269,111 @@ object EventQueries {
     }
   }
 
+  /** WATERMARK LATE-DATA ACCOUNTING as a gate query (q166, VERDICT r8 #3) —
+    * the fifth stateful streaming class at the gate: what the watermark
+    * DROPS. The drive feeds the corpus ACROSS an already-advanced
+    * watermark and reconciles, per event_type, the rows that survived the
+    * engine's late-row filter against the batch total — the per-key
+    * on-time/dropped report a production watermark needs.
+    *
+    * Deterministic 4-batch drive (`maxFilesPerTrigger=1`, mtime-ordered):
+    *   1. an ADVANCER row at the corpus' exact max event time — after this
+    *      batch the watermark is `floor(max_us/1000) − 24h` (ms);
+    *   2. a GAP batch (same advancer row): since Spark 3.4 the late-row
+    *      filter for batch N uses the watermark as of batch N's START
+    *      (eventTimeWatermarkForLateEvents = the previous batch's committed
+    *      value), so the advance needs one full committed batch between it
+    *      and the rows it must drop (StreamingSpec pins this);
+    *   3. the CORPUS itself — rows with `epoch_us(ts) <= wm_ms·1000` are
+    *      dropped by the engine before the stateful operator (boundary
+    *      microsecond-pinned in StreamingSpec), the rest are counted per
+    *      key by [[graft.streaming.Streaming.onTimeCounts]];
+    *   4. per-key far-future FLUSH sentinels (q92's pattern) emit each
+    *      key's surviving count across a real batch boundary.
+    * The advancer key never reaches the output: the final frame left-joins
+    * the batch per-type totals (so `n_late = n_total − n_on_time` needs no
+    * second streaming pass), and 'advancer' is not a corpus type. The
+    * oracle replays the watermark arithmetic and the pinned `>` boundary
+    * in SQL. */
+  def streamingLateData(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    Tables.enableNanosRead(spark)
+    val src = s"$dir/events.parquet"
+    // raw on-disk-schema read + encoding-dispatched sentinel arithmetic,
+    // exactly the q92 contract (the constructed files must union with the
+    // source schema; normalization happens inside the plan via the bridge)
+    val raw = spark.read.parquet(src)
+    val tsType = raw.schema("ts").dataType
+    val maxUs = tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.agg(max($"ts")).head().getLong(0) / 1000
+      case _ =>
+        Tables.rebuildNanosTs(raw)
+          .agg(max(unix_micros($"ts"))).head().getLong(0)
+    }
+    def encTs(us: Long) = tsType match {
+      case org.apache.spark.sql.types.LongType => lit(us * 1000L)
+      case t => timestamp_micros(lit(us)).cast(t)
+    }
+    val tmp = Files.createTempDirectory("graft_q166_").toFile
+    val staging = Files.createTempDirectory("graft_q166_staging_").toFile
+    def writeOne(name: String, df: DataFrame, mtimeMs: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+      val part = staging.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name)
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs): Unit
+    }
+    def synth(eventId: Long, tsUs: Long, types: DataFrame): DataFrame =
+      types
+        .withColumn("event_id", lit(eventId))
+        .withColumn("ts", encTs(tsUs))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("value", lit(0.0))
+        .withColumn("props", lit(null).cast("string"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val advancerType = spark.range(1).select(lit("advancer").as("event_type"))
+    // mtimes pin FileStreamSource's oldest-first order: epoch-adjacent for
+    // the constructed advance/gap files (older than any corpus file), the
+    // corpus symlink keeps its target's mtime, the flush file is now
+    writeOne("a_advance.parquet", synth(-2L, maxUs, advancerType), 1000L)
+    writeOne("b_gap.parquet", synth(-3L, maxUs, advancerType), 2000L)
+    Files.createSymbolicLink(
+      new java.io.File(tmp, "c_events.parquet").toPath, Paths.get(src))
+    val flushTypes = raw.select($"event_type").distinct()
+      .unionByName(advancerType)
+    writeOne("d_flush.parquet",
+      synth(-1L, maxUs + 100L * 24 * 3600 * 1000000L, flushTypes),
+      System.currentTimeMillis())
+    try {
+      val onTime = graft.streaming.Streaming.runOnce(spark, tmp.getAbsolutePath,
+        ev => graft.streaming.Streaming.onTimeCounts(
+          Tables.rebuildNanosTs(ev)
+            .withWatermark("ts", "24 hours")
+            .select($"event_id", $"ts", $"event_type")
+            .as[graft.streaming.Streaming.KeyedEvent]).toDF(),
+        name = "q166_streaming_late_sink",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      Tables.events(spark, dir).groupBy($"event_type")
+        .agg(count(lit(1)).as("n_total"))
+        .join(onTime, Seq("event_type"), "left_outer")
+        .select($"event_type", $"n_total",
+          coalesce($"n_on_time", lit(0L)).as("n_on_time"),
+          ($"n_total" - coalesce($"n_on_time", lit(0L))).as("n_late"))
+    } finally {
+      // the drive is synchronous and the memory sink holds the result
+      def rm(f: java.io.File): Unit = {
+        if (!Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(staging); rm(tmp)
+    }
+  }
+
   /** Ordered conversion funnel (view → click → purchase): per user, the
     * first view, the first click strictly after it, and the first purchase
     * strictly after that, plus the funnel stage reached. Each step is a
@@ -721,9 +826,26 @@ object EventQueries {
     "q81_streaming_hourly" -> (streamingHourly _),
     "q90_streaming_join" -> (streamingClickErrorJoin _),
     "q92_streaming_sessions" -> (streamingSessions _),
-    "q103_streaming_dedup" -> (streamingDedup _))
+    "q103_streaming_dedup" -> (streamingDedup _),
+    "q166_streaming_late_data" -> (streamingLateData _))
 
   val oracle: Map[String, String] = Map(
+    // q166: the watermark is floor(max_us/1000) − 24h in ENGINE MILLIS
+    // (EventTimeWatermarkExec tracks event time in ms), and a row survives
+    // iff epoch_us(ts) > wm_ms·1000 — the row AT the watermark is dropped
+    // (WatermarkSupport's `ts <= wm` predicate, microsecond-pinned in
+    // StreamingSpec).
+    "q166_streaming_late_data" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 86400000) * 1000 AS wm_us
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN epoch_us(ts) > wm_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_on_time,
+        |  CAST(sum(CASE WHEN epoch_us(ts) > wm_us THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_late
+        |FROM events, wm GROUP BY event_type""".stripMargin,
     "q147_rfm_segmentation" ->
       """WITH p AS (
         |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,

@@ -353,6 +353,34 @@ object ExtendedQueries {
         sum(dec2($"o_totalprice")).cast("double").as("total_price"))
   }
 
+  /** AQE skew-join gate (q168, VERDICT r8 #5): a DELIBERATELY skewed fact
+    * key — three quarters of all orders collapse onto hot_key 0, the rest
+    * spread over `o_custkey % 100` — shuffle-joined against a small keyed
+    * build side via [[Skew.adaptiveSkewJoin]] (merge-hinted, so the shuffle
+    * exists for AQE to operate on). The skew mitigation is RUNTIME
+    * (`spark.sql.adaptive.skewJoin`, on by default) and a pure physical
+    * rewrite, so the oracle is the plain join + aggregate — equality proves
+    * split-invariance of the result, and SkewSpec proves the split itself
+    * fires (`skew=true` in the executed adaptive plan) under gate-scale
+    * thresholds. At 100 TB this is the default posture for fact-fact
+    * shuffles whose skew is NOT known up front; q63's salting stays the
+    * explicit remedy for the cases AQE can't split. */
+  def aqeSkewJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.orders(spark, dir).select(
+      when($"o_orderkey" % 4 =!= 0, lit(0L))
+        .otherwise($"o_custkey" % 100).as("hot_key"),
+      $"o_totalprice")
+    val build = Tables.customer(spark, dir)
+      .groupBy(($"c_custkey" % 100).as("hot_key"))
+      .agg(count(lit(1)).as("n_cust"))
+    Skew.adaptiveSkewJoin(fact, build, Seq("hot_key"))
+      .groupBy($"hot_key")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2($"o_totalprice")).cast("double").as("total_price"),
+        max($"n_cust").as("n_cust"))
+  }
+
   // ------------------------------------------------------------ outer joins
 
   /** FULL OUTER join with unmatched rows on BOTH sides: rich customers
@@ -987,6 +1015,7 @@ object ExtendedQueries {
     "q61_subqueries" -> (subqueries _),
     "q62_array_ops" -> (arrayOps _),
     "q63_salted_join" -> (saltedJoinAgg _),
+    "q168_aqe_skew_join" -> (aqeSkewJoinAgg _),
     "q64_approx_aggs" -> (approxAggs _),
     "q65_simhash_pairs" -> (simhashPairs _),
     "q66_full_outer_join" -> (fullOuterJoin _),
@@ -1258,6 +1287,23 @@ object ExtendedQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey""".stripMargin,
+    // q168: the plain join+aggregate — AQE's skew split is a physical
+    // rewrite, so the result must be split-invariant
+    "q168_aqe_skew_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 0
+        |              ELSE o_custkey % 100 END AS hot_key,
+        |    o_totalprice
+        |  FROM orders
+        |), b AS (
+        |  SELECT c_custkey % 100 AS hot_key, count(*) AS n_cust
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT hot_key, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(n_cust) AS BIGINT) AS n_cust
+        |FROM f JOIN b USING (hot_key)
+        |GROUP BY hot_key""".stripMargin,
     "q65_simhash_pairs" ->
       s"""WITH ex AS (
          |  SELECT doc_id, unnest(${DedupQueries.toksSql}) AS t FROM documents

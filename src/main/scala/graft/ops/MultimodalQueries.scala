@@ -25,10 +25,65 @@ object MultimodalQueries {
         .otherwise("video").as("media_type"))
   }
 
+  /** REAL-DECODE gate (q167, VERDICT r8 #4): the `mapPartitions` codec
+    * ([[graft.multimodal.Multimodal.decodeBmp]]/`decodePpm` behind
+    * `sniffDecode`) put under the DuckDB oracle, not just ScalaTest. Each
+    * document id deterministically defines a small image — `width = id%13+1`,
+    * `height = id%7+1`, pixel byte k = `(id%251 + k) % 256` in top-down RGB
+    * order — which the gate ENCODES (even ids as bottom-up padded BMP, odd
+    * as binary PPM: both real container formats, exercising row padding,
+    * the vertical flip, and BGR→RGB), then DECODES through the production
+    * codec, emitting integer channel sums
+    * ([[graft.multimodal.Multimodal.decodeChannelSums]]). The oracle never
+    * sees a byte of image data: it recomputes the sums from the closed-form
+    * pixel formula, so hash-equality proves the full encode→sniff→decode→
+    * normalize chain is bit-exact. Encode and decode are both partition-
+    * local passes over the distributed documents scan — no shuffle at all;
+    * at 100 TB this is precisely the decode/feature-extract batch shape
+    * (`mapInPandas` in the Python analog) with ~300-byte payloads standing
+    * in for real media blobs. */
+  def decodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val w = (id % 13 + 1).toInt
+      val h = (id % 7 + 1).toInt
+      val rgb = Array.tabulate(w * h * 3)(k => ((id % 251 + k) % 256).toByte)
+      val payload = if (id % 2 == 0) Multimodal.encodeBmp(w, h, rgb)
+                    else Multimodal.encodePpm(w, h, rgb)
+      Multimodal.MediaRow(id, payload, "image", payload.length.toLong,
+        payload.take(8).map(b => f"${b & 0xff}%02x").mkString)
+    }
+    Multimodal.decodeChannelSums(media).toDF()
+      .withColumnRenamed("media_id", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q32_multimodal_binary_stats" -> (binaryStats _))
+    "q32_multimodal_binary_stats" -> (binaryStats _),
+    "q167_multimodal_decode" -> (decodeRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    // q167: pure closed-form replay — sum over pixels p of
+    // (seed + 3p + channel) % 256 per channel; no image bytes involved.
+    "q167_multimodal_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |    CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+        |    doc_id % 251 AS seed,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, unnest(generate_series(0, width * height - 1)) AS p
+        |  FROM d
+        |)
+        |SELECT d.doc_id, d.format, d.width, d.height,
+        |  CAST(d.width * d.height AS BIGINT) AS n_pixels,
+        |  CAST(sum((d.seed + 3 * px.p + 0) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((d.seed + 3 * px.p + 1) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((d.seed + 3 * px.p + 2) % 256) AS BIGINT) AS sum_b
+        |FROM d JOIN px USING (doc_id)
+        |GROUP BY d.doc_id, d.format, d.width, d.height""".stripMargin,
     "q32_multimodal_binary_stats" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

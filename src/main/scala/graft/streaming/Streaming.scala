@@ -155,6 +155,48 @@ object Streaming {
       }
   }
 
+  /** Typed row for the late-data accountant: the watermark rides on `ts`;
+    * `event_id == -1` marks a per-key FLUSH sentinel (same convention as
+    * the q92 drive). Public for the state-store encoder (see CentsState). */
+  case class KeyedEvent(event_id: Long, ts: Timestamp, event_type: String)
+
+  case class OnTimeCount(event_type: String, n_on_time: Long)
+
+  /** WATERMARK LATE-DATA ACCOUNTING (q166, VERDICT r8 #3) — the missing
+    * stateful class at the gate next to window (q81), join (q90), custom
+    * session state (q92) and dedup state (q103): what the watermark DROPS.
+    * Rows arriving behind the watermark are discarded by the engine BEFORE
+    * any stateful operator sees them (the state for their event time is
+    * already finalized/evicted); this operator counts, per key, the rows
+    * that SURVIVE that filter. The driver feeds a batch that straddles the
+    * watermark and reconciles the count against the batch total — the
+    * difference IS the dropped volume, the per-key data-loss report every
+    * production watermark needs.
+    *
+    * Mechanics: per-key running count in `flatMapGroupsWithState` with
+    * EventTimeTimeout (the conf that arms the engine's late-row filter);
+    * a flush sentinel (event_id == -1, far-future ts, one per key) emits
+    * the key's count and clears its state — the deterministic q92 pattern,
+    * no watermark-race no-data batch needed. State is one long per live
+    * key. Requires `withWatermark("ts", …)` upstream, Append mode. */
+  def onTimeCounts(events: Dataset[KeyedEvent]): Dataset[OnTimeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, OnTimeCount](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, batch: Iterator[KeyedEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var n = state.getOption.getOrElse(0L)
+            var flush = false
+            batch.foreach { e => if (e.event_id == -1L) flush = true else n += 1 }
+            if (flush) { state.remove(); Iterator.single(OnTimeCount(key, n)) }
+            else { state.update(n); Iterator.empty }
+          }
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of Dedup.exactDedup for
     * continuous corpus ingest: fingerprint each document (md5 of content)
     * and keep the first arrival per fingerprint. The watermark bounds the

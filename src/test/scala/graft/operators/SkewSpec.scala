@@ -4,32 +4,68 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** Executed-plan proof for the skew posture (VERDICT r8 #5): the 100×-scale
+  * claim in the join operators' docs — "AQE splits a skewed partition at
+  * runtime" — asserted on a real adaptive plan, not just stated. Thresholds
+  * are tuned to gate scale (the defaults are 256 MB-class, sized for
+  * production shuffles); the PHYSICS is identical: a partition both larger
+  * than the threshold and `factor` × the median gets split into
+  * advisory-size reads.
+  */
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
-  // heavily skewed fact table: 90% of rows share key 1
-  private lazy val fact = ((1 to 90).map(i => (1, s"v$i")) ++
-    (1 to 10).map(i => (i + 1, s"w$i"))).toDF("k", "payload")
-  private lazy val dim = (1 to 11).map(i => (i, s"dim$i")).toDF("k", "attr")
-
-  test("salted join equals the plain join") {
-    val plain = fact.join(dim, Seq("k")).select("k", "payload", "attr")
-      .collect().map(_.toSeq).toSet
-    val salted = Skew.saltedJoin(fact, dim, Seq("k"), numSalts = 4)
-      .select("k", "payload", "attr")
-      .collect().map(_.toSeq).toSet
-    assert(salted == plain)
-    assert(salted.size == 100)
+  private def withConfs[A](pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) =>
+      k -> spark.conf.getOption(k)
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
-  test("salted aggregation equals the plain aggregation") {
-    val plain = fact.groupBy("k").agg(count(lit(1)).as("n"))
-      .as[(Int, Long)].collect().toMap
-    val salted = Skew.saltedAgg(fact, Seq("k"), numSalts = 4) {
-      (df, keys) => df.groupBy(keys: _*).agg(count(lit(1)).as("pn"))
-    } { (df, keys) => df.groupBy(keys: _*).agg(sum($"pn").as("n")) }
-      .as[(Int, Long)].collect().toMap
-    assert(salted == plain)
-    assert(salted(1) == 90L)
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // gate-scale thresholds: the hot partition (~90% of 200k rows) is
+      // MB-class, far over 100KB and far over 2x the median
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50KB",
+      // the split must not be vetoed for introducing a downstream shuffle
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // 90% of the fact lands on key 0; build side is 100 small keys
+      val fact = spark.range(200000).select(
+        when($"id" % 10 =!= 0, lit(0L)).otherwise($"id" % 100).as("k"),
+        $"id".as("v"))
+      val build = spark.range(100).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = Skew.adaptiveSkewJoin(fact, build, Seq("k"))
+      // collect() executes THIS dataset's own queryExecution (count/foreach
+      // plan fresh ones), which is what finalizes the adaptive plan
+      val n = joined.collect().length
+      assert(n == 200000, s"join row count drifted: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan never finalized:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition; final plan:\n$plan")
+    }
+  }
+
+  test("adaptiveSkewJoin equals the plain join (split-invariance, q168's contract)") {
+    val fact = spark.range(5000).select(
+      when($"id" % 10 =!= 0, lit(0L)).otherwise($"id" % 7).as("k"),
+      $"id".as("v"))
+    val build = spark.range(7).select($"id".as("k"), ($"id" * 3).as("w"))
+    val adaptive = Skew.adaptiveSkewJoin(fact, build, Seq("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"), sum($"w").as("sw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = fact.join(build, Seq("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"), sum($"w").as("sw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(adaptive == plain && adaptive.nonEmpty)
   }
 }
