@@ -139,6 +139,62 @@ object Ann {
         (-col("cosine")).as("proto_cos"), col("rank"))
   }
 
+  /** SIGNED RANDOM PROJECTION (Johnson–Lindenstrauss / SimHash-style
+    * dimensionality reduction) — the other pre-indexing lever of a 100 TB
+    * vector store next to int8 [[quantize]]: project each embedding onto
+    * `outDims` deterministic ±1 hyperplanes, shrinking every downstream
+    * score/shuffle/index by inDims/outDims while approximately preserving
+    * cosine geometry (recall of RP-space top-k vs exact is gated in
+    * AnnSpec). Engine-exactness is by construction, like [[gridQuantize]]:
+    * inputs snap to the 1e-3 integer grid (`floor(x·1000)` — float→double
+    * widening, one IEEE product, one floor), the sign matrix is a pure
+    * function of md5("rp:j:i") (first hex digit < '8' → +1, computed
+    * driver-side here and replayed verbatim by `md5()` in the oracle), and
+    * every projected coordinate is an exact ±integer sum — so RP-space
+    * cosines are bit-identical on any engine. A narrow per-row projection:
+    * NO shuffle, no training state, nothing to persist. */
+  def signedProjection(corpus: DataFrame, outDims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      inDims: Int = 64): DataFrame = {
+    val signs: Seq[Seq[Double]] = (1 to outDims).map { j =>
+      (1 to inDims).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$j:$i".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+    }
+    val v = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1000.0)))
+    val reduced = array(signs.map(row => dot(v, typedlit(row))): _*)
+    corpus.select(col(idCol), reduced.as(vecCol))
+      // a zero projection has no cosine direction (division by zero would
+      // diverge NaN-vs-NULL across engines); geometrically possible only
+      // for degenerate inputs, excluded like quantize's zero-vector rule
+      .filter(array_max(transform(col(vecCol), x => abs(x))) > 0)
+  }
+
+  /** SHORTLIST-THEN-RESCORE: exact full-precision cosine re-rank of a
+    * cheap first-pass candidate set (an RP-space or quantized top-k) — the
+    * two-stage retrieval shape every production vector store runs: the
+    * cheap representation ranks the whole corpus, full precision is spent
+    * on k·|queries| shortlisted pairs only (the [[quantizedTopK]] audit's
+    * plan shape, factored out for any shortlist producer). The shortlist
+    * is broadcast (k·|queries| rows by construction); the corpus streams
+    * past it twice, never shuffles. */
+  def rescoreTopK(corpus: DataFrame, shortlist: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = corpus.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val pairs = shortlist.select(col("query_id"), col("cand_id"))
+    val withQ = q.join(broadcast(pairs), "query_id")
+    val scored = c.join(broadcast(withQ), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        round(cosineFast(col("qv"), col("cv")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** IVF-style ANN: restrict each query to corpus rows in the same cell
     * (inverted-file partition). `cellCol` is any coarse-quantizer output —
     * here the corpus ships a label column; in a real index it is the

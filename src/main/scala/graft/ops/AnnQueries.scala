@@ -466,7 +466,30 @@ object AnnQueries {
         (!$"is_canonical").as("prune"))
   }
 
+  /** Random-projection two-stage ANN gate (q169) — the shortlist-then-
+    * rescore retrieval shape: embeddings drop 64 → 32 dims through
+    * [[Ann.signedProjection]]'s deterministic ±1 md5 hyperplanes, the
+    * HEAVY first pass (every candidate × every query) ranks in halved
+    * RP space to a 100-candidate shortlist, and full precision is spent
+    * re-ranking only the shortlisted pairs ([[Ann.rescoreTopK]]) to the
+    * final top-10. Both stages are engine-exact (integer ±sums / q29's
+    * rank rule), so the oracle replays the whole cascade. AnnSpec gates
+    * the GEOMETRY — final-output recall vs the exact q29 result — so the
+    * 2× first-pass bandwidth shrink carries a MEASURED accuracy cost
+    * (~0.7 on this corpus, RP's adversarial case: synthetic near-uniform
+    * cosines with tiny neighbor gaps; clustered real-embedding corpora
+    * retain far more). At 100 TB the shortlist pass is where the scan
+    * bandwidth goes, and it just halved. */
+  def rpAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val red = Ann.signedProjection(emb, 32)
+    val shortlist = Ann.bruteForceTopK(red, red.filter($"vec_id" < 10), 100)
+    Ann.rescoreTopK(emb, shortlist, 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_random_projection_ann" -> (rpAnn _),
     "q165_semdedup" -> (semDedup _),
     "q163_hard_negatives" -> (hardNegatives _),
     "q164_prototype_outliers" -> (protoOutliers _),
@@ -574,6 +597,55 @@ object AnnQueries {
     searchReplaySql(gridLloydSqlFor("vec_id % 5 <> 0"))
 
   val oracle: Map[String, String] = Map(
+    // q169: replay the ±1 hyperplane matrix from md5 (first hex digit of
+    // md5('rp:j:i') < '8' → +1), project the 1e-3-grid vectors (every
+    // coordinate an exact ±integer sum), shortlist the RP-space top-100
+    // (6-decimal cosine, id tie-break), then exact full-precision re-rank
+    // of the shortlist to the final top-10.
+    "q169_random_projection_ann" ->
+      s"""WITH e2 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> floor(x * 1000.0)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT j, i,
+        |    CASE WHEN substr(md5('rp:' || j || ':' || i), 1, 1) < '8'
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn
+        |  FROM (SELECT unnest(generate_series(1, 32)) AS j),
+        |       (SELECT unnest(generate_series(1, 64)) AS i)
+        |), r AS (
+        |  SELECT e2.vec_id, s.j, sum(e2.v[s.i] * s.sgn) AS val
+        |  FROM e2, s GROUP BY e2.vec_id, s.j
+        |), nz AS (
+        |  SELECT vec_id FROM r GROUP BY vec_id HAVING max(abs(val)) > 0
+        |), q AS (
+        |  SELECT vec_id AS query_id, j, val FROM r
+        |  WHERE vec_id < 10 AND vec_id IN (SELECT vec_id FROM nz)
+        |), c AS (
+        |  SELECT vec_id AS cand_id, j, val FROM r
+        |  WHERE vec_id IN (SELECT vec_id FROM nz)
+        |), sc AS (
+        |  SELECT query_id, cand_id,
+        |    round(sum(q.val * c.val) /
+        |      (sqrt(sum(q.val * q.val)) * sqrt(sum(c.val * c.val))), 6) AS rp_cos
+        |  FROM q JOIN c USING (j) WHERE query_id <> cand_id
+        |  GROUP BY query_id, cand_id
+        |), sl AS (
+        |  SELECT query_id, cand_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rp_cos DESC, cand_id ASC) <= 100
+        |), ex AS (
+        |  SELECT sl.query_id, sl.cand_id,
+        |    ${cosSql("a.fv", "b.fv")} AS cosine
+        |  FROM sl
+        |  JOIN e2 a ON a.vec_id = sl.query_id
+        |  JOIN e2 b ON b.vec_id = sl.cand_id
+        |)
+        |SELECT query_id, cand_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
+        |FROM ex QUALIFY rank <= 10""".stripMargin,
     // q165: q31's thresholded pairs (6-decimal-rounded cosine, same rule)
     // fed through the same min-reachable-id fixpoint as the text-side
     // cluster oracle (DedupQueries) — the component minimum keeps.

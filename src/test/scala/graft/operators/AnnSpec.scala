@@ -98,6 +98,37 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 = $recall < 0.6")
   }
 
+  test("q169 RP shortlist + exact rescore: measured recall, no shuffle added") {
+    // The two-stage cascade's MEASURED accuracy: the final top-10 (exact
+    // re-rank of the 64→32-dim RP top-100 shortlist) must retain most of
+    // the exact cosine top-10. This synthetic corpus is RP's adversarial
+    // case (near-uniform cosines, tiny neighbor gaps) — measured 0.70;
+    // floor set below it to absorb corpus regeneration, not to excuse a
+    // broken projection (a scrambled sign matrix lands near 10/500 ≈ 0.02).
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.ops.AnnQueries.bruteForce(spark, dir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val rp = graft.ops.AnnQueries.rpAnn(spark, dir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(exact.size == 100 && rp.size == 100)
+    val recall = rp.intersect(exact).size / 100.0
+    info(s"RP cascade recall@10 = $recall")
+    assert(recall >= 0.5, s"RP cascade recall@10 = $recall < 0.5")
+    // projection plan: scan (+ the load-time spread exchange) and nothing
+    // else — no aggregation/join exchange introduced by the projection
+    val proj = Ann.signedProjection(
+      graft.Tables.embeddings(spark, dir), 32)
+    val exchanges = "Exchange".r
+      .findAllIn(proj.queryExecution.executedPlan.toString).size
+    assert(exchanges <= 1, s"projection added exchanges ($exchanges) — must be narrow")
+    // deterministic: the sign matrix is a pure function of md5, so two
+    // invocations agree bit-for-bit
+    val a = proj.orderBy("vec_id").collect().map(_.toString)
+    val b = Ann.signedProjection(graft.Tables.embeddings(spark, dir), 32)
+      .orderBy("vec_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
   test("q149 IVF mutual-kNN recovers most exact mutual pairs, no corpus broadcast") {
     // The quantitative gate for the q148→q149 composition (VERDICT r4 #2):
     // cell-restricted edges must recover most of the exact reciprocal
