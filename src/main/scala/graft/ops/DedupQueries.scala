@@ -135,6 +135,63 @@ object DedupQueries {
         ($"c".cast("double") / ($"sa" + $"sb" - $"c").cast("double")).as("jaccard"))
   }
 
+  /** Exact CONTAINMENT similarity join — the asymmetric near-SUBSET
+    * relation symmetric Jaccard (q53/q112) structurally misses: emit
+    * ordered pairs (a, b) where ≥ 60 % of a's distinct 3-gram shingles
+    * occur in b, regardless of how much bigger b is (boilerplate wrappers,
+    * quoted excerpts, truncated re-crawls). Candidate generation is
+    * provably complete, not heuristic: order a's shingles by md5; if b
+    * covers 60 % of a then a misses at most ⌊0.4·|a|⌋ shingles, so at
+    * least one of a's first ⌊0.4·|a|⌋+1 hash-ordered shingles is shared —
+    * probing only that prefix against the FULL inverted index finds every
+    * qualifying pair (the prefix-filter bound of Chaudhuri/Ganti/Kaushik,
+    * ICDE 2006; unlike q112 there is no length filter — containment admits
+    * arbitrarily large containers). One groupBy materializes the
+    * md5-sorted shingle array that serves BOTH the prefix slice and the
+    * array_intersect verify (the q112 r6 lesson). Accept predicate is the
+    * integer cross-multiplication 10·shared ≥ 6·|a| — no float compare at
+    * the boundary. Cost tracks prefix×posting-list volume, never doc
+    * pairs; at 100 TB the md5 ordering spreads prefixes uniformly over
+    * the shingle vocabulary, so no posting list hot-spots beyond true
+    * boilerplate (which IS the signal). */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Dedup.wordShingles($"text", ShingleSize)).as("s"))
+      .distinct()
+    // one shuffle: the (md5, shingle)-sorted array per doc feeds the
+    // prefixes, the b-side inverted index, AND the verify sets
+    val docArr = ex
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct(md5($"s").as("h"), $"s"))).as("ord"))
+      .select($"doc_id", transform($"ord", x => x.getField("s")).as("sarr"),
+        size($"ord").as("sz"))
+      .cache()
+    val prefixes = docArr.select($"doc_id".as("doc_a"), $"sz".as("sz_a"),
+      explode(slice($"sarr", lit(1),
+        ($"sz" - expr("(6 * sz + 9) div 10") + 1).cast("int"))).as("s"))
+    // b-side inverted index carries |b| so the LOSSLESS size prune
+    // 10·|b| ≥ 6·|a| (b must hold ≥ ⌈0.6·|a|⌉ of a's shingles, so smaller
+    // containers are impossible) kills candidates before the distinct —
+    // the output is unchanged, which is why the oracle needn't mirror it.
+    val bIndex = docArr.select($"doc_id".as("doc_b"), $"sz".as("sz_b"),
+      explode($"sarr").as("s"))
+    val cands = prefixes
+      .join(bIndex, "s")
+      .filter($"doc_a" =!= $"doc_b" && $"sz_b" * 10 >= $"sz_a" * 6)
+      .select($"doc_a", $"doc_b").distinct()
+    cands
+      .join(docArr.select($"doc_id".as("doc_a"), $"sarr".as("set_a"), $"sz".as("sza")), "doc_a")
+      .join(docArr.select($"doc_id".as("doc_b"), $"sarr".as("set_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"set_a", $"set_b")).cast("long").as("n_shared"),
+        $"sza".cast("long").as("sz_a"))
+      .filter($"n_shared" * 10 >= $"sz_a" * 6)
+      .select($"doc_a", $"doc_b", $"n_shared",
+        ($"n_shared".cast("double") / $"sz_a".cast("double")).as("containment"),
+        ($"n_shared" === $"sz_a").as("is_exact_subset"))
+  }
+
   /** The (doc_id, component) cluster frame as a per-dir parquet checkpoint
     * — the derived-table pattern (gridIndex, coPurchaseEdges): q159 and
     * q161 are downstream CONSUMERS of the clustering decision, exactly as
@@ -307,6 +364,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_containment_join" -> (containmentJoin _),
     "q161_cluster_keep_best" -> (clusterKeepBest _),
     "q112_similarity_join_prefix" -> (prefixFilterJoin _),
     "q27_dedup_minhash_lsh" -> (minhashLsh _),
@@ -320,10 +378,15 @@ object DedupQueries {
   // ---- 6-band structure in one place) ----
 
   private[ops] val toksSql = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
-  private[ops] val shinglesSql =
-    s"""CASE WHEN len(tk) >= $ShingleSize
-       | THEN list_transform(range(1, len(tk) - ${ShingleSize - 2}), i -> array_to_string(tk[i:i+${ShingleSize - 1}], ' '))
+
+  /** DuckDB replay of [[Dedup.wordShingles]] for any n (q170 uses 5-grams;
+    * the dedup family's gates use [[ShingleSize]]). */
+  private[ops] def shinglesSqlN(n: Int): String =
+    s"""CASE WHEN len(tk) >= $n
+       | THEN list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' '))
        | ELSE [array_to_string(tk, ' ')] END""".stripMargin
+
+  private[ops] val shinglesSql = shinglesSqlN(ShingleSize)
 
   // slice-derived hash family: salt i/4 picks the md5, slice i%4 picks 8 hex
   // chars — mirrors Dedup.minhash exactly
@@ -565,7 +628,44 @@ object DedupQueries {
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE 13 * c >= 3 * (sa.n + sb.n)""".stripMargin
 
+  // q173: the prefix filter is COMPLETE (Scaladoc proof), so the oracle can
+  // replay the same prefix rule directly — candidate-set equality is part of
+  // what hash-equality then proves. Same (md5, shingle) order, same integer
+  // prefix length sz − ⌈0.6·sz⌉ + 1, same 10·shared ≥ 6·|a| accept rule.
+  private val containmentOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks
+       |), ex AS (
+       |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+       |), sized AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id
+       |), ordered AS (
+       |  SELECT doc_id, s,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY md5(s), s) AS rn
+       |  FROM ex
+       |), pref AS (
+       |  SELECT o.doc_id, o.s FROM ordered o JOIN sized z USING (doc_id)
+       |  WHERE o.rn <= z.sz - ((6 * z.sz + 9) // 10) + 1
+       |), cand AS (
+       |  SELECT DISTINCT p.doc_id AS doc_a, e.doc_id AS doc_b
+       |  FROM pref p JOIN ex e ON p.s = e.s AND p.doc_id <> e.doc_id
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM cand c
+       |  JOIN ex ea ON ea.doc_id = c.doc_a
+       |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT i.doc_a, i.doc_b, i.n_shared,
+       |  CAST(i.n_shared AS DOUBLE) / CAST(za.sz AS DOUBLE) AS containment,
+       |  i.n_shared = za.sz AS is_exact_subset
+       |FROM inter i JOIN sized za ON za.doc_id = i.doc_a
+       |WHERE 10 * i.n_shared >= 6 * za.sz""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q173_containment_join" -> containmentOracle,
     "q112_similarity_join_prefix" -> prefixFilterOracle,
     "q27_dedup_minhash_lsh" -> minhashOracle,
     "q28_dedup_simhash" -> simhashOracle,

@@ -1,8 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.bridge
+import org.apache.spark.sql.types.BinaryType
 
 import graft.Tables
 import graft.functions.TextFunctions.tokens
@@ -48,6 +51,68 @@ object PipelineQueries {
       ($"top_c".cast("double") / $"n_toks".cast("double")).as("top_tok_frac"),
       (($"n_toks" - $"n_uniq").cast("double") / $"n_toks".cast("double")).as("dup_tok_frac"),
       (($"n_bg" - $"n_uniq_bg").cast("double") / $"n_bg".cast("double")).as("dup_bigram_frac"))
+  }
+
+  /** SOURCE-DRIFT MONITOR: per-source total-variation distance between the
+    * source's token distribution and the corpus-wide mix — the
+    * observability query a pipeline watches to catch a feed that changed
+    * character (new boilerplate, language shift, scraper bug) before it
+    * poisons the next training shard. Pure integer end to end: per-token
+    * probabilities are fixed-pointed at 1e-9 by BIGINT floor-division
+    * (c·10⁹ div N — products ≤10¹⁷ stay in BIGINT), and the absent-token
+    * mass is folded in algebraically (Σ_{t∉s} q_t = 1 − Σ_{t∈s} q_t), so
+    * only (source, token) pairs that EXIST are materialized — never the
+    * sources×vocabulary cross product. One token-keyed shuffle for the
+    * counts; source totals and the corpus total are tiny broadcasts.
+    * TV ∈ [0,1]: ½(Σ_{t∈s}|p̂−q̂| + (10⁹ − Σ_{t∈s}q̂)/10⁹). */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val occ = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
+      .cache() // reused by vocab, per-source totals, and the term pass
+    val vocab = occ.groupBy($"tok").agg(sum($"c_st").as("c_t"))
+    val ns = occ.groupBy($"source").agg(sum($"c_st").as("n_s"))
+    val tot = vocab.agg(sum($"c_t").as("n"))
+    val terms = occ.join(vocab, "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .select($"source",
+        expr("(c_st * 1000000000) div n_s").as("r1"),
+        expr("(c_t * 1000000000) div n").as("r2"))
+    terms.groupBy($"source")
+      .agg(sum(abs($"r1" - $"r2")).as("sum_abs"), sum($"r2").as("sum_r2"))
+      .join(broadcast(ns), "source")
+      .select($"source", $"n_s".as("n_source_tokens"),
+        ($"sum_abs" + (lit(1000000000L) - $"sum_r2")).as("tv_fp"))
+      .select($"source", $"n_source_tokens", $"tv_fp",
+        ($"tv_fp".cast("double") / lit(2000000000L).cast("double")).as("tv_distance"))
+  }
+
+  /** Gopher-style REPETITION-CHARACTER signals (Rae et al. 2021 §A1.1's
+    * "fraction of characters in duplicate n-grams" family — q82 measures
+    * token-level repetition; this weights by character mass, which is what
+    * the published thresholds are defined over): per document, the char
+    * mass of word bigrams that occur ≥2× and of the single most frequent
+    * bigram, as fractions of all bigram chars. Two hash-aggs on
+    * (doc_id, gram) — skew-safe (the key includes doc_id) — and integer
+    * masses divide exactly; the repetitive flag is 5·dup ≥ total (1/5). */
+  def repetitionChars(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Dedup.wordShingles($"text", 2)).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .select($"doc_id", $"c", ($"c" * length($"gram").cast("long")).as("mass"))
+    cnt.groupBy($"doc_id")
+      .agg(sum($"mass").as("total_gram_chars"),
+        sum(when($"c" >= 2, $"mass").otherwise(0L)).as("dup_gram_chars"),
+        max($"mass").as("top_gram_chars"))
+      .select($"doc_id", $"total_gram_chars", $"dup_gram_chars", $"top_gram_chars",
+        ($"dup_gram_chars".cast("double") / $"total_gram_chars".cast("double"))
+          .as("dup_char_frac"),
+        ($"top_gram_chars".cast("double") / $"total_gram_chars".cast("double"))
+          .as("top_char_frac"),
+        ($"dup_gram_chars" * 5 >= $"total_gram_chars").as("is_repetitive"))
   }
 
   /** Deterministic content-hash train/val/test split (~80/10/10): the split
@@ -497,7 +562,138 @@ object PipelineQueries {
         sum($"n_toks".cast("long")).as("n_tokens_kept"))
   }
 
+  /** Bloom-accelerated decontamination FILTER (q88 is the audit REPORT;
+    * this is the production filter shape for a corpus that dwarfs the
+    * benchmark): build a bloom filter over the TRAIN split's distinct
+    * word 5-gram shingle hashes (one aggregation pass; the filter itself
+    * is O(bits) ≈ 1.2 MB — driver-safe at any corpus size), pre-filter
+    * TEST shingles through Spark's native codegen'd
+    * `BloomFilterMightContain` (the same Catalyst expression Spark's
+    * runtime row-level join filtering injects — not a Scala UDF), then
+    * exact-verify only the survivors with a left-semi join. Bloom false
+    * positives die at the semi join, and blooms have NO false negatives,
+    * so the output is byte-identical to the unfiltered join's — which is
+    * exactly what the oracle replays (it knows nothing about the bloom).
+    * At 100 TB the bloom turns the test×train-vocabulary exchange into a
+    * scan-side prune: only the few % of shingles that MIGHT be in train
+    * reach the shuffle. 5-grams (vs q88's 3-grams) because overlap at
+    * n=5 isolates true leaked spans on this corpus (3-gram overlap is
+    * near-total under its tiny vocabulary); the drop rule is the integer
+    * predicate 2·shared ≥ total at threshold ½. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shingled = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", splitCol.as("split"),
+        explode(Dedup.wordShingles($"text", 5)).as("sh"))
+    // cached: the distinct train vocabulary feeds TWO consumers — the
+    // bloom-build aggregation (an action) and the exact-verify semi join
+    val trainSh = shingled.filter($"split" === "train").select($"sh").distinct()
+      .cache()
+    val bloom = trainSh.select(xxhash64($"sh").as("h"))
+      .stat.bloomFilter("h", 1000000L, 0.01)
+    val bloomBytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(os)
+      os.toByteArray
+    }
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), bridge.expression(xxhash64($"sh"))))
+    val testSh = shingled.filter($"split" === "test")
+      .select($"doc_id", $"lang", $"sh").distinct()
+    val totals = testSh.groupBy($"doc_id")
+      .agg(first($"lang").as("lang"), count(lit(1)).as("n_shingles"))
+    val shared = testSh.filter(mightContain)
+      .join(trainSh, Seq("sh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left_outer")
+      .select($"lang", $"n_shingles", coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_test_docs"),
+        sum(when($"n_shared" * 2 >= $"n_shingles", 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"n_shared" * 2 >= $"n_shingles", 0L).otherwise(1L)).as("n_kept"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document by how much its hashed-bigram distribution
+    * resembles the TARGET slice (lang='en') versus the RAW corpus.
+    * Features are 256 md5-prefix buckets; the per-bucket Laplace-smoothed
+    * importance ratio P̂_target/P̂_raw is computed ONCE on the 256-row
+    * count frame and fixed-pointed to 1e-6 — a fixed 5-op IEEE sequence
+    * (two exact int→double casts per operand, three correctly-rounded
+    * ops, one floor), bit-stable on any IEEE engine. Per-doc weights are
+    * then pure BIGINT sums of those per-bucket integers —
+    * order-independent, so Spark's partial aggregation cannot perturb
+    * them. DSIR's paper formulation sums LOG-ratios; we sum the ratios
+    * themselves because cross-engine libm `ln` is not bit-stable (the
+    * same deviation q86/q150 document) — for filtering/resampling the
+    * signal is interchangeable. Two corpus passes (bucket counts, per-doc
+    * sum) + a 256-row broadcast back: at 100 TB only bucket counts cross
+    * the wire. */
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val occ = Tables.documents(spark, dir)
+      .filter(size(tokens($"text")) >= 2)
+      .select($"doc_id", $"lang", explode(Dedup.wordShingles($"text", 2)).as("bg"))
+      .select($"doc_id", $"lang",
+        substring(md5(concat(lit("dsir:"), $"bg")), 1, 2).as("bucket"))
+    val counts = occ.groupBy($"bucket").agg(
+      count(lit(1)).as("r"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("t"))
+    val tot = counts.agg(sum($"t").as("tt"), sum($"r").as("rr"))
+    val score = counts.crossJoin(broadcast(tot)).select($"bucket",
+      floor(lit(1000000.0) *
+        (($"t" + 1).cast("double") / ($"tt" + 256).cast("double")) /
+        (($"r" + 1).cast("double") / ($"rr" + 256).cast("double"))).as("s"))
+    occ.join(broadcast(score), "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"s").as("dsir_fp"))
+      .select($"doc_id", $"n_bigrams", $"dsir_fp",
+        ($"dsir_fp".cast("double") / ($"n_bigrams" * 1000000L).cast("double"))
+          .as("avg_ratio"))
+  }
+
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 54(6) 2007): a
+    * weighted WITHOUT-replacement sample of k docs, weight = n_chars,
+    * with the Horvitz–Thompson threshold that makes downstream subset-sum
+    * estimates unbiased (max(w, τ) where τ is the (k+1)-th priority).
+    * u_i is a 32-bit md5-derived uniform, priority = w·2³²/(m+1): ONE
+    * exact integer product (≤ 2^53, exactly representable) and ONE
+    * correctly-rounded IEEE division — bit-identical on any IEEE-754
+    * engine, so the ranking needs no rounding slop; doc_id still
+    * tie-breaks (unreachable short of an md5 collision). The top-(k+1)
+    * runs as TakeOrderedAndProject — per-partition bounded heaps merged
+    * once, never a global sort — the shape that holds at 100 TB. τ comes
+    * from a 1-row aggregate crossJoin (coalesce 0 when the corpus has
+    * ≤ k docs, per the estimator's definition). */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame =
+    prioritySampleK(spark, dir, 100)
+
+  private[ops] def prioritySampleK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val pr = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        conv(substring(md5(concat(lit("psamp:"), $"doc_id".cast("string"))), 1, 8),
+          16, 10).cast("long").as("mval"))
+      .select($"doc_id", $"n_chars",
+        ($"n_chars".cast("double") * lit(4294967296.0) / ($"mval" + 1).cast("double"))
+          .as("priority"))
+    val top = pr.orderBy($"priority".desc, $"doc_id".asc).limit(k + 1)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"priority".desc, $"doc_id".asc)).cast("int"))
+    val tau = top.agg(
+      coalesce(min(when($"rank" === k + 1, $"priority")), lit(0.0)).as("tau"))
+    top.filter($"rank" <= k).crossJoin(broadcast(tau))
+      .select($"rank", $"doc_id", $"n_chars".cast("long").as("weight"), $"priority",
+        greatest($"n_chars".cast("double"), $"tau").as("ht_weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_bloom_decontaminate" -> (bloomDecontaminate _),
+    "q171_dsir_importance" -> (dsirImportance _),
+    "q174_priority_sample" -> (prioritySample _),
+    "q175_source_drift" -> (sourceDrift _),
+    "q176_repetition_chars" -> (repetitionChars _),
     "q162_token_budget_mix" -> (tokenBudgetMix _),
     "q106_cdc_merge" -> (cdcMerge _),
     "q111_scd2_history" -> (scd2History _),
@@ -841,5 +1037,144 @@ object PipelineQueries {
          |  FROM t
          |)
          |SELECT doc_id, source, CAST(n_toks AS INTEGER) AS n_toks,
-         |  CAST(cb // 2048 AS INTEGER) AS pack_id FROM c""".stripMargin)
+         |  CAST(cb // 2048 AS INTEGER) AS pack_id FROM c""".stripMargin,
+    // q170: the oracle replays the EXACT decontamination join — it knows
+    // nothing about the bloom. Hash-equality therefore proves the bloom
+    // pre-filter is a pure optimization (no false negatives reached the
+    // result). Same split rule as q83/q88; 5-gram shingles; integer ½
+    // threshold.
+    "q170_bloom_decontaminate" ->
+      s"""WITH tagged AS (
+         |  SELECT doc_id, lang, text,
+         |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, lang, split, $toksSql AS tk FROM tagged
+         |), sh AS (
+         |  SELECT doc_id, lang, split, unnest(${DedupQueries.shinglesSqlN(5)}) AS s FROM toks
+         |), train_sh AS (
+         |  SELECT DISTINCT s FROM sh WHERE split = 'train'
+         |), test_sh AS (
+         |  SELECT DISTINCT doc_id, lang, s FROM sh WHERE split = 'test'
+         |), agg AS (
+         |  SELECT t.doc_id, any_value(t.lang) AS lang,
+         |    CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM test_sh t LEFT JOIN train_sh tr ON t.s = tr.s
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT lang, count(*) AS n_test_docs,
+         |  CAST(sum(CASE WHEN 2 * n_shared >= n_shingles THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN 2 * n_shared >= n_shingles THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+         |FROM agg GROUP BY lang""".stripMargin,
+    // q171: per-bucket fixed-point score replayed with the identical 5-op
+    // IEEE sequence (literal-for-literal), per-doc sums as BIGINT.
+    "q171_dsir_importance" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $toksSql AS tk FROM documents
+         |), bg AS (
+         |  SELECT doc_id, lang, unnest($bigramsSql) AS b FROM toks WHERE len(tk) >= 2
+         |), bucketed AS (
+         |  SELECT doc_id, lang, substr(md5('dsir:' || b), 1, 2) AS bucket FROM bg
+         |), counts AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS r,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t
+         |  FROM bucketed GROUP BY bucket
+         |), tot AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS tt, CAST(sum(r) AS BIGINT) AS rr FROM counts
+         |), score AS (
+         |  SELECT bucket,
+         |    CAST(floor(1000000.0 * (CAST(t + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+         |      / (CAST(r + 1 AS DOUBLE) / CAST(rr + 256 AS DOUBLE))) AS BIGINT) AS s
+         |  FROM counts CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(s) AS BIGINT) AS dsir_fp,
+         |  CAST(sum(s) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS avg_ratio
+         |FROM bucketed JOIN score USING (bucket)
+         |GROUP BY doc_id""".stripMargin,
+    // q174: priorities are single exact-int-product / IEEE-division
+    // doubles — replayed literal-for-literal (the 32-bit uniform is
+    // rebuilt from md5 hex via strpos digit arithmetic; Spark uses conv,
+    // the VALUES agree exactly).
+    "q174_priority_sample" -> {
+      val msum = (0 until 8).map { i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+      }.mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    substr(md5('psamp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_chars, CAST($msum AS BIGINT) AS mval FROM h
+         |), pr AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(n_chars AS DOUBLE) * 4294967296.0 / CAST(mval + 1 AS DOUBLE) AS priority
+         |  FROM m
+         |), r AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INTEGER) AS rank
+         |  FROM pr
+         |), tau AS (
+         |  SELECT coalesce(min(CASE WHEN rank = 101 THEN priority END), CAST(0.0 AS DOUBLE)) AS tau
+         |  FROM r
+         |)
+         |SELECT rank, doc_id, CAST(n_chars AS BIGINT) AS weight, priority,
+         |  greatest(CAST(n_chars AS DOUBLE), tau) AS ht_weight
+         |FROM r CROSS JOIN tau WHERE rank <= 100""".stripMargin
+    },
+    // q175: pure-integer fixed-point probabilities (BIGINT floor-division
+    // on both engines) — the absent-token mass folded in algebraically, so
+    // only existing (source, token) pairs are touched.
+    "q175_source_drift" ->
+      s"""WITH occ AS (
+         |  SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS c_st
+         |  FROM (SELECT source, unnest($toksSql) AS t FROM documents)
+         |  GROUP BY source, t
+         |), vocab AS (
+         |  SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM occ GROUP BY tok
+         |), ns AS (
+         |  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM occ GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(sum(c_t) AS BIGINT) AS n FROM vocab
+         |), terms AS (
+         |  SELECT o.source,
+         |    (o.c_st * 1000000000) // ns.n_s AS r1,
+         |    (v.c_t * 1000000000) // tot.n AS r2
+         |  FROM occ o JOIN vocab v USING (tok) JOIN ns ON o.source = ns.source
+         |  CROSS JOIN tot
+         |), agg AS (
+         |  SELECT source, CAST(sum(abs(r1 - r2)) AS BIGINT) AS sum_abs,
+         |    CAST(sum(r2) AS BIGINT) AS sum_r2
+         |  FROM terms GROUP BY source
+         |)
+         |SELECT a.source, ns.n_s AS n_source_tokens,
+         |  CAST(a.sum_abs + (1000000000 - a.sum_r2) AS BIGINT) AS tv_fp,
+         |  CAST(a.sum_abs + (1000000000 - a.sum_r2) AS DOUBLE)
+         |    / CAST(2000000000 AS DOUBLE) AS tv_distance
+         |FROM agg a JOIN ns ON a.source = ns.source""".stripMargin,
+    // q176: integer char masses; single exact divisions for the fractions;
+    // flag by integer cross-multiplication.
+    "q176_repetition_chars" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest($bigramsSql) AS gram FROM toks
+         |), cnt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(count(*) AS BIGINT) * CAST(length(gram) AS BIGINT) AS mass
+         |  FROM g GROUP BY doc_id, gram
+         |), agg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(mass) AS BIGINT) AS total_gram_chars,
+         |    CAST(sum(CASE WHEN c >= 2 THEN mass ELSE 0 END) AS BIGINT) AS dup_gram_chars,
+         |    CAST(max(mass) AS BIGINT) AS top_gram_chars
+         |  FROM cnt GROUP BY doc_id
+         |)
+         |SELECT doc_id, total_gram_chars, dup_gram_chars, top_gram_chars,
+         |  CAST(dup_gram_chars AS DOUBLE) / CAST(total_gram_chars AS DOUBLE) AS dup_char_frac,
+         |  CAST(top_gram_chars AS DOUBLE) / CAST(total_gram_chars AS DOUBLE) AS top_char_frac,
+         |  dup_gram_chars * 5 >= total_gram_chars AS is_repetitive
+         |FROM agg""".stripMargin)
 }

@@ -350,7 +350,45 @@ object TextQueries {
           / ($"n".cast("double") * $"n".cast("double"))).as("simpson"))
   }
 
+  /** The q172 cascade's stopword set: every language's marker words (the
+    * langId families), deduped — identical literal list in the oracle. */
+  private[ops] val FunnelMarkers: Seq[String] =
+    (EnMarkers ++ EsMarkers ++ DeMarkers ++ FrMarkers).distinct
+
+  /** Quality-filter FUNNEL with per-rule rejection accounting: every doc
+    * gets the FIRST failing rule of a fixed cascade — Gopher/C4-style
+    * bounds on token count, lexical diversity (type-token ratio), word
+    * shape (mean token length), and stopword presence — or 'pass'; the
+    * output is the per-(lang, verdict) doc/char census a curation pipeline
+    * watches to see WHERE its corpus is dying (q23 scores quality; this
+    * gates the DECISION layer and its observability). Every predicate is
+    * an integer cross-multiplication (20·uniq < 9·toks ⟺ TTR < 0.45;
+    * 2·sumLen < 7·toks ⟺ mean len < 3.5) — no float compare anywhere, so
+    * the cascade is engine-exact at the boundaries. One scan, one
+    * hash-agg; embarrassingly parallel at any scale. */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, dir)
+      .select($"lang", $"n_chars",
+        size(toks).as("n_toks"),
+        size(array_distinct(toks)).as("n_uniq"),
+        sumTokenLen(toks).as("sum_len"),
+        wordHits(toks, FunnelMarkers).as("marker_hits"))
+      .select($"lang", $"n_chars",
+        when($"n_toks" < 20, "too_short")
+          .when($"n_toks" > 90, "too_long")
+          .when($"n_uniq" * 20 < $"n_toks" * 9, "low_diversity")
+          .when($"sum_len" * 2 < $"n_toks" * 7 || $"sum_len" * 2 > $"n_toks" * 13,
+            "word_shape")
+          .when($"marker_hits" === 0, "no_stopwords")
+          .otherwise("pass").as("verdict"))
+      .groupBy($"lang", $"verdict")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_quality_funnel" -> (qualityFunnel _),
     "q131_simpson_diversity" -> (simpsonDiversity _),
     "q127_pii_redaction" -> (piiRedact _),
     "q128_inverted_index" -> (invertedIndex _),
@@ -374,6 +412,29 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q172_quality_funnel" ->
+      s"""WITH t AS (
+         |  SELECT lang, n_chars, $toksSql AS tk FROM documents
+         |), f AS (
+         |  SELECT lang, n_chars,
+         |    CAST(len(tk) AS INTEGER) AS n_toks,
+         |    CAST(len(list_distinct(tk)) AS INTEGER) AS n_uniq,
+         |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS INTEGER) AS sum_len,
+         |    CAST(len(list_filter(tk, x -> x IN (${FunnelMarkers.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS marker_hits
+         |  FROM t
+         |), v AS (
+         |  SELECT lang, n_chars,
+         |    CASE WHEN n_toks < 20 THEN 'too_short'
+         |         WHEN n_toks > 90 THEN 'too_long'
+         |         WHEN 20 * n_uniq < 9 * n_toks THEN 'low_diversity'
+         |         WHEN 2 * sum_len < 7 * n_toks OR 2 * sum_len > 13 * n_toks THEN 'word_shape'
+         |         WHEN marker_hits = 0 THEN 'no_stopwords'
+         |         ELSE 'pass' END AS verdict
+         |  FROM f
+         |)
+         |SELECT lang, verdict, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM v GROUP BY lang, verdict""".stripMargin,
     "q131_simpson_diversity" ->
       s"""WITH tf AS (
          |  SELECT source, t AS tok, count(*) AS c
