@@ -488,7 +488,32 @@ object AnnQueries {
     Ann.rescoreTopK(emb, shortlist, 10)
   }
 
+  /** EMBEDDING-NORM QA (q177): the ingest check an embedding pipeline runs
+    * before anything consumes a new batch of vectors — are they still
+    * unit-norm, per label? Each vector's squared L2 norm is computed on
+    * the 1e-3 integer grid ([[Ann.signedProjection]]'s snap: floor(x·1000)
+    * — float→double widening is exact, one correctly-rounded IEEE multiply,
+    * floor; then Σv² is a pure BIGINT sum, order-independent), so a
+    * unit-norm vector lands at norm² ≈ 10⁶ and the drift flag
+    * |norm² − 10⁶| > 2000 (±0.1 % in norm) is an integer predicate. One
+    * scan, one label-keyed hash agg — embarrassingly parallel; the QA
+    * report is O(labels). */
+  def embeddingNormQa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = transform(col("embedding").cast("array<double>"),
+      x => floor(x * lit(1000.0)))
+    val q = Tables.embeddings(spark, dir).select($"vec_id", $"label",
+      aggregate(grid, lit(0L), (acc, v) => acc + v * v).as("norm2"))
+    q.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"norm2").as("min_norm2"),
+        max($"norm2").as("max_norm2"),
+        sum(when(abs($"norm2" - 1000000L) > 2000L, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_embedding_norm_qa" -> (embeddingNormQa _),
     "q169_random_projection_ann" -> (rpAnn _),
     "q165_semdedup" -> (semDedup _),
     "q163_hard_negatives" -> (hardNegatives _),
@@ -597,6 +622,21 @@ object AnnQueries {
     searchReplaySql(gridLloydSqlFor("vec_id % 5 <> 0"))
 
   val oracle: Map[String, String] = Map(
+    // q177: the same 1e-3 grid snap (CAST float→DOUBLE is exact, one IEEE
+    // multiply, floor), Σv² as BIGINT, integer drift predicate.
+    "q177_embedding_norm_qa" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000.0) AS BIGINT)
+        |           * CAST(floor(x * 1000.0) AS BIGINT))) AS BIGINT) AS norm2
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(min(norm2) AS BIGINT) AS min_norm2,
+        |  CAST(max(norm2) AS BIGINT) AS max_norm2,
+        |  CAST(sum(CASE WHEN abs(norm2 - 1000000) > 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM q GROUP BY label""".stripMargin,
     // q169: replay the ±1 hyperplane matrix from md5 (first hex digit of
     // md5('rp:j:i') < '8' → +1), project the 1e-3-grid vectors (every
     // coordinate an exact ±integer sum), shortlist the RP-space top-100

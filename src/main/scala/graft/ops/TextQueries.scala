@@ -387,7 +387,30 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
   }
 
+  /** CORPUS BOILERPLATE SPAN REPORT (q178): the top-20 word 8-gram spans
+    * that recur across ≥2 DISTINCT documents — the diagnostic that tells a
+    * curation team what shared boilerplate (headers, license blurbs,
+    * navigation chrome) to feed the scrubber (q93) or the paragraph dedup
+    * (q158). Long spans (8-grams vs the dedup family's 3-grams) so a hit
+    * is a genuine copied passage, not phrase-level coincidence. One
+    * shingle-keyed hash agg; the top-20 runs as TakeOrderedAndProject
+    * (per-partition heaps — no global sort at any corpus size); rank is
+    * total-ordered by (count desc, span asc). */
+  def boilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"doc_id", explode(graft.operators.Dedup.wordShingles($"text", 8)).as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" >= 2)
+    counts.orderBy($"n_occ".desc, $"gram".asc).limit(20)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"n_occ".desc, $"gram".asc)).cast("int"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_boilerplate_spans" -> (boilerplateSpans _),
     "q172_quality_funnel" -> (qualityFunnel _),
     "q131_simpson_diversity" -> (simpsonDiversity _),
     "q127_pii_redaction" -> (piiRedact _),
@@ -412,6 +435,23 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    // q178: same 8-gram template as the dedup family's shingle replay
+    // (n=8), cross-doc restriction in HAVING, total order (n_occ desc,
+    // gram asc) shared by the LIMIT and the rank.
+    "q178_boilerplate_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest(${DedupQueries.shinglesSqlN(8)}) AS gram FROM toks
+         |), c AS (
+         |  SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM g GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |)
+         |SELECT gram, n_occ, n_docs,
+         |  CAST(row_number() OVER (ORDER BY n_occ DESC, gram) AS INTEGER) AS rank
+         |FROM c ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin,
     "q172_quality_funnel" ->
       s"""WITH t AS (
          |  SELECT lang, n_chars, $toksSql AS tk FROM documents

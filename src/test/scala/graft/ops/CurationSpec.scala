@@ -224,6 +224,43 @@ class CurationSpec extends SparkSpec {
     assert(got(1)._2 == 0L && !got(1)._4)
   }
 
+  // ---- q177 ----
+
+  test("embedding norm QA computes exact grid norms and flags drifted vectors") {
+    val dir = graft.Scratch.fresh("curation").toString
+    val dims = 8
+    def pad(v: Seq[Float]) = v ++ Seq.fill(dims - v.size)(0.0f)
+    Seq(
+      (1L, pad(Seq(1.0f)), 0),            // norm2 = 1000² = 1e6 → in band
+      (2L, pad(Seq(0.6f, 0.8f)), 0),      // 600² + 800² = 1e6 → in band
+      (3L, pad(Seq(0.5f, 0.5f)), 0),      // 500000 → outlier
+      (4L, pad(Seq(-1.0f)), 1))           // floor(-1000.0) = -1000 → 1e6, in band
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = AnnQueries.embeddingNormQa(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0, 3L, 500000L, 1000000L, 1L), (1, 1L, 1000000L, 1000000L, 0L)))
+  }
+
+  // ---- q178 ----
+
+  test("boilerplate spans reports only cross-doc 8-grams, ranked by count") {
+    val span = "alpha beta gamma delta eps zeta eta theta"
+    val rows = Seq(
+      (1L, s"$span tail1a tail1b", "en", "s"),
+      (2L, s"$span tail2a tail2b", "en", "s"),
+      (3L, s"$span tail3a tail3b", "en", "s"),
+      // intra-doc repeat only: its 8-gram occurs twice but in ONE doc
+      (4L, "one two three four five six seven eight one two three four five six seven eight", "en", "s"))
+    val dir = corpus(rows)
+    val got = TextQueries.boilerplateSpans(spark, dir)
+      .select($"gram", $"n_occ", $"n_docs", $"rank")
+      .as[(String, Long, Long, Int)].collect()
+    assert(got.head == ((span, 3L, 3L, 1)))
+    assert(got.forall(_._3 >= 2L), "single-doc spans must be excluded")
+    assert(!got.exists(_._1.startsWith("one two")))
+  }
+
   // ---- q172 ----
 
   test("quality funnel assigns the FIRST failing rule of the cascade") {
