@@ -261,6 +261,24 @@ class CurationSpec extends SparkSpec {
     assert(!got.exists(_._1.startsWith("one two")))
   }
 
+  // ---- q179 ----
+
+  test("modality coverage counts matched, missing, and orphan embeddings per source") {
+    val dir = corpus(Seq(
+      (1L, "one", "en", "sA"), (2L, "two", "en", "sA"), (3L, "three", "en", "sB"),
+      (4L, "four", "en", "sB"), (5L, "five", "en", "sB")))
+    Seq((1L, Seq(1.0f), 0), (2L, Seq(1.0f), 0), (3L, Seq(1.0f), 0),
+      (100L, Seq(1.0f), 1), (101L, Seq(1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = MultimodalQueries.modalityCoverage(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("sA", 2L, 2L, 0L, 0L),
+      ("sB", 3L, 1L, 2L, 0L),
+      ("__orphan_embeddings__", 0L, 0L, 0L, 2L)))
+  }
+
   // ---- q172 ----
 
   test("quality funnel assigns the FIRST failing rule of the cascade") {
