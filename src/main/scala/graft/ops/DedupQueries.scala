@@ -333,6 +333,76 @@ object DedupQueries {
       .filter($"jaccard" >= lit(0.3))
   }
 
+  /** LSH-INDEX COMPACTION (q180) — the lifecycle step q160 leaves open,
+    * completing base/delta parity with the IVF family (q154/q157): merge
+    * the delta batch INTO the index as a new generation (bands ∪ bands,
+    * sets ∪ sets, rewritten `partitionBy("band")`), published through the
+    * same atomic `_CURRENT` pointer, then probe the COMPACTED generation
+    * with the same delta batch. The payoff compaction exists for:
+    * intra-delta duplicate pairs become visible — q160's delta-vs-base
+    * probe structurally cannot see them (the index held only base), and
+    * after compaction every probe sees the whole corpus. Own index ROOT
+    * (q160's root and its `_CURRENT` are untouched — compacting in place
+    * would change q160's gate output). Build memoized per (JVM, dir) and
+    * bench-fixtured; the gate times pointer-read + probe, not the
+    * rewrite. Oracle: the full-corpus band-candidate replay restricted to
+    * probe-side doc_a (%10 = 0), a ≠ b — both orders of an intra-delta
+    * pair appear, exactly as the engine's probe emits them. */
+  private val lshCompactRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lshCompactedRootFor(spark: SparkSession, dir: String): String =
+    lshCompactRoot.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val r = graft.Scratch.named(s"q180_${graft.Scratch.dirKey(dir)}").toString
+      // gen-000001: the base-only index (q160's build, replayed on this root)
+      val base = sigsAndSets(
+        Tables.documents(spark, dir).filter($"doc_id" % 10 =!= 0)).cache()
+      val gen1 = graft.operators.Ann.nextGenerationName(spark, r)
+      Dedup.bandKeys(base, "doc_id", Bands, NumHashes / Bands)
+        .write.mode("overwrite").partitionBy("band").parquet(s"$r/$gen1/bands")
+      base.select($"doc_id", $"shset")
+        .write.mode("overwrite").parquet(s"$r/$gen1/sets")
+      base.unpersist(blocking = false)
+      graft.operators.Ann.publishGeneration(spark, r, gen1)
+      // gen-000002: compaction — base ∪ delta rewritten as one generation,
+      // pointer republished only after the rewrite is on disk
+      val gen1Path = graft.operators.Ann.currentGenerationPath(spark, r)
+      val delta = spark.read.parquet(lshDeltaFor(spark, dir))
+      val gen2 = graft.operators.Ann.nextGenerationName(spark, r)
+      spark.read.parquet(s"$gen1Path/bands")
+        .unionByName(Dedup.bandKeys(delta, "doc_id", Bands, NumHashes / Bands))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$r/$gen2/bands")
+      spark.read.parquet(s"$gen1Path/sets")
+        .unionByName(delta.select($"doc_id", $"shset"))
+        .write.mode("overwrite").parquet(s"$r/$gen2/sets")
+      graft.operators.Ann.publishGeneration(spark, r, gen2)
+      r
+    })
+
+  def lshIndexCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = lshCompactedRootFor(spark, dir)
+    val genPath = graft.operators.Ann.currentGenerationPath(spark, root)
+    val idxBands = spark.read.parquet(s"$genPath/bands")
+    val idxSets = spark.read.parquet(s"$genPath/sets")
+    val probe = spark.read.parquet(lshDeltaFor(spark, dir))
+    val cands = Dedup.bandKeys(probe, "doc_id", Bands, NumHashes / Bands)
+      .select($"doc_id".as("doc_a"), $"band", $"bkey")
+      .join(idxBands.select($"doc_id".as("doc_b"), $"band", $"bkey"),
+        Seq("band", "bkey"))
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val inter = size(array_intersect($"set_a", $"set_b"))
+    cands
+      .join(probe.select($"doc_id".as("doc_a"), $"shset".as("set_a")), "doc_a")
+      .join(idxSets.select($"doc_id".as("doc_b"), $"shset".as("set_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (inter.cast("double") /
+          (size($"set_a") + size($"set_b") - inter).cast("double")).as("jaccard"))
+      .filter($"jaccard" >= lit(0.3))
+  }
+
   /** CANONICAL SELECTION BY QUALITY (q161) — the "which duplicate do we
     * keep?" policy, upgraded from q105's arbitrary min-id rule to the one
     * production pipelines actually want: within each near-dup cluster keep
@@ -361,6 +431,7 @@ object DedupQueries {
     components(spark, dir): Unit
     lshRootFor(spark, dir): Unit
     lshDeltaFor(spark, dir): Unit
+    lshCompactedRootFor(spark, dir): Unit
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -372,7 +443,8 @@ object DedupQueries {
     "q100_minhash_accuracy" -> (minhashAccuracy _),
     "q105_dup_clusters" -> (dupClusters _),
     "q159_cluster_safe_split" -> (clusterSafeSplit _),
-    "q160_lsh_index_persisted" -> (lshIndexPersisted _))
+    "q160_lsh_index_persisted" -> (lshIndexPersisted _),
+    "q180_lsh_index_compact" -> (lshIndexCompacted _))
 
   // ---- oracle SQL (programmatically assembled to keep the 12-hash /
   // ---- 6-band structure in one place) ----
@@ -470,6 +542,39 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list(s)) AS shset FROM ex GROUP BY doc_id
+       |), j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+       |      / CAST(len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset)) AS DOUBLE) AS jaccard
+       |  FROM cand
+       |  JOIN sets x ON cand.doc_a = x.doc_id
+       |  JOIN sets y ON cand.doc_b = y.doc_id
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= CAST(0.3 AS DOUBLE)""".stripMargin
+
+  // q180: same banded replay, but the index now holds the WHOLE corpus
+  // (post-compaction), so candidates are probe-side (a % 10 = 0) against
+  // ANY other doc — both orders of an intra-delta pair appear.
+  private val lshCompactedOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
        |), sets AS (
        |  SELECT doc_id, list_distinct(list(s)) AS shset FROM ex GROUP BY doc_id
        |), j AS (
@@ -673,5 +778,6 @@ object DedupQueries {
     "q105_dup_clusters" -> dupClustersOracle,
     "q159_cluster_safe_split" -> clusterSplitOracle,
     "q160_lsh_index_persisted" -> lshIndexOracle,
+    "q180_lsh_index_compact" -> lshCompactedOracle,
     "q161_cluster_keep_best" -> keepBestOracle)
 }

@@ -90,6 +90,49 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q180 compacted LSH index: probe agrees with the full pair query, probe-side restricted") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.DedupQueries.lshIndexCompacted(spark, dir).cache()
+    // doc_a is always a probe (delta) doc; never a self-pair
+    assert(out.filter($"doc_a" % 10 =!= 0 || $"doc_a" === $"doc_b").count() == 0)
+    // post-compaction the index holds the WHOLE corpus: expected = all
+    // near-dup pairs ordered with a probe doc first (both orders when both
+    // sides are delta docs)
+    val full = graft.ops.DedupQueries.minhashLsh(spark, dir)
+      .filter($"is_near_dup")
+    val expected = full.filter($"doc_a" % 10 === 0)
+      .select($"doc_a", $"doc_b")
+      .union(full.filter($"doc_b" % 10 === 0)
+        .select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .as[(Long, Long)].collect().toSet
+    assert(out.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      == expected)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("q180 makes intra-delta duplicates visible where q160 cannot see them") {
+    val dir = graft.Scratch.fresh("q180micro").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words one two three four five"),
+      (10L, "red green blue cyan magenta yellow black white"),
+      (20L, "red green blue cyan magenta yellow black white"), // intra-delta dup of 10
+      (30L, "alpha beta gamma delta epsilon zeta eta theta")) // delta dup of base 1
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val compacted = graft.ops.DedupQueries.lshIndexCompacted(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(Set((10L, 20L), (20L, 10L), (30L, 1L)).subsetOf(compacted))
+    assert(!compacted.contains((1L, 30L)), "doc_a must be a probe doc")
+    val deltaOnly = graft.ops.DedupQueries.lshIndexPersisted(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(deltaOnly == Set((30L, 1L)),
+      "the pre-compaction index must miss the intra-delta pair")
+    spark.catalog.clearCache()
+  }
+
   test("q161 keep-best: survivor is the largest member, ties to smaller id") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
