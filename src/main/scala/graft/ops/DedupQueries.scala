@@ -351,32 +351,29 @@ object DedupQueries {
   private val lshCompactRoot =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Source generation = q160's PUBLISHED index (read-only — its root and
+    * pointer are untouched); destination = this root's first generation.
+    * That is exactly [[graft.operators.Ann.compactIndex]]'s source→dest
+    * shape (q154), and it means the base corpus is shingled/minhashed
+    * ONCE per (JVM, dir) — the compaction reads the persisted gen-parquet
+    * instead of re-deriving signatures (r9 review finding: the previous
+    * version rebuilt the full base index a second time, ~3 s of
+    * duplicated fixture work at sf0.1). */
   private def lshCompactedRootFor(spark: SparkSession, dir: String): String =
     lshCompactRoot.computeIfAbsent(dir, _ => {
       import spark.implicits._
-      val r = graft.Scratch.named(s"q180_${graft.Scratch.dirKey(dir)}").toString
-      // gen-000001: the base-only index (q160's build, replayed on this root)
-      val base = sigsAndSets(
-        Tables.documents(spark, dir).filter($"doc_id" % 10 =!= 0)).cache()
-      val gen1 = graft.operators.Ann.nextGenerationName(spark, r)
-      Dedup.bandKeys(base, "doc_id", Bands, NumHashes / Bands)
-        .write.mode("overwrite").partitionBy("band").parquet(s"$r/$gen1/bands")
-      base.select($"doc_id", $"shset")
-        .write.mode("overwrite").parquet(s"$r/$gen1/sets")
-      base.unpersist(blocking = false)
-      graft.operators.Ann.publishGeneration(spark, r, gen1)
-      // gen-000002: compaction — base ∪ delta rewritten as one generation,
-      // pointer republished only after the rewrite is on disk
-      val gen1Path = graft.operators.Ann.currentGenerationPath(spark, r)
+      val srcGen = graft.operators.Ann.currentGenerationPath(
+        spark, lshRootFor(spark, dir))
       val delta = spark.read.parquet(lshDeltaFor(spark, dir))
-      val gen2 = graft.operators.Ann.nextGenerationName(spark, r)
-      spark.read.parquet(s"$gen1Path/bands")
+      val r = graft.Scratch.named(s"q180_${graft.Scratch.dirKey(dir)}").toString
+      val gen = graft.operators.Ann.nextGenerationName(spark, r)
+      spark.read.parquet(s"$srcGen/bands")
         .unionByName(Dedup.bandKeys(delta, "doc_id", Bands, NumHashes / Bands))
-        .write.mode("overwrite").partitionBy("band").parquet(s"$r/$gen2/bands")
-      spark.read.parquet(s"$gen1Path/sets")
+        .write.mode("overwrite").partitionBy("band").parquet(s"$r/$gen/bands")
+      spark.read.parquet(s"$srcGen/sets")
         .unionByName(delta.select($"doc_id", $"shset"))
-        .write.mode("overwrite").parquet(s"$r/$gen2/sets")
-      graft.operators.Ann.publishGeneration(spark, r, gen2)
+        .write.mode("overwrite").parquet(s"$r/$gen/sets")
+      graft.operators.Ann.publishGeneration(spark, r, gen)
       r
     })
 

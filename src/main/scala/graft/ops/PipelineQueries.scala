@@ -103,10 +103,17 @@ object PipelineQueries {
       .select($"doc_id", explode(Dedup.wordShingles($"text", 2)).as("gram"))
       .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
       .select($"doc_id", $"c", ($"c" * length($"gram").cast("long")).as("mass"))
+    // top gram = the MOST FREQUENT bigram (what the Gopher metric defines)
+    // — a rarer-but-longer gram must not win, so the argmax rides a
+    // composite integer key c·2³¹+mass (mass < 2³¹ ⇒ lexicographic
+    // (count, mass) order, exact in BIGINT) and the mass comes back out
+    // via mod; equal (count, mass) ties yield the same mass whichever
+    // gram wins, so the output is total
     cnt.groupBy($"doc_id")
       .agg(sum($"mass").as("total_gram_chars"),
         sum(when($"c" >= 2, $"mass").otherwise(0L)).as("dup_gram_chars"),
-        max($"mass").as("top_gram_chars"))
+        (max($"c" * lit(2147483648L) + $"mass") % lit(2147483648L))
+          .as("top_gram_chars"))
       .select($"doc_id", $"total_gram_chars", $"dup_gram_chars", $"top_gram_chars",
         ($"dup_gram_chars".cast("double") / $"total_gram_chars".cast("double"))
           .as("dup_char_frac"),
@@ -585,12 +592,19 @@ object PipelineQueries {
     val shingled = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", splitCol.as("split"),
         explode(Dedup.wordShingles($"text", 5)).as("sh"))
-    // cached: the distinct train vocabulary feeds TWO consumers — the
-    // bloom-build aggregation (an action) and the exact-verify semi join
+    // cached: the distinct train vocabulary feeds THREE consumers — the
+    // sizing count, the bloom-build aggregation, and the exact-verify
+    // semi join
     val trainSh = shingled.filter($"split" === "train").select($"sh").distinct()
       .cache()
+    // capacity from the ACTUAL vocabulary (the count also materializes the
+    // cache): a fixed constant would silently saturate the filter on a
+    // larger corpus — fpp → 1 and the scan-side prune degrades to a no-op
+    // exactly at the scale it exists for (results stay correct via the
+    // semi join, but the bandwidth win is the point)
+    val vocabSize = math.max(trainSh.count(), 1000L)
     val bloom = trainSh.select(xxhash64($"sh").as("h"))
-      .stat.bloomFilter("h", 1000000L, 0.01)
+      .stat.bloomFilter("h", vocabSize, 0.01)
     val bloomBytes = {
       val os = new java.io.ByteArrayOutputStream()
       bloom.writeTo(os)
@@ -598,8 +612,11 @@ object PipelineQueries {
     }
     val mightContain = bridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), bridge.expression(xxhash64($"sh"))))
+    // cached for the same reason: testSh feeds the totals census AND the
+    // bloom→semi-join branch — uncached, each would re-shingle the corpus
     val testSh = shingled.filter($"split" === "test")
       .select($"doc_id", $"lang", $"sh").distinct()
+      .cache()
     val totals = testSh.groupBy($"doc_id")
       .agg(first($"lang").as("lang"), count(lit(1)).as("n_shingles"))
     val shared = testSh.filter(mightContain)
@@ -1169,7 +1186,7 @@ object PipelineQueries {
          |  SELECT doc_id,
          |    CAST(sum(mass) AS BIGINT) AS total_gram_chars,
          |    CAST(sum(CASE WHEN c >= 2 THEN mass ELSE 0 END) AS BIGINT) AS dup_gram_chars,
-         |    CAST(max(mass) AS BIGINT) AS top_gram_chars
+         |    CAST(max(c * 2147483648 + mass) % 2147483648 AS BIGINT) AS top_gram_chars
          |  FROM cnt GROUP BY doc_id
          |)
          |SELECT doc_id, total_gram_chars, dup_gram_chars, top_gram_chars,
