@@ -202,7 +202,7 @@ object DedupQueries {
   private val clusterFramePath =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def components(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def components(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = clusterFramePath.computeIfAbsent(dir, _ => {
       val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
@@ -650,7 +650,7 @@ object DedupQueries {
     * band candidates, exact-Jaccard verification, and min-reachable-id
     * fixpoint — consumed by the q105 cluster gate and the q159
     * cluster-safe split (which appends its own CTEs after `walk`). */
-  private val clusterCteSql =
+  private[ops] val clusterCteSql =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, $toksSql AS tk FROM documents
        |), sh AS (

@@ -122,6 +122,52 @@ object PipelineQueries {
         ($"dup_gram_chars" * 5 >= $"total_gram_chars").as("is_repetitive"))
   }
 
+  /** DATA CARD (q181) — the per-source release summary a dataset ships
+    * ("Datasheets for Datasets", Gebru et al. 2021, arXiv:1803.09010):
+    * volume (docs / tokens / chars), quality (q172-cascade pass count —
+    * SAME verdict definition, [[TextQueries.funnelVerdict]], so the card
+    * cannot drift from the funnel), redundancy (exact-duplicate copies
+    * beyond each md5 group's first, and members of near-dup clusters from
+    * the SHARED memoized component frame q105/q159/q161 consume), with
+    * exact-division fractions. One corpus pass computes features + the
+    * content hash; one md5-keyed window ranks exact copies (uniform
+    * hash keys ⇒ no skew); the cluster frame joins on doc_id; one final
+    * source-keyed agg. The composition query of the curation layer —
+    * like q99, but reporting instead of filtering. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val base = Tables.documents(spark, dir).select(
+      $"doc_id", $"source", $"n_chars",
+      size(toks).as("n_toks"),
+      size(array_distinct(toks)).as("n_uniq"),
+      graft.functions.TextFunctions.sumTokenLen(toks).as("sum_len"),
+      graft.functions.TextFunctions.wordHits(toks, TextQueries.FunnelMarkers)
+        .as("marker_hits"),
+      md5($"text").as("h"))
+    val flagged = base
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"h").orderBy($"doc_id")))
+      .withColumn("verdict",
+        TextQueries.funnelVerdict($"n_toks", $"n_uniq", $"sum_len", $"marker_hits"))
+    val clustered = DedupQueries.components(spark, dir)
+      .select($"doc_id", lit(1).as("in_cluster"))
+    flagged.join(clustered, Seq("doc_id"), "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks".cast("long")).as("total_tokens"),
+        sum($"n_chars").as("total_chars"),
+        sum(when($"verdict" === "pass", 1L).otherwise(0L)).as("n_quality_pass"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when($"in_cluster".isNotNull, 1L).otherwise(0L)).as("n_near_dup_members"))
+      .select($"source", $"n_docs", $"total_tokens", $"total_chars",
+        $"n_quality_pass", $"n_exact_dup", $"n_near_dup_members",
+        ($"n_quality_pass".cast("double") / $"n_docs".cast("double"))
+          .as("quality_pass_frac"),
+        ($"n_exact_dup".cast("double") / $"n_docs".cast("double"))
+          .as("exact_dup_frac"))
+  }
+
   /** Deterministic content-hash train/val/test split (~80/10/10): the split
     * is a pure function of the document id's salted md5, so it is stable
     * across runs, engines, partitionings, and corpus growth — the property
@@ -711,6 +757,7 @@ object PipelineQueries {
     "q174_priority_sample" -> (prioritySample _),
     "q175_source_drift" -> (sourceDrift _),
     "q176_repetition_chars" -> (repetitionChars _),
+    "q181_data_card" -> (dataCard _),
     "q162_token_budget_mix" -> (tokenBudgetMix _),
     "q106_cdc_merge" -> (cdcMerge _),
     "q111_scd2_history" -> (scd2History _),
@@ -1141,6 +1188,42 @@ object PipelineQueries {
          |  greatest(CAST(n_chars AS DOUBLE), tau) AS ht_weight
          |FROM r CROSS JOIN tau WHERE rank <= 100""".stripMargin
     },
+    // q181: the curation layer's pieces replayed in one report — the
+    // recursive cluster walk (q105's CTE), the q172 cascade (shared
+    // funnelFeatureItemsSql/funnelVerdictSql — one definition), the md5
+    // first-copy rank, grouped per source.
+    "q181_data_card" ->
+      s"""${DedupQueries.clusterCteSql},
+         |comp AS (
+         |  SELECT DISTINCT node AS doc_id FROM walk
+         |), feat AS (
+         |  SELECT t.doc_id, d.source, d.n_chars,
+         |    ${TextQueries.funnelFeatureItemsSql}
+         |  FROM toks t JOIN documents d USING (doc_id)
+         |), vd AS (
+         |  SELECT doc_id, source, n_chars, n_toks,
+         |    ${TextQueries.funnelVerdictSql} AS verdict
+         |  FROM feat
+         |), dd AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM documents
+         |), agg AS (
+         |  SELECT v.source,
+         |    count(*) AS n_docs,
+         |    CAST(sum(v.n_toks) AS BIGINT) AS total_tokens,
+         |    CAST(sum(v.n_chars) AS BIGINT) AS total_chars,
+         |    CAST(sum(CASE WHEN v.verdict = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+         |    CAST(sum(CASE WHEN dd.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |    CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_members
+         |  FROM vd v JOIN dd USING (doc_id) LEFT JOIN comp c ON c.doc_id = v.doc_id
+         |  GROUP BY v.source
+         |)
+         |SELECT source, n_docs, total_tokens, total_chars, n_quality_pass,
+         |  n_exact_dup, n_near_dup_members,
+         |  CAST(n_quality_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS quality_pass_frac,
+         |  CAST(n_exact_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS exact_dup_frac
+         |FROM agg""".stripMargin,
     // q175: pure-integer fixed-point probabilities (BIGINT floor-division
     // on both engines) — the absent-token mass folded in algebraically, so
     // only existing (source, token) pairs are touched.

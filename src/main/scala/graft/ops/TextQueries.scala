@@ -366,6 +366,37 @@ object TextQueries {
     * 2·sumLen < 7·toks ⟺ mean len < 3.5) — no float compare anywhere, so
     * the cascade is engine-exact at the boundaries. One scan, one
     * hash-agg; embarrassingly parallel at any scale. */
+  /** The q172 cascade on already-computed feature columns — ONE definition
+    * of the thresholds, shared by q172 and the q181 data card so the two
+    * gates cannot drift. */
+  private[ops] def funnelVerdict(nToks: org.apache.spark.sql.Column,
+      nUniq: org.apache.spark.sql.Column, sumLen: org.apache.spark.sql.Column,
+      markerHits: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nToks < 20, "too_short")
+      .when(nToks > 90, "too_long")
+      .when(nUniq * 20 < nToks * 9, "low_diversity")
+      .when(sumLen * 2 < nToks * 7 || sumLen * 2 > nToks * 13, "word_shape")
+      .when(markerHits === 0, "no_stopwords")
+      .otherwise("pass")
+
+  /** The cascade's feature columns in DuckDB, over a `tk` token list —
+    * shared by q172's and q181's oracles. */
+  private[ops] def funnelFeatureItemsSql: String =
+    s"""CAST(len(tk) AS INTEGER) AS n_toks,
+       |    CAST(len(list_distinct(tk)) AS INTEGER) AS n_uniq,
+       |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS INTEGER) AS sum_len,
+       |    CAST(len(list_filter(tk, x -> x IN (${FunnelMarkers.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS marker_hits""".stripMargin
+
+  /** The same cascade in DuckDB, over feature columns named n_toks /
+    * n_uniq / sum_len / marker_hits. */
+  private[ops] val funnelVerdictSql: String =
+    """CASE WHEN n_toks < 20 THEN 'too_short'
+      |         WHEN n_toks > 90 THEN 'too_long'
+      |         WHEN 20 * n_uniq < 9 * n_toks THEN 'low_diversity'
+      |         WHEN 2 * sum_len < 7 * n_toks OR 2 * sum_len > 13 * n_toks THEN 'word_shape'
+      |         WHEN marker_hits = 0 THEN 'no_stopwords'
+      |         ELSE 'pass' END""".stripMargin
+
   def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = tokens($"text")
@@ -376,13 +407,8 @@ object TextQueries {
         sumTokenLen(toks).as("sum_len"),
         wordHits(toks, FunnelMarkers).as("marker_hits"))
       .select($"lang", $"n_chars",
-        when($"n_toks" < 20, "too_short")
-          .when($"n_toks" > 90, "too_long")
-          .when($"n_uniq" * 20 < $"n_toks" * 9, "low_diversity")
-          .when($"sum_len" * 2 < $"n_toks" * 7 || $"sum_len" * 2 > $"n_toks" * 13,
-            "word_shape")
-          .when($"marker_hits" === 0, "no_stopwords")
-          .otherwise("pass").as("verdict"))
+        funnelVerdict($"n_toks", $"n_uniq", $"sum_len", $"marker_hits")
+          .as("verdict"))
       .groupBy($"lang", $"verdict")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
   }
@@ -457,19 +483,11 @@ object TextQueries {
          |  SELECT lang, n_chars, $toksSql AS tk FROM documents
          |), f AS (
          |  SELECT lang, n_chars,
-         |    CAST(len(tk) AS INTEGER) AS n_toks,
-         |    CAST(len(list_distinct(tk)) AS INTEGER) AS n_uniq,
-         |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS INTEGER) AS sum_len,
-         |    CAST(len(list_filter(tk, x -> x IN (${FunnelMarkers.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS marker_hits
+         |    $funnelFeatureItemsSql
          |  FROM t
          |), v AS (
          |  SELECT lang, n_chars,
-         |    CASE WHEN n_toks < 20 THEN 'too_short'
-         |         WHEN n_toks > 90 THEN 'too_long'
-         |         WHEN 20 * n_uniq < 9 * n_toks THEN 'low_diversity'
-         |         WHEN 2 * sum_len < 7 * n_toks OR 2 * sum_len > 13 * n_toks THEN 'word_shape'
-         |         WHEN marker_hits = 0 THEN 'no_stopwords'
-         |         ELSE 'pass' END AS verdict
+         |    $funnelVerdictSql AS verdict
          |  FROM f
          |)
          |SELECT lang, verdict, count(*) AS n_docs,

@@ -261,6 +261,29 @@ class CurationSpec extends SparkSpec {
     assert(!got.exists(_._1.startsWith("one two")))
   }
 
+  // ---- q181 ----
+
+  test("data card agrees with its building-block gates on the corpus") {
+    val card = PipelineQueries.dataCard(spark, sf0001).cache()
+    val docs = graft.Tables.documents(spark, sf0001).cache()
+    val nDocs = docs.count()
+    // volume adds up
+    assert(card.agg(sum($"n_docs")).as[Long].head == nDocs)
+    // exact-dup total = docs minus distinct content hashes
+    val distinctHashes = docs.select(md5($"text")).distinct().count()
+    assert(card.agg(sum($"n_exact_dup")).as[Long].head == nDocs - distinctHashes)
+    // quality-pass total = the q172 funnel's 'pass' bucket
+    val passTotal = TextQueries.qualityFunnel(spark, sf0001)
+      .filter($"verdict" === "pass").agg(sum($"n_docs")).as[Long].head
+    assert(card.agg(sum($"n_quality_pass")).as[Long].head == passTotal)
+    // near-dup membership = the shared component frame's node count
+    val clustered = DedupQueries.components(spark, sf0001)
+      .select($"doc_id").distinct().count()
+    assert(card.agg(sum($"n_near_dup_members")).as[Long].head == clustered)
+    card.unpersist(); docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   // ---- q179 ----
 
   test("modality coverage counts matched, missing, and orphan embeddings per source") {
