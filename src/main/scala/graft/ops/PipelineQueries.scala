@@ -99,10 +99,19 @@ object PipelineQueries {
     * masses divide exactly; the repetitive flag is 5·dup ≥ total (1/5). */
   def repetitionChars(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the composite-argmax radix below requires mass < 2³¹; a violation
+    // (a pathological multi-GB document) must fail LOUDLY here, not let
+    // mass bleed into the count term — both engines would agree on the
+    // corrupted value, so the oracle could never catch it (r9 review)
+    val rawMass = $"c" * length($"gram").cast("long")
     val cnt = Tables.documents(spark, dir)
       .select($"doc_id", explode(Dedup.wordShingles($"text", 2)).as("gram"))
       .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
-      .select($"doc_id", $"c", ($"c" * length($"gram").cast("long")).as("mass"))
+      .select($"doc_id", $"c",
+        when(rawMass < lit(2147483648L), rawMass)
+          .otherwise(raise_error(lit(
+            "q176: gram char mass >= 2^31 — composite argmax radix too small")))
+          .as("mass"))
     // top gram = the MOST FREQUENT bigram (what the Gopher metric defines)
     // — a rarer-but-longer gram must not win, so the argmax rides a
     // composite integer key c·2³¹+mass (mass < 2³¹ ⇒ lexicographic
@@ -659,7 +668,11 @@ object PipelineQueries {
     val mightContain = bridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), bridge.expression(xxhash64($"sh"))))
     // cached for the same reason: testSh feeds the totals census AND the
-    // bloom→semi-join branch — uncached, each would re-shingle the corpus
+    // bloom→semi-join branch — uncached, each would re-shingle the corpus.
+    // Both caches here are the q112 per-invocation pattern (derived from
+    // the whole corpus, so NOT a per-dir fixture like the q160 delta
+    // checkpoint): the bench clears the cache after every timed query and
+    // Verify executes each gate once, which bounds their lifetime.
     val testSh = shingled.filter($"split" === "test")
       .select($"doc_id", $"lang", $"sh").distinct()
       .cache()

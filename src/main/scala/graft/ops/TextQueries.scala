@@ -456,7 +456,10 @@ object TextQueries {
     "q26_corpus_stats" -> (corpusStats _),
     "q33_fingerprint" -> (fingerprint _))
 
-  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+  // ONE tokenization definition engine-wide (r9 review): q181's oracle
+  // reaches this via DedupQueries' cluster CTE, so a divergent copy here
+  // would let the card's funnel features drift from q172's.
+  private val toksSql = DedupQueries.toksSql
   private def hitsSql(words: Seq[String]): String =
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
