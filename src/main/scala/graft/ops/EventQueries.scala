@@ -273,6 +273,49 @@ object EventQueries {
         ($"total_cents".cast("double") / lit(100.0)).as("total_value"))
   }
 
+  /** Spark 4 `transformWithState` as a gate query (q182) — the SIXTH
+    * stateful streaming class: typed named-state processors (the
+    * arbitrary-state API that succeeds q92's flatMapGroupsWithState).
+    * [[graft.streaming.Streaming.CountSumProcessor]] accumulates per-user
+    * (count, integer cents) in a ValueState across micro-batches and emits
+    * one final row per user when its flush sentinel arrives in a LATER
+    * batch (the q92 drive, reused verbatim — corpus batch 1, sentinels
+    * batch 2 under maxFilesPerTrigger=1), so the gate proves state
+    * actually crossed a batch boundary through the new API's RocksDB
+    * store. Counts and integer cent sums are order-independent, so the
+    * batch oracle is a plain GROUP BY. The RocksDB provider conf (the
+    * API's contract) is scoped to the drive and restored. */
+  def streamingTwsAggregate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosRead(spark)
+    val (drivePath, _) = q92DriveFor(spark, dir)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      graft.streaming.Streaming.runOnce(spark, drivePath,
+        ev => {
+          val typed = Tables.rebuildNanosTs(ev)
+            .select($"user_id".as("userId"),
+              ($"event_type" === "sentinel").as("isSentinel"),
+              // q92's cents rule: null value counts the event, adds 0
+              coalesce(($"value".cast("decimal(14,2)") * lit(100)).cast("long"),
+                lit(0L)).as("cents"))
+            .as[graft.streaming.Streaming.TwsEvent]
+          graft.streaming.Streaming.twsCountSum(typed).toDF()
+        },
+        name = "q182_streaming_tws_sink",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+        .select($"user_id", $"n_events",
+          ($"total_cents".cast("double") / lit(100.0)).as("total_value"))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** WATERMARK LATE-DATA ACCOUNTING as a gate query (q166, VERDICT r8 #3) —
     * the fifth stateful streaming class at the gate: what the watermark
     * DROPS. The drive feeds the corpus ACROSS an already-advanced
@@ -841,9 +884,18 @@ object EventQueries {
     "q90_streaming_join" -> (streamingClickErrorJoin _),
     "q92_streaming_sessions" -> (streamingSessions _),
     "q103_streaming_dedup" -> (streamingDedup _),
-    "q166_streaming_late_data" -> (streamingLateData _))
+    "q166_streaming_late_data" -> (streamingLateData _),
+    "q182_streaming_tws" -> (streamingTwsAggregate _))
 
   val oracle: Map[String, String] = Map(
+    // q182: the TWS processor's count + integer-cent sum per user is the
+    // plain batch aggregate (sentinels are flush signals, never data; the
+    // coalesce mirrors the engine's null-value-adds-0 rule).
+    "q182_streaming_tws" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)), 0)
+        |    AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
     // q166: the watermark is floor(max_us/1000) − 24h in ENGINE MILLIS
     // (EventTimeWatermarkExec tracks event time in ms), and a row survives
     // iff epoch_us(ts) > wm_ms·1000 — the row AT the watermark is dropped

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface. The reference is pure batch (SURVEY §2.11);
   * these extend the engine to streaming ingest with the SAME aggregation
@@ -234,6 +235,53 @@ object Streaming {
         col("error_ts") >= col("click_ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
       .select(col("user_id"), col("click_id"), col("error_id"),
         col("click_ts"), col("error_ts"))
+  }
+
+  // ---- transformWithState (the Spark 4 arbitrary-state API) ----
+
+  case class TwsEvent(userId: Long, isSentinel: Boolean, cents: Long)
+  case class TwsAgg(n: Long, cents: Long)
+  case class TwsCountSum(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Per-key count/sum on `transformWithState` — Spark 4's successor to
+    * flatMapGroupsWithState: typed named state objects obtained from a
+    * handle in `init` instead of one opaque GroupState blob, per-state
+    * TTLs, and timer callbacks. One ValueState accumulates (n, cents);
+    * a per-key FLUSH SENTINEL (q92's drive pattern) emits the final row
+    * across a real batch boundary and clears the state — so emission is
+    * deterministic regardless of intra-batch row order (counts and
+    * integer cent sums are order-independent). Requires the RocksDB
+    * state store provider (the API's contract); the gate scopes that
+    * conf to the drive. At scale the state shards by key exactly like
+    * the flatMapGroupsWithState operators — the API changes ergonomics
+    * and state layout, not the shuffle shape. */
+  class CountSumProcessor extends StatefulProcessor[Long, TwsEvent, TwsCountSum] {
+    @transient private var agg: ValueState[TwsAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[TwsAgg]("agg",
+        Encoders.product[TwsAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+        timers: TimerValues): Iterator[TwsCountSum] = {
+      var out = List.empty[TwsCountSum]
+      rows.foreach { e =>
+        val a = if (agg.exists()) agg.get() else TwsAgg(0L, 0L)
+        if (e.isSentinel) {
+          out = TwsCountSum(key, a.n, a.cents) :: out
+          agg.clear()
+        } else {
+          agg.update(TwsAgg(a.n + 1, a.cents + e.cents))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def twsCountSum(events: Dataset[TwsEvent]): Dataset[TwsCountSum] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new CountSumProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** foreachBatch sink: per-micro-batch idempotent parquet append — the

@@ -30,6 +30,50 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "view", 1L, 4.0)))
   }
 
+  test("transformWithState count/sum: ValueState crosses the sentinel batch boundary") {
+    // two data files + a sentinel file → 3 micro-batches under
+    // maxFilesPerTrigger=1; the accumulating state must survive BOTH
+    // boundaries or the sentinel-batch emission undercounts
+    val dir = graft.Scratch.fresh("tws-drive").toString
+    Seq(Streaming.TwsEvent(7, isSentinel = false, 150),
+      Streaming.TwsEvent(9, isSentinel = false, 800))
+      .toDF().coalesce(1).write.parquet(s"$dir/batch")
+    val p1 = new java.io.File(s"$dir/batch").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(p1.toPath,
+      java.nio.file.Paths.get(s"$dir/aa_one.parquet"))
+    Seq(Streaming.TwsEvent(7, isSentinel = false, 250))
+      .toDF().coalesce(1).write.parquet(s"$dir/batch2")
+    val p2 = new java.io.File(s"$dir/batch2").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(p2.toPath,
+      java.nio.file.Paths.get(s"$dir/bb_two.parquet"))
+    Seq(Streaming.TwsEvent(7, isSentinel = true, 0),
+      Streaming.TwsEvent(9, isSentinel = true, 0))
+      .toDF().coalesce(1).write.parquet(s"$dir/batch3")
+    val p3 = new java.io.File(s"$dir/batch3").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(p3.toPath,
+      java.nio.file.Paths.get(s"$dir/zz_sentinel.parquet"))
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out = Streaming.runOnce(spark, dir,
+        df => Streaming.twsCountSum(df.as[Streaming.TwsEvent]).toDF(),
+        "tws_test",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == Set((7L, 2L, 400L), (9L, 1L, 800L)))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-static enrichment join: broadcast dim against the stream") {
     import org.apache.spark.sql.functions.broadcast
     val dims = Seq(("click", "interaction"), ("view", "content"))
