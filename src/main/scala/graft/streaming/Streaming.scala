@@ -284,6 +284,57 @@ object Streaming {
       .transformWithState(new CountSumProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  case class TimedEvent(userId: Long, ts: Timestamp)
+  case class TimerFlush(user_id: Long, n_events: Long)
+
+  /** The TIMER half of the transformWithState contract: counts per key,
+    * emits ONLY from `handleExpiredTimer` when the event-time watermark
+    * passes (last seen ts + gapMs) — the new-API formulation of q92's
+    * timeout-closed sessions. Each input batch re-arms the key's single
+    * timer (delete + register, tracked in a ValueState — `registerTimer`
+    * does not replace an earlier registration by itself). Deterministic
+    * under an event-time drive: timers fire exactly when a later batch's
+    * watermark crosses the expiry, never on wall-clock. */
+  class TimerCountProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, TimerFlush] {
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timers: TimerValues): Iterator[TimerFlush] = {
+      var n = if (cnt.exists()) cnt.get() else 0L
+      var maxTs = Long.MinValue
+      rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+      cnt.update(n)
+      val expiry = maxTs + gapMs
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      getHandle.registerTimer(expiry)
+      armed.update(expiry)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TimerFlush] = {
+      val n = if (cnt.exists()) cnt.get() else 0L
+      cnt.clear(); armed.clear()
+      Iterator.single(TimerFlush(key, n))
+    }
+  }
+
+  def twsTimerCounts(events: Dataset[TimedEvent], gapMs: Long): Dataset[TimerFlush] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .as[TimedEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new TimerCountProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** foreachBatch sink: per-micro-batch idempotent parquet append — the
     * standard exactly-once-to-storage pattern (batchId-keyed subdirectory;
     * a replayed batch overwrites its own output instead of duplicating).

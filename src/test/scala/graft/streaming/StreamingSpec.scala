@@ -74,6 +74,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers fire on watermark advance, not wall clock") {
+    // batch 1: real events (timers armed at last ts + 60 s)
+    // batch 2: a far-future advancer for key 99 — its watermark crossing
+    //          fires keys 7 and 9's timers; 99's own timer stays unfired
+    val dir = graft.Scratch.fresh("tws-timer").toString
+    def writeBatch(name: String, rows: Seq[Streaming.TimedEvent]): Unit = {
+      val staging = graft.Scratch.fresh("tws-timer-stage").resolve("out").toString
+      rows.toDF().coalesce(1).write.parquet(staging)
+      val p = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(p.toPath, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    writeBatch("aa_events.parquet", Seq(
+      Streaming.TimedEvent(7, ts("2024-01-01 00:00:00")),
+      Streaming.TimedEvent(7, ts("2024-01-01 00:00:30")),
+      Streaming.TimedEvent(9, ts("2024-01-01 00:00:10"))))
+    writeBatch("zz_advance.parquet", Seq(
+      Streaming.TimedEvent(99, ts("2024-01-02 00:00:00"))))
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out = Streaming.runOnce(spark, dir,
+        df => Streaming.twsTimerCounts(df.as[Streaming.TimedEvent], 60000L).toDF(),
+        "tws_timer_test",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((7L, 2L), (9L, 1L)),
+        "only the watermark-expired keys may flush; the advancer must not")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-static enrichment join: broadcast dim against the stream") {
     import org.apache.spark.sql.functions.broadcast
     val dims = Seq(("click", "interaction"), ("view", "content"))
