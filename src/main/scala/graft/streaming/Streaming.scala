@@ -310,11 +310,15 @@ object Streaming {
       var n = if (cnt.exists()) cnt.get() else 0L
       var maxTs = Long.MinValue
       rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
-      cnt.update(n)
-      val expiry = maxTs + gapMs
-      if (armed.exists()) getHandle.deleteTimer(armed.get())
-      getHandle.registerTimer(expiry)
-      armed.update(expiry)
+      // an empty iterator (possible under future engine batching changes)
+      // must not arm a garbage MinValue+gap timer
+      if (maxTs != Long.MinValue) {
+        cnt.update(n)
+        val expiry = maxTs + gapMs
+        if (armed.exists()) getHandle.deleteTimer(armed.get())
+        getHandle.registerTimer(expiry)
+        armed.update(expiry)
+      }
       Iterator.empty
     }
 
