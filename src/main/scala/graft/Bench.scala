@@ -137,14 +137,25 @@ object Bench {
       s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trials_completed":${passes.size},"trial_totals":$totals,"queries_max":$qsMax,"fixture_secs":${r3d(fixtureSecs)},"fixtures":$fx,"warmup_secs":${r3d(warmupSecs)},"warmup_queries":$warmed}"""
     }
 
+    // ARTIFACT DECOUPLING (VERDICT r9 #1): the repo-root `bench.json` is a
+    // COMMITTED adjudication artifact — DocsConsistencySpec pins
+    // ARCHITECTURE's headline to it — so an out-of-band bench run (the
+    // driver's per-round run, a curiosity run on a loud host) must never
+    // overwrite it and leave `sbt test` red in a dirty tree. Default
+    // writes go to the gitignored `bench.out.json`; refreshing the
+    // committed artifact is an EXPLICIT act: SPARK_GRAFT_BENCH_OUT=
+    // bench.json (done only for a quiet-host run whose trial spread
+    // passes the ≤1.3× adjudication rule). /tmp/bench.json is always
+    // written as the machine-readable copy for harnesses that read a
+    // fixed path.
     def persist(line: String): Unit = {
       def write(path: String): Unit =
         try java.nio.file.Files.write(java.nio.file.Paths.get(path),
           (line + "\n").getBytes("UTF-8"))
         catch { case e: Throwable =>
           System.err.println(s"[bench] write $path failed: ${e.getMessage}") }
-      write(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json"))
-      write("bench.json") // sbt cwd = repo root
+      write("/tmp/bench.json")
+      write(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.out.json"))
     }
 
     var passes = Vector.empty[Map[String, Double]]

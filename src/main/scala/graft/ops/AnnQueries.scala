@@ -497,7 +497,10 @@ object AnnQueries {
     * unit-norm vector lands at norm² ≈ 10⁶ and the drift flag
     * |norm² − 10⁶| > 2000 (±0.1 % in norm) is an integer predicate. One
     * scan, one label-keyed hash agg — embarrassingly parallel; the QA
-    * report is O(labels). */
+    * report is O(labels). A zero-LENGTH embedding is pinned to norm² = 0
+    * (the aggregate's init value; the oracle coalesces DuckDB's
+    * empty-list NULL to match) — exactly the kind of corrupt row this QA
+    * gate exists to surface, counted in `n_outliers`. */
   def embeddingNormQa(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val grid = transform(col("embedding").cast("array<double>"),
@@ -623,13 +626,18 @@ object AnnQueries {
 
   val oracle: Map[String, String] = Map(
     // q177: the same 1e-3 grid snap (CAST float→DOUBLE is exact, one IEEE
-    // multiply, floor), Σv² as BIGINT, integer drift predicate.
+    // multiply, floor), Σv² as BIGINT, integer drift predicate. The empty
+    // vector is pinned on BOTH sides (ADVICE r9): Spark's aggregate over
+    // an empty array yields its 0 init value, DuckDB's list_sum yields
+    // NULL — coalesce normalizes the oracle to the engine's 0, so a
+    // zero-length embedding lands at norm² = 0 and is REPORTED as a norm
+    // outlier (|0 − 10⁶| > 2000) instead of silently breaking the hash.
     "q177_embedding_norm_qa" ->
       """WITH q AS (
         |  SELECT vec_id, label,
-        |    CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    CAST(coalesce(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
         |      x -> CAST(floor(x * 1000.0) AS BIGINT)
-        |           * CAST(floor(x * 1000.0) AS BIGINT))) AS BIGINT) AS norm2
+        |           * CAST(floor(x * 1000.0) AS BIGINT))), 0) AS BIGINT) AS norm2
         |  FROM embeddings
         |)
         |SELECT label, count(*) AS n_vecs,

@@ -248,9 +248,14 @@ object Streaming {
     * handle in `init` instead of one opaque GroupState blob, per-state
     * TTLs, and timer callbacks. One ValueState accumulates (n, cents);
     * a per-key FLUSH SENTINEL (q92's drive pattern) emits the final row
-    * across a real batch boundary and clears the state — so emission is
-    * deterministic regardless of intra-batch row order (counts and
-    * integer cent sums are order-independent). Requires the RocksDB
+    * and clears the state. Emission is deterministic regardless of
+    * intra-batch row order (ADVICE r9): the batch is folded BEFORE the
+    * sentinel is applied — data rows accumulate into a batch-local
+    * (n, cents) delta and the sentinel only flags the flush, so a
+    * sentinel sharing a micro-batch with same-key data rows flushes
+    * state + the WHOLE batch delta, wherever the sentinel sat in
+    * iterator order (counts and integer cent sums are
+    * order-independent). Requires the RocksDB
     * state store provider (the API's contract); the gate scopes that
     * conf to the drive. At scale the state shards by key exactly like
     * the flatMapGroupsWithState operators — the API changes ergonomics
@@ -264,17 +269,22 @@ object Streaming {
 
     override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
         timers: TimerValues): Iterator[TwsCountSum] = {
-      var out = List.empty[TwsCountSum]
+      // fold the batch first, apply the sentinel LAST (see class doc):
+      // iterator order inside a micro-batch is not part of the contract
+      var dn = 0L; var dcents = 0L; var flush = false
       rows.foreach { e =>
-        val a = if (agg.exists()) agg.get() else TwsAgg(0L, 0L)
-        if (e.isSentinel) {
-          out = TwsCountSum(key, a.n, a.cents) :: out
-          agg.clear()
-        } else {
-          agg.update(TwsAgg(a.n + 1, a.cents + e.cents))
-        }
+        if (e.isSentinel) flush = true
+        else { dn += 1; dcents += e.cents }
       }
-      out.iterator
+      val prev = if (agg.exists()) agg.get() else TwsAgg(0L, 0L)
+      val merged = TwsAgg(prev.n + dn, prev.cents + dcents)
+      if (flush) {
+        agg.clear()
+        Iterator.single(TwsCountSum(key, merged.n, merged.cents))
+      } else {
+        if (dn > 0) agg.update(merged)
+        Iterator.empty
+      }
     }
   }
 

@@ -74,6 +74,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState count/sum: sentinel sharing a batch with data rows flushes the whole batch") {
+    // ADVICE r9: the processor folds the batch BEFORE applying the
+    // sentinel, so same-key data rows in the sentinel's own micro-batch
+    // are flushed regardless of where the sentinel sits in iterator
+    // order. One batch: data(7)+sentinel(7)+data(7) → one row (7, 2, 300).
+    val dir = graft.Scratch.fresh("tws-mixed").resolve("in").toString
+    Seq(Streaming.TwsEvent(7, isSentinel = false, 100),
+      Streaming.TwsEvent(7, isSentinel = true, 0),
+      Streaming.TwsEvent(7, isSentinel = false, 200))
+      .toDF().coalesce(1).write.parquet(dir)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out = Streaming.runOnce(spark, dir,
+        df => Streaming.twsCountSum(df.as[Streaming.TwsEvent]).toDF(),
+        "tws_mixed_test",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == Set((7L, 2L, 300L)),
+        "a mid-batch sentinel must flush state plus the full batch delta")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState event-time timers fire on watermark advance, not wall clock") {
     // batch 1: real events (timers armed at last ts + 60 s)
     // batch 2: a far-future advancer for key 99 — its watermark crossing
