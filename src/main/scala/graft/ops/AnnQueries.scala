@@ -260,6 +260,7 @@ object AnnQueries {
     gridIndex(spark, dir): Unit
     upsertedIndex(spark, dir): Unit
     lifecycleRootFor(spark, dir): Unit
+    rpIndex(spark, dir): Unit
     baselineGuardCount.computeIfAbsent(dir,
       _ => Tables.embeddings(spark, dir).count()): Unit
     maxLabelCellCount.computeIfAbsent(dir, _ =>
@@ -466,25 +467,58 @@ object AnnQueries {
         (!$"is_canonical").as("prune"))
   }
 
+  /** Persisted IVF index over the 32-dim RANDOM-PROJECTED vectors,
+    * memoized per dir like [[upsertedIndexPath]] — q169's shortlist
+    * index (VERDICT r9 #2). Same recipe as [[gridIndex]] but on
+    * [[Ann.signedProjection]] output (already exact integers — ±sums of
+    * 1e-3-grid coordinates, no further quantization needed): seed
+    * `pmod(vec_id, 8)`, 2 Lloyd iterations, ×2 corpus multi-assignment,
+    * written with [[Ann.saveIndex]] so probed cells become partition
+    * pruning at the scan. */
+  private val rpIndexPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rpIndex(spark: SparkSession, dir: String): String =
+    rpIndexPath.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val red = Ann.signedProjection(Tables.embeddings(spark, dir), 32)
+        .withColumn("seed", pmod($"vec_id", lit(8)).cast("int"))
+        .cache()
+      val centroids = Ann.trainCentroidsGrid(red, "seed", iters = 2)
+      val path = graft.Scratch.named(s"q169_${graft.Scratch.dirKey(dir)}").toString
+      Ann.saveIndex(centroids, Ann.probeCells(red, centroids, nprobe = 2), path)
+      red.unpersist(blocking = false)
+      path
+    })
+
   /** Random-projection two-stage ANN gate (q169) — the shortlist-then-
     * rescore retrieval shape: embeddings drop 64 → 32 dims through
     * [[Ann.signedProjection]]'s deterministic ±1 md5 hyperplanes, the
-    * HEAVY first pass (every candidate × every query) ranks in halved
-    * RP space to a 100-candidate shortlist, and full precision is spent
-    * re-ranking only the shortlisted pairs ([[Ann.rescoreTopK]]) to the
-    * final top-10. Both stages are engine-exact (integer ±sums / q29's
-    * rank rule), so the oracle replays the whole cascade. AnnSpec gates
-    * the GEOMETRY — final-output recall vs the exact q29 result — so the
-    * 2× first-pass bandwidth shrink carries a MEASURED accuracy cost
-    * (~0.7 on this corpus, RP's adversarial case: synthetic near-uniform
-    * cosines with tiny neighbor gaps; clustered real-embedding corpora
-    * retain far more). At 100 TB the shortlist pass is where the scan
-    * bandwidth goes, and it just halved. */
+    * first pass ranks in halved RP space to a 100-candidate shortlist,
+    * and full precision is spent re-ranking only the shortlisted pairs
+    * ([[Ann.rescoreTopK]]) to the final top-10. The shortlist is
+    * SUBLINEAR (VERDICT r9 #2 — it was a full linear scan of the reduced
+    * corpus): it probes the persisted [[rpIndex]] through
+    * [[Ann.searchIndex]], so each query batch touches ~nprobe/k of the
+    * RP corpus via partition-pruned cell scans (AnnSpec pins the pruned
+    * plan, the q170-style executed-plan assertion). Every stage is
+    * engine-exact (integer ±sums, grid-Lloyd training, q29's rank rule),
+    * so the oracle replays the WHOLE cascade — projection, training,
+    * probing, cell-restricted shortlist, exact rescore. AnnSpec still
+    * gates the GEOMETRY — final-output recall vs the exact q29 result —
+    * so cell restriction on top of the 2× bandwidth shrink carries a
+    * MEASURED accuracy cost (RP's adversarial case: synthetic
+    * near-uniform cosines with tiny neighbor gaps; clustered
+    * real-embedding corpora retain far more). At 100 TB the shortlist
+    * pass is where the scan bandwidth goes: it is now an index probe,
+    * not a corpus scan. */
   def rpAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val red = Ann.signedProjection(emb, 32)
-    val shortlist = Ann.bruteForceTopK(red, red.filter($"vec_id" < 10), 100)
+    val path = rpIndex(spark, dir)
+    val q = Ann.signedProjection(emb.filter($"vec_id" < 10), 32)
+    val shortlist = Ann.searchIndex(spark, path, q, k = 100, nprobe = 3,
+      dedup = true)
     Ann.rescoreTopK(emb, shortlist, 10)
   }
 
@@ -647,9 +681,14 @@ object AnnQueries {
         |FROM q GROUP BY label""".stripMargin,
     // q169: replay the ±1 hyperplane matrix from md5 (first hex digit of
     // md5('rp:j:i') < '8' → +1), project the 1e-3-grid vectors (every
-    // coordinate an exact ±integer sum), shortlist the RP-space top-100
-    // (6-decimal cosine, id tie-break), then exact full-precision re-rank
-    // of the shortlist to the final top-10.
+    // coordinate an exact ±integer sum), then the WHOLE indexed shortlist
+    // cascade (VERDICT r9 #2): grid-Lloyd training on the 32-dim RP
+    // vectors (seed vec_id%8 → M → E → M — q77's replay shape on RP
+    // coordinates), ×2 corpus multi-assignment, nprobe=3 query probing,
+    // cell-restricted RP-space top-100 (6-decimal cosine, id tie-break),
+    // and finally the exact full-precision re-rank of the shortlist to
+    // the top-10. Every arithmetic step is exact-integer or a fixed IEEE
+    // op sequence, so both engines agree bit-for-bit.
     "q169_random_projection_ann" ->
       s"""WITH e2 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
@@ -665,20 +704,46 @@ object AnnQueries {
         |), r AS (
         |  SELECT e2.vec_id, s.j, sum(e2.v[s.i] * s.sgn) AS val
         |  FROM e2, s GROUP BY e2.vec_id, s.j
-        |), nz AS (
-        |  SELECT vec_id FROM r GROUP BY vec_id HAVING max(abs(val)) > 0
-        |), q AS (
-        |  SELECT vec_id AS query_id, j, val FROM r
-        |  WHERE vec_id < 10 AND vec_id IN (SELECT vec_id FROM nz)
-        |), c AS (
-        |  SELECT vec_id AS cand_id, j, val FROM r
-        |  WHERE vec_id IN (SELECT vec_id FROM nz)
+        |), ra AS (
+        |  SELECT vec_id, list(val ORDER BY j) AS v FROM r
+        |  GROUP BY vec_id HAVING max(abs(val)) > 0
+        |), rv AS (
+        |  SELECT vec_id, dim, v[dim] AS x
+        |  FROM ra, (SELECT unnest(generate_series(1, 32)) AS dim)
+        |), c0 AS (
+        |  SELECT cell, dim, ${floorDivSql("sum(CAST(x AS BIGINT))", "count(*)")} AS cx
+        |  FROM (SELECT vec_id % 8 AS cell, dim, x FROM rv) GROUP BY cell, dim
+        |), s1 AS (
+        |  SELECT i.vec_id, c.cell,
+        |    sum(i.x * c.cx) / (sqrt(sum(i.x * i.x)) * sqrt(sum(c.cx * c.cx))) AS cos
+        |  FROM rv i JOIN c0 c ON i.dim = c.dim GROUP BY i.vec_id, c.cell
+        |), a1 AS (
+        |  SELECT vec_id, cell FROM s1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, cell ASC) = 1
+        |), c1 AS (
+        |  SELECT cell, dim, ${floorDivSql("sum(CAST(x AS BIGINT))", "count(*)")} AS cx
+        |  FROM (SELECT a1.cell, i.dim, i.x FROM rv i JOIN a1 USING (vec_id))
+        |  GROUP BY cell, dim
+        |), s2 AS (
+        |  SELECT i.vec_id, c.cell,
+        |    sum(i.x * c.cx) / (sqrt(sum(i.x * i.x)) * sqrt(sum(c.cx * c.cx))) AS cos
+        |  FROM rv i JOIN c1 c ON i.dim = c.dim GROUP BY i.vec_id, c.cell
+        |), a2 AS (
+        |  SELECT vec_id, cell FROM s2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, cell ASC) <= 2
+        |), p AS (
+        |  SELECT vec_id, cell FROM s2 WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, cell ASC) <= 3
         |), sc AS (
-        |  SELECT query_id, cand_id,
-        |    round(sum(q.val * c.val) /
-        |      (sqrt(sum(q.val * q.val)) * sqrt(sum(c.val * c.val))), 6) AS rp_cos
-        |  FROM q JOIN c USING (j) WHERE query_id <> cand_id
-        |  GROUP BY query_id, cand_id
+        |  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS cand_id,
+        |    round(list_dot_product(ia.v, ib.v) /
+        |      (sqrt(list_dot_product(ia.v, ia.v)) * sqrt(list_dot_product(ib.v, ib.v))), 6) AS rp_cos
+        |  FROM p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+        |  JOIN ra ia ON ia.vec_id = p.vec_id
+        |  JOIN ra ib ON ib.vec_id = b.vec_id
         |), sl AS (
         |  SELECT query_id, cand_id FROM sc
         |  QUALIFY row_number() OVER (PARTITION BY query_id

@@ -142,10 +142,65 @@ object SourceQueries {
     })
   }
 
+  /** Month-partitioned fact + opaque month dim for the DPP gate (q183),
+    * built once per (JVM, dir) like [[bucketedTables]]: lineitem lands
+    * `partitionBy("ship_month")` (83 directories over the corpus's 7
+    * shipped years), and the dim — every distinct month with its year as
+    * a STORED column — is written to parquet and read back, so the optimizer
+    * cannot statically derive `ship_month` from a `yr` predicate and
+    * dynamic partition pruning is the only scan-killer available. */
+  private val dppBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def dppTables(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    dppBuilt.computeIfAbsent(dir, _ => {
+      val scratch = graft.Scratch.named(s"q183_${graft.Scratch.dirKey(dir)}")
+      val factPath = scratch.resolve("li_bymonth").toString
+      val dimPath = scratch.resolve("months").toString
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+          date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      Sources.writePartitionedParquet(li, factPath, Seq("ship_month"))
+      li.select($"ship_month").distinct()
+        .withColumn("yr", substring($"ship_month", 1, 4))
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      (factPath, dimPath)
+    })
+  }
+
+  /** DYNAMIC PARTITION PRUNING gate (q183, VERDICT r9 #3) — the
+    * scan-killer of the star-join at 100 TB, executed and oracle-gated:
+    * the fact is month-partitioned parquet, the dim filter (`yr = 1996`)
+    * sits on a column the fact knows nothing about, and the join key IS
+    * the partition column — so at planning time no static prune exists,
+    * and Spark inserts a `dynamicpruningexpression` on the fact scan that
+    * reuses the dim's broadcast to enumerate the surviving months at
+    * RUNTIME: 12 of 83 partition directories are read, the other 71
+    * never open (DppSpec pins the executed-plan subquery node + the scan's
+    * pruned partition count; this gate proves the rows that flow through
+    * the pruned scan are intact). The oracle replays the equivalent
+    * semantics on the raw table — every fact month exists in the dim, so
+    * the star join ≡ a year filter. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (factPath, dimPath) = dppTables(spark, dir)
+    val fact = Sources.readParquet(spark, factPath)
+    val dim = Sources.readParquet(spark, dimPath).filter($"yr" === "1996")
+    fact.join(broadcast(dim), Seq("ship_month"))
+      .groupBy($"ship_month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
+  }
+
   /** Bench fixture hook ([[graft.Fixtures]], VERDICT r8 #2): the bucketed
-    * fact tables (write-once/join-many by contract). */
-  private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit =
+    * fact tables (write-once/join-many by contract) and the q183
+    * month-partitioned fact + dim. */
+  private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit = {
     bucketedTables(spark, dir): Unit
+    dppTables(spark, dir): Unit
+  }
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -162,7 +217,8 @@ object SourceQueries {
     "q119_csv_roundtrip" -> (csvRoundtrip _),
     "q136_partitioned_roundtrip" -> (partitionedRoundtrip _),
     "q155_xml_roundtrip" -> (xmlRoundtrip _),
-    "q156_bucketed_join" -> (bucketedJoin _))
+    "q156_bucketed_join" -> (bucketedJoin _),
+    "q183_dynamic_partition_pruning" -> (dppJoin _))
 
   val oracle: Map[String, String] = Map(
     // The oracle reads the ORIGINAL parquet — equality proves the JSONL
@@ -198,5 +254,17 @@ object SourceQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+    // q183: the dim holds every distinct fact month, so the star join
+    // with yr = '1996' ≡ a year filter on the raw table; strftime
+    // '%Y-%m' mirrors Spark's date_format 'yyyy-MM' (both zero-padded).
+    "q183_dynamic_partition_pruning" ->
+      """SELECT ship_month, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |        l_quantity, l_extendedprice
+        |      FROM lineitem)
+        |WHERE substr(ship_month, 1, 4) = '1996'
+        |GROUP BY ship_month""".stripMargin)
 }

@@ -102,9 +102,11 @@ class AnnSpec extends SparkSpec {
     // The two-stage cascade's MEASURED accuracy: the final top-10 (exact
     // re-rank of the 64→32-dim RP top-100 shortlist) must retain most of
     // the exact cosine top-10. This synthetic corpus is RP's adversarial
-    // case (near-uniform cosines, tiny neighbor gaps) — measured 0.70;
-    // floor set below it to absorb corpus regeneration, not to excuse a
-    // broken projection (a scrambled sign matrix lands near 10/500 ≈ 0.02).
+    // case (near-uniform cosines, tiny neighbor gaps) — measured 0.64
+    // through the IVF-indexed shortlist (0.70 for the unindexed linear
+    // shortlist; cell restriction at nprobe=3 costs ~0.06 here); floor set
+    // below it to absorb corpus regeneration, not to excuse a broken
+    // projection (a scrambled sign matrix lands near 10/500 ≈ 0.02).
     val dir = "/root/testdata/sf0.01"
     val exact = graft.ops.AnnQueries.bruteForce(spark, dir)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
@@ -114,6 +116,15 @@ class AnnSpec extends SparkSpec {
     val recall = rp.intersect(exact).size / 100.0
     info(s"RP cascade recall@10 = $recall")
     assert(recall >= 0.5, s"RP cascade recall@10 = $recall < 0.5")
+    // VERDICT r9 #2: the shortlist is an INDEX PROBE, not a corpus scan —
+    // the probed-cell filter must reach the RP index's partitionBy("cell")
+    // parquet scan as a PARTITION filter (the q152 executed-plan pin).
+    val rpPlan = graft.ops.AnnQueries.rpAnn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell#\\d+[^\\]]* IN ".r
+      .findFirstIn(rpPlan).nonEmpty ||
+      "PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r.findFirstIn(rpPlan).nonEmpty,
+      s"expected cell IN (...) partition filter on the RP shortlist scan, in:\n$rpPlan")
     // projection plan: scan (+ the load-time spread exchange) and nothing
     // else — no aggregation/join exchange introduced by the projection
     val proj = Ann.signedProjection(
