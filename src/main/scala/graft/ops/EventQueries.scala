@@ -316,6 +316,71 @@ object EventQueries {
     }
   }
 
+  /** CHECKPOINT RECOVERY as a gate query (q184, VERDICT r9 #4) — the
+    * production failure mode state stores exist for, executed end to end:
+    * the corpus streams through [[graft.streaming.Streaming.twsCountSum]]
+    * (RocksDB ValueState per user) and the query is STOPPED at the batch
+    * boundary after the corpus file commits; the per-user flush sentinels
+    * (q92's file, reused) then land in the source directory and a SECOND
+    * query starts from the SAME checkpoint — it must replay committed
+    * offsets (never re-reading the corpus file), reload every user's
+    * (count, cents) state from the store, and emit one final row per user
+    * when the sentinel batch flushes. Output equals the batch aggregate
+    * (q182's oracle) ONLY if recovery carried the full state across the
+    * restart: lost state undercounts every user, a re-read corpus file
+    * double-counts, a re-emitted key duplicates a row and breaks the
+    * count. foreachBatch is the sink (the memory sink refuses checkpoint
+    * recovery by design); per-batch parquet lands under batch_id=N and is
+    * read back with an explicit schema (phase-1 batches emit nothing —
+    * their dirs hold no files). The two-phase drive dir is per-invocation
+    * scratch (two symlinks — the corpus and the memoized sentinel file),
+    * so repeat runs in one JVM never see a pre-populated source; the gate
+    * times stop + recover + resume, its actual claim. StreamingSpec pins
+    * the sharper state contract on a toy corpus (phase-2 totals include
+    * phase-1 rows exactly once; zero re-emitted keys). */
+  def streamingCheckpointRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    Tables.enableNanosRead(spark)
+    val (q92drive, _) = q92DriveFor(spark, dir) // builds zz_sentinel.parquet
+    val drive = graft.Scratch.fresh("q184_drive_")
+    Files.createSymbolicLink(drive.resolve("aa_events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val out = graft.Scratch.fresh("q184_out_").resolve("batches").toString
+    val ckpt = graft.Scratch.freshFast("ckpt_q184_").resolve("ckpt").toString
+    val plan: DataFrame => DataFrame = ev =>
+      graft.streaming.Streaming.twsCountSum(
+        Tables.rebuildNanosTs(ev)
+          .select($"user_id".as("userId"),
+            ($"event_type" === "sentinel").as("isSentinel"),
+            coalesce(($"value".cast("decimal(14,2)") * lit(100)).cast("long"),
+              lit(0L)).as("cents"))
+          .as[graft.streaming.Streaming.TwsEvent]).toDF()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // phase 1: corpus only — state accumulates, nothing emits, the
+      // query stops gracefully at the committed batch boundary
+      graft.streaming.Streaming.runForeachBatch(spark, drive.toString, out,
+        plan, "q184_phase1", checkpointDir = Some(ckpt))
+      // the sentinel file arrives AFTER the stop…
+      Files.createSymbolicLink(drive.resolve("zz_sentinel.parquet"),
+        Paths.get(s"$q92drive/zz_sentinel.parquet"))
+      // …and phase 2 restarts from the same checkpoint
+      graft.streaming.Streaming.runForeachBatch(spark, drive.toString, out,
+        plan, "q184_phase2", checkpointDir = Some(ckpt))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.schema("user_id LONG, n_events LONG, total_cents LONG")
+      .parquet(out)
+      .select($"user_id", $"n_events",
+        ($"total_cents".cast("double") / lit(100.0)).as("total_value"))
+  }
+
   /** WATERMARK LATE-DATA ACCOUNTING as a gate query (q166, VERDICT r8 #3) —
     * the fifth stateful streaming class at the gate: what the watermark
     * DROPS. The drive feeds the corpus ACROSS an already-advanced
@@ -885,13 +950,22 @@ object EventQueries {
     "q92_streaming_sessions" -> (streamingSessions _),
     "q103_streaming_dedup" -> (streamingDedup _),
     "q166_streaming_late_data" -> (streamingLateData _),
-    "q182_streaming_tws" -> (streamingTwsAggregate _))
+    "q182_streaming_tws" -> (streamingTwsAggregate _),
+    "q184_streaming_checkpoint_recovery" -> (streamingCheckpointRecovery _))
 
   val oracle: Map[String, String] = Map(
     // q182: the TWS processor's count + integer-cent sum per user is the
     // plain batch aggregate (sentinels are flush signals, never data; the
     // coalesce mirrors the engine's null-value-adds-0 rule).
     "q182_streaming_tws" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)), 0)
+        |    AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    // q184: identical aggregate to q182 — by design (the q153/q154
+    // precedent): the recovered two-phase drive must land on EXACTLY the
+    // single-run result, or the restart lost/duplicated state or rows.
+    "q184_streaming_checkpoint_recovery" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)), 0)
         |    AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total_value

@@ -393,18 +393,26 @@ object Streaming {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** `checkpointDir`: pass the SAME path across two invocations to
+    * exercise checkpoint RECOVERY (q184) — the restarted query replays
+    * committed offsets, reloads the state store, and continues from the
+    * last batch boundary. foreachBatch (unlike the memory sink, whose
+    * queries set recoverFromCheckpointLocation = false) supports restart;
+    * per-batch parquet dirs are idempotent under the overwrite mode if a
+    * batch is re-run. Default: a fresh checkpoint per drive, as before. */
   def runForeachBatch(spark: SparkSession, sourceDir: String, outDir: String,
       plan: DataFrame => DataFrame, name: String,
       sourceOptions: Map[String, String] = Map.empty,
-      statePartitions: Int = 8): Unit = withStatePartitions(spark, statePartitions) {
+      statePartitions: Int = 8,
+      checkpointDir: Option[String] = None): Unit = withStatePartitions(spark, statePartitions) {
     val stream = fileStream(spark, sourceDir, sourceOptions)
     val q = plan(stream).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
-      .option("checkpointLocation",
-        graft.Scratch.freshFast(s"ckpt_${name}_").resolve("ckpt").toString)
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        graft.Scratch.freshFast(s"ckpt_${name}_").resolve("ckpt").toString))
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()

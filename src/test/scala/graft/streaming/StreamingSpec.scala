@@ -102,6 +102,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint recovery: restart reloads state, never re-reads or re-emits (q184's contract)") {
+    // phase 1: two files → two batches of data for users 7 and 9; STOP.
+    // phase 2: one more data row for 7 plus sentinels, restarted from the
+    // SAME checkpoint. Expected totals prove three things at once:
+    //  - state survived the restart (7 counts its phase-1 rows),
+    //  - committed files were not re-read (7 is 3, not 5+),
+    //  - no key emitted twice (exactly one row per user across ALL batches).
+    val drive = graft.Scratch.fresh("ckrec-drive")
+    def writeFile(name: String, rows: Seq[Streaming.TwsEvent]): Unit = {
+      val staging = graft.Scratch.fresh("ckrec-stage").resolve("out").toString
+      rows.toDF().coalesce(1).write.parquet(staging)
+      val p = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(p.toPath, drive.resolve(name))
+    }
+    writeFile("aa.parquet", Seq(Streaming.TwsEvent(7, isSentinel = false, 100),
+      Streaming.TwsEvent(9, isSentinel = false, 50)))
+    writeFile("bb.parquet", Seq(Streaming.TwsEvent(7, isSentinel = false, 200)))
+    val out = graft.Scratch.fresh("ckrec-out").resolve("batches").toString
+    val ckpt = graft.Scratch.fresh("ckrec-ckpt").resolve("ckpt").toString
+    val plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => Streaming.twsCountSum(df.as[Streaming.TwsEvent]).toDF()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Streaming.runForeachBatch(spark, drive.toString, out, plan, "ckrec_p1",
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"),
+        checkpointDir = Some(ckpt))
+      writeFile("zz.parquet", Seq(Streaming.TwsEvent(7, isSentinel = false, 40),
+        Streaming.TwsEvent(7, isSentinel = true, 0),
+        Streaming.TwsEvent(9, isSentinel = true, 0)))
+      Streaming.runForeachBatch(spark, drive.toString, out, plan, "ckrec_p2",
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"),
+        checkpointDir = Some(ckpt))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val rows = spark.read
+      .schema("user_id LONG, n_events LONG, total_cents LONG").parquet(out)
+      .select("user_id", "n_events", "total_cents") // drop the batch_id partition col
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.sorted == Seq((7L, 3L, 340L), (9L, 1L, 50L)),
+      s"recovered totals drifted: $rows")
+    // zero re-emitted keys across every batch dir, the Append-mode claim
+    assert(rows.map(_._1).distinct.size == rows.size,
+      s"a key emitted more than once across batches: $rows")
+  }
+
   test("transformWithState event-time timers fire on watermark advance, not wall clock") {
     // batch 1: real events (timers armed at last ts + 60 s)
     // batch 2: a far-future advancer for key 99 — its watermark crossing
