@@ -464,7 +464,38 @@ object CoreQueries {
         $"best.price".as("best_price"), $"best.okey".as("best_okey"))
   }
 
+  /** CONFUSION-MATRIX / METRIC ARITHMETIC under the oracle (q185, VERDICT
+    * r9 #5): the reference's M7/M8 evaluation stage
+    * ([[graft.hockey.Evaluation.evaluate]] — one grouped count feeding the
+    * matrix and every derived metric) was ScalaTest-only because a model
+    * fit has no SQL twin. A DETERMINISTIC classifier fixes that: label =
+    * high-priority order, prediction = integer total-price cents ≥ the
+    * 250k$ cut — both integer predicates — so tp/tn/fp/fn are exact
+    * counts and accuracy/precision/recall/F1 are fixed IEEE op sequences
+    * over <2^53 integers (one division each; F1 = ((2·p)·r)/(p+r),
+    * replayed with identical association in the oracle). The gate routes
+    * through the SHIPPING `evaluate` — the same grouped-count collect and
+    * the same ratio code every model run uses (AUC rides along on the
+    * double rawPrediction column, exercised but not emitted: MLlib's
+    * curve integration has no cross-engine twin). Driver state is the
+    * 4-cell confusion map — O(1). */
+  def evaluationMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val preds = Tables.orders(spark, dir).select(
+      when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0)
+        .as("label_binary"),
+      when(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long") >= 25000000L,
+        1.0).otherwise(0.0).as("prediction"))
+      .withColumn("rawPrediction", $"prediction")
+    val m = graft.hockey.Evaluation.evaluate(preds)
+    def cell(l: Double, p: Double): Long = m.confusion.getOrElse((l, p), 0L)
+    Seq((cell(1, 1), cell(0, 0), cell(0, 1), cell(1, 0),
+      m.accuracy, m.precision, m.recall, m.f1))
+      .toDF("n_tp", "n_tn", "n_fp", "n_fn", "accuracy", "prec", "rec", "f1")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_evaluation_metrics" -> (evaluationMetrics _),
     "q51_string_agg" -> (stringAgg _),
     "q52_nested_types" -> (nestedTypes _),
     "q50_unpivot" -> (unpivotMetrics _),
@@ -511,6 +542,34 @@ object CoreQueries {
       |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q185: identical integer predicates, then the metric ratios with the
+    // engine's exact association order — each a fixed IEEE op sequence
+    // over exact integer counts, so DuckDB reproduces every double
+    // bit-for-bit.
+    "q185_evaluation_metrics" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END AS lab,
+        |         CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |                >= 25000000 THEN 1 ELSE 0 END AS pred
+        |  FROM orders
+        |), c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN lab = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+        |    CAST(sum(CASE WHEN lab = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tn,
+        |    CAST(sum(CASE WHEN lab = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+        |    CAST(sum(CASE WHEN lab = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fn
+        |  FROM p
+        |), m AS (
+        |  SELECT n_tp, n_tn, n_fp, n_fn,
+        |    CAST(n_tp + n_tn AS DOUBLE) / CAST(n_tp + n_tn + n_fp + n_fn AS DOUBLE) AS accuracy,
+        |    CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp AS DOUBLE) AS prec,
+        |    CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE) AS rec
+        |  FROM c
+        |)
+        |SELECT n_tp, n_tn, n_fp, n_fn, accuracy, prec, rec,
+        |  CAST(2.0 AS DOUBLE) * prec * rec / (prec + rec) AS f1
+        |FROM m""".stripMargin,
     "q51_string_agg" ->
       """SELECT c_mktsegment,
         | string_agg(c_name, '|' ORDER BY c_name) AS vip_names,
