@@ -97,6 +97,43 @@ object AnnQueries {
     Ann.ivfTopK(celled, probes, 10, "cell", dedup = true)
   }
 
+  /** IVF RECALL@10 vs exact ground truth, AS A NUMBER (q186, VERDICT r9
+    * #7): q100 gates MinHash accuracy quantitatively; this is the ANN
+    * counterpart — for each probe width nprobe ∈ {1,2,3}, the trained
+    * index's top-10 ([[gridIndex]]'s quantizer, q77's exact search shape)
+    * is reconciled against the exact grid-cosine top-10, and the gate
+    * emits INTEGER hit counts plus floor(10⁴·hits/exact) basis points —
+    * the quality/latency trade-off of probe width, auditable at every sf
+    * (AnnSpec additionally pins monotonicity: more probes never lose
+    * recall, and np=3 matches q77's ≥0.6 floor). All ranking arithmetic
+    * is the engine-exact grid rule, so the oracle replays training +
+    * probing + both searches and every count hash-matches. Scale shape:
+    * the exact pass is 10 broadcast queries against the corpus (linear,
+    * the yardstick's contract); the IVF passes are the production
+    * cell-restricted search ×3; the reconciliation joins 3×100 retrieved
+    * pairs against 100 exact pairs — driver never sees data. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (grid, celled, centroids) = gridIndex(spark, dir)
+    val queries = grid.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(grid, queries, 10)
+      .select($"query_id", $"cand_id")
+    val retrieved = (1 to 3).map { np =>
+      Ann.ivfTopK(celled, Ann.probeCells(queries, centroids, np), 10, "cell",
+        dedup = true)
+        .select(lit(np).as("nprobe"), $"query_id", $"cand_id")
+    }.reduce(_ unionByName _)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    retrieved
+      .join(exact.withColumn("hit", lit(1L)), Seq("query_id", "cand_id"), "left")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .select($"nprobe", $"n_retrieved", $"n_hits", $"n_exact",
+        expr("(10000 * n_hits) DIV n_exact").as("recall_bp"))
+  }
+
   /** PERSISTED-index IVF search — the save/load twin of [[ivfTrained]]
     * (q77) and the API a user hits first once the corpus outlives a
     * session: the same grid-Lloyd index is written with
@@ -564,6 +601,7 @@ object AnnQueries {
     "q30_ann_ivf" -> (ivf _),
     "q31_embedding_near_dup" -> (embeddingNearDup _),
     "q77_ann_ivf_trained" -> (ivfTrained _),
+    "q186_ann_ivf_recall" -> (ivfRecall _),
     "q152_ann_ivf_persisted" -> (ivfPersisted _),
     "q153_ann_index_upsert" -> (ivfUpsert _),
     "q154_ann_index_compact" -> (ivfCompacted _),
@@ -853,6 +891,54 @@ object AnnQueries {
          |  ON t2.query_id = t1.cand_id AND t2.cand_id = t1.query_id
          |WHERE t1.query_id < t1.cand_id""".stripMargin,
     "q77_ann_ivf_trained" -> ivfTrainedSql,
+    // q186: same Lloyd replay; per-nprobe probe ranks fan out over
+    // generate_series(1,3), the IVF top-10 per (np, query) reconciles
+    // against the exact grid-cosine top-10, all counts integer. `//` on
+    // positive BIGINTs = Spark's DIV.
+    "q186_ann_ivf_recall" ->
+      s"""WITH $gridLloydSql,
+         |ex AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |    ${cosSql("a.v", "b.v")} AS cosine
+         |  FROM iv a JOIN iv b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10
+         |), ext AS (
+         |  SELECT query_id, cand_id FROM ex
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id ASC) <= 10
+         |), nex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ext
+         |), pr AS (
+         |  SELECT n.np, s.vec_id, s.cell,
+         |    row_number() OVER (PARTITION BY n.np, s.vec_id
+         |      ORDER BY s.cos DESC, s.cell ASC) AS rn
+         |  FROM (SELECT unnest(generate_series(1, 3)) AS np) n, s2 s
+         |  WHERE s.vec_id < 10
+         |), p AS (
+         |  SELECT np, vec_id, cell FROM pr WHERE rn <= np
+         |), sc AS (
+         |  SELECT DISTINCT p.np, p.vec_id AS query_id, b.vec_id AS cand_id,
+         |    ${cosSql("ia.v", "ib.v")} AS cosine
+         |  FROM p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+         |  JOIN iv ia ON ia.vec_id = p.vec_id
+         |  JOIN iv ib ON ib.vec_id = b.vec_id
+         |), ret AS (
+         |  SELECT np, query_id, cand_id FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY np, query_id
+         |    ORDER BY cosine DESC, cand_id ASC) <= 10
+         |), agg AS (
+         |  SELECT np, count(*) AS n_retrieved,
+         |    sum(CASE WHEN ext.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+         |  FROM ret LEFT JOIN ext
+         |    ON ret.query_id = ext.query_id AND ret.cand_id = ext.cand_id
+         |  GROUP BY np
+         |)
+         |SELECT CAST(np AS INTEGER) AS nprobe,
+         |  CAST(n_retrieved AS BIGINT) AS n_retrieved,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  nex.n_exact AS n_exact,
+         |  CAST((10000 * n_hits) // nex.n_exact AS BIGINT) AS recall_bp
+         |FROM agg, nex""".stripMargin,
     // q152 persists q77's exact index (saveIndex → searchIndex) — identical
     // semantics, so the identical replay: equality proves the parquet
     // round trip + partition-pruned search lose nothing.

@@ -140,6 +140,24 @@ class AnnSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("q186 recall@10 is monotone in nprobe and meets q77's floor at nprobe=3") {
+    // the probe-width trade-off as numbers (measured at sf0.01:
+    // 0.46 / 0.69 / 0.78 for nprobe 1/2/3): widening the probe set can
+    // only ADD candidates, so recall must never decrease, and the
+    // nprobe=3 row is exactly q77's search — its recall carries q77's
+    // ≥0.6 recall floor.
+    val rows = graft.ops.AnnQueries.ivfRecall(spark, "/root/testdata/sf0.01")
+      .orderBy("nprobe")
+      .select("nprobe", "n_hits", "n_exact").as[(Int, Long, Long)]
+      .collect()
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    val hits = rows.map(_._2)
+    assert(hits(0) <= hits(1) && hits(1) <= hits(2),
+      s"recall not monotone in nprobe: ${hits.toSeq}")
+    assert(hits(2) * 10 >= rows(2)._3 * 6, // recall@3probes >= 0.6
+      s"nprobe=3 recall ${hits(2)}/${rows(2)._3} under q77's 0.6 floor")
+  }
+
   test("q149 IVF mutual-kNN recovers most exact mutual pairs, no corpus broadcast") {
     // The quantitative gate for the q148→q149 composition (VERDICT r4 #2):
     // cell-restricted edges must recover most of the exact reciprocal
