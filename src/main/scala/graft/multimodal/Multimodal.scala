@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *    stream. It runs inside the same `mapPartitions` codec pattern a
   *    libjpeg/ffmpeg decoder would (partition-local context init), proving
   *    the contract on real bytes (VERDICT r3 #6).
+  *  - [[decodeWav]] extends the real tier to AUDIO (q187): RIFF chunk
+  *    walk (unknown-chunk skip + odd-size padding), PCM16 little-endian
+  *    samples, integer stats via [[decodeAudioSums]]; [[sampleFrames]]
+  *    covers the video container walk.
   *  - [[decodeImageStub]] remains the stand-in for codecs that genuinely
-  *    aren't in this container (JPEG/video/audio); the Spark-side contract
+  *    aren't in this container (JPEG, compressed audio); the Spark-side contract
   *    — schema, batch shape, partitioning, iterator-per-partition (the
   *    Scala analog of `mapInPandas`) — is identical.
   */
@@ -383,6 +387,127 @@ object Multimodal {
           crc.update(rs.rgb)
           ResizedImage(r.media_id, img.format, img.width, img.height,
             rs.width, rs.height, rs.width.toLong * rs.height, crc.getValue)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------- real decoder (WAV/PCM)
+
+  /** A decoded PCM clip: interleaved 16-bit samples across `channels`. */
+  case class RawAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Integer-exact audio decode summary — the AUDIO twin of
+    * [[ChannelSums]] (q187): every column is a pure integer function of
+    * the decoded sample stream (Σ|s|, max|s|, clip census at |s| ≥
+    * 32000), so a closed-form waveform fixture makes the whole codec —
+    * RIFF walk, chunk padding, fmt parse, little-endian signed PCM —
+    * replayable in DuckDB. */
+  case class AudioSums(media_id: Long, format: String, sample_rate: Int,
+      n_channels: Int, n_samples: Long, sum_abs: Long, max_abs: Long,
+      n_clipped: Long)
+
+  /** Decode a RIFF/WAVE container holding 16-bit PCM: walks the chunk
+    * list (skipping unknown chunks, honoring RIFF's odd-size pad byte)
+    * to find `fmt ` and `data`, then reads little-endian signed samples.
+    * Non-PCM formats, other bit depths, or truncated payloads → None,
+    * never a throw (the poison-row contract of [[decodeBmp]]). */
+  def decodeWav(bytes: Array[Byte]): Option[RawAudio] = {
+    def tag(off: Int): String =
+      if (off + 4 > bytes.length) "" else new String(bytes, off, 4, "US-ASCII")
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          if (le16(bytes, off + 8) != 1) return None // PCM only
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+        case "data" => dataOff = off + 8; dataLen = size
+        case _ => // unknown chunk (LIST, fact, …): skip
+      }
+      off += 8 + size + (size & 1) // chunks pad to even length
+    }
+    if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    if (n % channels != 0) return None
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((bytes(dataOff + 2 * i) & 0xff) |
+        (bytes(dataOff + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    Some(RawAudio(rate, channels, samples))
+  }
+
+  /** Encode 16-bit PCM as RIFF/WAVE — [[decodeWav]]'s sink twin and the
+    * round-trip fixture source. `junkChunk` inserts an unknown LIST chunk
+    * between `fmt ` and `data` so the fixture also exercises the chunk
+    * walker's skip path. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short],
+      junkChunk: Boolean = false): Array[Byte] = {
+    val junk = if (junkChunk) 8 + 5 else 0 // 5-byte payload: ODD, so a
+    val junkPad = if (junkChunk) 1 else 0  // genuine RIFF pad byte follows
+    val dataLen = samples.length * 2
+    val riffLen = 4 + (8 + 16) + junk + junkPad + (8 + dataLen)
+    val out = new Array[Byte](8 + riffLen)
+    def putTag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(off: Int, v: Int): Unit = {
+      putLe16(off, v & 0xffff); putLe16(off + 2, (v >> 16) & 0xffff)
+    }
+    putTag(0, "RIFF"); putLe32(4, riffLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1); putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * channels * 2) // byte rate
+    putLe16(32, channels * 2); putLe16(34, 16) // block align, bits
+    var off = 36
+    if (junkChunk) {
+      putTag(off, "LIST"); putLe32(off + 4, 5)
+      "junk0".getBytes("US-ASCII").copyToArray(out, off + 8)
+      off += 8 + 5 + 1 // odd size → pad byte
+    }
+    putTag(off, "data"); putLe32(off + 4, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      putLe16(off + 8 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** [[decodeWav]] behind the partition-local codec pattern of
+    * [[decodeChannelSums]]: undecodable payloads drop, decodable ones
+    * emit the integer sample stats of [[AudioSums]]. */
+  def decodeAudioSums(media: Dataset[MediaRow]): Dataset[AudioSums] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.payload).map { a =>
+          var sum = 0L; var mx = 0L; var clipped = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val v = math.abs(a.samples(i).toLong)
+            sum += v
+            if (v > mx) mx = v
+            if (v >= 32000L) clipped += 1
+            i += 1
+          }
+          AudioSums(r.media_id, "pcm16", a.sampleRate, a.channels,
+            a.samples.length.toLong, sum, mx, clipped)
         }
       }
     }

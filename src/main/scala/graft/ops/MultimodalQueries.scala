@@ -58,6 +58,36 @@ object MultimodalQueries {
       .withColumnRenamed("media_id", "doc_id")
   }
 
+  /** REAL AUDIO-DECODE gate (q187) — q167's pattern extended to the audio
+    * modality, closing the stubbed-decode gap for sound: each document id
+    * deterministically defines a PCM16 clip — `n = id%97+16` samples,
+    * sample k = `((id%251 + 9973k) % 65536) − 32768` (sweeps the full signed
+    * range incl. both clip rails), rate `8000 + (id%4)·4000` — which the
+    * gate ENCODES as a RIFF/WAVE container
+    * ([[graft.multimodal.Multimodal.encodeWav]]; even ids get an unknown
+    * LIST chunk with an odd-size pad byte, so the chunk walker's skip
+    * path is on the gated path) and DECODES through the production codec
+    * ([[graft.multimodal.Multimodal.decodeAudioSums]]), emitting integer
+    * sample stats (Σ|s|, max|s|, clip census). The oracle recomputes them
+    * from the closed-form waveform — it never sees a byte of WAV — so
+    * hash-equality proves the encode→walk→parse→LE-sample chain bit-exact.
+    * Same no-shuffle partition-local batch shape as q167. */
+  def audioDecodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val n = (id % 97 + 16).toInt
+      val seed = id % 251
+      val samples = Array.tabulate(n)(k => (((seed + 9973L * k) % 65536) - 32768).toShort)
+      val rate = (8000 + (id % 4) * 4000).toInt
+      val payload = Multimodal.encodeWav(rate, 1, samples, junkChunk = id % 2 == 0)
+      Multimodal.MediaRow(id, payload, "audio", payload.length.toLong,
+        payload.take(8).map(b => f"${b & 0xff}%02x").mkString)
+    }
+    Multimodal.decodeAudioSums(media).toDF()
+      .withColumnRenamed("media_id", "doc_id")
+  }
+
   /** MODALITY-COVERAGE CENSUS (q179): the join-health report a multimodal
     * pipeline runs before training — per source, how many documents have a
     * paired embedding, how many are missing one, and how many embeddings
@@ -87,7 +117,8 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_modality_coverage" -> (modalityCoverage _),
     "q32_multimodal_binary_stats" -> (binaryStats _),
-    "q167_multimodal_decode" -> (decodeRoundtrip _))
+    "q167_multimodal_decode" -> (decodeRoundtrip _),
+    "q187_audio_decode" -> (audioDecodeRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     // q179: same full-outer + coalesce census.
@@ -123,6 +154,29 @@ object MultimodalQueries {
         |  CAST(sum((d.seed + 3 * px.p + 2) % 256) AS BIGINT) AS sum_b
         |FROM d JOIN px USING (doc_id)
         |GROUP BY d.doc_id, d.format, d.width, d.height""".stripMargin,
+    // q187: closed-form waveform replay — |((seed + 9973k) % 65536) − 32768|
+    // per sample; no WAV bytes involved.
+    "q187_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 97 + 16 AS INTEGER) AS n_i,
+        |    doc_id % 251 AS seed,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_i - 1)) AS k FROM d
+        |), v AS (
+        |  SELECT d.doc_id, abs(((d.seed + 9973 * s.k) % 65536) - 32768) AS a
+        |  FROM d JOIN s USING (doc_id)
+        |)
+        |SELECT d.doc_id, 'pcm16' AS format, d.sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(d.n_i AS BIGINT) AS n_samples,
+        |  CAST(sum(v.a) AS BIGINT) AS sum_abs,
+        |  CAST(max(v.a) AS BIGINT) AS max_abs,
+        |  CAST(sum(CASE WHEN v.a >= 32000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM d JOIN v USING (doc_id)
+        |GROUP BY d.doc_id, d.sample_rate, d.n_i""".stripMargin,
     "q32_multimodal_binary_stats" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
