@@ -431,7 +431,63 @@ object DedupQueries {
     lshCompactedRootFor(spark, dir): Unit
   }
 
+  /** The banding configs of the q188 sweep: every divisor split of the
+    * 12-hash signature from aggressive (12 bands × 1 row — catches
+    * everything, candidates explode) to conservative (2 × 6 — candidates
+    * vanish, recall with them). */
+  private[ops] val SweepConfigs: Seq[(Int, Int)] =
+    Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6))
+
+  /** LSH BAND/ROW S-CURVE SWEEP (q188) — q186's "trade-off as a number"
+    * idea applied to the text-dedup side: the SAME 12-hash signature
+    * table is banded at every [[SweepConfigs]] split, each config's
+    * candidate pairs are exact-verified (integer cross-mult 13·c ≥
+    * 3·(|a|+|b|) ⟺ J ≥ 0.3), and the gate emits integer candidate/true
+    * counts plus basis-point recall and precision against the
+    * theorem-complete exact join (q112's prefix filter — no false
+    * negatives, so its pair count IS the denominator). This is the table
+    * that justifies the production (6, 2) choice: more bands buy recall
+    * at candidate-volume cost, and at 100 TB candidate volume is the
+    * whole bill. One shingle pass feeds signatures and verify sets
+    * (cached); each config's banding is an equi-join on the band key —
+    * never all-pairs; the exact denominator is one prefix-filtered join.
+    * Emitted ratios are floor basis points (integer DIV) — engine-exact. */
+  def lshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sigsAndSets = docs
+      .select($"doc_id", explode(Dedup.wordShingles($"text", ShingleSize)).as("shingle"))
+      .groupBy($"doc_id")
+      .agg(collect_set($"shingle").as("shset"),
+        (0 until NumHashes).map(i => Dedup.minhash(col("shingle"), i).as(s"h$i")): _*)
+      .cache()
+    val sets = sigsAndSets.select($"doc_id", $"shset",
+      size($"shset").cast("long").as("sz"))
+    val nTrue = prefixFilterJoin(spark, dir)
+      .agg(count(lit(1)).as("n_exact_true"))
+    val per = SweepConfigs.map { case (b, r) =>
+      Dedup.candidatePairs(Dedup.bandKeys(sigsAndSets, "doc_id", b, r), "doc_id")
+        .join(sets.select($"doc_id".as("doc_a"), $"shset".as("seta"), $"sz".as("sa")), "doc_a")
+        .join(sets.select($"doc_id".as("doc_b"), $"shset".as("setb"), $"sz".as("sb")), "doc_b")
+        .select(size(array_intersect($"seta", $"setb")).cast("long").as("c"),
+          $"sa", $"sb")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when($"c" * 13 >= ($"sa" + $"sb") * 3, 1L).otherwise(0L)),
+            lit(0L)).as("n_true_candidates"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          $"n_candidates", $"n_true_candidates")
+    }.reduce(_ unionByName _)
+    per.crossJoin(broadcast(nTrue))
+      .select($"bands", $"rows_per_band", $"n_candidates", $"n_true_candidates",
+        $"n_exact_true",
+        expr("(10000 * n_true_candidates) DIV n_exact_true").as("recall_bp"),
+        when($"n_candidates" > 0,
+          expr("(10000 * n_true_candidates) DIV n_candidates"))
+          .otherwise(0L).as("precision_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_lsh_band_sweep" -> (lshBandSweep _),
     "q173_containment_join" -> (containmentJoin _),
     "q161_cluster_keep_best" -> (clusterKeepBest _),
     "q112_similarity_join_prefix" -> (prefixFilterJoin _),
@@ -467,6 +523,76 @@ object DedupQueries {
     val hs = (0 until NumHashes / Bands).map(r => s"h${b * (NumHashes / Bands) + r}")
     s"SELECT doc_id, $b AS band, md5(${hs.mkString(" || ")}) AS bkey FROM sig"
   }.mkString("\n  UNION ALL ")
+
+  /** [[bandSelects]] for any (bands, rowsPerBand) split — q188's sweep. */
+  private def bandSelectsFor(bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      val hs = (0 until rows).map(r => s"h${b * rows + r}")
+      s"SELECT doc_id, $b AS band, md5(${hs.mkString(" || ")}) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+
+  // q188: one signature CTE, banded at every sweep config; candidates
+  // exact-verified with the integer cross-mult; denominator = brute-force
+  // all-pairs (the oracle's privilege — the ENGINE's denominator is the
+  // prefix-filtered exact join, complete by theorem, so the counts match).
+  private lazy val lshBandSweepOracle = {
+    val cfgCtes = SweepConfigs.map { case (b, r) =>
+      s"""bands$b AS (
+         |  ${bandSelectsFor(b, r)}
+         |), cand$b AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands$b a JOIN bands$b b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id
+         |), stat$b AS (
+         |  SELECT $b AS bands, $r AS rows_per_band,
+         |    count(*) AS n_candidates,
+         |    coalesce(sum(CASE WHEN c * 13 >= (sa + sb) * 3 THEN 1 ELSE 0 END), 0)
+         |      AS n_true_candidates
+         |  FROM (
+         |    SELECT CAST(len(list_intersect(x.shset, y.shset)) AS BIGINT) AS c,
+         |      x.sz AS sa, y.sz AS sb
+         |    FROM cand$b JOIN szs x ON cand$b.doc_a = x.doc_id
+         |    JOIN szs y ON cand$b.doc_b = y.doc_id
+         |  )
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = SweepConfigs.map { case (b, _) => s"SELECT * FROM stat$b" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list(s)) AS shset FROM ex GROUP BY doc_id
+       |), szs AS (
+       |  SELECT doc_id, shset, CAST(len(shset) AS BIGINT) AS sz FROM sets
+       |), tp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_exact_true
+       |  FROM szs a JOIN szs b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS BIGINT) * 13
+       |    >= (a.sz + b.sz) * 3
+       |),
+       |$cfgCtes,
+       |u AS (
+       |  $unions
+       |)
+       |SELECT CAST(bands AS INTEGER) AS bands,
+       |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_true_candidates AS BIGINT) AS n_true_candidates,
+       |  tp.n_exact_true,
+       |  CAST((10000 * n_true_candidates) // tp.n_exact_true AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN n_candidates > 0
+       |    THEN (10000 * n_true_candidates) // n_candidates ELSE 0 END AS BIGINT)
+       |    AS precision_bp
+       |FROM u, tp""".stripMargin
+  }
 
   private val minhashOracle =
     s"""WITH toks AS (
@@ -772,6 +898,7 @@ object DedupQueries {
     "q27_dedup_minhash_lsh" -> minhashOracle,
     "q28_dedup_simhash" -> simhashOracle,
     "q100_minhash_accuracy" -> minhashAccuracyOracle,
+    "q188_lsh_band_sweep" -> lshBandSweepOracle,
     "q105_dup_clusters" -> dupClustersOracle,
     "q159_cluster_safe_split" -> clusterSplitOracle,
     "q160_lsh_index_persisted" -> lshIndexOracle,

@@ -166,4 +166,33 @@ class DedupSpec extends SparkSpec {
     assert(mean < 0.15, s"mean |est - exact| = $mean")
     assert(out.max < 0.5, s"max |est - exact| = ${out.max}")
   }
+
+  test("q188 band sweep: coarser banding never gains candidates or recall (S-curve shape)") {
+    // measured at sf0.01: candidates 1248/27/25/25/23 and recall
+    // 1.0/1.0/1.0/1.0/0.92 across (12,1)..(2,6) — the textbook trade.
+    val rows = graft.ops.DedupQueries.lshBandSweep(spark, "/root/testdata/sf0.01")
+      .orderBy(org.apache.spark.sql.functions.col("bands").desc)
+      .select("bands", "n_candidates", "n_true_candidates", "n_exact_true")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(12, 6, 4, 3, 2))
+    // Containment is a THEOREM only where the coarser config's every band
+    // window covers a complete aligned band of the finer config:
+    // (12,1) ⊇ (6,2) ⊇ (4,3) ⊇ (2,6) and (6,2) ⊇ (3,4) ⊇ (2,6) —
+    // (4,3) vs (3,4) is incomparable (window [4,7] contains no aligned
+    // 3-row band), so the spec asserts exactly the nested chains.
+    val byBands = rows.map(r => r._1 -> r).toMap
+    def cands(b: Int) = byBands(b)._2
+    def trues(b: Int) = byBands(b)._3
+    for (Seq(coarse, fine) <- Seq(Seq(6, 12), Seq(4, 6), Seq(2, 4), Seq(3, 6), Seq(2, 3))) {
+      assert(cands(coarse) <= cands(fine),
+        s"bands=$coarse candidates ${cands(coarse)} > bands=$fine ${cands(fine)}")
+      assert(trues(coarse) <= trues(fine),
+        s"bands=$coarse true-candidates not nested under bands=$fine")
+    }
+    // LSH verification admits no false positives past the exact check
+    assert(rows.forall(r => r._3 <= r._4))
+    // the aggressive end must find every exact pair on this corpus
+    assert(rows.head._3 == rows.head._4,
+      s"12x1 banding missed exact pairs: ${rows.head}")
+  }
 }
