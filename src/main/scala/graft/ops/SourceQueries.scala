@@ -194,12 +194,56 @@ object SourceQueries {
         sum($"l_extendedprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
   }
 
+  /** Two-generation evolved layout for q189, built once per (JVM, dir):
+    * generation 1 written by an "old" writer (doc_id, text, lang only);
+    * generation 2 by a "new" writer that added `source` and `n_chars`. */
+  private val evolvedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def evolvedLayout(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    evolvedBuilt.computeIfAbsent(dir, _ => {
+      val out = graft.Scratch.named(s"q189_${graft.Scratch.dirKey(dir)}")
+        .resolve("docs_evolved").toString
+      val docs = Tables.documents(spark, dir)
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"text", $"lang")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      docs.filter($"doc_id" % 2 =!= 0)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      out
+    })
+  }
+
+  /** SCHEMA-EVOLUTION read gate (q189) — the lakehouse fact of life every
+    * long-lived corpus hits: half the files were written before the table
+    * grew `source`/`n_chars` columns. `mergeSchema` unions the footers at
+    * planning time, old files surface the new columns as NULL, and the
+    * aggregate coalesces them (`__pre_evolution__` / 0) — so the gate
+    * proves BOTH that no column of either generation is lost and that
+    * missing-column nulls flow through aggregation exactly as the oracle's
+    * CASE on the raw table predicts. Planning-time footer union: per-file
+    * schema reconciliation is metadata work, the scan itself stays one
+    * distributed pass — the posture that matters when a 100 TB table has
+    * five writer generations. */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = evolvedLayout(spark, dir)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce($"source", lit("__pre_evolution__")).as("source"), $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"n_chars", lit(0L))).as("total_chars"),
+        countDistinct(md5($"text")).as("n_uniq_texts"))
+  }
+
   /** Bench fixture hook ([[graft.Fixtures]], VERDICT r8 #2): the bucketed
-    * fact tables (write-once/join-many by contract) and the q183
-    * month-partitioned fact + dim. */
+    * fact tables (write-once/join-many by contract), the q183
+    * month-partitioned fact + dim, and the q189 evolved layout. */
   private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit = {
     bucketedTables(spark, dir): Unit
     dppTables(spark, dir): Unit
+    evolvedLayout(spark, dir): Unit
   }
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -218,7 +262,8 @@ object SourceQueries {
     "q136_partitioned_roundtrip" -> (partitionedRoundtrip _),
     "q155_xml_roundtrip" -> (xmlRoundtrip _),
     "q156_bucketed_join" -> (bucketedJoin _),
-    "q183_dynamic_partition_pruning" -> (dppJoin _))
+    "q183_dynamic_partition_pruning" -> (dppJoin _),
+    "q189_schema_evolution" -> (schemaEvolutionRead _))
 
   val oracle: Map[String, String] = Map(
     // The oracle reads the ORIGINAL parquet — equality proves the JSONL
@@ -266,5 +311,17 @@ object SourceQueries {
         |        l_quantity, l_extendedprice
         |      FROM lineitem)
         |WHERE substr(ship_month, 1, 4) = '1996'
-        |GROUP BY ship_month""".stripMargin)
+        |GROUP BY ship_month""".stripMargin,
+    // q189: even ids rode the pre-evolution writer (no source/n_chars),
+    // so their columns read back NULL and coalesce to the sentinel/0.
+    "q189_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN '__pre_evolution__'
+        |       ELSE source END AS source,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE n_chars END) AS BIGINT)
+        |    AS total_chars,
+        |  count(DISTINCT md5(text)) AS n_uniq_texts
+        |FROM documents
+        |GROUP BY CASE WHEN doc_id % 2 = 0 THEN '__pre_evolution__'
+        |         ELSE source END, lang""".stripMargin)
 }
