@@ -134,6 +134,59 @@ object AnnQueries {
         expr("(10000 * n_hits) DIV n_exact").as("recall_bp"))
   }
 
+  /** Per-k trained centroid tables for the q190 elbow, memoized like
+    * [[upsertCentroids]] (key `dir#k`): same grid-Lloyd recipe as
+    * [[gridIndex]] with seed `pmod(vec_id, k)`, 2 iterations. */
+  private val elbowCentroids = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row],
+             org.apache.spark.sql.types.StructType)]()
+
+  private def elbowCentroidsFor(spark: SparkSession, dir: String, k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    val (rows, schema) = elbowCentroids.computeIfAbsent(s"$dir#$k", _ => {
+      val (grid, _, _) = gridIndex(spark, dir)
+      val iv = grid.withColumn("seed", pmod($"vec_id", lit(k)).cast("int")).cache()
+      val c = Ann.trainCentroidsGrid(iv, "seed", iters = 2)
+      iv.unpersist(blocking = false)
+      (c.collect(), c.schema)
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** IVF QUANTIZER SIZING ("elbow") gate (q190) — q186's companion on the
+    * other axis of the index design space: recall gated the PROBE width,
+    * this gates the CELL COUNT. For k ∈ {4, 8, 16} a grid-Lloyd quantizer
+    * is trained (2 iterations, seed `vec_id mod k`) and the corpus-wide
+    * quantization error — Σ over vectors of ‖v − centroid(v)‖² on the
+    * integer grid, an exact BIGINT — is emitted with the surviving-cell
+    * census. SSE falls as k grows while per-cell candidate volume (the
+    * search cost) falls too; this table is what picks k before anyone
+    * builds the 100 TB index. Every step exact-integer or fixed-IEEE
+    * (centroids are floor-div lattice points; distances are integer
+    * squares < 2⁵³ per vector), so the oracle replays all three
+    * trainings and every count/sum hash-matches. Scale shape: trainings
+    * are the memoized fixture; the SSE pass is one broadcast-centroid
+    * argmax + one global agg per k — no shuffle beyond the M-steps. */
+  def ivfElbow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (grid, _, _) = gridIndex(spark, dir)
+    Seq(4, 8, 16).map { k =>
+      val cents = elbowCentroidsFor(spark, dir, k)
+      val assigned = Ann.assignCells(grid, cents)
+      val dist2 = aggregate(
+        zip_with($"embedding".cast("array<double>"),
+          $"centroid".cast("array<double>"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v).cast("long")
+      assigned.join(broadcast(cents), "cell")
+        .select($"vec_id", $"cell", dist2.as("d2"))
+        .agg(countDistinct($"cell").as("n_cells"),
+          count(lit(1)).as("n_vecs"),
+          sum($"d2").as("sse"))
+        .select(lit(k).as("k_cells"), $"n_cells", $"n_vecs", $"sse")
+    }.reduce(_ unionByName _)
+  }
+
   /** PERSISTED-index IVF search — the save/load twin of [[ivfTrained]]
     * (q77) and the API a user hits first once the corpus outlives a
     * session: the same grid-Lloyd index is written with
@@ -298,6 +351,7 @@ object AnnQueries {
     upsertedIndex(spark, dir): Unit
     lifecycleRootFor(spark, dir): Unit
     rpIndex(spark, dir): Unit
+    Seq(4, 8, 16).foreach(k => elbowCentroidsFor(spark, dir, k): Unit)
     baselineGuardCount.computeIfAbsent(dir,
       _ => Tables.embeddings(spark, dir).count()): Unit
     maxLabelCellCount.computeIfAbsent(dir, _ =>
@@ -602,6 +656,7 @@ object AnnQueries {
     "q31_embedding_near_dup" -> (embeddingNearDup _),
     "q77_ann_ivf_trained" -> (ivfTrained _),
     "q186_ann_ivf_recall" -> (ivfRecall _),
+    "q190_ann_ivf_elbow" -> (ivfElbow _),
     "q152_ann_ivf_persisted" -> (ivfPersisted _),
     "q153_ann_index_upsert" -> (ivfUpsert _),
     "q154_ann_index_compact" -> (ivfCompacted _),
@@ -658,6 +713,62 @@ object AnnQueries {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |    ORDER BY cos DESC, cell ASC) <= 2
        |)""".stripMargin
+  }
+
+  /** Per-k Lloyd CTE block for the q190 elbow replay (suffix `_k` keeps
+    * three trainings in one statement): seed `vec_id % k` → M → E → M →
+    * single assignment → exact-integer SSE census. Shares `ivd`. */
+  private def lloydElbowCtes(k: Int): String = {
+    val mStep = (src: String) =>
+      s"""SELECT cell, dim, ${floorDivSql("sum(CAST(x AS BIGINT))", "count(*)")} AS cx
+         |  FROM $src GROUP BY cell, dim""".stripMargin
+    s"""c0_$k AS (
+       |  ${mStep(s"(SELECT vec_id % $k AS cell, dim, x FROM ivd)")}
+       |), s1_$k AS (
+       |  SELECT i.vec_id, c.cell,
+       |    sum(i.x * c.cx) / (sqrt(sum(i.x * i.x)) * sqrt(sum(c.cx * c.cx))) AS cos
+       |  FROM ivd i JOIN c0_$k c ON i.dim = c.dim GROUP BY i.vec_id, c.cell
+       |), a1_$k AS (
+       |  SELECT vec_id, cell FROM s1_$k
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, cell ASC) = 1
+       |), c1_$k AS (
+       |  ${mStep(s"(SELECT a.cell, i.dim, i.x FROM ivd i JOIN a1_$k a USING (vec_id))")}
+       |), s2_$k AS (
+       |  SELECT i.vec_id, c.cell,
+       |    sum(i.x * c.cx) / (sqrt(sum(i.x * i.x)) * sqrt(sum(c.cx * c.cx))) AS cos
+       |  FROM ivd i JOIN c1_$k c ON i.dim = c.dim GROUP BY i.vec_id, c.cell
+       |), a_$k AS (
+       |  SELECT vec_id, cell FROM s2_$k
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, cell ASC) = 1
+       |), sse_$k AS (
+       |  SELECT $k AS k_cells,
+       |    count(DISTINCT a.cell) AS n_cells,
+       |    count(DISTINCT a.vec_id) AS n_vecs,
+       |    sum(CAST((i.x - c.cx) * (i.x - c.cx) AS BIGINT)) AS sse
+       |  FROM a_$k a JOIN ivd i USING (vec_id)
+       |  JOIN c1_$k c ON c.cell = a.cell AND c.dim = i.dim
+       |)""".stripMargin
+  }
+
+  private lazy val ivfElbowSql: String = {
+    val ks = Seq(4, 8, 16)
+    s"""WITH iv AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> floor(x * 1000000.0)) AS v
+       |  FROM embeddings
+       |), ivd AS (
+       |  SELECT vec_id, v[dim] AS x, dim
+       |  FROM iv, (SELECT unnest(generate_series(1, 64)) AS dim)
+       |),
+       |${ks.map(lloydElbowCtes).mkString(",\n")}
+       |SELECT CAST(k_cells AS INTEGER) AS k_cells,
+       |  CAST(n_cells AS BIGINT) AS n_cells,
+       |  CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(sse AS BIGINT) AS sse
+       |FROM (${ks.map(k => s"SELECT * FROM sse_$k").mkString(" UNION ALL ")})""".stripMargin
   }
 
   /** Training set = whole corpus (q77/q149/q152). The E/M CTEs (`s1`,
@@ -891,6 +1002,7 @@ object AnnQueries {
          |  ON t2.query_id = t1.cand_id AND t2.cand_id = t1.query_id
          |WHERE t1.query_id < t1.cand_id""".stripMargin,
     "q77_ann_ivf_trained" -> ivfTrainedSql,
+    "q190_ann_ivf_elbow" -> ivfElbowSql,
     // q186: same Lloyd replay; per-nprobe probe ranks fan out over
     // generate_series(1,3), the IVF top-10 per (np, query) reconciles
     // against the exact grid-cosine top-10, all counts integer. `//` on

@@ -158,6 +158,24 @@ class AnnSpec extends SparkSpec {
       s"nprobe=3 recall ${hits(2)}/${rows(2)._3} under q77's 0.6 floor")
   }
 
+  test("q190 elbow: every vector assigned at every k, quantization error shrinks with k") {
+    // measured at sf0.01: SSE 4.83e14 / 4.70e14 / 4.53e14 for k=4/8/16 —
+    // the premise of the elbow table. Lloyd at 2 fixed iterations is not
+    // THEOREM-monotone per adjacent step, so only the endpoints are pinned.
+    val rows = graft.ops.AnnQueries.ivfElbow(spark, "/root/testdata/sf0.01")
+      .orderBy("k_cells")
+      .select("k_cells", "n_cells", "n_vecs", "sse").as[(Int, Long, Long, Long)]
+      .collect()
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16))
+    assert(rows.map(_._3).distinct.length == 1, "vector census drifted across k")
+    rows.foreach { r =>
+      assert(r._2 > 0 && r._2 <= r._1, s"cell census out of range: $r")
+      assert(r._4 > 0L)
+    }
+    assert(rows.last._4 < rows.head._4,
+      s"k=16 SSE ${rows.last._4} not below k=4 SSE ${rows.head._4}")
+  }
+
   test("q149 IVF mutual-kNN recovers most exact mutual pairs, no corpus broadcast") {
     // The quantitative gate for the q148→q149 composition (VERDICT r4 #2):
     // cell-restricted edges must recover most of the exact reciprocal
