@@ -55,6 +55,34 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE demotes a planned sort-merge join to broadcast-hash at runtime") {
+    // The OTHER adaptive re-plan that matters at 100× scale: the planner's
+    // size estimate says shuffle both sides (static broadcast disabled —
+    // stats on a fresh relation routinely overestimate), but the build
+    // side's shuffle stage MATERIALIZES small, and AQE rewrites the
+    // remaining plan to a broadcast-hash join — no second shuffle-sort of
+    // the fact. Pinned on the executed plan like the skew split above.
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // static: never BHJ
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB") { // runtime: allow
+      val fact = spark.range(100000).select(($"id" % 500).as("k"), $"id".as("v"))
+      val build = spark.range(500).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = fact.join(build, Seq("k"))
+      val n = joined.collect().length
+      assert(n == 100000, s"join row count drifted: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan never finalized:\n$plan")
+      // the printed adaptive plan includes the "Initial Plan" section,
+      // where the SMJ legitimately appears — assert on the final section
+      val finalSection = plan.split("== Initial Plan ==").head
+      assert(finalSection.contains("BroadcastHashJoin"),
+        s"AQE did not demote to broadcast-hash; final plan:\n$plan")
+      assert(!finalSection.contains("SortMergeJoin"),
+        s"sort-merge survived into the final plan:\n$plan")
+    }
+  }
+
   test("adaptiveSkewJoin equals the plain join (split-invariance, q168's contract)") {
     val fact = spark.range(5000).select(
       when($"id" % 10 =!= 0, lit(0L)).otherwise($"id" % 7).as("k"),
