@@ -102,6 +102,26 @@ object SourceQueries {
         countDistinct(md5($"text")).as("n_uniq_texts"))
   }
 
+  /** ORC sink → source round trip (q191) — completes the oracle-gated
+    * format surface (parquet/JSONL/CSV/XML/partitioned-parquet + the
+    * second COLUMNAR format): same aggregate contract as
+    * [[jsonlRoundtrip]]; ORC shares the v2 file-source pushdown/pruning
+    * machinery with parquet, so a lossless round trip here carries every
+    * scan optimization unchanged. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val out = graft.Scratch.named(s"q191_${graft.Scratch.dirKey(dir)}").resolve("docs_orc").toString
+    Sources.writeOrc(docs, out)
+    Sources.readOrc(spark, out)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(length($"text")).cast("long").as("total_text_len"),
+        countDistinct(md5($"text")).as("n_uniq_texts"))
+  }
+
   /** BUCKETED-table join gate — the write-once/join-many co-location
     * lever promoted from spec-only (BucketingSpec) to the oracle: both
     * fact sides land as 8-bucket hash-bucketed sorted parquet on the join
@@ -263,7 +283,8 @@ object SourceQueries {
     "q155_xml_roundtrip" -> (xmlRoundtrip _),
     "q156_bucketed_join" -> (bucketedJoin _),
     "q183_dynamic_partition_pruning" -> (dppJoin _),
-    "q189_schema_evolution" -> (schemaEvolutionRead _))
+    "q189_schema_evolution" -> (schemaEvolutionRead _),
+    "q191_orc_roundtrip" -> (orcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     // The oracle reads the ORIGINAL parquet — equality proves the JSONL
@@ -286,6 +307,18 @@ object SourceQueries {
         |  count(DISTINCT md5(text)) AS n_uniq_texts
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY source, lang""".stripMargin,
+    "q191_orc_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+        |  count(DISTINCT md5(text)) AS n_uniq_texts
+        |FROM documents GROUP BY source, lang""".stripMargin,
+    "q191_orc_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+        |  count(DISTINCT md5(text)) AS n_uniq_texts
+        |FROM documents GROUP BY source, lang""".stripMargin,
     "q155_xml_roundtrip" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
