@@ -63,6 +63,26 @@ object TextQueries {
       .select($"doc_id", $"lang".as("labeled_lang"), langId(tokens($"text")).as("predicted_lang"))
   }
 
+  /** LANGUAGE-ID CONFUSION census (q192) — the quantitative audit of the
+    * q24 heuristic, in the q100/q186/q188 family ("the trade-off as a
+    * number"): labeled × predicted counts plus each cell's basis-point
+    * share of its labeled row — the table that says WHERE the n-gram
+    * heuristic misroutes documents (and what a model-based router must
+    * beat) before anyone trusts per-language corpus budgets built on it.
+    * One scan + one grouped count + a broadcast row-total join; all
+    * integers, so the replayed heuristic hash-matches exactly. */
+  def languageIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val preds = languageId(spark, dir)
+    val totals = preds.groupBy($"labeled_lang")
+      .agg(count(lit(1)).as("n_labeled_total"))
+    preds.groupBy($"labeled_lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(totals), "labeled_lang")
+      .select($"labeled_lang", $"predicted_lang", $"n_docs", $"n_labeled_total",
+        expr("(10000 * n_docs) DIV n_labeled_total").as("share_bp"))
+  }
+
   /** Exact dedup: content fingerprint (md5) → keep lowest doc_id per
     * fingerprint + copy count. Hash-groupBy distributes: the shuffle key is
     * the 128-bit digest, so skew is impossible regardless of input skew. */
@@ -452,6 +472,7 @@ object TextQueries {
     "q22_token_stats" -> (tokenStats _),
     "q23_quality_score" -> (qualityScore _),
     "q24_language_id" -> (languageId _),
+    "q192_langid_confusion" -> (languageIdConfusion _),
     "q25_dedup_exact" -> (dedupExact _),
     "q26_corpus_stats" -> (corpusStats _),
     "q33_fingerprint" -> (fingerprint _))
@@ -462,6 +483,26 @@ object TextQueries {
   private val toksSql = DedupQueries.toksSql
   private def hitsSql(words: Seq[String]): String =
     s"CAST(len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
+
+  /** The q24 prediction statement, shared verbatim by q24 and q192 —
+    * single-sourced so the confusion census can never drift from the
+    * per-doc gate. */
+  private lazy val langIdPredSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    ${hitsSql(Seq("the", "a", "and", "of", "to", "is"))} AS en,
+       |    ${hitsSql(Seq("el", "la", "los", "de", "que", "y"))} AS es,
+       |    ${hitsSql(Seq("der", "die", "das", "und", "ist"))} AS de,
+       |    ${hitsSql(Seq("le", "la", "les", "et", "est"))} AS fr
+       |  FROM documents
+       |)
+       |SELECT doc_id, labeled_lang,
+       |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+       |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+       |       WHEN de >= fr AND de > 0 THEN 'de'
+       |       WHEN fr > 0 THEN 'fr'
+       |       ELSE 'unknown' END AS predicted_lang
+       |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // q178: same 8-gram template as the dedup family's shingle replay
@@ -687,22 +728,21 @@ object TextQueries {
          |                    ELSE CAST(punct_count AS DOUBLE) / CAST(char_len AS DOUBLE) END),
          |        4) AS quality_score
          |FROM t""".stripMargin,
-    "q24_language_id" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang AS labeled_lang,
-         |    ${hitsSql(Seq("the", "a", "and", "of", "to", "is"))} AS en,
-         |    ${hitsSql(Seq("el", "la", "los", "de", "que", "y"))} AS es,
-         |    ${hitsSql(Seq("der", "die", "das", "und", "ist"))} AS de,
-         |    ${hitsSql(Seq("le", "la", "les", "et", "est"))} AS fr
-         |  FROM documents
+    "q24_language_id" -> langIdPredSql,
+    // q192: the same prediction statement, folded to the confusion census
+    // with integer basis-point row shares.
+    "q192_langid_confusion" ->
+      s"""WITH p AS (
+         |$langIdPredSql
+         |), tot AS (
+         |  SELECT labeled_lang, CAST(count(*) AS BIGINT) AS n_labeled_total
+         |  FROM p GROUP BY labeled_lang
          |)
-         |SELECT doc_id, labeled_lang,
-         |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
-         |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
-         |       WHEN de >= fr AND de > 0 THEN 'de'
-         |       WHEN fr > 0 THEN 'fr'
-         |       ELSE 'unknown' END AS predicted_lang
-         |FROM t""".stripMargin,
+         |SELECT p.labeled_lang, p.predicted_lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs, tot.n_labeled_total,
+         |  CAST((10000 * count(*)) // tot.n_labeled_total AS BIGINT) AS share_bp
+         |FROM p JOIN tot USING (labeled_lang)
+         |GROUP BY p.labeled_lang, p.predicted_lang, tot.n_labeled_total""".stripMargin,
     "q25_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
