@@ -134,6 +134,26 @@ object AnnQueries {
         expr("(10000 * n_hits) DIV n_exact").as("recall_bp"))
   }
 
+  /** SQL-EXTENSION surface gate (q193): the `SparkSessionExtensions`
+    * `injectFunction` path ([[graft.functions.GraftExtensions]]) driven
+    * end to end through `spark.sql` — a SQL user calling the fused native
+    * expressions by NAME (`graft_cosine`, `graft_rolling_hash`) with no
+    * DataFrame API anywhere. The oracle replays both formulas (sequential
+    * fold dot product; the q33 rolling-hash recurrence), so hash-equality
+    * proves registration, SQL-layer argument binding, and the codegen'd
+    * expressions all agree with the declarative twins. reverse(v) makes
+    * the cosine non-trivial (self-cosine is identically 1). */
+  def sqlExtensionFunctions(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_sqlext")
+    spark.sql(
+      """SELECT vec_id,
+        |  round(graft_cosine(CAST(embedding AS ARRAY<DOUBLE>),
+        |                     reverse(CAST(embedding AS ARRAY<DOUBLE>))), 6)
+        |    AS rev_cosine,
+        |  graft_rolling_hash(CAST(label AS STRING)) AS label_hash
+        |FROM embeddings_sqlext WHERE vec_id < 100""".stripMargin)
+  }
+
   /** Per-k trained centroid tables for the q190 elbow, memoized like
     * [[upsertCentroids]] (key `dir#k`): same grid-Lloyd recipe as
     * [[gridIndex]] with seed `pmod(vec_id, k)`, 2 iterations. */
@@ -657,6 +677,7 @@ object AnnQueries {
     "q77_ann_ivf_trained" -> (ivfTrained _),
     "q186_ann_ivf_recall" -> (ivfRecall _),
     "q190_ann_ivf_elbow" -> (ivfElbow _),
+    "q193_sql_extension_funcs" -> (sqlExtensionFunctions _),
     "q152_ann_ivf_persisted" -> (ivfPersisted _),
     "q153_ann_index_upsert" -> (ivfUpsert _),
     "q154_ann_index_compact" -> (ivfCompacted _),
@@ -1003,6 +1024,25 @@ object AnnQueries {
          |WHERE t1.query_id < t1.cand_id""".stripMargin,
     "q77_ann_ivf_trained" -> ivfTrainedSql,
     "q190_ann_ivf_elbow" -> ivfElbowSql,
+    // q193: sequential-fold dot products (both engines fold in index
+    // order) and the q33 rolling-hash recurrence, on the stringified label.
+    "q193_sql_extension_funcs" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    CAST(label AS VARCHAR) AS label
+        |  FROM embeddings WHERE vec_id < 100
+        |)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, list_reverse(v)) /
+        |    (sqrt(list_dot_product(v, v)) *
+        |     sqrt(list_dot_product(list_reverse(v), list_reverse(v)))), 6)
+        |    AS rev_cosine,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(range(1, length(label) + 1),
+        |                                i -> CAST(ascii(substr(label, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS label_hash
+        |FROM e""".stripMargin,
     // q186: same Lloyd replay; per-nprobe probe ranks fan out over
     // generate_series(1,3), the IVF top-10 per (np, query) reconciles
     // against the exact grid-cosine top-10, all counts integer. `//` on
