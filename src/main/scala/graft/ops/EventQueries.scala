@@ -316,6 +316,71 @@ object EventQueries {
     }
   }
 
+  /** Time-split two-file drive for the q194 Update-mode gate, built once
+    * per (JVM, sf-dir): the corpus splits at the midpoint of its (already
+    * ts-normalized) time range, so batch 2 carries strictly newer rows
+    * than batch 1 and the 2-hour watermark can never late-drop anything —
+    * the oracle is split-independent (the final per-key emission must
+    * equal the global aggregate), the split only forces REAL mid-window
+    * re-emissions. */
+  private val q194Drive =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q194DriveFor(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    import java.nio.file.Files
+    Tables.enableNanosRead(spark)
+    q194Drive.computeIfAbsent(dir, _ => {
+      val fixed = Tables.events(spark, dir)
+      val (mn, mx) = fixed.agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+        .as[(Long, Long)].head()
+      val mid = mn + (mx - mn) / 2
+      val drive = graft.Scratch.named(s"q194_drive_${graft.Scratch.dirKey(dir)}")
+      def writeSlice(name: String, pred: org.apache.spark.sql.Column): Unit = {
+        val staging = graft.Scratch.fresh("q194_staging_")
+        fixed.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(staging.toString)
+        val part = staging.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, drive.resolve(name))
+      }
+      writeSlice("aa_early.parquet", unix_micros($"ts") <= mid)
+      writeSlice("bb_late.parquet", unix_micros($"ts") > mid)
+      drive.toString
+    })
+  }
+
+  /** UPDATE output mode as a gate query (q194) — the third and last
+    * streaming output mode at the gate (q81 Complete, q90/q92/… Append):
+    * the hourly windowed aggregate re-EMITS a changed window every
+    * micro-batch, and downstream must treat emissions as upserts. The
+    * time-split drive guarantees mid-window keys really do emit twice
+    * (a partial count after batch 1, the full count after batch 2); the
+    * read-back keeps each key's LAST emission (`max_by` over the batch
+    * ordinal — exactly what a KV sink does with upserts) and must equal
+    * the plain batch aggregate, q81's oracle. A key whose last emission
+    * were a partial — or a replayed stale emission out of order — breaks
+    * the hash. foreachBatch sink; per-invocation output dir so repeat
+    * runs never mix batch files. */
+  def streamingUpdateMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosRead(spark)
+    val drivePath = q194DriveFor(spark, dir)
+    val out = graft.Scratch.fresh("q194_out_").resolve("batches").toString
+    graft.streaming.Streaming.runForeachBatch(spark, drivePath, out,
+      ev => graft.streaming.Streaming.hourlyCounts(Tables.rebuildNanosTs(ev)),
+      name = "q194_streaming_update_sink",
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"),
+      outputMode = "update")
+    spark.read
+      .schema("hour_start TIMESTAMP, event_type STRING, n_events BIGINT, total_value DOUBLE")
+      .parquet(out)
+      .groupBy($"hour_start", $"event_type")
+      .agg(max_by(struct($"n_events", $"total_value"), $"batch_id").as("last"))
+      .select($"hour_start", $"event_type",
+        $"last.n_events".as("n_events"), $"last.total_value".as("total_value"))
+  }
+
   /** CHECKPOINT RECOVERY as a gate query (q184, VERDICT r9 #4) — the
     * production failure mode state stores exist for, executed end to end:
     * the corpus streams through [[graft.streaming.Streaming.twsCountSum]]
@@ -474,6 +539,7 @@ object EventQueries {
   private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit = {
     q92DriveFor(spark, dir): Unit
     lateDriveFor(spark, dir): Unit
+    q194DriveFor(spark, dir): Unit
   }
 
   def streamingLateData(spark: SparkSession, dir: String): DataFrame = {
@@ -951,7 +1017,8 @@ object EventQueries {
     "q103_streaming_dedup" -> (streamingDedup _),
     "q166_streaming_late_data" -> (streamingLateData _),
     "q182_streaming_tws" -> (streamingTwsAggregate _),
-    "q184_streaming_checkpoint_recovery" -> (streamingCheckpointRecovery _))
+    "q184_streaming_checkpoint_recovery" -> (streamingCheckpointRecovery _),
+    "q194_streaming_update_mode" -> (streamingUpdateMode _))
 
   val oracle: Map[String, String] = Map(
     // q182: the TWS processor's count + integer-cent sum per user is the
@@ -1312,6 +1379,13 @@ object EventQueries {
     // because the declarative query is identical — that equivalence IS the
     // thing this gate entry proves.
     "q81_streaming_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // q194: identical to q81's by design — each key's LAST Update-mode
+    // emission must be the full aggregate, whatever the batch split.
+    "q194_streaming_update_mode" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value

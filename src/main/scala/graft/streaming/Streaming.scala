@@ -404,10 +404,11 @@ object Streaming {
       plan: DataFrame => DataFrame, name: String,
       sourceOptions: Map[String, String] = Map.empty,
       statePartitions: Int = 8,
-      checkpointDir: Option[String] = None): Unit = withStatePartitions(spark, statePartitions) {
+      checkpointDir: Option[String] = None,
+      outputMode: String = "append"): Unit = withStatePartitions(spark, statePartitions) {
     val stream = fileStream(spark, sourceDir, sourceOptions)
     val q = plan(stream).writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
