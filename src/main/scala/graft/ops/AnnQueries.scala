@@ -144,6 +144,11 @@ object AnnQueries {
     * expressions all agree with the declarative twins. reverse(v) makes
     * the cosine non-trivial (self-cosine is identically 1). */
   def sqlExtensionFunctions(spark: SparkSession, dir: String): DataFrame = {
+    // Verify/Bench sessions install the functions via the extensions conf;
+    // registerSql (idempotent) covers sessions built without it (specs,
+    // user notebooks) — the documented live-registry path of
+    // [[graft.functions.GraftExtensions]].
+    graft.functions.Native.registerSql(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_sqlext")
     spark.sql(
       """SELECT vec_id,
