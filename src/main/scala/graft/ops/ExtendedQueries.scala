@@ -135,6 +135,44 @@ object ExtendedQueries {
       .sortBy(_._1).toDF("l_returnflag", "p75_cents")
   }
 
+  /** ROBUST OUTLIER CENSUS via MAD (q195) — the robust-statistics
+    * data-cleaning op mean/stddev z-scores can't do (one wild value drags
+    * the mean toward itself; the median and the median absolute deviation
+    * have 50 % breakdown): per group, median m, MAD = median(|x − m|),
+    * and the count of rows with |x − m| > 3·MAD. Both medians run through
+    * the production [[graft.operators.Stats.groupedPercentile]] (the
+    * few-huge-groups histogram-narrowing path q101 gates — O(groups ×
+    * buckets) driver state, never a per-group sort). Exactness: cents are
+    * integers, the interpolated median is a HALF-integer and the MAD a
+    * QUARTER-integer, so everything rides doubled integers — dev2 =
+    * |2x − 2m| (exact long), mad2x2 = 2·median(dev2) (exact long), and
+    * the 3-MAD flag is the integer cross-mult 2·dev2 > 3·mad2x2; the
+    * reported med/MAD doubles are k/2 and k/4 — all exact. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("g"),
+        ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    val med = graft.operators.Stats.groupedPercentile(
+      li, "g", "cents", p = 0.5, buckets = 1024, maxCollect = 64)
+    val medDf = med.toSeq.map { case (g, v) => (g.asInstanceOf[String], v) }
+      .toDF("g", "med")
+    val dev = li.join(broadcast(medDf), "g")
+      .select($"g", $"cents",
+        abs($"cents" * 2 - ($"med" * 2).cast("long")).as("dev2"))
+    val mad = graft.operators.Stats.groupedPercentile(
+      dev, "g", "dev2", p = 0.5, buckets = 1024, maxCollect = 64)
+    val madDf = mad.toSeq.map { case (g, v) =>
+      (g.asInstanceOf[String], (v * 2).toLong) }.toDF("g", "mad2x2")
+    dev.join(broadcast(medDf), "g").join(broadcast(madDf), "g")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_rows"),
+        first($"med").as("med_cents"),
+        (first($"mad2x2").cast("double") / lit(4.0)).as("mad_cents"),
+        sum(when($"dev2" * 2 > $"mad2x2" * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .withColumnRenamed("g", "l_returnflag")
+  }
+
   /** Runtime Bloom-filter join pruning AT THE GATE — the 100 TB lever
     * where static pushdown can't help: a selective predicate on one side
     * of a fact-fact join becomes a `might_contain(bloom_filter_agg(...))`
@@ -1034,6 +1072,7 @@ object ExtendedQueries {
     "q80_quantifier_hofs" -> (quantifierHofs _),
     "q87_quantiles_pruned" -> (quantilesPruned _),
     "q101_grouped_quantile_pruned" -> (groupedQuantilePruned _),
+    "q195_mad_outliers" -> (madOutliers _),
     "q104_runtime_filter_join" -> (runtimeFilterJoin _))
 
   private val jaccardSql =
@@ -1410,6 +1449,30 @@ object ExtendedQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
+    // q195: both medians replayed by quantile_cont over doubled integers;
+    // the 3-MAD flag is the same integer cross-mult on both sides.
+    "q195_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT g, quantile_cont(cents, 0.5) AS med FROM c GROUP BY g
+        |), d AS (
+        |  SELECT c.g, c.cents,
+        |    CAST(abs(2 * c.cents - CAST(2 * m.med AS BIGINT)) AS BIGINT) AS dev2
+        |  FROM c JOIN m USING (g)
+        |), md AS (
+        |  SELECT g, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad2x2
+        |  FROM d GROUP BY g
+        |)
+        |SELECT d.g AS l_returnflag, count(*) AS n_rows,
+        |  m.med AS med_cents,
+        |  CAST(md.mad2x2 AS DOUBLE) / CAST(4.0 AS DOUBLE) AS mad_cents,
+        |  CAST(sum(CASE WHEN 2 * dev2 > 3 * mad2x2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN m USING (g) JOIN md USING (g)
+        |GROUP BY d.g, m.med, md.mad2x2""".stripMargin,
     "q101_grouped_quantile_pruned" ->
       """SELECT l_returnflag,
         |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT), 0.75) AS p75_cents
