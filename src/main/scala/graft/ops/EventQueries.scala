@@ -316,6 +316,34 @@ object EventQueries {
     }
   }
 
+  /** STREAM-STATIC broadcast enrichment as a gate query (q196) — the
+    * everyday production join shape none of the stateful gates cover: a
+    * stream joined to a BATCH dimension (here an event-type → tier/weight
+    * table) needs NO watermark and NO join state — the dim broadcasts to
+    * every micro-batch and rows enrich in flight; only the downstream
+    * aggregate is stateful. At 100 TB this is the slowly-changing-
+    * dimension enrichment every event pipeline runs (re-broadcast per
+    * batch picks up dim updates). Weighted integer-cent sums keep every
+    * column exact; the oracle is the batch join against the same literal
+    * dim. */
+  def streamingStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosRead(spark)
+    val dim = Seq(
+      ("click", "engagement", 1L), ("view", "engagement", 2L),
+      ("signup", "engagement", 3L), ("purchase", "commerce", 5L),
+      ("error", "ops", 4L)).toDF("event_type", "tier", "weight")
+    graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
+      ev => Tables.rebuildNanosTs(ev)
+        .join(broadcast(dim), "event_type")
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"weight").as("weight_sum"),
+          sum(coalesce(($"value".cast("decimal(14,2)") * 100).cast("long"),
+            lit(0L)) * $"weight").as("weighted_cents")),
+      name = "q196_stream_static_sink")
+  }
+
   /** Time-split two-file drive for the q194 Update-mode gate, built once
     * per (JVM, sf-dir): the corpus splits at the midpoint of its (already
     * ts-normalized) time range, so batch 2 carries strictly newer rows
@@ -1018,7 +1046,8 @@ object EventQueries {
     "q166_streaming_late_data" -> (streamingLateData _),
     "q182_streaming_tws" -> (streamingTwsAggregate _),
     "q184_streaming_checkpoint_recovery" -> (streamingCheckpointRecovery _),
-    "q194_streaming_update_mode" -> (streamingUpdateMode _))
+    "q194_streaming_update_mode" -> (streamingUpdateMode _),
+    "q196_stream_static_join" -> (streamingStaticJoin _))
 
   val oracle: Map[String, String] = Map(
     // q182: the TWS processor's count + integer-cent sum per user is the
@@ -1383,6 +1412,20 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q196: batch join against the same literal dim — the stream-static
+    // broadcast enrichment is semantically invisible.
+    "q196_stream_static_join" ->
+      """WITH dim(event_type, tier, weight) AS (
+        |  VALUES ('click', 'engagement', 1), ('view', 'engagement', 2),
+        |         ('signup', 'engagement', 3), ('purchase', 'commerce', 5),
+        |         ('error', 'ops', 4)
+        |)
+        |SELECT tier, count(*) AS n_events,
+        |  CAST(sum(weight) AS BIGINT) AS weight_sum,
+        |  CAST(sum(coalesce(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT), 0)
+        |    * weight) AS BIGINT) AS weighted_cents
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY tier""".stripMargin,
     // q194: identical to q81's by design — each key's LAST Update-mode
     // emission must be the full aggregate, whatever the batch split.
     "q194_streaming_update_mode" ->
