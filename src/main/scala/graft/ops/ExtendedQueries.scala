@@ -173,6 +173,44 @@ object ExtendedQueries {
       .withColumnRenamed("g", "l_returnflag")
   }
 
+  /** WINSORIZED MEAN (q197) — [[madOutliers]]' sibling on the other
+    * standard robust-cleaning recipe: instead of flagging outliers, CLIP
+    * them — per group, values clamp to the exact [p05, p95] interpolated
+    * cutpoints and the clipped mean + clip census are reported (the
+    * pre-aggregation step that stops a fat-finger price from owning a
+    * feature column). Both cutpoints ride the production
+    * [[graft.operators.Stats.groupedPercentile]]; the interpolated p05/
+    * p95 are arbitrary doubles (0.05·(n−1) is not dyadic), so the clamp
+    * bounds SNAP DOWN to the half-cent grid — `floor(2·q)` on both
+    * engines — making every clamp/census compare an exact integer
+    * predicate instead of an FP boundary case; the one float op is the
+    * final correctly-rounded mean division. */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("g"),
+        ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    def cut(p: Double): Map[Any, Double] = graft.operators.Stats
+      .groupedPercentile(li, "g", "cents", p = p, buckets = 1024, maxCollect = 64)
+    val lo = cut(0.05); val hi = cut(0.95)
+    val cuts = lo.toSeq.map { case (g, v) =>
+      (g.asInstanceOf[String], math.floor(v * 2).toLong, math.floor(hi(g) * 2).toLong)
+    }.toDF("g", "lo2", "hi2")
+    li.join(broadcast(cuts), "g")
+      .select($"g", ($"cents" * 2).as("c2"), $"lo2", $"hi2")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"c2" < $"lo2", 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when($"c2" > $"hi2", 1L).otherwise(0L)).as("n_clipped_hi"),
+        first($"lo2").as("lo2"), first($"hi2").as("hi2"),
+        sum(greatest($"lo2", least($"hi2", $"c2"))).as("sum_clip2"))
+      .select($"g".as("l_returnflag"), $"n_rows", $"n_clipped_lo", $"n_clipped_hi",
+        ($"lo2".cast("double") / lit(2.0)).as("lo_cents"),
+        ($"hi2".cast("double") / lit(2.0)).as("hi_cents"),
+        ($"sum_clip2".cast("double") / ($"n_rows" * 2).cast("double"))
+          .as("win_mean_cents"))
+  }
+
   /** Runtime Bloom-filter join pruning AT THE GATE — the 100 TB lever
     * where static pushdown can't help: a selective predicate on one side
     * of a fact-fact join becomes a `might_contain(bloom_filter_agg(...))`
@@ -1073,6 +1111,7 @@ object ExtendedQueries {
     "q87_quantiles_pruned" -> (quantilesPruned _),
     "q101_grouped_quantile_pruned" -> (groupedQuantilePruned _),
     "q195_mad_outliers" -> (madOutliers _),
+    "q197_winsorized_mean" -> (winsorizedMean _),
     "q104_runtime_filter_join" -> (runtimeFilterJoin _))
 
   private val jaccardSql =
@@ -1449,6 +1488,30 @@ object ExtendedQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
+    // q197: cutpoints replayed by quantile_cont then floor-snapped to the
+    // half-cent grid (matches Scala floor — positive values), clamping on
+    // integers, one final correctly-rounded division.
+    "q197_winsorized_mean" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem
+        |), cut AS (
+        |  SELECT g, CAST(floor(2 * quantile_cont(cents, 0.05)) AS BIGINT) AS lo2,
+        |    CAST(floor(2 * quantile_cont(cents, 0.95)) AS BIGINT) AS hi2
+        |  FROM c GROUP BY g
+        |)
+        |SELECT c.g AS l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN 2 * cents < lo2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN 2 * cents > hi2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  CAST(lo2 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS lo_cents,
+        |  CAST(hi2 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS hi_cents,
+        |  CAST(sum(greatest(lo2, least(hi2, 2 * cents))) AS DOUBLE)
+        |    / CAST(2 * count(*) AS DOUBLE) AS win_mean_cents
+        |FROM c JOIN cut USING (g)
+        |GROUP BY c.g, lo2, hi2""".stripMargin,
     // q195: both medians replayed by quantile_cont over doubled integers;
     // the 3-MAD flag is the same integer cross-mult on both sides.
     "q195_mad_outliers" ->
