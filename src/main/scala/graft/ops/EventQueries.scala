@@ -316,6 +316,45 @@ object EventQueries {
     }
   }
 
+  /** TIME-GRID RESAMPLE + FORWARD FILL (q198) — the irregular-to-regular
+    * feature-engineering op (telemetry, pricing, sensor streams): each
+    * user's event series resamples onto an hourly grid spanning their own
+    * [first, last] activity, grid hours with no events carry the LAST
+    * prior hour's closing value forward (`last(..., ignoreNulls)` over
+    * the user-ordered window — the first grid hour always has an event,
+    * so no leading null exists), and the per-user report counts grid/
+    * event/gap hours plus the integer-cent sum the fill synthesized.
+    * In-hour "closing" value = the row with max (ts, event_id) — a total
+    * order, so both engines pick the same row. Scale shape: the grid is
+    * |users| × per-user span (each user's own bounds, never the global
+    * range), one shuffle keys everything by user, the fill is one
+    * windowed pass; `sequence()` rows are generated, not stored. */
+  def gapFillForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id",
+      date_trunc("hour", $"ts").as("h"), $"ts", $"event_id",
+      coalesce(($"value".cast("decimal(14,2)") * 100).cast("long"), lit(0L))
+        .as("cents"))
+    val hourly = ev.groupBy($"user_id", $"h")
+      .agg(count(lit(1)).as("n_ev"),
+        max_by($"cents", struct($"ts", $"event_id")).as("close_cents"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"h").as("mn"), max($"h").as("mx"))
+      .select($"user_id",
+        explode(sequence($"mn", $"mx", expr("interval 1 hour"))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("filled_cents", last($"close_cents", ignoreNulls = true).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_grid_hours"),
+        sum(when($"n_ev".isNotNull, 1L).otherwise(0L)).as("n_event_hours"),
+        sum(when($"n_ev".isNull, 1L).otherwise(0L)).as("n_gap_hours"),
+        coalesce(sum(when($"n_ev".isNull, $"filled_cents")), lit(0L))
+          .as("gap_fill_cents"))
+  }
+
   /** STREAM-STATIC broadcast enrichment as a gate query (q196) — the
     * everyday production join shape none of the stateful gates cover: a
     * stream joined to a BATCH dimension (here an event-type → tier/weight
@@ -1047,7 +1086,8 @@ object EventQueries {
     "q182_streaming_tws" -> (streamingTwsAggregate _),
     "q184_streaming_checkpoint_recovery" -> (streamingCheckpointRecovery _),
     "q194_streaming_update_mode" -> (streamingUpdateMode _),
-    "q196_stream_static_join" -> (streamingStaticJoin _))
+    "q196_stream_static_join" -> (streamingStaticJoin _),
+    "q198_gap_fill" -> (gapFillForwardFill _))
 
   val oracle: Map[String, String] = Map(
     // q182: the TWS processor's count + integer-cent sum per user is the
@@ -1412,6 +1452,43 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q198: same grid construction (per-user bounds, hourly
+    // generate_series), same (ts, event_id) closing-row rule, same
+    // IGNORE NULLS forward fill.
+    "q198_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id,
+        |    coalesce(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT), 0) AS cents
+        |  FROM events
+        |), he AS (
+        |  SELECT user_id, h, count(*) AS n_ev FROM e GROUP BY user_id, h
+        |), hc AS (
+        |  SELECT user_id, h, cents AS close_cents FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, h
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |), hourly AS (
+        |  SELECT he.user_id, he.h, he.n_ev, hc.close_cents
+        |  FROM he JOIN hc USING (user_id, h)
+        |), grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM hourly GROUP BY user_id
+        |), f AS (
+        |  SELECT g.user_id, g.h, hourly.n_ev,
+        |    last_value(hourly.close_cents IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.h
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS filled_cents
+        |  FROM grid g LEFT JOIN hourly USING (user_id, h)
+        |)
+        |SELECT user_id, count(*) AS n_grid_hours,
+        |  CAST(sum(CASE WHEN n_ev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_event_hours,
+        |  CAST(sum(CASE WHEN n_ev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gap_hours,
+        |  CAST(coalesce(sum(CASE WHEN n_ev IS NULL THEN filled_cents END), 0)
+        |    AS BIGINT) AS gap_fill_cents
+        |FROM f GROUP BY user_id""".stripMargin,
     // q196: batch join against the same literal dim — the stream-static
     // broadcast enrichment is semantically invisible.
     "q196_stream_static_join" ->
