@@ -153,15 +153,19 @@ object ExtendedQueries {
     val li = Tables.lineitem(spark, dir)
       .select($"l_returnflag".as("g"),
         ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    // maxCollect 4096 (the Stats default): lineitem's 3 groups resolve
+    // after one narrowing level through a ≤4096-row tiny-distribution
+    // collect — q101 keeps 64 to exercise DEEP narrowing; this gate's
+    // claim is the robust census, so it takes the cheap exact path
     val med = graft.operators.Stats.groupedPercentile(
-      li, "g", "cents", p = 0.5, buckets = 1024, maxCollect = 64)
+      li, "g", "cents", p = 0.5, buckets = 1024, maxCollect = 4096)
     val medDf = med.toSeq.map { case (g, v) => (g.asInstanceOf[String], v) }
       .toDF("g", "med")
     val dev = li.join(broadcast(medDf), "g")
       .select($"g", $"cents",
         abs($"cents" * 2 - ($"med" * 2).cast("long")).as("dev2"))
     val mad = graft.operators.Stats.groupedPercentile(
-      dev, "g", "dev2", p = 0.5, buckets = 1024, maxCollect = 64)
+      dev, "g", "dev2", p = 0.5, buckets = 1024, maxCollect = 4096)
     val madDf = mad.toSeq.map { case (g, v) =>
       (g.asInstanceOf[String], (v * 2).toLong) }.toDF("g", "mad2x2")
     dev.join(broadcast(medDf), "g").join(broadcast(madDf), "g")
@@ -191,7 +195,8 @@ object ExtendedQueries {
       .select($"l_returnflag".as("g"),
         ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
     def cut(p: Double): Map[Any, Double] = graft.operators.Stats
-      .groupedPercentile(li, "g", "cents", p = p, buckets = 1024, maxCollect = 64)
+      .groupedPercentile(li, "g", "cents", p = p, buckets = 1024,
+        maxCollect = 4096) // q195's cheap-exact-path note applies
     val lo = cut(0.05); val hi = cut(0.95)
     val cuts = lo.toSeq.map { case (g, v) =>
       (g.asInstanceOf[String], math.floor(v * 2).toLong, math.floor(hi(g) * 2).toLong)
