@@ -494,7 +494,56 @@ object CoreQueries {
       .toDF("n_tp", "n_tn", "n_fp", "n_fn", "accuracy", "prec", "rec", "f1")
   }
 
+  /** Order-stats buffer for [[q199 typed aggregation]]: integer cents only,
+    * so merges are exact in any combine order. */
+  case class CentsStats(n: Long, min: Long, max: Long, sum: Long)
+
+  /** The typed `Aggregator[IN, BUF, OUT]` — Spark's USER-facing custom
+    * aggregation API (vs the Catalyst `TypedImperativeAggregate` the TopK
+    * operator uses internally): reduce/merge over a case-class buffer with
+    * product encoders, planned as a regular partial/final hash aggregate. */
+  object CentsStatsAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Long, CentsStats, CentsStats] {
+    override def zero: CentsStats = CentsStats(0L, Long.MaxValue, Long.MinValue, 0L)
+    override def reduce(b: CentsStats, cents: Long): CentsStats =
+      CentsStats(b.n + 1, math.min(b.min, cents), math.max(b.max, cents),
+        b.sum + cents)
+    override def merge(a: CentsStats, b: CentsStats): CentsStats =
+      CentsStats(a.n + b.n, math.min(a.min, b.min), math.max(a.max, b.max),
+        a.sum + b.sum)
+    override def finish(r: CentsStats): CentsStats = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[CentsStats] =
+      org.apache.spark.sql.Encoders.product[CentsStats]
+    override def outputEncoder: org.apache.spark.sql.Encoder[CentsStats] =
+      org.apache.spark.sql.Encoders.product[CentsStats]
+  }
+
+  /** TYPED-AGGREGATOR gate (q199): the `Dataset`/`KeyValueGroupedDataset`
+    * aggregation surface — `groupByKey(...).agg(aggregator.toColumn)` with
+    * a case-class buffer — executed against the oracle. The aggregator's
+    * reduce/merge are exact integer ops (count/min/max/sum over cents), so
+    * partial aggregation order cannot perturb the result, and the plan is
+    * the same partial/final hash-agg shape as a builtin (ObjectHashAggregate
+    * over the product encoder) — typed ergonomics, not a semantic fork.
+    * A user porting a `case class`-centric codebase hits this API first;
+    * the gate proves it feeds the same engine. */
+  def typedAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(CentsStatsAgg.toColumn.name("s"))
+      .toDF("o_orderpriority", "s")
+      .select($"o_orderpriority", $"s.n".as("n_orders"),
+        $"s.min".as("min_cents"), $"s.max".as("max_cents"),
+        $"s.sum".as("sum_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_typed_aggregator" -> (typedAggregator _),
     "q185_evaluation_metrics" -> (evaluationMetrics _),
     "q51_string_agg" -> (stringAgg _),
     "q52_nested_types" -> (nestedTypes _),
@@ -542,6 +591,14 @@ object CoreQueries {
       |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q199: plain grouped integer stats — the typed Aggregator must feed
+    // the same engine as a builtin aggregate.
+    "q199_typed_aggregator" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(min(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS max_cents,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // q185: identical integer predicates, then the metric ratios with the
     // engine's exact association order — each a fixed IEEE op sequence
     // over exact integer counts, so DuckDB reproduces every double
