@@ -116,8 +116,11 @@ object AnnQueries {
     import spark.implicits._
     val (grid, celled, centroids) = gridIndex(spark, dir)
     val queries = grid.filter($"vec_id" < 10)
+    // cached: the exact frame feeds BOTH the hit join and the n_exact
+    // count — uncached, the linear brute-force pass over the corpus
+    // would execute twice per run (code review r10)
     val exact = Ann.bruteForceTopK(grid, queries, 10)
-      .select($"query_id", $"cand_id")
+      .select($"query_id", $"cand_id").cache()
     val retrieved = (1 to 3).map { np =>
       Ann.ivfTopK(celled, Ann.probeCells(queries, centroids, np), 10, "cell",
         dedup = true)

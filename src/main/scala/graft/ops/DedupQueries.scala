@@ -492,7 +492,9 @@ object DedupQueries {
     per.crossJoin(broadcast(nTrue))
       .select($"bands", $"rows_per_band", $"n_candidates", $"n_true_candidates",
         $"n_exact_true",
-        expr("(10000 * n_true_candidates) DIV n_exact_true").as("recall_bp"),
+        when($"n_exact_true" > 0,
+          expr("(10000 * n_true_candidates) DIV n_exact_true"))
+          .otherwise(0L).as("recall_bp"),
         when($"n_candidates" > 0,
           expr("(10000 * n_true_candidates) DIV n_candidates"))
           .otherwise(0L).as("precision_bp"))
@@ -531,10 +533,7 @@ object DedupQueries {
     .map(i => s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i")
     .mkString(",\n    ")
 
-  private val bandSelects = (0 until Bands).map { b =>
-    val hs = (0 until NumHashes / Bands).map(r => s"h${b * (NumHashes / Bands) + r}")
-    s"SELECT doc_id, $b AS band, md5(${hs.mkString(" || ")}) AS bkey FROM sig"
-  }.mkString("\n  UNION ALL ")
+  private lazy val bandSelects = bandSelectsFor(Bands, NumHashes / Bands)
 
   /** [[bandSelects]] for any (bands, rowsPerBand) split — q188's sweep. */
   private def bandSelectsFor(bands: Int, rows: Int): String =
@@ -599,7 +598,9 @@ object DedupQueries {
        |  CAST(n_candidates AS BIGINT) AS n_candidates,
        |  CAST(n_true_candidates AS BIGINT) AS n_true_candidates,
        |  tp.n_exact_true,
-       |  CAST((10000 * n_true_candidates) // tp.n_exact_true AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN tp.n_exact_true > 0
+       |    THEN (10000 * n_true_candidates) // tp.n_exact_true ELSE 0 END
+       |    AS BIGINT) AS recall_bp,
        |  CAST(CASE WHEN n_candidates > 0
        |    THEN (10000 * n_true_candidates) // n_candidates ELSE 0 END AS BIGINT)
        |    AS precision_bp

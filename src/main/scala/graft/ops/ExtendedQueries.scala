@@ -162,13 +162,13 @@ object ExtendedQueries {
     val medDf = med.toSeq.map { case (g, v) => (g.asInstanceOf[String], v) }
       .toDF("g", "med")
     val dev = li.join(broadcast(medDf), "g")
-      .select($"g", $"cents",
+      .select($"g", $"cents", $"med",
         abs($"cents" * 2 - ($"med" * 2).cast("long")).as("dev2"))
     val mad = graft.operators.Stats.groupedPercentile(
       dev, "g", "dev2", p = 0.5, buckets = 1024, maxCollect = 4096)
     val madDf = mad.toSeq.map { case (g, v) =>
       (g.asInstanceOf[String], (v * 2).toLong) }.toDF("g", "mad2x2")
-    dev.join(broadcast(medDf), "g").join(broadcast(madDf), "g")
+    dev.join(broadcast(madDf), "g")
       .groupBy($"g")
       .agg(count(lit(1)).as("n_rows"),
         first($"med").as("med_cents"),
@@ -1493,18 +1493,48 @@ object ExtendedQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
-    // q197: cutpoints replayed by quantile_cont then floor-snapped to the
-    // half-cent grid (matches Scala floor — positive values), clamping on
-    // integers, one final correctly-rounded division.
+    // q197: the cutpoints replay the ENGINE's interpolation op sequence,
+    // not quantile_cont — Stats.groupedPercentile computes a + (b−a)·frac
+    // while DuckDB's quantile_cont computes (1−frac)·a + frac·b, and for
+    // the non-dyadic fracs of p = 0.05/0.95 the two can differ in the
+    // last ulp and land on opposite sides of the floor(2·q) snap (code
+    // review r10: 1637 flip cases in a 3000-case fuzz; dyadic-frac
+    // consumers q195/q101/q87 are exact under both formulas and keep
+    // quantile_cont). Rank-extracted neighbors a/b + the exact
+    // pos = p·(n−1) arithmetic reproduce the engine bit-for-bit.
     "q197_winsorized_mean" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g,
         |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
         |  FROM lineitem
+        |), r AS (
+        |  SELECT g, cents,
+        |    row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM c
+        |), k AS (
+        |  SELECT g, cents, rn, n,
+        |    CAST(floor(CAST(0.05 AS DOUBLE) * (n - 1)) AS BIGINT) AS k05,
+        |    CAST(0.05 AS DOUBLE) * (n - 1)
+        |      - floor(CAST(0.05 AS DOUBLE) * (n - 1)) AS f05,
+        |    CAST(floor(CAST(0.95 AS DOUBLE) * (n - 1)) AS BIGINT) AS k95,
+        |    CAST(0.95 AS DOUBLE) * (n - 1)
+        |      - floor(CAST(0.95 AS DOUBLE) * (n - 1)) AS f95
+        |  FROM r
+        |), q AS (
+        |  SELECT g,
+        |    max(CASE WHEN rn = k05 + 1 THEN CAST(cents AS DOUBLE) END) AS a05,
+        |    max(CASE WHEN rn = least(n, k05 + 2) THEN CAST(cents AS DOUBLE) END) AS b05,
+        |    max(f05) AS f05,
+        |    max(CASE WHEN rn = k95 + 1 THEN CAST(cents AS DOUBLE) END) AS a95,
+        |    max(CASE WHEN rn = least(n, k95 + 2) THEN CAST(cents AS DOUBLE) END) AS b95,
+        |    max(f95) AS f95
+        |  FROM k GROUP BY g
         |), cut AS (
-        |  SELECT g, CAST(floor(2 * quantile_cont(cents, 0.05)) AS BIGINT) AS lo2,
-        |    CAST(floor(2 * quantile_cont(cents, 0.95)) AS BIGINT) AS hi2
-        |  FROM c GROUP BY g
+        |  SELECT g,
+        |    CAST(floor(2 * (a05 + (b05 - a05) * f05)) AS BIGINT) AS lo2,
+        |    CAST(floor(2 * (a95 + (b95 - a95) * f95)) AS BIGINT) AS hi2
+        |  FROM q
         |)
         |SELECT c.g AS l_returnflag, count(*) AS n_rows,
         |  CAST(sum(CASE WHEN 2 * cents < lo2 THEN 1 ELSE 0 END) AS BIGINT)

@@ -307,12 +307,7 @@ object SourceQueries {
         |  count(DISTINCT md5(text)) AS n_uniq_texts
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY source, lang""".stripMargin,
-    "q191_orc_roundtrip" ->
-      """SELECT source, lang, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
-        |  count(DISTINCT md5(text)) AS n_uniq_texts
-        |FROM documents GROUP BY source, lang""".stripMargin,
+
     "q191_orc_roundtrip" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
