@@ -364,6 +364,31 @@ object PipelineQueries {
       .withColumn("pos_in_shard", row_number().over(w))
   }
 
+  /** SHARD INTEGRITY MANIFEST (q200) — the artifact a training job
+    * actually consumes next to q94's shard assignment: per shard, the row
+    * count, character volume, and an ORDER-INDEPENDENT content checksum
+    * (Σ of each member's 48-bit md5-prefix digest — a plain BIGINT sum,
+    * so writers can emit shard files in any partition order and the
+    * manifest still reconciles; 500 docs × 2⁴⁸ ≲ 2⁶³, and at corpus
+    * scale the sum rides DECIMAL(38) headroom). A lost, duplicated, or
+    * corrupted document flips its shard's n_docs or content_sum48 —
+    * exactly the check the consumer runs before trusting an export. The
+    * shard rule is [[shardAssignment]] itself (single-sourced, never a
+    * re-derivation); one hash-keyed join + one shard-keyed agg. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assign = shardAssignment(spark, dir, nibbles = 2)
+      .select($"doc_id", $"shard_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        conv(substring(md5($"text"), 1, 12), 16, 10).cast("long").as("digest48"))
+      .join(assign, "doc_id")
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"digest48").as("content_sum48"))
+  }
+
   /** Exact-k stratified sample (eval-set construction): the k docs with the
     * smallest salted-hash keys per source — deterministic, reproducible,
     * uniformly random within each stratum. Selection runs through the
@@ -784,6 +809,7 @@ object PipelineQueries {
     "q91_temperature_mix" -> (temperatureMix _),
     "q102_temperature_mix_alpha34" -> (temperatureMixAlpha34 _),
     "q94_shard_assignment" -> (shardAssignment _),
+    "q200_shard_manifest" -> (shardManifest _),
     "q95_stratified_sample" -> (stratifiedSample _),
     "q96_bigram_lm" -> (bigramLm _),
     "q99_curation_pipeline" -> (curationPipeline _),
@@ -1049,6 +1075,30 @@ object PipelineQueries {
          |SELECT w1, w2, c_ab, c_a,
          |  CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE) AS cond_prob
          |FROM tot ORDER BY c_ab DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    // q200: q94's shard rule verbatim + the 48-bit digest rebuilt via
+    // strpos digit arithmetic (Spark uses conv; the values agree exactly),
+    // summed order-independently per shard.
+    "q200_shard_manifest" -> {
+      val dsum = (0 until 12).map { i =>
+        s"(strpos('0123456789abcdef', substr(dh, ${i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}"
+      }.mkString("\n       + ")
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         |    substr(md5(text), 1, 12) AS dh
+         |  FROM documents
+         |), a AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+         |       + (instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) AS INTEGER) AS shard_id,
+         |    CAST($dsum AS BIGINT) AS digest48
+         |  FROM h
+         |)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(digest48) AS BIGINT) AS content_sum48
+         |FROM a GROUP BY shard_id""".stripMargin
+    },
     "q94_shard_assignment" ->
       """WITH h AS (
         |  SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
