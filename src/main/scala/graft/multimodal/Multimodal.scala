@@ -422,7 +422,10 @@ object Multimodal {
     while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
       val id = tag(off)
       val size = le32(bytes, off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // Long arithmetic: a crafted size near Int.MaxValue would overflow
+      // `off + 8 + size` to negative and bypass an Int-typed guard,
+      // breaking the poison-row contract with a huge allocation / AIOOBE.
+      if (size < 0 || off.toLong + 8L + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

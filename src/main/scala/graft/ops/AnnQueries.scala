@@ -134,7 +134,10 @@ object AnnQueries {
         sum(coalesce($"hit", lit(0L))).as("n_hits"))
       .crossJoin(broadcast(nExact))
       .select($"nprobe", $"n_retrieved", $"n_hits", $"n_exact",
-        expr("(10000 * n_hits) DIV n_exact").as("recall_bp"))
+        // n_exact ≥ 1 on any corpus with ≥ 2 grid vectors, but CLAUDE.md's
+        // rule is to guard every integer DIV on both engines (ADVICE r10)
+        when($"n_exact" > 0, expr("(10000 * n_hits) DIV n_exact"))
+          .otherwise(0L).as("recall_bp"))
   }
 
   /** SQL-EXTENSION surface gate (q193): the `SparkSessionExtensions`
@@ -1097,7 +1100,8 @@ object AnnQueries {
          |  CAST(n_retrieved AS BIGINT) AS n_retrieved,
          |  CAST(n_hits AS BIGINT) AS n_hits,
          |  nex.n_exact AS n_exact,
-         |  CAST((10000 * n_hits) // nex.n_exact AS BIGINT) AS recall_bp
+         |  CAST(CASE WHEN nex.n_exact > 0 THEN (10000 * n_hits) // nex.n_exact
+         |       ELSE 0 END AS BIGINT) AS recall_bp
          |FROM agg, nex""".stripMargin,
     // q152 persists q77's exact index (saveIndex → searchIndex) — identical
     // semantics, so the identical replay: equality proves the parquet

@@ -619,13 +619,21 @@ object CoreQueries {
         |  FROM p
         |), m AS (
         |  SELECT n_tp, n_tn, n_fp, n_fn,
-        |    CAST(n_tp + n_tn AS DOUBLE) / CAST(n_tp + n_tn + n_fp + n_fn AS DOUBLE) AS accuracy,
-        |    CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp AS DOUBLE) AS prec,
-        |    CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE) AS rec
+        |    CASE WHEN n_tp + n_tn + n_fp + n_fn > 0
+        |      THEN CAST(n_tp + n_tn AS DOUBLE) / CAST(n_tp + n_tn + n_fp + n_fn AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS accuracy,
+        |    CASE WHEN n_tp + n_fp > 0
+        |      THEN CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS prec,
+        |    CASE WHEN n_tp + n_fn > 0
+        |      THEN CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS rec
         |  FROM c
         |)
         |SELECT n_tp, n_tn, n_fp, n_fn, accuracy, prec, rec,
-        |  CAST(2.0 AS DOUBLE) * prec * rec / (prec + rec) AS f1
+        |  CASE WHEN prec + rec > 0
+        |    THEN CAST(2.0 AS DOUBLE) * prec * rec / (prec + rec)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS f1
         |FROM m""".stripMargin,
     "q51_string_agg" ->
       """SELECT c_mktsegment,
