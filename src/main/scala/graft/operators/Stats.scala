@@ -171,8 +171,25 @@ object Stats {
     * Interpolation matches `percentile`/`quantile_cont` exactly. */
   def groupedPercentile(df: DataFrame, groupCol: String, valueCol: String,
       p: Double, buckets: Int = 1024, maxCollect: Int = 4096): Map[Any, Double] = {
-    require(p >= 0.0 && p <= 1.0, s"p must be in [0,1]: $p")
-    val spark = df.sparkSession
+    groupedPercentiles(df, groupCol, valueCol, Seq(p), buckets, maxCollect)
+      .map { case ((g, _), v) => g -> v }
+  }
+
+  /** Exact per-group quantiles for SEVERAL p values in ONE narrowing loop
+    * (VERDICT r10 #5) — the multi-p twin of [[groupedPercentile]], keyed
+    * by (group, p). One persisted (g, v) projection, one head-stats pass,
+    * and one histogram job per LEVEL serve every p: distributed work is
+    * keyed by RANGE, not by (group, p) — all ps of a group start on the
+    * same [mn, mx] range, so the full-data level-1 histogram runs ONCE no
+    * matter how many ps ride it, and ranges only fork (into bucket-sized
+    * subsets) when ps genuinely diverge. For q197's {p05, p95} that
+    * replaces two independent loops (two source scans, two cache builds,
+    * two level-1 histograms) with one of each plus two tiny tails. */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], buckets: Int = 1024,
+      maxCollect: Int = 4096): Map[(Any, Double), Double] = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"p must be in [0,1]: $ps")
     // null/NaN/±Inf excluded, as in exactPercentiles (same rationale).
     // Persisted for the loop's lifetime: every level joins the (g, v)
     // projection against the broadcast ranges up to three times (tiny-range
@@ -181,52 +198,90 @@ object Stats {
     val vals = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .filter(finite(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try groupedPercentileOn(vals, p, buckets, maxCollect)
+    try groupedPercentilesOn(vals, ps, buckets, maxCollect)
+      .map { case ((g, pi), v) => (g, ps(pi)) -> v }
     finally vals.unpersist(blocking = false)
   }
 
-  private def groupedPercentileOn(vals: DataFrame, p: Double,
-      buckets: Int, maxCollect: Int): Map[Any, Double] = {
+  /** The (g, p)-keyed narrowing loop behind [[groupedPercentiles]].
+    *
+    * Distributed frames carry a RANGE id (`rid`), not (g, p): a range is a
+    * chain of bucket filters rooted at a group's full [mn, mx], and every
+    * p currently inside the same chain shares its rows, its histogram, and
+    * its resolves — so the number of distributed jobs per level is bounded
+    * by the number of DISTINCT ranges, not the number of quantiles.
+    * Membership is decided ONLY by the chained clamped-bucket filter (the
+    * [[rankValues]] rule): a child range's rows are exactly the parent's
+    * rows that counted into the chosen bucket, so two ps sharing a rid
+    * share an identical row set by construction, and ranks never drift.
+    * Interpolation, rank arithmetic, and the span/resolve/narrow rules are
+    * verbatim the single-p loop's — same op sequence, same doubles. */
+  private def groupedPercentilesOn(vals: DataFrame, ps: Seq[Double],
+      buckets: Int, maxCollect: Int): Map[(Any, Int), Double] = {
     val spark = vals.sparkSession
     val gType = vals.schema("g").dataType
-    final class St(var lo: Double, var hi: Double, var r1: Long, var r2: Long,
-      val frac: Double)
-    val state = scala.collection.mutable.LinkedHashMap.empty[Any, St]
-    val result = scala.collection.mutable.Map.empty[Any, Double]
+    // rid: the range this (g, p) currently narrows inside; r1/r2 are
+    // 1-based ranks RELATIVE to that range's row set
+    final class St(var rid: Int, var r1: Long, var r2: Long, val frac: Double)
+    val state = scala.collection.mutable.LinkedHashMap.empty[(Any, Int), St]
+    val ranges = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Double)]
+    val result = scala.collection.mutable.Map.empty[(Any, Int), Double]
+    var nextRid = 0
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val gRid = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
     vals.groupBy(col("g"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
       .collect().foreach { r =>
         val (g, mn, mx, n) = (r.get(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
-        val pos = p * (n - 1)
-        val lower = math.floor(pos)
-        val r1 = lower.toLong + 1
-        if (mn == mx) result(g) = mn
-        else state(g) = new St(mn, mx, r1, math.min(n, r1 + 1), pos - lower)
+        var anyOpen = false
+        ps.zipWithIndex.foreach { case (p, pi) =>
+          val pos = p * (n - 1)
+          val lower = math.floor(pos)
+          val r1 = lower.toLong + 1
+          if (mn == mx) result((g, pi)) = mn
+          else {
+            state((g, pi)) = new St(nextRid, r1, math.min(n, r1 + 1), pos - lower)
+            anyOpen = true
+          }
+        }
+        if (anyOpen) { ranges(nextRid) = (mn, mx); gRid(g) = nextRid; nextRid += 1 }
       }
+    if (state.isEmpty) return result.toMap
 
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
-    def ranges(m: scala.collection.Map[Any, St]): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(m.toSeq.map { case (g, s) => Row(g, s.lo, s.hi) }: _*),
-        StructType(Seq(StructField("g", gType), StructField("lo", DoubleType),
-          StructField("hi", DoubleType))))
-    // the clamped bucket of v within the group's current [lo, hi)
+    // project (g, v) → (rid, v) once; every subsequent level re-keys by
+    // child rid through the chained bucket filter
+    var cur: DataFrame = {
+      val m = spark.createDataFrame(
+        java.util.Arrays.asList(gRid.toSeq.map { case (g, rid) => Row(g, rid) }: _*),
+        StructType(Seq(StructField("g", gType), StructField("rid", IntegerType))))
+      vals.join(broadcast(m), "g").select(col("rid"), col("v"))
+    }
+    // the clamped bucket of v within the joined range's [lo, hi)
     def bucketCol: Column = least(lit(buckets - 1), greatest(lit(0),
       floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / buckets)))).cast("int")
+    def ridFrame(rids: Seq[Int]): DataFrame = {
+      val rows = rids.map { rid =>
+        val (lo, hi) = ranges(rid); Row(Int.box(rid), lo, hi) }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("rid", IntegerType), StructField("lo", DoubleType),
+          StructField("hi", DoubleType))))
+    }
 
-    var cur = vals
     while (state.nonEmpty) {
-      // groups whose range is below double resolution: resolve through the
-      // (tiny) per-group value distribution
-      val tiny = state.filter { case (_, s) =>
-        val w = (s.hi - s.lo) / buckets; w == 0.0 || w.isNaN }
-      if (tiny.nonEmpty) {
-        val dist = cur.join(broadcast(ranges(tiny)), "g")
-          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
-          .collect().groupBy(_.get(0))
-        tiny.foreach { case (g, s) =>
-          val d = dist.getOrElse(g, Array.empty[Row])
+      val activeRids = state.valuesIterator.map(_.rid).toSet
+      // ranges below double resolution: resolve through the (tiny)
+      // per-range value distribution
+      val tinyRids = activeRids.filter { rid =>
+        val (lo, hi) = ranges(rid); val w = (hi - lo) / buckets
+        w == 0.0 || w.isNaN }
+      if (tinyRids.nonEmpty) {
+        val dist = cur.filter(col("rid").isin(tinyRids.toSeq.map(Int.box): _*))
+          .groupBy(col("rid"), col("v")).agg(count(lit(1)).as("cnt"))
+          .collect().groupBy(_.getInt(0))
+        state.filter { case (_, s) => tinyRids(s.rid) }.foreach { case (k, s) =>
+          val d = dist.getOrElse(s.rid, Array.empty[Row])
             .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
           var cum = 0L; var a = Double.NaN; var b = Double.NaN
           for ((v, c) <- d) {
@@ -234,28 +289,32 @@ object Stats {
             if (b.isNaN && cum + c >= s.r2) b = v
             cum += c
           }
-          result(g) = if (s.frac == 0.0) a else a + (b - a) * s.frac
-          state.remove(g)
+          result(k) = if (s.frac == 0.0) a else a + (b - a) * s.frac
+          state.remove(k)
         }
       }
       if (state.nonEmpty) {
-        val hist = cur.join(broadcast(ranges(state)), "g")
-          .groupBy(col("g"), bucketCol.as("b")).agg(count(lit(1)).as("cnt"))
-          .collect().groupBy(_.get(0))
-        // Per group, three outcomes from its covering buckets:
+        val histRids = state.valuesIterator.map(_.rid).toSet.toSeq.sorted
+        val hist = cur.join(broadcast(ridFrame(histRids)), "rid")
+          .groupBy(col("rid"), bucketCol.as("b")).agg(count(lit(1)).as("cnt"))
+          .collect().groupBy(_.getInt(0))
+        // Per (g, p), three outcomes from its covering buckets (verbatim
+        // the single-p rules):
         //  - (r1, r2) in DIFFERENT buckets: r1 is the last row of bucket
         //    bLo and r2 the first of bucket bHi — one aggregate resolves
         //    both exactly (narrowing would be a non-terminating trap when
         //    [bLo..bHi] spans the whole range, e.g. a balanced two-valued
         //    group);
-        //  - one SMALL bucket: bounded per-group top-k collect;
+        //  - one SMALL bucket: bounded per-bucket top-k collect;
         //  - one LARGE bucket: narrow to it (range shrinks by the bucket
         //    count each level — guaranteed progress).
-        val span = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Int)]
-        val resolve = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Long)]
-        val narrow = scala.collection.mutable.LinkedHashMap.empty[Any, (Int, Long)]
-        state.foreach { case (g, s) =>
-          val h = hist.getOrElse(g, Array.empty[Row])
+        // Work batches by DISTINCT (rid, bucket) — ps sharing a target
+        // bucket share the job and, for narrow, the child range.
+        val span = scala.collection.mutable.LinkedHashMap.empty[(Any, Int), (Int, Int)]
+        val resolve = scala.collection.mutable.LinkedHashMap.empty[(Any, Int), (Int, Long)]
+        val narrow = scala.collection.mutable.LinkedHashMap.empty[(Any, Int), (Int, Long)]
+        state.foreach { case (k, s) =>
+          val h = hist.getOrElse(s.rid, Array.empty[Row])
             .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
           var cum = 0L; var before = 0L; var bLo = -1; var bHi = -1
           var inBucket = 0L
@@ -264,62 +323,92 @@ object Stats {
             if (bHi < 0 && cum + c >= s.r2) bHi = b
             cum += c
           }
-          if (bLo != bHi) span(g) = (bLo, bHi)
-          else if (inBucket <= maxCollect) resolve(g) = (bLo, before)
-          else narrow(g) = (bLo, before)
-        }
-        def withBuckets(m: scala.collection.Map[Any, (Int, Int)]): DataFrame = {
-          val rows = m.toSeq.map { case (g, (bLo, bHi)) =>
-            Row(g, state(g).lo, state(g).hi, bLo, bHi) }
-          val r = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-            StructType(Seq(StructField("g", gType), StructField("lo", DoubleType),
-              StructField("hi", DoubleType), StructField("bLo", IntegerType),
-              StructField("bHi", IntegerType))))
-          cur.join(broadcast(r), "g")
+          if (bLo != bHi) span(k) = (bLo, bHi)
+          else if (inBucket <= maxCollect) resolve(k) = (bLo, before)
+          else narrow(k) = (bLo, before)
         }
         if (span.nonEmpty) {
-          val got = withBuckets(span)
-            .groupBy(col("g")).agg(
+          // one agg row per DISTINCT (rid, bLo, bHi) triple
+          // .iterator before .map: mapping a Map to pairs/tuples must not
+          // re-collapse by a now-non-unique key
+          val triples = span.iterator.map { case (k, (bLo, bHi)) =>
+            (state(k).rid, bLo, bHi) }.toSeq.distinct.zipWithIndex
+          val rows = triples.map { case ((rid, bLo, bHi), sid) =>
+            val (lo, hi) = ranges(rid)
+            Row(Int.box(rid), lo, hi, Int.box(bLo), Int.box(bHi), Int.box(sid)) }
+          val f = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+            StructType(Seq(StructField("rid", IntegerType), StructField("lo", DoubleType),
+              StructField("hi", DoubleType), StructField("bLo", IntegerType),
+              StructField("bHi", IntegerType), StructField("sid", IntegerType))))
+          val got = cur.join(broadcast(f), "rid")
+            .groupBy(col("sid")).agg(
               max(when(bucketCol === col("bLo"), col("v"))).as("a"),
               min(when(bucketCol === col("bHi"), col("v"))).as("b"))
-            .collect()
-          got.foreach { r =>
-            val g = r.get(0); val s = state(g)
-            val (a, b) = (r.getDouble(1), r.getDouble(2))
-            result(g) = if (s.frac == 0.0) a else a + (b - a) * s.frac
-            state.remove(g)
+            .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+          val sidOf = triples.toMap
+          span.foreach { case (k, (bLo, bHi)) =>
+            val s = state(k)
+            val (a, b) = got(sidOf((s.rid, bLo, bHi)))
+            result(k) = if (s.frac == 0.0) a else a + (b - a) * s.frac
+            state.remove(k)
           }
         }
         if (resolve.nonEmpty) {
           // rows collected are bounded by the covering-bucket size
-          // (≤ maxCollect per group), keeping the driver contract
-          val got = withBuckets(resolve.map { case (g, (b, _)) => g -> (b, b) })
+          // (≤ maxCollect per distinct bucket), keeping the driver contract
+          // .iterator: a Map.map to (rid, bLo) pairs would collapse two
+          // different resolve buckets of one rid into the last one
+          val pairs = resolve.iterator.map { case (k, (bLo, _)) =>
+            (state(k).rid, bLo) }.toSeq.distinct
+          val rows = pairs.map { case (rid, bLo) =>
+            val (lo, hi) = ranges(rid); Row(Int.box(rid), lo, hi, Int.box(bLo)) }
+          val f = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+            StructType(Seq(StructField("rid", IntegerType), StructField("lo", DoubleType),
+              StructField("hi", DoubleType), StructField("bLo", IntegerType))))
+          val got = cur.join(broadcast(f), "rid")
             .filter(bucketCol === col("bLo"))
-            .select(col("g"), col("v"))
-            .collect().groupBy(_.get(0))
-          resolve.foreach { case (g, (_, before)) =>
-            val s = state(g)
-            val sorted = got.getOrElse(g, Array.empty[Row]).map(_.getDouble(1)).sorted
+            .select(col("rid"), col("bLo"), col("v"))
+            .collect().groupBy(r => (r.getInt(0), r.getInt(1)))
+          resolve.foreach { case (k, (bLo, before)) =>
+            val s = state(k)
+            val sorted = got.getOrElse((s.rid, bLo), Array.empty[Row])
+              .map(_.getDouble(2)).sorted
             val a = sorted((s.r1 - before).toInt - 1)
             val b = sorted((s.r2 - before).toInt - 1)
-            result(g) = if (s.frac == 0.0) a else a + (b - a) * s.frac
-            state.remove(g)
+            result(k) = if (s.frac == 0.0) a else a + (b - a) * s.frac
+            state.remove(k)
           }
         }
         if (narrow.nonEmpty) {
-          cur = withBuckets(narrow.map { case (g, (b, _)) => g -> (b, b) })
+          // each DISTINCT (rid, bLo) becomes ONE child range; every p that
+          // chose it re-keys onto the child and keeps sharing rows
+          val pairs = narrow.iterator.map { case (k, (bLo, _)) =>
+            (state(k).rid, bLo) }.toSeq.distinct // .iterator: same pair-collapse trap
+          val childOf = pairs.map { p => p -> { val c = nextRid; nextRid += 1; c } }.toMap
+          val rows = pairs.map { case (rid, bLo) =>
+            val (lo, hi) = ranges(rid)
+            Row(Int.box(rid), lo, hi, Int.box(bLo), Int.box(childOf((rid, bLo)))) }
+          val f = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+            StructType(Seq(StructField("rid", IntegerType), StructField("lo", DoubleType),
+              StructField("hi", DoubleType), StructField("bLo", IntegerType),
+              StructField("child", IntegerType))))
+          cur = cur.join(broadcast(f), "rid")
             .filter(bucketCol === col("bLo"))
-            .select(col("g"), col("v"))
-          narrow.foreach { case (g, (bLo, before)) =>
-            val s = state(g)
-            val width = (s.hi - s.lo) / buckets
-            s.hi = math.min(s.hi, s.lo + (bLo + 1) * width)
-            s.lo = s.lo + bLo * width
+            .select(col("child").as("rid"), col("v"))
+          pairs.foreach { case (rid, bLo) =>
+            val (lo, hi) = ranges(rid)
+            val width = (hi - lo) / buckets
+            ranges(childOf((rid, bLo))) =
+              (lo + bLo * width, math.min(hi, lo + (bLo + 1) * width))
+          }
+          narrow.foreach { case (k, (bLo, before)) =>
+            val s = state(k)
+            s.rid = childOf((s.rid, bLo))
             s.r1 -= before
             s.r2 -= before
           }
         }
-        // narrow empty ⇒ every group resolved ⇒ state empty ⇒ loop exits
+        // narrow empty ⇒ every (g, p) resolved ⇒ state empty ⇒ loop exits
       }
     }
     result.toMap

@@ -161,9 +161,15 @@ object ExtendedQueries {
       li, "g", "cents", p = 0.5, buckets = 1024, maxCollect = 4096)
     val medDf = med.toSeq.map { case (g, v) => (g.asInstanceOf[String], v) }
       .toDF("g", "med")
+    // persisted: the MAD prune's internal passes AND the final census agg
+    // both read dev — uncached, each re-ran the lineitem scan + med join
+    // (VERDICT r10 #7). Released by the harness's per-query clearCache
+    // (the gate's result is lazy, so an in-function unpersist would fire
+    // before the census executes).
     val dev = li.join(broadcast(medDf), "g")
       .select($"g", $"cents", $"med",
         abs($"cents" * 2 - ($"med" * 2).cast("long")).as("dev2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = graft.operators.Stats.groupedPercentile(
       dev, "g", "dev2", p = 0.5, buckets = 1024, maxCollect = 4096)
     val madDf = mad.toSeq.map { case (g, v) =>
@@ -194,13 +200,16 @@ object ExtendedQueries {
     val li = Tables.lineitem(spark, dir)
       .select($"l_returnflag".as("g"),
         ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
-    def cut(p: Double): Map[Any, Double] = graft.operators.Stats
-      .groupedPercentile(li, "g", "cents", p = p, buckets = 1024,
-        maxCollect = 4096) // q195's cheap-exact-path note applies
-    val lo = cut(0.05); val hi = cut(0.95)
-    val cuts = lo.toSeq.map { case (g, v) =>
-      (g.asInstanceOf[String], math.floor(v * 2).toLong, math.floor(hi(g) * 2).toLong)
-    }.toDF("g", "lo2", "hi2")
+    // BOTH cutpoints in ONE narrowing loop (VERDICT r10 #5): one source
+    // scan, one cache build, one shared level-1 histogram — the multi-p
+    // path of the production grouped prune; q195's cheap-exact-path note
+    // applies to maxCollect
+    val qs = graft.operators.Stats.groupedPercentiles(
+      li, "g", "cents", ps = Seq(0.05, 0.95), buckets = 1024, maxCollect = 4096)
+    val cuts = qs.collect { case ((g, 0.05), v) =>
+      (g.asInstanceOf[String], math.floor(v * 2).toLong,
+        math.floor(qs((g, 0.95)) * 2).toLong)
+    }.toSeq.toDF("g", "lo2", "hi2")
     li.join(broadcast(cuts), "g")
       .select($"g", ($"cents" * 2).as("c2"), $"lo2", $"hi2")
       .groupBy($"g")

@@ -98,6 +98,55 @@ class StatsSpec extends SparkSpec {
       buckets = 16, maxCollect = 8) == Map[Any, Double]("g0" -> 0.5))
   }
 
+  test("groupedPercentiles: several ps in one loop equal the per-p answers") {
+    // the multi-p path (range-shared narrowing, VERDICT r10 #5) must be
+    // bit-identical to N independent single-p loops — including ps that
+    // fork into different buckets of one group, ps that SHARE a target
+    // bucket, and degenerate/singleton groups; tiny buckets/maxCollect
+    // drive several levels so child ranges genuinely fork and re-merge
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(6000) { i =>
+      val g = s"g${i % 3}"
+      val v = g match {
+        case "g0" => math.floor(rng.nextGaussian() * 100)
+        case "g1" => (i % 97).toDouble
+        case _    => 42.0
+      }
+      (g, v)
+    } :+ (("g3", 5.0))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.05, 0.1, 0.5, 0.51, 0.9, 0.95)
+    val multi = Stats.groupedPercentiles(df, "g", "v", ps,
+      buckets = 16, maxCollect = 8)
+    ps.foreach { p =>
+      val single = Stats.groupedPercentile(df, "g", "v", p,
+        buckets = 16, maxCollect = 8)
+      single.foreach { case (g, want) =>
+        assert(multi((g, p)) == want, s"p=$p group $g: ${multi((g, p))} vs $want")
+      }
+    }
+    // and against the builtin aggregate (exactness, not just self-parity)
+    ps.foreach { p =>
+      val viaAgg = df.groupBy("g").agg(expr(s"percentile(v, ${p}D)").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      viaAgg.foreach { case (g, want) =>
+        assert(multi((g, p)) == want, s"agg p=$p group $g")
+      }
+    }
+  }
+
+  test("groupedPercentiles: two ps resolving in different buckets of one range") {
+    // regression for the pair-collapse bug: a Map.map to (rid, bucket)
+    // pairs silently dropped one of two resolve buckets of the same range
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val multi = Stats.groupedPercentiles(df, "g", "v", Seq(0.05, 0.95),
+      buckets = 16, maxCollect = 100)
+    for (p <- Seq(0.05, 0.95)) {
+      val want = df.agg(expr(s"percentile(v, ${p}D)")).head().getDouble(0)
+      assert(multi(("g", p)) == want, s"p=$p: ${multi(("g", p))} vs $want")
+    }
+  }
+
   test("recursive narrowing (tiny maxCollect) returns the same quantiles") {
     // maxCollect=4 forces the histogram to narrow several levels before
     // the final bounded take — must agree with the one-shot answer
