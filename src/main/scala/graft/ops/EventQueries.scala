@@ -513,6 +513,69 @@ object EventQueries {
         ($"total_cents".cast("double") / lit(100.0)).as("total_value"))
   }
 
+  /** SINK IDEMPOTENCE UNDER BATCH REPLAY as a gate query (q201, VERDICT
+    * r10 #2) — the OTHER half of exactly-once that q184 doesn't touch:
+    * q184 stops at a COMMITTED boundary and proves state recovery; here
+    * the crash lands in the window where the sink already wrote batch N
+    * but the checkpoint's `commits/N` record is missing — the classic
+    * duplicate-output bug, because on restart Spark re-runs batch N from
+    * its logged offsets and a non-idempotent sink (append mode, or
+    * unique-per-invocation filenames) ships every row of batch N twice.
+    * The drive is q194's time-split pair (`maxFilesPerTrigger=1` → one
+    * batch per file, Update-mode hourly aggregate so EVERY batch emits
+    * rows); after phase 1 the gate deletes the newest `commits/N` file and
+    * restarts from the same checkpoint, forcing a real replay of batch N
+    * (a `require` checks the restart re-committed it). The read-back is
+    * deliberately NOT q194's last-by-batch_id dedup — that would mask the
+    * bug: it counts every emitted row per key, and the oracle replays the
+    * exact expectation `n_emissions = [∃ row ≤ mid] + [∃ row > mid]` from
+    * the drive's split rule, so one extra file from the replayed batch
+    * breaks the hash. The per-`batch_id=N`-directory overwrite in
+    * [[graft.streaming.Streaming.runForeachBatch]] is what makes the
+    * replay invisible — the contract every production foreachBatch sink
+    * (JDBC upsert, MERGE, partition overwrite) must honor. */
+  def streamingReplayIdempotence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    Tables.enableNanosRead(spark)
+    val drivePath = q194DriveFor(spark, dir)
+    val out = graft.Scratch.fresh("q201_out_").resolve("batches").toString
+    val ckpt = graft.Scratch.freshFast("ckpt_q201_").resolve("ckpt").toString
+    val plan: DataFrame => DataFrame = ev =>
+      graft.streaming.Streaming.hourlyCounts(Tables.rebuildNanosTs(ev))
+    def run(phase: String): Unit =
+      graft.streaming.Streaming.runForeachBatch(spark, drivePath, out, plan,
+        s"q201_$phase", sourceOptions = Map("maxFilesPerTrigger" -> "1"),
+        checkpointDir = Some(ckpt), outputMode = "update")
+    run("phase1")
+    // crash model: batch N's sink output landed, its commit record didn't
+    val commits = Paths.get(ckpt, "commits")
+    val newest = {
+      import scala.jdk.CollectionConverters._
+      Files.list(commits).iterator().asScala
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .maxBy(p => p.getFileName.toString.toLong)
+    }
+    Files.delete(newest)
+    // the checkpoint manager rides Hadoop's checksummed local FS: the
+    // shadow .N.crc must go too, or the replay's commit rename finds a
+    // stale checksum and aborts as a concurrent-writer conflict
+    Files.deleteIfExists(
+      commits.resolve(s".${newest.getFileName.toString}.crc"))
+    run("phase2") // restart replays batch N from its logged offsets
+    require(Files.exists(newest),
+      "restart did not replay and re-commit the deleted batch")
+    spark.read
+      .schema("hour_start TIMESTAMP, event_type STRING, n_events BIGINT, total_value DOUBLE")
+      .parquet(out)
+      .groupBy($"hour_start", $"event_type")
+      .agg(max_by(struct($"n_events", $"total_value"), $"batch_id").as("last"),
+        count(lit(1)).as("n_emissions"))
+      .select($"hour_start", $"event_type",
+        $"last.n_events".as("n_events"), $"last.total_value".as("total_value"),
+        $"n_emissions")
+  }
+
   /** WATERMARK LATE-DATA ACCOUNTING as a gate query (q166, VERDICT r8 #3) —
     * the fifth stateful streaming class at the gate: what the watermark
     * DROPS. The drive feeds the corpus ACROSS an already-advanced
@@ -1087,7 +1150,8 @@ object EventQueries {
     "q184_streaming_checkpoint_recovery" -> (streamingCheckpointRecovery _),
     "q194_streaming_update_mode" -> (streamingUpdateMode _),
     "q196_stream_static_join" -> (streamingStaticJoin _),
-    "q198_gap_fill" -> (gapFillForwardFill _))
+    "q198_gap_fill" -> (gapFillForwardFill _),
+    "q201_streaming_replay_idempotence" -> (streamingReplayIdempotence _))
 
   val oracle: Map[String, String] = Map(
     // q182: the TWS processor's count + integer-cent sum per user is the
@@ -1510,6 +1574,25 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q201: q194's final aggregate PLUS the exact emission census the
+    // drive's split rule implies — per (hour, type), batch 0 (rows at or
+    // before mid-microsecond) and batch 1 (rows after) each emit at most
+    // once, and a replayed-batch duplicate file would inflate the count.
+    // mid replays q194DriveFor's integer arithmetic: mn + (mx − mn) // 2
+    // over epoch_us (Spark's unix_micros twin, the q92 precedent).
+    "q201_streaming_replay_idempotence" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+        |), m AS (
+        |  SELECT mn + (mx - mn) // 2 AS mid FROM b
+        |)
+        |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+        |  CAST(max(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END)
+        |     + max(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_emissions
+        |FROM events, m GROUP BY 1, 2""".stripMargin,
     // q92 = q18 executed by the streaming engine with per-key session state;
     // same session CTEs, grouped by (user, session) but session_id not
     // emitted (streaming state has no global session ordinal). The exact

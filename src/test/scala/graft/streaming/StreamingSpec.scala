@@ -153,6 +153,58 @@ class StreamingSpec extends SparkSpec {
       s"a key emitted more than once across batches: $rows")
   }
 
+  test("a lost commit replays exactly its batch, and the batch-keyed sink absorbs it (q201's contract)") {
+    // crash model: the sink wrote batch N but commits/N never landed. On
+    // restart Spark must re-run batch N — once, from its logged offsets —
+    // and the per-batch_id overwrite sink must leave the output identical.
+    val drive = graft.Scratch.fresh("replay-drive")
+    def writeFile(name: String, rows: Seq[Streaming.Event]): Unit = {
+      val staging = graft.Scratch.fresh("replay-stage").resolve("out").toString
+      rows.toDF().coalesce(1).write.parquet(staging)
+      val p = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(p.toPath, drive.resolve(name))
+    }
+    writeFile("aa.parquet", Seq(
+      Streaming.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.5),
+      Streaming.Event(2, ts("2024-01-01 00:10:00"), 9, "view", 2.5)))
+    writeFile("bb.parquet", Seq(
+      Streaming.Event(3, ts("2024-01-01 00:20:00"), 7, "click", 3.5)))
+    val out = graft.Scratch.fresh("replay-out").resolve("batches").toString
+    val ckpt = graft.Scratch.fresh("replay-ckpt").resolve("ckpt").toString
+    // the production sink shape (runForeachBatch's), plus an invocation
+    // counter per batch id — the replay census
+    val calls = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
+    def run(name: String): Unit = {
+      val q = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(drive.toString)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          calls.merge(batchId, 1, Integer.sum(_, _))
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        }
+        .option("checkpointLocation", ckpt).queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("replay_p1")
+    assert(calls.get(0L) == 1 && calls.get(1L) == 1, s"phase 1 drive: $calls")
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    java.nio.file.Files.delete(commits.resolve("1"))
+    java.nio.file.Files.deleteIfExists(commits.resolve(".1.crc"))
+    run("replay_p2")
+    // batch 1 re-ran exactly once; batch 0 (still committed) did not
+    assert(calls.get(0L) == 1, s"committed batch 0 was replayed: $calls")
+    assert(calls.get(1L) == 2, s"batch 1 was not replayed: $calls")
+    // and the output is byte-identical to a crash-free run: 3 rows, no dups
+    val got = spark.read.schema(
+      implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema
+        .add("batch_id", "long"))
+      .parquet(out).select("event_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L), s"replay duplicated or lost rows: $got")
+  }
+
   test("transformWithState event-time timers fire on watermark advance, not wall clock") {
     // batch 1: real events (timers armed at last ts + 60 s)
     // batch 2: a far-future advancer for key 99 — its watermark crossing
