@@ -257,13 +257,112 @@ object SourceQueries {
         countDistinct(md5($"text")).as("n_uniq_texts"))
   }
 
+  /** Sorted-vs-scrambled lineitem pair for the q202 row-group-skipping
+    * gate, built once per (JVM, dir): the SAME projection written twice
+    * into single files with deliberately small row groups (64 KiB block
+    * size → many footer min/max entries per file) — once clustered by
+    * `ship_day` (every row group covers a narrow date slice) and once
+    * deterministically scrambled by a hash (every row group spans the full
+    * seven-year range, so min/max stats can never exclude it). */
+  private val skipBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def skipLayouts(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    skipBuilt.computeIfAbsent(dir, _ => {
+      val scratch = graft.Scratch.named(s"q202_${graft.Scratch.dirKey(dir)}")
+      val sortedPath = scratch.resolve("li_sorted").toString
+      val scrambledPath = scratch.resolve("li_scrambled").toString
+      val li = Tables.lineitem(spark, dir)
+        .select(to_date($"l_shipdate").as("ship_day"),
+          $"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+        df.repartition(1)
+          .write.mode("overwrite")
+          .option("parquet.block.size", (64 * 1024).toString)
+          .parquet(path)
+      write(li.sortWithinPartitions($"ship_day"), sortedPath)
+      write(li.sortWithinPartitions(md5(concat_ws("|",
+        $"l_orderkey", $"l_linenumber"))), scrambledPath)
+      (sortedPath, scrambledPath)
+    })
+  }
+
+  /** ROW-GROUP DATA SKIPPING gate (q202, VERDICT r10 #3) — the scan-killer
+    * BELOW directory level: q183 proves partition directories prune; this
+    * proves parquet footer min/max statistics prune row groups INSIDE a
+    * file, and that they only do so when the layout earns it — the reason
+    * OPTIMIZE/ZORDER (q109) exists at all. The same selective one-month
+    * aggregate runs over [[skipLayouts]]' two physically different copies
+    * of identical data; both must return identical, oracle-exact numbers
+    * (skipping may never change results), while the executed scans' row
+    * counts prove the physical claim: the date-clustered copy materializes
+    * only the row groups whose [min,max] overlaps March 1998, the
+    * scrambled copy decodes every group because every group's range spans
+    * the full corpus. The gate `require`s the measured ratio (clustered
+    * scan ≤ half the scrambled scan's rows — in practice ~30×) so a
+    * regression in pushdown (filter not reaching the scan, stats not
+    * written, predicate type mismatch) aborts the query rather than
+    * silently reverting to full scans. LayoutSpec's q202 case pins the
+    * exact metric shape. */
+  def rowGroupSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (sortedPath, scrambledPath) = skipLayouts(spark, dir)
+    val pred = $"ship_day" >= lit(java.sql.Date.valueOf("1998-03-01")) &&
+      $"ship_day" <= lit(java.sql.Date.valueOf("1998-03-31"))
+    def run(path: String): (Long, Long, Double, Double) = {
+      val df = spark.read.parquet(path).filter(pred)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
+      val r = df.collect().head
+      (scanOutputRows(df, path), r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    val (sortedScan, n1, q1, p1) = run(sortedPath)
+    val (scrambledScan, n2, q2, p2) = run(scrambledPath)
+    require(n1 == n2 && q1 == q2 && p1 == p2,
+      s"layout changed results: ($n1,$q1,$p1) vs ($n2,$q2,$p2)")
+    require(sortedScan * 2 <= scrambledScan,
+      s"row-group skipping regressed: clustered scan materialized " +
+        s"$sortedScan rows vs $scrambledScan unclustered — footer stats " +
+        "are not pruning")
+    Seq(("scrambled", n2, q2, p2), ("sorted", n1, q1, p1))
+      .toDF("layout", "n_rows", "sum_qty", "sum_price")
+  }
+
+  /** Sum of the executed plan's FileSourceScanExec output-row metrics for
+    * scans rooted at `path` — rows MATERIALIZED from parquet after
+    * row-group/page pruning (pushed predicates prune whole groups; rows of
+    * surviving groups all surface and the post-scan Filter re-applies),
+    * which is exactly the data-skipping observable. AQE wraps stages in
+    * leaf nodes, so the walk descends explicitly (the DppSpec pattern). */
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame,
+      path: String): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans) ++
+        other.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains(
+        new java.io.File(path).getName)))
+    require(scans.nonEmpty, s"no FileSourceScanExec over $path in the executed plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
   /** Bench fixture hook ([[graft.Fixtures]], VERDICT r8 #2): the bucketed
     * fact tables (write-once/join-many by contract), the q183
-    * month-partitioned fact + dim, and the q189 evolved layout. */
+    * month-partitioned fact + dim, the q189 evolved layout, and the q202
+    * sorted/scrambled skipping pair. */
   private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit = {
     bucketedTables(spark, dir): Unit
     dppTables(spark, dir): Unit
     evolvedLayout(spark, dir): Unit
+    skipLayouts(spark, dir): Unit
   }
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -284,9 +383,25 @@ object SourceQueries {
     "q156_bucketed_join" -> (bucketedJoin _),
     "q183_dynamic_partition_pruning" -> (dppJoin _),
     "q189_schema_evolution" -> (schemaEvolutionRead _),
-    "q191_orc_roundtrip" -> (orcRoundtrip _))
+    "q191_orc_roundtrip" -> (orcRoundtrip _),
+    "q202_rowgroup_skipping" -> (rowGroupSkipping _))
 
   val oracle: Map[String, String] = Map(
+    // q202: one aggregate over the raw table, emitted once per physical
+    // layout — data skipping may prune I/O, never change numbers. UTC
+    // session ⇒ Spark's to_date(ts) ≡ DuckDB's CAST(ts AS DATE).
+    "q202_rowgroup_skipping" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-03-01'
+        |    AND CAST(l_shipdate AS DATE) <= DATE '1998-03-31'
+        |)
+        |SELECT 'scrambled' AS layout, n_rows, sum_qty, sum_price FROM a
+        |UNION ALL
+        |SELECT 'sorted', n_rows, sum_qty, sum_price FROM a""".stripMargin,
     // The oracle reads the ORIGINAL parquet — equality proves the JSONL
     // hop was lossless.
     "q118_jsonl_roundtrip" ->
