@@ -25,7 +25,8 @@ object Fixtures {
     "dedup_clusters_lsh_index" -> (ops.DedupQueries.prebuildFixtures _),
     "graph_copurchase_edges" -> (ops.GraphQueries.prebuildFixtures _),
     "bucketed_fact_tables" -> (ops.SourceQueries.prebuildFixtures _),
-    "streaming_drive_sources" -> (ops.EventQueries.prebuildFixtures _))
+    "streaming_drive_sources" -> (ops.EventQueries.prebuildFixtures _),
+    "fragmented_docs" -> (ops.PipelineQueries.prebuildFixtures _))
 
   /** Build everything; returns (name, seconds) per fixture group. A builder
     * failure is reported and skipped — its consumers will rebuild (and

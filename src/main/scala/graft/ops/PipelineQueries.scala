@@ -389,6 +389,62 @@ object PipelineQueries {
         sum($"digest48").as("content_sum48"))
   }
 
+  /** Many-small-files copy of `documents` for the q203 compaction gate,
+    * built once per (JVM, dir): 64 part files — the shape a per-batch
+    * streaming sink (q140/q184/q194) leaves behind after a day of
+    * micro-batches. */
+  private val fragmentedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fragmentedDocs(spark: SparkSession, dir: String): String =
+    fragmentedBuilt.computeIfAbsent(dir, _ => {
+      val out = graft.Scratch.named(s"q203_${graft.Scratch.dirKey(dir)}")
+        .resolve("docs_fragmented").toString
+      Tables.documents(spark, dir).repartition(64)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** DATA-FILE COMPACTION with manifest reconciliation (q203, VERDICT r10
+    * #4) — the maintenance op the engine's own streaming sinks create the
+    * need for: a 64-file fragment of `documents` is bin-packed by
+    * [[graft.sources.Sources.compactParquet]] (sizing from on-disk bytes,
+    * `coalesce` so NO shuffle — compaction is an I/O rewrite, not a
+    * re-cluster), and the gate then recomputes q200's shard integrity
+    * manifest FROM THE COMPACTED FILES, joined against the single-sourced
+    * [[shardAssignment]] rule. The oracle is q200's manifest SQL verbatim
+    * over the raw table, so a document lost, duplicated, or corrupted by
+    * the rewrite flips its shard's n_docs/total_chars/content_sum48 and
+    * breaks the hash — exactly the reconciliation a production compactor
+    * runs before swapping the table pointer. The `require` pins the
+    * physical claim (file count actually dropped ≥ 4×); the compaction
+    * itself runs inside the gate — it IS the timed claim — while the
+    * fragmented input is a memoized fixture. */
+  def compactionManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frag = fragmentedDocs(spark, dir)
+    val out = graft.Scratch.fresh("q203_compact_").resolve("docs").toString
+    val (nIn, nOut, _) = graft.sources.Sources.compactParquet(
+      spark, frag, out, targetBytes = 16L * 1024 * 1024)
+    require(nOut * 4 <= nIn,
+      s"compaction did not pack: $nIn files in, $nOut out")
+    val assign = shardAssignment(spark, dir, nibbles = 2)
+      .select($"doc_id", $"shard_id")
+    spark.read.parquet(out)
+      .select($"doc_id", $"n_chars",
+        conv(substring(md5($"text"), 1, 12), 16, 10).cast("long").as("digest48"))
+      .join(assign, "doc_id")
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"digest48").as("content_sum48"))
+  }
+
+  /** Bench fixture hook ([[graft.Fixtures]]): the q203 fragmented input —
+    * the gate times the compaction, not the fragment write. */
+  private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit =
+    fragmentedDocs(spark, dir): Unit
+
   /** Exact-k stratified sample (eval-set construction): the k docs with the
     * smallest salted-hash keys per source — deterministic, reproducible,
     * uniformly random within each stratum. Selection runs through the
@@ -810,6 +866,7 @@ object PipelineQueries {
     "q102_temperature_mix_alpha34" -> (temperatureMixAlpha34 _),
     "q94_shard_assignment" -> (shardAssignment _),
     "q200_shard_manifest" -> (shardManifest _),
+    "q203_compaction_manifest" -> (compactionManifest _),
     "q95_stratified_sample" -> (stratifiedSample _),
     "q96_bigram_lm" -> (bigramLm _),
     "q99_curation_pipeline" -> (curationPipeline _),
@@ -821,6 +878,30 @@ object PipelineQueries {
     """CASE WHEN len(tk) >= 2
       | THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
       | ELSE [array_to_string(tk, ' ')] END""".stripMargin
+
+  /** q200's manifest SQL — single-sourced because q203 must reconcile
+    * against the IDENTICAL expectation. */
+  private lazy val manifestOracleSql: String = {
+    val dsum = (0 until 12).map { i =>
+      s"(strpos('0123456789abcdef', substr(dh, ${i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}"
+    }.mkString("\n       + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars,
+       |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       |    substr(md5(text), 1, 12) AS dh
+       |  FROM documents
+       |), a AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+       |       + (instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) AS INTEGER) AS shard_id,
+       |    CAST($dsum AS BIGINT) AS digest48
+       |  FROM h
+       |)
+       |SELECT shard_id, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(digest48) AS BIGINT) AS content_sum48
+       |FROM a GROUP BY shard_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // q162: same salted-hash admission order (md5 hex strings compare
@@ -1078,27 +1159,11 @@ object PipelineQueries {
     // q200: q94's shard rule verbatim + the 48-bit digest rebuilt via
     // strpos digit arithmetic (Spark uses conv; the values agree exactly),
     // summed order-independently per shard.
-    "q200_shard_manifest" -> {
-      val dsum = (0 until 12).map { i =>
-        s"(strpos('0123456789abcdef', substr(dh, ${i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}"
-      }.mkString("\n       + ")
-      s"""WITH h AS (
-         |  SELECT doc_id, n_chars,
-         |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
-         |    substr(md5(text), 1, 12) AS dh
-         |  FROM documents
-         |), a AS (
-         |  SELECT doc_id, n_chars,
-         |    CAST((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
-         |       + (instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) AS INTEGER) AS shard_id,
-         |    CAST($dsum AS BIGINT) AS digest48
-         |  FROM h
-         |)
-         |SELECT shard_id, count(*) AS n_docs,
-         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-         |  CAST(sum(digest48) AS BIGINT) AS content_sum48
-         |FROM a GROUP BY shard_id""".stripMargin
-    },
+    "q200_shard_manifest" -> manifestOracleSql,
+    // q203: the SAME manifest over the raw table — the compacted files
+    // must reconcile to it exactly or the rewrite lost/duplicated/
+    // corrupted a document.
+    "q203_compaction_manifest" -> manifestOracleSql,
     "q94_shard_assignment" ->
       """WITH h AS (
         |  SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

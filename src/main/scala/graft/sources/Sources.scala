@@ -110,4 +110,33 @@ object Sources {
   /** Console sink — S3 (`.show()` of small result frames). */
   def printResult(df: DataFrame, rows: Int = 20): Unit =
     df.show(rows, truncate = false)
+
+  /** DATA-FILE COMPACTION (the q203 operator) — the lakehouse maintenance
+    * op every streaming sink output needs: bin-pack a directory of many
+    * small parquet files into ~`targetBytes` files. Sizing comes from the
+    * actual on-disk footprint (a metadata listing, driver-side and
+    * O(files) — at warehouse scale the same numbers come from the table
+    * manifest, never a recursive scan), and the rewrite is a `coalesce`,
+    * NOT a `repartition`: partition-merging moves no rows between
+    * executors and shuffles nothing — compaction is an I/O rewrite, and a
+    * shuffle would make it cost a full re-cluster at 100 TB. Returns
+    * (input file count, output file count, input bytes). Correctness of
+    * the rewrite is the caller's reconciliation problem — q203 closes the
+    * loop with the shard manifest. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): (Int, Int, Long) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    def partFiles(p: String): Seq[java.io.File] =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+        .toSeq
+    val in = partFiles(inPath)
+    require(in.nonEmpty, s"no parquet part files under $inPath")
+    val totalBytes = in.map(_.length).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (in.size, partFiles(outPath).size, totalBytes)
+  }
 }

@@ -96,4 +96,29 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == 2)
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
+
+  test("compactParquet bin-packs small files without losing or duplicating a row") {
+    val in = tmp("compact-in")
+    val rows = (1 to 5000).map(i => (i.toLong, s"doc $i", i * 7 % 101))
+    rows.toDF("id", "text", "score").repartition(32)
+      .write.mode("overwrite").parquet(in)
+    val out = tmp("compact-out")
+    val (nIn, nOut, bytes) = Sources.compactParquet(spark, in, out,
+      targetBytes = 1L << 30) // huge target → one output file
+    assert(nIn == 32 && nOut == 1, s"$nIn -> $nOut")
+    assert(bytes > 0)
+    // the rewrite is content-preserving to the multiset
+    val got = spark.read.parquet(out).as[(Long, String, Int)].collect().sorted
+    assert(got.toSeq == rows.sorted, "compaction changed the data")
+    // sizing: a small target yields several files, each a coalesce output
+    val out2 = tmp("compact-out2")
+    val (_, nOut2, _) = Sources.compactParquet(spark, in, out2,
+      targetBytes = math.max(1, bytes / 4))
+    assert(nOut2 >= 2 && nOut2 < 32, s"expected a partial pack, got $nOut2")
+    assert(spark.read.parquet(out2).count() == 5000)
+    // no input → loud failure, not an empty output table
+    intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, tmp("compact-empty"), tmp("x"), 1024)
+    }
+  }
 }
