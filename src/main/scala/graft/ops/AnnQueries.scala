@@ -538,9 +538,54 @@ object AnnQueries {
     * thing hash-exact against the DuckDB replay, and AnnSpec gates pair
     * RECALL vs the exact all-pairs q148 output (0.78 at sf0.01) — the
     * quantitative measure of what cell restriction costs. */
+  /** Corpus-sized IVF index for the q149 blocking pass, memoized per dir:
+    * cell count `max(8, n/250)` — FIXED TARGET OCCUPANCY, so the per-query
+    * candidate budget (nprobe × 2-multi-assign × ~250) is a constant and
+    * the kNN-join's total work stays LINEAR in corpus size. This is the
+    * ScaleProbe-measured fix for the fixed-k quadratic (a 10× corpus on
+    * the shared 8-cell [[gridIndex]] made every cell 10× heavier — ratio
+    * 25 at factor 10; with occupancy-sized cells the ratio is ~linear).
+    * At every shipped sf the formula lands on exactly 8 cells, so the
+    * gate delegates to the SHARED index — results and oracle replays stay
+    * bit-identical — and only a larger corpus forks a private index.
+    * Training cost rides the fixture (at warehouse scale the quantizer
+    * trains on a bounded sample — the standard IVF recipe; the search
+    * path this gate times is what must scale). */
+  private val scaledKnnIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Array[org.apache.spark.sql.Row],
+             org.apache.spark.sql.types.StructType)]()
+
+  private def mutualKnnIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val n = baselineGuardCount.computeIfAbsent(dir,
+      _ => Tables.embeddings(spark, dir).count())
+    val kCells = math.max(8L, n / 250L).toInt
+    if (kCells == 8) return gridIndex(spark, dir)
+    val (gp, cp, centRows, centSchema) =
+      scaledKnnIndex.computeIfAbsent(dir, _ => {
+        val iv = Tables.embeddings(spark, dir)
+          .select($"vec_id", Ann.gridQuantize($"embedding").as("embedding"))
+          .withColumn("seed", pmod($"vec_id", lit(kCells)).cast("int"))
+          .cache()
+        val centroids = Ann.trainCentroidsGrid(iv, "seed", iters = 2)
+        val scratch = graft.Scratch.fresh("graft_ivf_knn_")
+        val g = scratch.resolve("grid").toString
+        val c = scratch.resolve("celled").toString
+        iv.select($"vec_id", $"embedding").write.mode("overwrite").parquet(g)
+        Ann.probeCells(iv, centroids, nprobe = 2)
+          .write.mode("overwrite").parquet(c)
+        iv.unpersist()
+        (g, c, centroids.collect(), centroids.schema)
+      })
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centSchema)
+    (spark.read.parquet(gp), spark.read.parquet(cp), centroids)
+  }
+
   def mutualKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (grid, corpus, centroids) = gridIndex(spark, dir)
+    val (grid, corpus, centroids) = mutualKnnIndex(spark, dir)
     val queries = Ann.probeCells(grid, centroids, nprobe = 3)
     // both sides of the mutuality join read the edge list; cache so the
     // cell-join + top-k edge pass runs once, not once per join side

@@ -1,0 +1,236 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{LocalSession, SparkEntry, Tables}
+
+/** Two-point SCALING probe (VERDICT r10 #1) — measured evidence behind
+  * every "linear at 100 TB" design argument: the most expensive gates run
+  * against the corpus at 1× and against a SALTED `factor`× union of it,
+  * and the per-gate wall-clock ratio is written to a committed table
+  * (`SCALING.md`). A hidden super-linear term — candidate-pair growth in
+  * the LSH band sweep, narrowing-loop depth in the grouped percentile,
+  * wedge growth in the triangle join, state growth in streaming — is
+  * invisible at one size but shows up as ratio ≫ factor here; the probe
+  * FAILS LOUDLY (nonzero exit after writing results) when any ratio
+  * reaches `SPARK_GRAFT_SCALE_FAIL` (default 15 at factor 10: headroom
+  * over shuffle/log-factor growth, far under quadratic's 100).
+  *
+  * The scaled corpus is a SALTED union, not a blind `factor`-fold copy
+  * ([[scaledCorpus]]): keys are offset per copy and document text /
+  * embedding values are perturbed so cross-copy rows are genuinely
+  * distinct — a verbatim copy would hand every LSH band bucket `factor`
+  * identical members and every IVF cell `factor` duplicate vectors,
+  * inflating candidate pairs quadratically for DATA reasons and flagging
+  * algorithms that are perfectly linear. Copy 0 is byte-identical to the
+  * original, so intra-copy structure (dup clusters, near-dup pairs,
+  * session shapes) is preserved `factor` times over.
+  *
+  * Protocol per gate and size: one untimed pass (pays memoized fixture
+  * builds — index training, graph checkpoints, streaming drives — plus
+  * JIT, the Bench warm-up contract), then one timed pass of the full plan
+  * through the noop sink. Ratios therefore compare steady-state plan
+  * execution only.
+  *
+  * Usage: `runMain graft.tools.ScaleProbe [sfDir] [outMd] [factor]
+  * [gate,gate,...]` — defaults: sf0.1, SCALING.md, 10, the ten most
+  * expensive bench gates spanning the suspect mechanisms.
+  */
+object ScaleProbe {
+
+  /** The probed gates: the bench's most expensive queries, chosen to span
+    * every mechanism a super-linear term could hide in — exact-quantile
+    * narrowing loops (q101/q195/q197), the multi-banding LSH sweep
+    * (q188), prefix-filtered similarity join candidate growth (q112),
+    * triangle wedge growth (q125), iterative graph frames (q130),
+    * interval self-join (q132), IVF probe fan-out (q149), centroid-
+    * bucketed SemDeDup (q165), and streaming state growth under Update
+    * re-emission (q194). */
+  val DefaultGates: Seq[String] = Seq(
+    "q101_grouped_quantile_pruned",
+    "q112_similarity_join_prefix",
+    "q125_triangle_count",
+    "q130_pagerank",
+    "q132_session_overlap",
+    "q149_mutual_knn_ivf",
+    "q165_semdedup",
+    "q188_lsh_band_sweep",
+    "q195_mad_outliers",
+    "q197_winsorized_mean",
+    "q194_streaming_update_mode")
+
+  private val KeyOff = 10_000_000_000L // per-copy key offset (all keys int64)
+
+  /** Build (once per JVM/dir/factor — marker-file memoized) the salted
+    * `factor`× union of every corpus table under a scratch dir laid out
+    * exactly like an sf dir, so every gate runs against it unchanged.
+    * Dimension tables (region/nation) stay 1× — dims don't grow with fact
+    * volume at scale, and scaling them would distort broadcast-side
+    * costs. */
+  def scaledCorpus(spark: SparkSession, sfDir: String, factor: Int): String = {
+    require(factor >= 2 && factor <= 26, s"factor out of range: $factor")
+    val out = graft.Scratch.named(
+      s"scale${factor}x_${graft.Scratch.dirKey(sfDir)}")
+    val marker = out.resolve("_BUILT")
+    if (Files.exists(marker)) return out.toString
+    val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
+
+    def salted(table: String)(f: DataFrame => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      f(base.crossJoin(broadcast(copies)))
+        .write.mode("overwrite").parquet(out.resolve(s"$table.parquet").toString)
+    }
+    def off(c: String) = (col(c) + col("copy").cast("long") * KeyOff).as(c)
+
+    salted("lineitem")(_.select(off("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+    salted("orders")(_.select(off("o_orderkey"), off("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")))
+    salted("customer")(df => df.select(off("c_custkey") +:
+      df.columns.filter(c => c != "c_custkey" && c != "copy").map(col): _*))
+    salted("supplier")(df => df.select(off("s_suppkey") +:
+      df.columns.filter(c => c != "s_suppkey" && c != "copy").map(col): _*))
+    salted("part")(df => df.select(off("p_partkey") +:
+      df.columns.filter(c => c != "p_partkey" && c != "copy").map(col): _*))
+    // documents: every WORD carries a per-copy letter, so shingle sets of
+    // different copies are disjoint — near-dup structure exists WITHIN a
+    // copy (as in the original), never across copies
+    salted("documents")(_.select(off("doc_id"),
+      when(col("copy") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          w => concat(expr("char(97 + copy)"), w)), " ")).as("text"),
+      col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text"))))
+    // embeddings: per-copy, per-dimension perturbation keeps copies
+    // geometrically distinct without moving the overall distribution
+    salted("embeddings")(_.select(off("vec_id"),
+      when(col("copy") === 0, col("embedding")).otherwise(
+        transform(col("embedding"), (x, j) =>
+          x + (col("copy").cast("float") * lit(0.0013f) *
+            ((j % 5).cast("float") - lit(2.0f))))).as("embedding"),
+      col("label")))
+    // events: distinct ids AND distinct users per copy (state growth must
+    // scale with the corpus); timestamps unchanged — the same wall-clock
+    // span carrying factor× the traffic, which is what 100 TB looks like.
+    // Read through Tables.events (the ts bridge); the normalized
+    // session-TZ TIMESTAMP round-trips as plain micros, so the scaled dir
+    // reads back through the same bridge untouched.
+    Tables.events(spark, sfDir).crossJoin(broadcast(copies))
+      .select(off("event_id"), col("ts"),
+        (col("user_id") + col("copy").cast("long") * 10_000_000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(out.resolve("events.parquet").toString)
+    for (dim <- Seq("region", "nation"))
+      spark.read.parquet(s"$sfDir/$dim.parquet")
+        .write.mode("overwrite").parquet(out.resolve(s"$dim.parquet").toString)
+    Files.createFile(marker)
+    out.toString
+  }
+
+  /** Run `fn` once untimed (fixtures + JIT), then once timed through the
+    * noop sink (full-plan execution, the Bench rule). */
+  private def timeGate(spark: SparkSession,
+      fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+    def once(): Unit = {
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    once() // warm: fixture builds land here, not in the measurement
+    val t0 = System.nanoTime()
+    once()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  case class Result(gate: String, t1: Double, tN: Double) {
+    def ratio: Double = tN / math.max(t1, 0.05) // floor: sub-50ms base noise
+  }
+
+  /** Build the scaled corpus, probe every gate at both sizes, write the
+    * markdown table, and return the results — the testable core behind
+    * [[main]] (no session stop, no process exit). */
+  def run(spark: SparkSession, sfDir: String, outMd: String, factor: Int,
+      gates: Seq[String], failAt: Double): Seq[Result] = {
+    val scaled = scaledCorpus(spark, sfDir, factor)
+    System.err.println(s"[scale] corpus ready: $scaled (${factor}x $sfDir)")
+
+    val results = gates.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown gate: $name"))
+      val t1 = timeGate(spark, fn, sfDir)
+      val tN = timeGate(spark, fn, scaled)
+      val r = Result(name, t1, tN)
+      System.err.println(f"[scale] $name%-34s 1x=${r.t1}%7.2fs " +
+        f"${factor}x=${r.tN}%7.2fs ratio=${r.ratio}%6.2f")
+      r
+    }
+
+    def f2(v: Double) = f"$v%.2f"
+    val md = new StringBuilder
+    md ++= s"# Scaling probe — measured two-point slope\n\n"
+    md ++= s"`graft.tools.ScaleProbe` on `$sfDir` vs a salted ${factor}× union\n"
+    md ++= s"(distinct keys/text/vectors per copy — see the ScaleProbe scaladoc),\n"
+    md ++= s"local[32]; per gate: one warm pass (fixtures + JIT), one timed\n"
+    md ++= s"full-plan pass. Fail threshold: ratio ≥ $failAt.\n\n"
+    md ++= s"| gate | 1× s | ${factor}× s | ratio | verdict |\n"
+    md ++= s"|---|---:|---:|---:|---|\n"
+    results.foreach { r =>
+      val verdict =
+        if (r.ratio >= failAt) "**SUPER-LINEAR — FAIL**"
+        else if (r.ratio <= factor * 1.2) "linear or better"
+        else "linear + overhead"
+      md ++= s"| ${r.gate} | ${f2(r.t1)} | ${f2(r.tN)} | ${f2(r.ratio)} | $verdict |\n"
+    }
+    md ++= s"\nA ratio near $factor is linear; well under $factor means fixed\n"
+    md ++= s"per-run overhead still dominates at 1×; at or above $failAt the\n"
+    md ++= s"gate has a term growing faster than the data and the probe exits\n"
+    md ++= s"nonzero.\n"
+    md ++= History
+    Files.writeString(Paths.get(outMd), md.toString)
+    val json = results.map(r =>
+      s""""${r.gate}":{"t1":${f2(r.t1)},"tN":${f2(r.tN)},"ratio":${f2(r.ratio)}}""")
+      .mkString("{\"factor\":" + factor + ",\"gates\":{", ",", "}}")
+    println(json)
+    results
+  }
+
+  /** What the probe has already caught — regenerating the table must not
+    * erase the evidence that it bites. */
+  private val History: String =
+    """
+      |## Findings log
+      |
+      |- **r11: q149_mutual_knn_ivf measured at ratio 25.1** (quadratic):
+      |  the kNN-join probed a FIXED 8-cell index, so a 10× corpus made
+      |  every cell 10× heavier and every query touch 10× the candidates.
+      |  Fixed by occupancy-sized cells (`max(8, n/250)` —
+      |  `AnnQueries.mutualKnnIndex`): constant per-query candidate budget,
+      |  re-measured ratio **1.72**. At every shipped sf the formula lands
+      |  on the shared 8-cell index, so gate results and oracles were
+      |  bit-identical before/after.
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outMd = args.lift(1).getOrElse("SCALING.md")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val gates = args.lift(3).map(_.split(',').toSeq).getOrElse(DefaultGates)
+    val failAt = sys.env.getOrElse("SPARK_GRAFT_SCALE_FAIL", "15").toDouble
+    if (!sys.props.contains("graft.yardstick"))
+      System.setProperty("graft.yardstick", "off")
+    val spark = LocalSession.fromEnv(defaultCpus = "32")
+    val results = run(spark, sfDir, outMd, factor, gates, failAt)
+    spark.stop()
+    val flagged = results.filter(_.ratio >= failAt)
+    if (flagged.nonEmpty) {
+      System.err.println(s"[scale] SUPER-LINEAR gates: " +
+        flagged.map(r => f"${r.gate} (${r.ratio}%.2f)").mkString(", "))
+      sys.exit(1)
+    }
+  }
+}

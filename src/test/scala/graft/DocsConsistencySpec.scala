@@ -60,6 +60,97 @@ class DocsConsistencySpec extends AnyFunSuite {
         s"extra=${keys.diff(names).toSeq.sorted}")
   }
 
+  /** Per-query prose-timing parser (VERDICT r10 #6): extracts every
+    * "qNNN … X s" claim from free prose and returns (queries, spec) pairs.
+    * Binding rule: a timing binds to each qNNN mentioned since the
+    * PREVIOUS timing and within `Window` chars before it — close enough
+    * to be about that number, far enough to survive subclauses.
+    * Timing forms understood: `X s` / `~X s` (point claim), `X-Y s`
+    * (range), `under X s` (upper bound), `from X s` (historical —
+    * ignored). Returned spec: (lo, hi) inclusive bounds the bench value
+    * must fall in. */
+  private val Window = 80
+
+  private[graft] def parseProseTimings(text: String): Seq[(Seq[String], (Double, Double))] = {
+    val timing = """(under |from )?~?(\d+(?:\.\d+)?)(?:\s*[-–]\s*(\d+(?:\.\d+)?))?\s+s\b""".r
+    val qname = """q\d{2,3}[a-z0-9_]*""".r
+    val out = Seq.newBuilder[(Seq[String], (Double, Double))]
+    var segStart = 0
+    for (m <- timing.findAllMatchIn(text)) {
+      val seg = text.substring(segStart, m.start)
+      val qs = qname.findAllMatchIn(seg)
+        .filter(q => m.start - (segStart + q.start) <= Window + q.matched.length)
+        .map(_.matched).toSeq.distinct
+      val kind = Option(m.group(1)).map(_.trim).getOrElse("")
+      if (qs.nonEmpty && kind != "from") {
+        val x = m.group(2).toDouble
+        val hiRaw = Option(m.group(3)).map(_.toDouble).getOrElse(x)
+        // host-load tolerance: prose quotes a quiet-host artifact; the
+        // committed bench may drift a bounded amount before the prose is
+        // a lie worth failing the build over
+        val tol = math.max(0.4, 0.35 * hiRaw)
+        val bounds =
+          if (kind == "under") (0.0, x + 0.1)
+          else (x - tol, hiRaw + tol)
+        out += ((qs, bounds))
+      }
+      segStart = m.end
+    }
+    out.result()
+  }
+
+  test("every per-query timing ARCHITECTURE's prose quotes matches bench.json") {
+    val bench = read("bench.json")
+    val values = """"(q\d+[a-z0-9_]*)":(-?[0-9.]+)""".r.findAllMatchIn(bench)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // scope: the bench narrative section only — other sections quote
+    // historical or micro-bench numbers with their own context
+    val arch = read("ARCHITECTURE.md")
+    val start = arch.indexOf("## Benchmark protocol")
+    assert(start >= 0, "ARCHITECTURE.md lost its '## Benchmark protocol' section")
+    val end = arch.indexOf("\n## ", start + 1)
+    val section = arch.substring(start, if (end < 0) arch.length else end)
+    val claims = parseProseTimings(section)
+    assert(claims.nonEmpty, "ARCHITECTURE.md's bench section quotes no " +
+      "per-query timings — if the narrative was rewritten, update this parser")
+    val violations = claims.flatMap { case (qs, (lo, hi)) =>
+      qs.flatMap { q =>
+        // prose may name a query without the full gate suffix (q195 for
+        // q195_mad_outliers): resolve by prefix, uniquely
+        val hits = values.keys.filter(k => k == q || k.startsWith(q + "_")).toSeq
+        hits match {
+          case Seq(full) =>
+            val v = values(full)
+            if (v < lo || v > hi)
+              Some(s"$full: prose claims [${lo.max(0)}, $hi] s but bench.json says $v s")
+            else None
+          case Seq() => Some(s"$q: named in prose but absent from bench.json")
+          case many => Some(s"$q: ambiguous prefix (${many.sorted.mkString(", ")})")
+        }
+      }
+    }
+    assert(violations.isEmpty,
+      s"stale per-query prose timings in ARCHITECTURE.md:\n  " +
+        violations.mkString("\n  "))
+  }
+
+  test("the prose-timing parser catches a staled figure (self-test)") {
+    val prose = "the heavy pair (q195 MAD 9.9 s, q197 winsorize 0.1 s) and " +
+      "q188 band sweep 1.9 s; q183/q185/q199 each well under 1 s; " +
+      "down from 71 s in its first round; the 88-second baseline"
+    val parsed = parseProseTimings(prose)
+    // each timing binds the q-mentions since the previous one; the slash
+    // group shares its under-1 bound; the historical 'from 71 s' is
+    // ignored; '88-second' never matches the ' s' pattern
+    assert(parsed.map(_._1) == Seq(Seq("q195"), Seq("q197"), Seq("q188"),
+      Seq("q183", "q185", "q199")), s"binding drifted: $parsed")
+    val under = parsed.last._2
+    assert(under._1 == 0.0 && under._2 == 1.1)
+    // a 9.9 s claim against a 3.7 s reality must violate its bounds
+    val (_, (lo, _)) = parsed.head
+    assert(3.7 < lo, "tolerance is too loose to catch a 2.7x staled figure")
+  }
+
   test("ARCHITECTURE quotes the committed bench.json headline") {
     val total = """"metric":"total","value":([0-9.]+)""".r
       .findFirstMatchIn(read("bench.json"))
