@@ -225,6 +225,32 @@ object ExtendedQueries {
           .as("win_mean_cents"))
   }
 
+  /** PER-GROUP DECILE GRID in ONE narrowing loop (q204) — the gate-level
+    * showcase of [[graft.operators.Stats.groupedPercentiles]] (VERDICT
+    * r10 #5): all nine exact decile cutpoints of every group from a
+    * single persisted projection, one head-stats pass, and one histogram
+    * job per level — 27 exact order statistics for roughly the
+    * distributed cost q101 pays for one. This is the feature-binning
+    * primitive (equal-frequency bucket boundaries) a training pipeline
+    * runs per numeric column. Deciles are non-dyadic, so the oracle
+    * replays the ENGINE's interpolation op sequence via rank-extracted
+    * neighbors (q197's template — quantile_cont's (1−f)·a+f·b order can
+    * flip the floor snap); cutpoints land floor-snapped on the half-cent
+    * grid, keeping every emitted value integral. */
+  def decileGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("g"),
+        ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val qs = graft.operators.Stats.groupedPercentiles(
+      li, "g", "cents", ps, buckets = 1024, maxCollect = 4096)
+    qs.toSeq.map { case ((g, p), v) =>
+      (g.asInstanceOf[String], math.round(p * 10).toInt, math.floor(v * 2).toLong)
+    }.sortBy(r => (r._1, r._2))
+      .toDF("l_returnflag", "decile", "cut_halfcents")
+  }
+
   /** Runtime Bloom-filter join pruning AT THE GATE — the 100 TB lever
     * where static pushdown can't help: a selective predicate on one side
     * of a fact-fact join becomes a `might_contain(bloom_filter_agg(...))`
@@ -1126,6 +1152,7 @@ object ExtendedQueries {
     "q101_grouped_quantile_pruned" -> (groupedQuantilePruned _),
     "q195_mad_outliers" -> (madOutliers _),
     "q197_winsorized_mean" -> (winsorizedMean _),
+    "q204_decile_grid" -> (decileGrid _),
     "q104_runtime_filter_join" -> (runtimeFilterJoin _))
 
   private val jaccardSql =
@@ -1511,6 +1538,43 @@ object ExtendedQueries {
     // consumers q195/q101/q87 are exact under both formulas and keep
     // quantile_cont). Rank-extracted neighbors a/b + the exact
     // pos = p·(n−1) arithmetic reproduce the engine bit-for-bit.
+    // q204: q197's engine-op-sequence replay generalized over a decile
+    // spine — per (g, dec): p = dec/10 (both engines compute the same
+    // IEEE division), k = floor(p·(n−1)), neighbors at rn = k+1 /
+    // min(n, k+2), cut = floor(2·(a + (b−a)·f)).
+    "q204_decile_grid" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT g, cents,
+        |    row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM c
+        |), dd AS (
+        |  SELECT unnest(generate_series(1, 9)) AS dec
+        |), k AS (
+        |  SELECT r.g, r.cents, r.rn, r.n, dd.dec,
+        |    CAST(dd.dec AS DOUBLE) / CAST(10.0 AS DOUBLE) * (r.n - 1)
+        |      AS pos
+        |  FROM r, dd
+        |), k2 AS (
+        |  SELECT g, cents, rn, n, dec,
+        |    CAST(floor(pos) AS BIGINT) AS kk,
+        |    pos - floor(pos) AS f
+        |  FROM k
+        |), q AS (
+        |  SELECT g, dec,
+        |    max(CASE WHEN rn = kk + 1 THEN CAST(cents AS DOUBLE) END) AS a,
+        |    max(CASE WHEN rn = least(n, kk + 2) THEN CAST(cents AS DOUBLE) END) AS b,
+        |    max(f) AS f
+        |  FROM k2 GROUP BY g, dec
+        |)
+        |SELECT g AS l_returnflag, CAST(dec AS INTEGER) AS decile,
+        |  CAST(floor(2 * (CASE WHEN f = 0 THEN a ELSE a + (b - a) * f END))
+        |    AS BIGINT) AS cut_halfcents
+        |FROM q""".stripMargin,
     "q197_winsorized_mean" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g,

@@ -354,6 +354,169 @@ object SourceQueries {
     scans.map(_.metrics("numOutputRows").value).sum
   }
 
+  // ------------------------------------------------------------------
+  // q205/q206: copy-on-write MERGE + snapshot reads over a generation-
+  // pointer table (the q153/q180 `_CURRENT` machinery applied to DATA)
+  // ------------------------------------------------------------------
+
+  private val MergeBuckets = 16
+
+  /** Generation-pointer root holding gen-000001 = customer, bucket-
+    * partitioned by `c_custkey % 16`, built once per (JVM, dir). The
+    * bucket IS the copy-on-write unit: an upsert rewrites only the bucket
+    * directories its keys land in. */
+  private val mergeRootBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mergeRoot(spark: SparkSession, dir: String): String =
+    mergeRootBuilt.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val root = graft.Scratch.named(s"q205_${graft.Scratch.dirKey(dir)}").toString
+      val gen = graft.operators.Ann.nextGenerationName(spark, root)
+      Tables.customer(spark, dir)
+        .withColumn("bucket", pmod($"c_custkey", lit(MergeBuckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/$gen")
+      graft.operators.Ann.publishGeneration(spark, root, gen)
+      root
+    })
+
+  /** The deterministic upsert delta: UPDATES (+100.00 to every account in
+    * bucket 3) and INSERTS (bucket-7 keys re-keyed +1,000,000 — exactly
+    * divisible by 16, so the inserts land back in bucket 7). Touches 2 of
+    * 16 buckets by construction. */
+  private def mergeDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    c.filter(pmod($"c_custkey", lit(MergeBuckets)) === 3)
+      .withColumn("c_acctbal", $"c_acctbal" + lit(100.0))
+      .unionByName(
+        c.filter(pmod($"c_custkey", lit(MergeBuckets)) === 7)
+          .withColumn("c_custkey", $"c_custkey" + lit(1000000L)))
+  }
+
+  /** COPY-ON-WRITE MERGE (q205) — the keyed-upsert maintenance op (MERGE
+    * INTO semantics: update matched keys, insert new ones) executed the
+    * way a 100 TB table must run it: the delta's keys are hashed to their
+    * buckets, ONLY those bucket directories are rewritten
+    * (anti-join out replaced keys, union the delta), every untouched
+    * bucket rides into the new generation as a REFERENCE (symlink here —
+    * the manifest-reuse model: no byte of the other 14/16 of the table is
+    * read or written), and the `_CURRENT` pointer flips atomically last
+    * (readers see the old or new snapshot, never a mix). The merge runs
+    * inside the gate — it IS the timed claim — against the memoized base
+    * generation, re-deriving CURRENT from gen-000001 each time
+    * (idempotent; repeat invocations publish identical snapshots). The
+    * oracle replays MERGE semantics over the raw table, so a lost update,
+    * double-applied delta, or leaked old-version row breaks the hash; the
+    * `require` pins the physical COW claim (2 of 16 buckets rewritten). */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = mergeRoot(spark, dir)
+    val baseGen = s"$root/gen-000001"
+    val delta = mergeDelta(spark, dir)
+      .withColumn("bucket", pmod($"c_custkey", lit(MergeBuckets)).cast("int"))
+    val touched = delta.select($"bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val gen = graft.operators.Ann.nextGenerationName(spark, root)
+    val genPath = Paths.get(root, gen)
+    Files.createDirectories(genPath)
+    // rewrite ONLY the touched buckets: survivors (keys not replaced) +
+    // the delta rows of that bucket
+    val base = spark.read.parquet(baseGen)
+      .filter($"bucket".isin(touched.map(Int.box): _*))
+    val rewritten = base
+      .join(delta.select($"c_custkey"), Seq("c_custkey"), "left_anti")
+      .unionByName(delta)
+    rewritten.write.mode("overwrite").partitionBy("bucket")
+      .parquet(genPath.toString)
+    // untouched buckets: referenced, never copied
+    var linked = 0
+    (0 until MergeBuckets).filterNot(touched.contains).foreach { b =>
+      val link = genPath.resolve(s"bucket=$b")
+      if (!Files.exists(link)) {
+        Files.createSymbolicLink(link, Paths.get(baseGen, s"bucket=$b"))
+        linked += 1
+      }
+    }
+    require(touched.length == 2 && linked == MergeBuckets - 2,
+      s"copy-on-write drifted: rewrote ${touched.length} buckets, " +
+        s"linked $linked — the merge is no longer partial")
+    graft.operators.Ann.publishGeneration(spark, root, gen)
+    mergedSummary(spark.read.parquet(
+      graft.operators.Ann.currentGenerationPath(spark, root)))
+  }
+
+  /** SNAPSHOT READS across generations (q206) — the time-travel contract
+    * the pointer machinery exists for: after q205's merge, gen-000001
+    * must still read back EXACTLY as the pre-merge table (no upsert may
+    * disturb a published snapshot) while `_CURRENT` serves the merged
+    * view — both snapshots summarized side by side, labeled, in one
+    * result. The oracle computes both states from the raw table, so a
+    * mutated old generation (the classic in-place-update bug) or a stale
+    * pointer breaks the hash. */
+  def snapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = mergeRoot(spark, dir)
+    // ensure the merged generation exists (idempotent; memoized base)
+    if (graft.operators.Ann.currentGenerationPath(spark, root)
+        .endsWith("gen-000001")) mergeUpsert(spark, dir): Unit
+    val asOfBase = mergedSummary(spark.read.parquet(s"$root/gen-000001"))
+      .withColumn("snapshot", lit("base"))
+    val current = mergedSummary(spark.read.parquet(
+      graft.operators.Ann.currentGenerationPath(spark, root)))
+      .withColumn("snapshot", lit("current"))
+    asOfBase.unionByName(current)
+      .select($"snapshot", $"c_mktsegment", $"n_customers", $"total_cents",
+        $"n_inserted", $"max_custkey")
+  }
+
+  /** CDC SNAPSHOT DIFF (q207) — change-data-capture between two published
+    * generations, the audit a downstream consumer runs to see what an
+    * upsert actually did: full-outer join of gen-000001 against `_CURRENT`
+    * on the key, each row classified added / removed / changed / unchanged
+    * by presence and an exact-cents value compare, then a (segment,
+    * status) census. One key-partitioned shuffle join — at 100 TB both
+    * sides are bucket-partitioned on the same key, so the join co-locates
+    * per bucket and untouched buckets compare file-identical data. The
+    * oracle derives the same census from the delta RULE on the raw table
+    * (bucket-3 keys changed, re-keyed bucket-7 keys added, rest
+    * unchanged), so a merge that leaked, dropped, or double-applied a row
+    * surfaces as a misclassified status. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = mergeRoot(spark, dir)
+    if (graft.operators.Ann.currentGenerationPath(spark, root)
+        .endsWith("gen-000001")) mergeUpsert(spark, dir): Unit
+    def state(path: String, side: String): DataFrame =
+      spark.read.parquet(path)
+        .select($"c_custkey", $"c_mktsegment".as(s"seg_$side"),
+          (col("c_acctbal").cast("decimal(14,2)") * 100).cast("long")
+            .as(s"cents_$side"))
+    val a = state(s"$root/gen-000001", "a")
+    val b = state(graft.operators.Ann.currentGenerationPath(spark, root), "b")
+    a.join(b, Seq("c_custkey"), "full_outer")
+      .select(coalesce($"seg_b", $"seg_a").as("c_mktsegment"),
+        when($"cents_a".isNull, "added")
+          .when($"cents_b".isNull, "removed")
+          .when($"cents_a" =!= $"cents_b", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"c_mktsegment", $"status")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** The shared per-segment summary both snapshot gates emit: row count,
+    * exact balance cents, insert census (merge keys live above 1,000,000
+    * — far beyond any corpus key), max key. */
+  private def mergedSummary(df: DataFrame): DataFrame =
+    df.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum((col("c_acctbal").cast("decimal(14,2)") * 100).cast("long"))
+          .as("total_cents"),
+        sum(when(col("c_custkey") >= 1000000L, 1L).otherwise(0L))
+          .as("n_inserted"),
+        max(col("c_custkey")).as("max_custkey"))
+
   /** Bench fixture hook ([[graft.Fixtures]], VERDICT r8 #2): the bucketed
     * fact tables (write-once/join-many by contract), the q183
     * month-partitioned fact + dim, the q189 evolved layout, and the q202
@@ -384,12 +547,70 @@ object SourceQueries {
     "q183_dynamic_partition_pruning" -> (dppJoin _),
     "q189_schema_evolution" -> (schemaEvolutionRead _),
     "q191_orc_roundtrip" -> (orcRoundtrip _),
-    "q202_rowgroup_skipping" -> (rowGroupSkipping _))
+    "q202_rowgroup_skipping" -> (rowGroupSkipping _),
+    "q205_merge_upsert" -> (mergeUpsert _),
+    "q206_snapshot_read" -> (snapshotRead _),
+    "q207_snapshot_diff" -> (snapshotDiff _))
+
+  /** The q205/q206 oracle summary over a merged or base state: `src` is a
+    * CTE name providing (c_custkey, c_mktsegment, bal); a non-empty
+    * `label` adds q206's snapshot column. */
+  private def mergeSummarySql(label: String, src: String): String =
+    s"""SELECT ${if (label.isEmpty) "" else s"'$label' AS snapshot, "}c_mktsegment,
+       |  count(*) AS n_customers,
+       |  CAST(sum(CAST(CAST(bal AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+       |    AS total_cents,
+       |  CAST(sum(CASE WHEN c_custkey >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_inserted,
+       |  CAST(max(c_custkey) AS BIGINT) AS max_custkey
+       |FROM $src GROUP BY c_mktsegment""".stripMargin
+
+  /** MERGE semantics replayed on the raw table: bucket-3 keys updated
+    * (+100.00 before the cents bridge — the engine adds the same exact
+    * double), bucket-7 keys re-keyed +1,000,000 as inserts. */
+  private val mergedStateSql: String =
+    """m AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_custkey % 16 = 3 THEN c_acctbal + 100.0
+      |         ELSE c_acctbal END AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment,
+      |    c_acctbal AS bal
+      |  FROM customer WHERE c_custkey % 16 = 7
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // q202: one aggregate over the raw table, emitted once per physical
     // layout — data skipping may prune I/O, never change numbers. UTC
     // session ⇒ Spark's to_date(ts) ≡ DuckDB's CAST(ts AS DATE).
+    // q207: the diff the delta RULE implies — +100.00 always moves the
+    // cents (changed), re-keyed rows appear (added), nothing is removed,
+    // the rest compare equal.
+    "q207_snapshot_diff" ->
+      """SELECT c_mktsegment,
+        |  CASE WHEN c_custkey % 16 = 3 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  count(*) AS n_rows
+        |FROM customer GROUP BY 1, 2
+        |UNION ALL
+        |SELECT c_mktsegment, 'added' AS status, count(*) AS n_rows
+        |FROM customer WHERE c_custkey % 16 = 7 GROUP BY c_mktsegment""".stripMargin,
+    // q205: MERGE semantics on the raw table must equal the merged
+    // snapshot the COW rewrite published.
+    "q205_merge_upsert" ->
+      s"WITH $mergedStateSql\n${mergeSummarySql("", "m")}",
+    // q206: both snapshots from first principles — the base state must
+    // match gen-000001 AFTER the merge ran (published snapshots are
+    // immutable), the current state must match the pointer's target.
+    "q206_snapshot_read" ->
+      (s"WITH $mergedStateSql,\n" +
+        """b AS (
+          |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer
+          |)
+          |""".stripMargin +
+        mergeSummarySql("base", "b") + "\nUNION ALL\n" +
+        mergeSummarySql("current", "m")),
     "q202_rowgroup_skipping" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,
