@@ -455,7 +455,32 @@ object TextQueries {
           .orderBy($"n_occ".desc, $"gram".asc)).cast("int"))
   }
 
+  /** VOCABULARY HEAVY HITTERS (q208) — the frequency-floor candidate pass
+    * of tokenizer/vocab induction, run through the production
+    * [[graft.operators.HeavyHitters]] operator: the term stream is every
+    * unigram PLUS every word bigram ([[graft.operators.Dedup.wordShingles]]
+    * n=2 — the subword-ish long tail that forces real sketch evictions:
+    * the bigram universe dwarfs the per-partition counter budget), and
+    * the result is the exact set of terms strictly above the 1/128
+    * frequency floor with exact counts. The sketch pass is bounded-memory
+    * and shuffle-free; the verify pass is the one exact pass — and
+    * because verification is exact, the oracle is a plain grouped count
+    * with the same integer cross-multiplied floor, independent of
+    * anything the sketch did. (HeavyHittersSpec pins the superset
+    * guarantee itself under adversarial orders.) The operator's tiny
+    * `counted` persist is released by the harness's per-query
+    * clearCache. */
+  def vocabHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(explode(tokens($"text")).as("term"))
+      .unionByName(docs.select(
+        explode(graft.operators.Dedup.wordShingles($"text", 2)).as("term")))
+    graft.operators.HeavyHitters.heavyHitters(terms, "term", k = 128, m = 512)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_vocab_heavy_hitters" -> (vocabHeavyHitters _),
     "q178_boilerplate_spans" -> (boilerplateSpans _),
     "q172_quality_funnel" -> (qualityFunnel _),
     "q131_simpson_diversity" -> (simpsonDiversity _),
@@ -505,6 +530,24 @@ object TextQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q208: exact verification makes the sketch invisible — the oracle is
+    // the plain grouped count over the same unigram+bigram stream with
+    // the identical integer cross-multiplied floor.
+    "q208_vocab_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT ${DedupQueries.toksSql} AS tk FROM documents
+         |), terms AS (
+         |  SELECT unnest(tk) AS term FROM toks
+         |  UNION ALL
+         |  SELECT unnest(${DedupQueries.shinglesSqlN(2)}) AS term FROM toks
+         |), t AS (
+         |  SELECT count(*) AS n FROM terms
+         |), c AS (
+         |  SELECT term, count(*) AS cnt FROM terms GROUP BY term
+         |)
+         |SELECT term, CAST(cnt AS BIGINT) AS n_occurrences,
+         |  CAST(t.n AS BIGINT) AS n_total
+         |FROM c, t WHERE cnt * 128 > t.n""".stripMargin,
     // q178: same 8-gram template as the dedup family's shingle replay
     // (n=8), cross-doc restriction in HAVING, total order (n_occ desc,
     // gram asc) shared by the LIMIT and the rank.
