@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Physical claims of the q205/q206/q207 generation-table family that the
+  * oracles can't see: the copy-on-write merge must rewrite ONLY the
+  * touched buckets (the rest are references), published snapshots must be
+  * byte-immutable, and the pointer must flip to the new generation. */
+class MergeSnapshotSpec extends SparkSpec {
+
+  test("merge rewrites 2 buckets, references 14, and never touches gen-000001 bytes") {
+    import scala.jdk.CollectionConverters._
+    val out = graft.ops.SourceQueries.mergeUpsert(spark, sf0001)
+    val root = Paths.get(graft.Scratch.named(
+      s"q205_${graft.Scratch.dirKey(sf0001)}").toString)
+    val baseGen = root.resolve("gen-000001")
+
+    def digest(p: java.nio.file.Path): Map[String, Long] =
+      Files.walk(p).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+        .map(f => p.relativize(f).toString -> Files.size(f)).toMap
+    val before = digest(baseGen)
+    assert(before.nonEmpty, "base generation has no parquet files")
+
+    // the merged summary flows (oracle checks the values; here: shape)
+    assert(out.columns.toSeq ==
+      Seq("c_mktsegment", "n_customers", "total_cents", "n_inserted", "max_custkey"))
+    assert(out.count() > 0)
+
+    val current = Paths.get(
+      graft.operators.Ann.currentGenerationPath(spark, root.toString))
+    assert(current.getFileName.toString != "gen-000001", "pointer did not flip")
+    val (links, real) = (0 until 16)
+      .map(b => current.resolve(s"bucket=$b"))
+      .partition(Files.isSymbolicLink)
+    assert(links.size == 14 && real.size == 2,
+      s"COW drifted: ${real.size} rewritten, ${links.size} referenced")
+    // rewritten buckets are exactly the delta's (3: updates, 7: inserts)
+    assert(real.map(_.getFileName.toString).sorted ==
+      Seq("bucket=3", "bucket=7"))
+    // every reference points INTO the base generation (no hidden copy)
+    links.foreach { l =>
+      assert(Files.readSymbolicLink(l).startsWith(baseGen),
+        s"$l does not reference the base generation")
+    }
+    // snapshot immutability: same files, same sizes after the merge
+    assert(digest(baseGen) == before, "the merge mutated a published snapshot")
+  }
+
+  test("CDC diff never reports removals for a pure upsert delta") {
+    val diff = graft.ops.SourceQueries.snapshotDiff(spark, sf0001)
+    val statuses = diff.select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses == Set("added", "changed", "unchanged"),
+      s"unexpected statuses: $statuses")
+  }
+}
