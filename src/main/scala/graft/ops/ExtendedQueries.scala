@@ -251,6 +251,34 @@ object ExtendedQueries {
       .toDF("l_returnflag", "decile", "cut_halfcents")
   }
 
+  /** EQUAL-FREQUENCY BINNING APPLIED (q210) — [[decileGrid]]'s consumer
+    * half: every lineitem row is assigned its decile bucket by counting
+    * the broadcast cutpoints at or below it (`2·cents > cut` — the same
+    * half-cent integer compares the cutpoints were snapped for, so no FP
+    * boundary case exists), then the per-(group, bucket) census checks
+    * the defining property: buckets hold ~n/10 rows each. The oracle
+    * replays the q204 cutpoint derivation as a CTE and the identical
+    * counting rule. One broadcast join + one grouped count over the fact
+    * — the feature-binning transform shape at any scale. */
+  def decileBinning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("g"),
+        ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    val cuts = decileGrid(spark, dir)
+      .groupBy($"l_returnflag".as("g"))
+      .agg(collect_list($"cut_halfcents").as("cuts"))
+    li.join(broadcast(cuts), "g")
+      .select($"g", $"cents",
+        aggregate($"cuts", lit(0),
+          (acc, cut) => acc + when($"cents" * 2 > cut, 1).otherwise(0))
+          .as("bucket"))
+      .groupBy($"g", $"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"cents").as("sum_cents"))
+      .withColumnRenamed("g", "l_returnflag")
+  }
+
   /** Runtime Bloom-filter join pruning AT THE GATE — the 100 TB lever
     * where static pushdown can't help: a selective predicate on one side
     * of a fact-fact join becomes a `might_contain(bloom_filter_agg(...))`
@@ -1153,6 +1181,7 @@ object ExtendedQueries {
     "q195_mad_outliers" -> (madOutliers _),
     "q197_winsorized_mean" -> (winsorizedMean _),
     "q204_decile_grid" -> (decileGrid _),
+    "q210_decile_binning" -> (decileBinning _),
     "q104_runtime_filter_join" -> (runtimeFilterJoin _))
 
   private val jaccardSql =
@@ -1164,6 +1193,45 @@ object ExtendedQueries {
     Seq(s"((a >> $j) & 1) * ${1L << (2 * j)}",
       s"((b >> $j) & 1) * ${1L << (2 * j + 1)}")
   }.mkString(" + ")
+
+  /** The q204 cutpoint derivation (engine-op-sequence decile replay),
+    * shared by q204 (emits the cutpoints) and q210 (applies them). Ends
+    * in `cuts(g, dec, cut_halfcents)`; `c(g, cents)` stays visible for
+    * q210's census. */
+  private val decileCutsSqlChain: String =
+    """c AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT g, cents,
+      |    row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM c
+      |), dd AS (
+      |  SELECT unnest(generate_series(1, 9)) AS dec
+      |), k AS (
+      |  SELECT r.g, r.cents, r.rn, r.n, dd.dec,
+      |    CAST(dd.dec AS DOUBLE) / CAST(10.0 AS DOUBLE) * (r.n - 1)
+      |      AS pos
+      |  FROM r, dd
+      |), k2 AS (
+      |  SELECT g, cents, rn, n, dec,
+      |    CAST(floor(pos) AS BIGINT) AS kk,
+      |    pos - floor(pos) AS f
+      |  FROM k
+      |), q AS (
+      |  SELECT g, dec,
+      |    max(CASE WHEN rn = kk + 1 THEN CAST(cents AS DOUBLE) END) AS a,
+      |    max(CASE WHEN rn = least(n, kk + 2) THEN CAST(cents AS DOUBLE) END) AS b,
+      |    max(f) AS f
+      |  FROM k2 GROUP BY g, dec
+      |), cuts AS (
+      |  SELECT g, dec,
+      |    CAST(floor(2 * (CASE WHEN f = 0 THEN a ELSE a + (b - a) * f END))
+      |      AS BIGINT) AS cut_halfcents
+      |  FROM q
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // bivariate exact moments: DuckDB's HUGEINT sums/products are exact,
@@ -1541,40 +1609,30 @@ object ExtendedQueries {
     // q204: q197's engine-op-sequence replay generalized over a decile
     // spine — per (g, dec): p = dec/10 (both engines compute the same
     // IEEE division), k = floor(p·(n−1)), neighbors at rn = k+1 /
-    // min(n, k+2), cut = floor(2·(a + (b−a)·f)).
+    // min(n, k+2), cut = floor(2·(a + (b−a)·f)). Chain shared with q210.
     "q204_decile_grid" ->
-      """WITH c AS (
-        |  SELECT l_returnflag AS g,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
-        |  FROM lineitem
-        |), r AS (
-        |  SELECT g, cents,
-        |    row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
-        |    count(*) OVER (PARTITION BY g) AS n
-        |  FROM c
-        |), dd AS (
-        |  SELECT unnest(generate_series(1, 9)) AS dec
-        |), k AS (
-        |  SELECT r.g, r.cents, r.rn, r.n, dd.dec,
-        |    CAST(dd.dec AS DOUBLE) / CAST(10.0 AS DOUBLE) * (r.n - 1)
-        |      AS pos
-        |  FROM r, dd
-        |), k2 AS (
-        |  SELECT g, cents, rn, n, dec,
-        |    CAST(floor(pos) AS BIGINT) AS kk,
-        |    pos - floor(pos) AS f
-        |  FROM k
-        |), q AS (
-        |  SELECT g, dec,
-        |    max(CASE WHEN rn = kk + 1 THEN CAST(cents AS DOUBLE) END) AS a,
-        |    max(CASE WHEN rn = least(n, kk + 2) THEN CAST(cents AS DOUBLE) END) AS b,
-        |    max(f) AS f
-        |  FROM k2 GROUP BY g, dec
-        |)
-        |SELECT g AS l_returnflag, CAST(dec AS INTEGER) AS decile,
-        |  CAST(floor(2 * (CASE WHEN f = 0 THEN a ELSE a + (b - a) * f END))
-        |    AS BIGINT) AS cut_halfcents
-        |FROM q""".stripMargin,
+      s"""WITH $decileCutsSqlChain
+         |SELECT g AS l_returnflag, CAST(dec AS INTEGER) AS decile,
+         |  cut_halfcents
+         |FROM cuts""".stripMargin,
+    // q210: the q204 cutpoints applied — per (g, cents) value, bucket =
+    // how many cutpoints sit strictly below 2·cents (the same half-cent
+    // integer compare the gate uses), then the per-bucket census.
+    "q210_decile_binning" ->
+      s"""WITH $decileCutsSqlChain,
+         |c2 AS (
+         |  SELECT g, cents, count(*) AS nr FROM c GROUP BY g, cents
+         |), bk AS (
+         |  SELECT c2.g, c2.cents, c2.nr,
+         |    CAST(sum(CASE WHEN 2 * c2.cents > cuts.cut_halfcents
+         |      THEN 1 ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM c2 JOIN cuts ON c2.g = cuts.g
+         |  GROUP BY c2.g, c2.cents, c2.nr
+         |)
+         |SELECT g AS l_returnflag, bucket,
+         |  CAST(sum(nr) AS BIGINT) AS n_rows,
+         |  CAST(sum(cents * nr) AS BIGINT) AS sum_cents
+         |FROM bk GROUP BY g, bucket""".stripMargin,
     "q197_winsorized_mean" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g,

@@ -505,6 +505,50 @@ object SourceQueries {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE (q209) — the materialized-view
+    * delta-update a 100 TB ETL runs instead of recomputing: starting from
+    * the BASE generation's per-segment summary, apply the upsert delta as
+    * retractions + additions — fetch the OLD versions of matched keys
+    * (one key join against the base), subtract their contribution, add
+    * the delta rows' — and the result must equal the full aggregate of
+    * the merged table (q205's oracle, shared on purpose: same final
+    * state, incremental path). Per aggregate: counts cancel for updates
+    * and grow for inserts; sums ride exact cents retraction; max is
+    * monotone under insert/update (no deletes in this delta — a delete
+    * would force the non-retractable max to recompute its group, the
+    * documented limit of the method). Scale shape: the summary table is
+    * O(segments); the delta passes are O(|delta|) with one broadcast-key
+    * join — the whole maintenance never rescans the base fact data. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = mergeRoot(spark, dir)
+    val gen1 = spark.read.parquet(s"$root/gen-000001")
+    val base = mergedSummary(gen1)
+    val delta = mergeDelta(spark, dir)
+    // retractions: the base versions of every key the delta replaces
+    val olds = gen1.join(delta.select($"c_custkey"), Seq("c_custkey"))
+    def cents(df: DataFrame) = df.select($"c_mktsegment",
+      (col("c_acctbal").cast("decimal(14,2)") * 100).cast("long").as("cents"),
+      $"c_custkey")
+    val retract = cents(olds).groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("r_n"), sum($"cents").as("r_cents"))
+    val add = cents(delta).groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("a_n"), sum($"cents").as("a_cents"),
+        sum(when($"c_custkey" >= 1000000L, 1L).otherwise(0L)).as("a_ins"),
+        max($"c_custkey").as("a_max"))
+    base
+      .join(retract, Seq("c_mktsegment"), "left")
+      .join(add, Seq("c_mktsegment"), "left")
+      .select($"c_mktsegment",
+        ($"n_customers" + coalesce($"a_n", lit(0L))
+          - coalesce($"r_n", lit(0L))).as("n_customers"),
+        ($"total_cents" + coalesce($"a_cents", lit(0L))
+          - coalesce($"r_cents", lit(0L))).as("total_cents"),
+        ($"n_inserted" + coalesce($"a_ins", lit(0L))).as("n_inserted"),
+        greatest($"max_custkey", coalesce($"a_max", $"max_custkey"))
+          .as("max_custkey"))
+  }
+
   /** The shared per-segment summary both snapshot gates emit: row count,
     * exact balance cents, insert census (merge keys live above 1,000,000
     * — far beyond any corpus key), max key. */
@@ -550,7 +594,8 @@ object SourceQueries {
     "q202_rowgroup_skipping" -> (rowGroupSkipping _),
     "q205_merge_upsert" -> (mergeUpsert _),
     "q206_snapshot_read" -> (snapshotRead _),
-    "q207_snapshot_diff" -> (snapshotDiff _))
+    "q207_snapshot_diff" -> (snapshotDiff _),
+    "q209_incremental_agg" -> (incrementalAgg _))
 
   /** The q205/q206 oracle summary over a merged or base state: `src` is a
     * CTE name providing (c_custkey, c_mktsegment, bal); a non-empty
@@ -599,6 +644,11 @@ object SourceQueries {
     // q205: MERGE semantics on the raw table must equal the merged
     // snapshot the COW rewrite published.
     "q205_merge_upsert" ->
+      s"WITH $mergedStateSql\n${mergeSummarySql("", "m")}",
+    // q209: SAME final state as q205 by design (the q203/q200 precedent) —
+    // the incremental retraction/addition path must land exactly where
+    // the full recompute does.
+    "q209_incremental_agg" ->
       s"WITH $mergedStateSql\n${mergeSummarySql("", "m")}",
     // q206: both snapshots from first principles — the base state must
     // match gen-000001 AFTER the merge ran (published snapshots are
