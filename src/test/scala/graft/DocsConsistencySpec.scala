@@ -72,7 +72,8 @@ class DocsConsistencySpec extends AnyFunSuite {
   private val Window = 80
 
   private[graft] def parseProseTimings(text: String): Seq[(Seq[String], (Double, Double))] = {
-    val timing = """(under |from )?~?(\d+(?:\.\d+)?)(?:\s*[-–]\s*(\d+(?:\.\d+)?))?\s+s\b""".r
+    // \s+ after the qualifier, not a literal space: prose wraps lines
+    val timing = """(?:(under|from)\s+)?~?(\d+(?:\.\d+)?)(?:\s*[-–]\s*(\d+(?:\.\d+)?))?\s+s\b""".r
     val qname = """q\d{2,3}[a-z0-9_]*""".r
     val out = Seq.newBuilder[(Seq[String], (Double, Double))]
     var segStart = 0
@@ -100,8 +101,13 @@ class DocsConsistencySpec extends AnyFunSuite {
   }
 
   test("every per-query timing ARCHITECTURE's prose quotes matches bench.json") {
+    // the min-of-trials "queries" object ONLY — the artifact also carries
+    // "queries_max", whose values must not shadow these in the map
     val bench = read("bench.json")
-    val values = """"(q\d+[a-z0-9_]*)":(-?[0-9.]+)""".r.findAllMatchIn(bench)
+    val qStart = bench.indexOf("\"queries\":{")
+    val qEnd = bench.indexOf("}", qStart)
+    val values = """"(q\d+[a-z0-9_]*)":(-?[0-9.]+)""".r
+      .findAllMatchIn(bench.substring(qStart, qEnd))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     // scope: the bench narrative section only — other sections quote
     // historical or micro-bench numbers with their own context
