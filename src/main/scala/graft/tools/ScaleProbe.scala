@@ -47,8 +47,11 @@ object ScaleProbe {
     * (q188), prefix-filtered similarity join candidate growth (q112),
     * triangle wedge growth (q125), iterative graph frames (q130),
     * interval self-join (q132), IVF probe fan-out (q149), centroid-
-    * bucketed SemDeDup (q165), and streaming state growth under Update
-    * re-emission (q194). */
+    * bucketed SemDeDup (q165), streaming state growth under Update
+    * re-emission (q194), the multi-p decile loop and its binning
+    * consumer (q204/q210), and the SpaceSaving candidate set
+    * (q208 — per-partition sketch size is constant, so candidate count
+    * grows only with partition count, never with rows). */
   val DefaultGates: Seq[String] = Seq(
     "q101_grouped_quantile_pruned",
     "q112_similarity_join_prefix",
@@ -60,7 +63,10 @@ object ScaleProbe {
     "q188_lsh_band_sweep",
     "q195_mad_outliers",
     "q197_winsorized_mean",
-    "q194_streaming_update_mode")
+    "q194_streaming_update_mode",
+    "q204_decile_grid",
+    "q208_vocab_heavy_hitters",
+    "q210_decile_binning")
 
   private val KeyOff = 10_000_000_000L // per-copy key offset (all keys int64)
 

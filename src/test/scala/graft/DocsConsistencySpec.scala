@@ -157,6 +157,28 @@ class DocsConsistencySpec extends AnyFunSuite {
     assert(3.7 < lo, "tolerance is too loose to catch a 2.7x staled figure")
   }
 
+  test("SCALING.md covers every default probe gate with an in-bounds ratio") {
+    val scaling = read("SCALING.md")
+    val rows = """\| (q\d+[a-z0-9_]*) \| [0-9.]+ \| [0-9.]+ \| ([0-9.]+) \|""".r
+      .findAllMatchIn(scaling).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(rows.nonEmpty, "SCALING.md has no parseable probe rows")
+    // every probed gate must still exist (a renamed gate would silently
+    // drop out of the probe)
+    val unknown = rows.keySet.diff(names)
+    assert(unknown.isEmpty, s"SCALING.md rows for unknown gates: $unknown")
+    // the committed table must cover the probe's current default set —
+    // growing DefaultGates without regenerating SCALING.md is drift
+    val missing = tools.ScaleProbe.DefaultGates.toSet.diff(rows.keySet)
+    assert(missing.isEmpty,
+      s"SCALING.md lacks rows for default probe gates $missing — " +
+        """regenerate with sbt "runMain graft.tools.ScaleProbe"""")
+    // and no committed row may carry a super-linear ratio
+    val bad = rows.filter(_._2 >= 15.0)
+    assert(bad.isEmpty, s"committed SCALING.md ships super-linear ratios: $bad")
+    assert(scaling.contains("## Findings log"),
+      "SCALING.md lost its findings log")
+  }
+
   test("ARCHITECTURE quotes the committed bench.json headline") {
     val total = """"metric":"total","value":([0-9.]+)""".r
       .findFirstMatchIn(read("bench.json"))
