@@ -369,9 +369,17 @@ object SourceQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def mergeRoot(spark: SparkSession, dir: String): String =
-    mergeRootBuilt.computeIfAbsent(dir, _ => {
+    mergeRootTagged(spark, dir, "q205")
+
+  /** One bucketed generation-root per (dir, tag): q205/q206/q207/q209
+    * share the "q205" root; the delete-carrying merge (q211/q212) gets
+    * its own — its published generations would otherwise change what
+    * `_CURRENT` means for the upsert-only oracles. */
+  private def mergeRootTagged(spark: SparkSession, dir: String,
+      tag: String): String =
+    mergeRootBuilt.computeIfAbsent(s"$dir#$tag", _ => {
       import spark.implicits._
-      val root = graft.Scratch.named(s"q205_${graft.Scratch.dirKey(dir)}").toString
+      val root = graft.Scratch.named(s"${tag}_${graft.Scratch.dirKey(dir)}").toString
       val gen = graft.operators.Ann.nextGenerationName(spark, root)
       Tables.customer(spark, dir)
         .withColumn("bucket", pmod($"c_custkey", lit(MergeBuckets)).cast("int"))
@@ -410,24 +418,40 @@ object SourceQueries {
     * double-applied delta, or leaked old-version row breaks the hash; the
     * `require` pins the physical COW claim (2 of 16 buckets rewritten). */
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = mergeRoot(spark, dir)
+    cowMerge(spark, root, mergeDelta(spark, dir),
+      deleteKeys = None, expectTouched = 2)
+    mergedSummary(spark.read.parquet(
+      graft.operators.Ann.currentGenerationPath(spark, root)))
+  }
+
+  /** The copy-on-write MERGE engine behind q205 and q211: `upserts`
+    * replace matched keys / insert unmatched ones, `deleteKeys` vanish.
+    * Only the union of the delta's buckets is rewritten (survivors =
+    * touched-bucket rows anti-joined against EVERY delta key, unioned
+    * with the upsert rows); every untouched bucket rides into the new
+    * generation as a reference; the pointer flips last. */
+  private def cowMerge(spark: SparkSession, root: String, upserts: DataFrame,
+      deleteKeys: Option[DataFrame], expectTouched: Int): Unit = {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
-    val root = mergeRoot(spark, dir)
     val baseGen = s"$root/gen-000001"
-    val delta = mergeDelta(spark, dir)
+    val up = upserts
       .withColumn("bucket", pmod($"c_custkey", lit(MergeBuckets)).cast("int"))
-    val touched = delta.select($"bucket").distinct()
+    val delKeys = deleteKeys.map(_.select($"c_custkey"))
+      .getOrElse(spark.emptyDataset[Long].toDF("c_custkey"))
+    val allKeys = up.select($"c_custkey").unionByName(delKeys)
+      .withColumn("bucket", pmod($"c_custkey", lit(MergeBuckets)).cast("int"))
+    val touched = allKeys.select($"bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val gen = graft.operators.Ann.nextGenerationName(spark, root)
     val genPath = Paths.get(root, gen)
     Files.createDirectories(genPath)
-    // rewrite ONLY the touched buckets: survivors (keys not replaced) +
-    // the delta rows of that bucket
     val base = spark.read.parquet(baseGen)
       .filter($"bucket".isin(touched.map(Int.box): _*))
     val rewritten = base
-      .join(delta.select($"c_custkey"), Seq("c_custkey"), "left_anti")
-      .unionByName(delta)
+      .join(allKeys.select($"c_custkey"), Seq("c_custkey"), "left_anti")
+      .unionByName(up)
     rewritten.write.mode("overwrite").partitionBy("bucket")
       .parquet(genPath.toString)
     // untouched buckets: referenced, never copied
@@ -439,10 +463,32 @@ object SourceQueries {
         linked += 1
       }
     }
-    require(touched.length == 2 && linked == MergeBuckets - 2,
+    require(touched.length == expectTouched &&
+      linked == MergeBuckets - expectTouched,
       s"copy-on-write drifted: rewrote ${touched.length} buckets, " +
         s"linked $linked — the merge is no longer partial")
     graft.operators.Ann.publishGeneration(spark, root, gen)
+  }
+
+  /** MERGE WITH DELETES (q211) — the third verb of MERGE INTO, on its own
+    * generation root so the upsert-only oracles (q205-q207/q209) keep
+    * their `_CURRENT`: the combined delta updates bucket 3, inserts into
+    * bucket 7, and DELETES every bucket-11 key — three buckets rewritten,
+    * thirteen referenced. Deletion is just "anti-joined out and not
+    * re-added", which is why it rides the same [[cowMerge]] engine; what
+    * it breaks is downstream: a deleted key may carry a group's MAX, so
+    * q209's retraction shortcut no longer applies (the oracle-checked
+    * summary here recomputes from the merged table — the documented
+    * recompute-on-delete fallback), and the CDC diff (q212) must report
+    * `removed`. */
+  def mergeDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = mergeRootTagged(spark, dir, "q211")
+    val dels = Tables.customer(spark, dir)
+      .filter(pmod($"c_custkey", lit(MergeBuckets)) === 11)
+      .select($"c_custkey")
+    cowMerge(spark, root, mergeDelta(spark, dir),
+      deleteKeys = Some(dels), expectTouched = 3)
     mergedSummary(spark.read.parquet(
       graft.operators.Ann.currentGenerationPath(spark, root)))
   }
@@ -484,10 +530,28 @@ object SourceQueries {
     * unchanged), so a merge that leaked, dropped, or double-applied a row
     * surfaces as a misclassified status. */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val root = mergeRoot(spark, dir)
     if (graft.operators.Ann.currentGenerationPath(spark, root)
         .endsWith("gen-000001")) mergeUpsert(spark, dir): Unit
+    diffGenerations(spark, root)
+  }
+
+  /** CDC WITH REMOVALS (q212) — q207's diff over the delete-carrying
+    * q211 root: the `removed` branch (a key present in the base snapshot
+    * and absent from `_CURRENT`) must fire for exactly the bucket-11
+    * population and nothing else — the full change-capture alphabet in
+    * one census. */
+  def cdcWithDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val root = mergeRootTagged(spark, dir, "q211")
+    if (graft.operators.Ann.currentGenerationPath(spark, root)
+        .endsWith("gen-000001")) mergeDelete(spark, dir): Unit
+    diffGenerations(spark, root)
+  }
+
+  /** gen-000001 vs `_CURRENT`, classified per key by presence + an
+    * exact-cents compare (shared by q207/q212). */
+  private def diffGenerations(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
     def state(path: String, side: String): DataFrame =
       spark.read.parquet(path)
         .select($"c_custkey", $"c_mktsegment".as(s"seg_$side"),
@@ -595,7 +659,9 @@ object SourceQueries {
     "q205_merge_upsert" -> (mergeUpsert _),
     "q206_snapshot_read" -> (snapshotRead _),
     "q207_snapshot_diff" -> (snapshotDiff _),
-    "q209_incremental_agg" -> (incrementalAgg _))
+    "q209_incremental_agg" -> (incrementalAgg _),
+    "q211_merge_delete" -> (mergeDelete _),
+    "q212_cdc_removals" -> (cdcWithDeletes _))
 
   /** The q205/q206 oracle summary over a merged or base state: `src` is a
     * CTE name providing (c_custkey, c_mktsegment, bal); a non-empty
@@ -629,6 +695,35 @@ object SourceQueries {
     // q202: one aggregate over the raw table, emitted once per physical
     // layout — data skipping may prune I/O, never change numbers. UTC
     // session ⇒ Spark's to_date(ts) ≡ DuckDB's CAST(ts AS DATE).
+    // q211: q205's MERGE semantics plus the delete verb — bucket-11 keys
+    // vanish before the summary.
+    "q211_merge_delete" -> {
+      val mergedWithDeletes =
+        """m AS (
+          |  SELECT c_custkey, c_mktsegment,
+          |    CASE WHEN c_custkey % 16 = 3 THEN c_acctbal + 100.0
+          |         ELSE c_acctbal END AS bal
+          |  FROM customer WHERE c_custkey % 16 <> 11
+          |  UNION ALL
+          |  SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment,
+          |    c_acctbal AS bal
+          |  FROM customer WHERE c_custkey % 16 = 7
+          |)""".stripMargin
+      s"WITH $mergedWithDeletes\n${mergeSummarySql("", "m")}"
+    },
+    // q212: the full CDC alphabet from the combined delta's rule —
+    // changed (bucket 3), removed (bucket 11), added (re-keyed bucket 7),
+    // unchanged (everything else).
+    "q212_cdc_removals" ->
+      """SELECT c_mktsegment,
+        |  CASE WHEN c_custkey % 16 = 3 THEN 'changed'
+        |       WHEN c_custkey % 16 = 11 THEN 'removed'
+        |       ELSE 'unchanged' END AS status,
+        |  count(*) AS n_rows
+        |FROM customer GROUP BY 1, 2
+        |UNION ALL
+        |SELECT c_mktsegment, 'added' AS status, count(*) AS n_rows
+        |FROM customer WHERE c_custkey % 16 = 7 GROUP BY c_mktsegment""".stripMargin,
     // q207: the diff the delta RULE implies — +100.00 always moves the
     // cents (changed), re-keyed rows appear (added), nothing is removed,
     // the rest compare equal.

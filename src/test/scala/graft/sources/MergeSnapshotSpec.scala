@@ -49,6 +49,30 @@ class MergeSnapshotSpec extends SparkSpec {
     assert(digest(baseGen) == before, "the merge mutated a published snapshot")
   }
 
+  test("delete-carrying merge rewrites 3 buckets and the CDC diff reports removals") {
+    graft.ops.SourceQueries.mergeDelete(spark, sf0001).count() // force publish
+    val root = Paths.get(graft.Scratch.named(
+      s"q211_${graft.Scratch.dirKey(sf0001)}").toString)
+    val current = Paths.get(
+      graft.operators.Ann.currentGenerationPath(spark, root.toString))
+    val (links, nonLinks) = (0 until 16)
+      .map(b => current.resolve(s"bucket=$b"))
+      .partition(Files.isSymbolicLink)
+    assert(links.size == 13)
+    // of the three touched buckets, 3 and 7 are rewritten with survivors
+    // + upserts; bucket 11 lost every key, so its partition directory is
+    // simply never written — absent, not empty
+    val (rewritten, absent) = nonLinks.partition(Files.exists(_))
+    assert(rewritten.map(_.getFileName.toString).sorted ==
+      Seq("bucket=3", "bucket=7"), s"rewrote $rewritten")
+    assert(absent.map(_.getFileName.toString) == Seq("bucket=11"), s"$absent")
+    assert(spark.read.parquet(current.toString).where("bucket = 11").count() == 0)
+    val statuses = graft.ops.SourceQueries.cdcWithDeletes(spark, sf0001)
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("added", "changed", "removed", "unchanged"),
+      s"CDC alphabet incomplete: $statuses")
+  }
+
   test("CDC diff never reports removals for a pure upsert delta") {
     val diff = graft.ops.SourceQueries.snapshotDiff(spark, sf0001)
     val statuses = diff.select("status").distinct()
