@@ -613,6 +613,94 @@ object SourceQueries {
           .as("max_custkey"))
   }
 
+  /** GENERATION VACUUM with reference reachability — the GC that
+    * reference-based copy-on-write makes subtle: a COW generation
+    * borrowed bucket directories from an ancestor, so "delete everything
+    * but the newest k" would tear files out from under a LIVE snapshot.
+    * Retention therefore starts from the newest `keep` generations plus
+    * `_CURRENT`'s target and closes transitively over reference edges
+    * (symlink targets here; manifest file-reuse in a warehouse): an
+    * ancestor stays PINNED until every descendant that borrows from it is
+    * itself vacuumed. Returns (deleted, kept) generation names. */
+  private[graft] def vacuumGenerations(spark: SparkSession, root: String,
+      keep: Int): (Seq[String], Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    val rootP = Paths.get(root)
+    val gens = Files.list(rootP).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("gen-")).toSeq.sorted
+    val current = graft.operators.Ann.currentGeneration(spark, root)
+      .getOrElse(sys.error(s"no _CURRENT under $root"))
+    def referencedBy(gen: String): Set[String] = {
+      val d = rootP.resolve(gen)
+      if (!Files.isDirectory(d)) Set.empty
+      else Files.list(d).iterator().asScala
+        .filter(Files.isSymbolicLink(_))
+        .flatMap { l =>
+          val target = Files.readSymbolicLink(l).toString
+          "gen-\\d{6}".r.findFirstIn(target)
+        }.toSet
+    }
+    var retained = (gens.takeRight(keep) :+ current).toSet
+    var frontier = retained
+    while (frontier.nonEmpty) {
+      val pinned = frontier.flatMap(referencedBy).diff(retained)
+      retained ++= pinned
+      frontier = pinned
+    }
+    val doomed = gens.filterNot(retained)
+    doomed.foreach { g =>
+      val d = rootP.resolve(g)
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    (doomed, gens.filter(retained))
+  }
+
+  /** Spec hook: run the upsert COW merge against an arbitrary root and
+    * return the merged row count. */
+  private[graft] def mergeUpsertInto(spark: SparkSession, dir: String,
+      root: String): Long = {
+    cowMerge(spark, root, mergeDelta(spark, dir),
+      deleteKeys = None, expectTouched = 2)
+    spark.read.parquet(
+      graft.operators.Ann.currentGenerationPath(spark, root)).count()
+  }
+
+  /** GENERATION VACUUM gate (q213) — the retention lifecycle end to end
+    * on a per-invocation root (vacuum MUTATES, so nothing here can be a
+    * shared fixture; the lifecycle IS the timed claim, the q184 rule):
+    * gen-1 = base, gen-2 = COW merge borrowing 14 buckets from gen-1,
+    * gen-3 = a full self-contained rewrite of the merged state. Vacuum
+    * keep=1 must delete gen-1 AND gen-2 (nothing retained references
+    * them once gen-3 stands alone) and the surviving snapshot must still
+    * read oracle-exact — q205's merged oracle, because a vacuum may never
+    * change the data a reader sees. The pinning branch (keep=1 while
+    * `_CURRENT` is a COW generation → the ancestor must SURVIVE) is
+    * pinned in MergeSnapshotSpec. */
+  def generationVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.Scratch.fresh("q213_root_").toString
+    val gen1 = graft.operators.Ann.nextGenerationName(spark, root)
+    Tables.customer(spark, dir)
+      .withColumn("bucket", pmod($"c_custkey", lit(MergeBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/$gen1")
+    graft.operators.Ann.publishGeneration(spark, root, gen1)
+    cowMerge(spark, root, mergeDelta(spark, dir),
+      deleteKeys = None, expectTouched = 2)
+    // gen-3: full rewrite — reads the COW view, writes every bucket real
+    val gen3 = graft.operators.Ann.nextGenerationName(spark, root)
+    spark.read.parquet(graft.operators.Ann.currentGenerationPath(spark, root))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/$gen3")
+    graft.operators.Ann.publishGeneration(spark, root, gen3)
+    val (deleted, kept) = vacuumGenerations(spark, root, keep = 1)
+    require(deleted == Seq("gen-000001", "gen-000002") && kept == Seq(gen3),
+      s"vacuum drifted: deleted=$deleted kept=$kept")
+    mergedSummary(spark.read.parquet(
+      graft.operators.Ann.currentGenerationPath(spark, root)))
+  }
+
   /** The shared per-segment summary both snapshot gates emit: row count,
     * exact balance cents, insert census (merge keys live above 1,000,000
     * — far beyond any corpus key), max key. */
@@ -661,7 +749,8 @@ object SourceQueries {
     "q207_snapshot_diff" -> (snapshotDiff _),
     "q209_incremental_agg" -> (incrementalAgg _),
     "q211_merge_delete" -> (mergeDelete _),
-    "q212_cdc_removals" -> (cdcWithDeletes _))
+    "q212_cdc_removals" -> (cdcWithDeletes _),
+    "q213_generation_vacuum" -> (generationVacuum _))
 
   /** The q205/q206 oracle summary over a merged or base state: `src` is a
     * CTE name providing (c_custkey, c_mktsegment, bal); a non-empty
@@ -744,6 +833,10 @@ object SourceQueries {
     // the incremental retraction/addition path must land exactly where
     // the full recompute does.
     "q209_incremental_agg" ->
+      s"WITH $mergedStateSql\n${mergeSummarySql("", "m")}",
+    // q213: the vacuumed survivor is the merged state — a vacuum may
+    // never change what a reader sees (q205's oracle again by design).
+    "q213_generation_vacuum" ->
       s"WITH $mergedStateSql\n${mergeSummarySql("", "m")}",
     // q206: both snapshots from first principles — the base state must
     // match gen-000001 AFTER the merge ran (published snapshots are

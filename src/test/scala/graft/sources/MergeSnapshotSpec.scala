@@ -73,6 +73,27 @@ class MergeSnapshotSpec extends SparkSpec {
       s"CDC alphabet incomplete: $statuses")
   }
 
+  test("vacuum pins a referenced ancestor: keep=1 under a COW current deletes nothing") {
+    import org.apache.spark.sql.functions._
+    // fresh 2-generation root: gen-2 is a COW merge borrowing 14 buckets
+    // from gen-1 — retention {gen-2} must transitively pin gen-1, or the
+    // live snapshot loses 14/16 of its data
+    val root = graft.Scratch.fresh("vacuum-pin").toString
+    graft.Tables.customer(spark, sf0001)
+      .withColumn("bucket", pmod(col("c_custkey"), lit(16)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/gen-000001")
+    graft.operators.Ann.publishGeneration(spark, root, "gen-000001")
+    val before = graft.ops.SourceQueries.mergeUpsertInto(spark, sf0001, root)
+    val (deleted, kept) = graft.ops.SourceQueries.vacuumGenerations(
+      spark, root, keep = 1)
+    assert(deleted.isEmpty, s"vacuum deleted a pinned ancestor: $deleted")
+    assert(kept == Seq("gen-000001", "gen-000002"), s"kept $kept")
+    // and the live snapshot still reads every row
+    val after = spark.read.parquet(
+      graft.operators.Ann.currentGenerationPath(spark, root)).count()
+    assert(after == before, s"vacuum changed the live view: $after vs $before")
+  }
+
   test("CDC diff never reports removals for a pure upsert delta") {
     val diff = graft.ops.SourceQueries.snapshotDiff(spark, sf0001)
     val statuses = diff.select("status").distinct()
