@@ -445,6 +445,66 @@ object PipelineQueries {
   private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit =
     fragmentedDocs(spark, dir): Unit
 
+  /** REFERENTIAL-INTEGRITY AUDIT (q214) — the data-quality sweep a
+    * warehouse runs before promoting a load: for every foreign-key edge,
+    * the child row count, the distinct-parent count, and the count of
+    * ORPHANS (child keys with no parent — each edge one left-anti join;
+    * dimension parents broadcast, the one fact-fact edge shuffles on its
+    * key). Zero orphans on this corpus is itself the audited fact; the
+    * counts stay meaningful when a bad load breaks it. */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, broadcastParent: Boolean): DataFrame = {
+      val p = parent.select(col(pkey))
+      val orphans = child.select(col(key))
+        .join(if (broadcastParent) broadcast(p) else p,
+          col(key) === col(pkey), "left_anti")
+      val stats = child.agg(count(lit(1)).as("n_child"),
+        countDistinct(col(key)).as("n_child_keys"))
+      stats.crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(name).as("edge"), $"n_child", $"n_child_keys", $"n_orphans")
+    }
+    val li = Tables.lineitem(spark, dir)
+    val or = Tables.orders(spark, dir)
+    val cu = Tables.customer(spark, dir)
+    val na = Tables.nation(spark, dir)
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", or, "o_orderkey",
+        broadcastParent = false),
+      edge("orders.o_custkey->customer", or, "o_custkey", cu, "c_custkey",
+        broadcastParent = true),
+      edge("customer.c_nationkey->nation", cu, "c_nationkey", na, "n_nationkey",
+        broadcastParent = true),
+      edge("nation.n_regionkey->region", na, "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey", broadcastParent = true)
+    ).reduce(_ unionByName _)
+  }
+
+  /** PARTITION COMPLETENESS AUDIT (q215) — the freshness/gap check over a
+    * time-partitioned fact: per ship YEAR, how many month partitions the
+    * span [first shipped month, last shipped month] expects, how many
+    * hold rows, and the row volume — a silent one-month ingestion gap is
+    * exactly what this surfaces. The month spine generates from the
+    * corpus' own bounds (broadcast 1-row aggregate → `sequence()` — never
+    * a hard-coded calendar), left-joins the per-month counts, and rolls
+    * up per year; everything integer. */
+  def partitionGapAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val months = Tables.lineitem(spark, dir)
+      .select(date_trunc("month", $"l_shipdate").cast("date").as("m"))
+      .groupBy($"m").agg(count(lit(1)).as("n_rows"))
+    val bounds = months.agg(min($"m").as("mn"), max($"m").as("mx"))
+    val spine = bounds
+      .select(explode(expr("sequence(mn, mx, interval 1 month)")).as("m"))
+    spine.join(months, Seq("m"), "left")
+      .groupBy(year($"m").as("ship_year"))
+      .agg(count(lit(1)).as("n_months_expected"),
+        sum(when($"n_rows".isNotNull, 1L).otherwise(0L)).as("n_months_present"),
+        sum(when($"n_rows".isNull, 1L).otherwise(0L)).as("n_gap_months"),
+        sum(coalesce($"n_rows", lit(0L))).as("n_rows"))
+  }
+
   /** Exact-k stratified sample (eval-set construction): the k docs with the
     * smallest salted-hash keys per source — deterministic, reproducible,
     * uniformly random within each stratum. Selection runs through the
@@ -867,6 +927,8 @@ object PipelineQueries {
     "q94_shard_assignment" -> (shardAssignment _),
     "q200_shard_manifest" -> (shardManifest _),
     "q203_compaction_manifest" -> (compactionManifest _),
+    "q214_referential_integrity" -> (referentialIntegrity _),
+    "q215_partition_gap_audit" -> (partitionGapAudit _),
     "q95_stratified_sample" -> (stratifiedSample _),
     "q96_bigram_lm" -> (bigramLm _),
     "q99_curation_pipeline" -> (curationPipeline _),
@@ -1160,6 +1222,46 @@ object PipelineQueries {
     // strpos digit arithmetic (Spark uses conv; the values agree exactly),
     // summed order-independently per shard.
     "q200_shard_manifest" -> manifestOracleSql,
+    // q214: the same four FK anti-joins.
+    "q214_referential_integrity" -> {
+      def edge(name: String, child: String, key: String, parent: String,
+          pkey: String): String =
+        s"""SELECT '$name' AS edge,
+           |  (SELECT count(*) FROM $child) AS n_child,
+           |  (SELECT count(DISTINCT $key) FROM $child) AS n_child_keys,
+           |  (SELECT count(*) FROM $child
+           |   WHERE $key NOT IN (SELECT $pkey FROM $parent)) AS n_orphans""".stripMargin
+      Seq(
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey")).mkString("\nUNION ALL\n")
+    },
+    // q215: identical month spine from the corpus' own bounds.
+    "q215_partition_gap_audit" ->
+      """WITH mo AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1
+        |), b AS (
+        |  SELECT min(m) AS mn, max(m) AS mx FROM mo
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS m
+        |  FROM b
+        |)
+        |SELECT CAST(year(spine.m) AS INTEGER) AS ship_year,
+        |  count(*) AS n_months_expected,
+        |  CAST(sum(CASE WHEN mo.n_rows IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_months_present,
+        |  CAST(sum(CASE WHEN mo.n_rows IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gap_months,
+        |  CAST(coalesce(sum(mo.n_rows), 0) AS BIGINT) AS n_rows
+        |FROM spine LEFT JOIN mo USING (m)
+        |GROUP BY 1""".stripMargin,
     // q203: the SAME manifest over the raw table — the compacted files
     // must reconcile to it exactly or the rewrite lost/duplicated/
     // corrupted a document.
