@@ -177,6 +177,81 @@ object EventQueries {
       mode = org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Two-batch drive for the q216 LEFT-OUTER stream-stream join, memoized
+    * per (JVM, dir): the corpus symlink, then a flush file holding one
+    * far-future advancer per SIDE (event_type click and error, user −1) —
+    * a stream-stream join's watermark is the min across both inputs, so
+    * BOTH sides must advance before buffered never-matched clicks can
+    * emit their null rows and leave the state store. Encoding-dispatched
+    * ts synthesis, the q92/q166 contract. */
+  private val q216Drive =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q216DriveFor(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val src = s"$dir/events.parquet"
+    q216Drive.computeIfAbsent(dir, _ => {
+      val raw = spark.read.parquet(src)
+      val tsType = raw.schema("ts").dataType
+      val maxUs = tsType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.agg(max($"ts")).head().getLong(0) / 1000
+        case _ =>
+          Tables.rebuildNanosTs(raw)
+            .agg(max(unix_micros($"ts"))).head().getLong(0)
+      }
+      def encTs(us: Long) = tsType match {
+        case org.apache.spark.sql.types.LongType => lit(us * 1000L)
+        case t => timestamp_micros(lit(us)).cast(t)
+      }
+      val drive = graft.Scratch.named(s"q216_drive_${graft.Scratch.dirKey(dir)}")
+      Files.createSymbolicLink(drive.resolve("aa_events.parquet"), Paths.get(src))
+      val staging = graft.Scratch.fresh("q216_staging_")
+      Seq(("click", -2L), ("error", -3L)).toDF("event_type", "event_id")
+        .withColumn("ts", encTs(maxUs + 100L * 24 * 3600 * 1000000L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("value", lit(0.0))
+        .withColumn("props", lit(null).cast("string"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = drive.resolve("zz_flush.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis()): Unit
+      drive.toString
+    })
+  }
+
+  /** LEFT-OUTER stream-stream join as a gate query (q216) — the outer
+    * half of q90's join-state class, and the part with genuinely
+    * different mechanics: a click with no error in its preceding hour
+    * emits NOTHING until the error-side watermark proves no match can
+    * still arrive, then emits exactly one null-extended row and frees its
+    * state. The two-batch drive (corpus, then per-side far-future
+    * advancers) forces that flush across a real batch boundary; advancer
+    * rows filter out by user sign. The oracle is the batch LEFT JOIN with
+    * the identical time-range predicate — a dropped unmatched click, a
+    * double emission (null row AND match), or an eviction-before-match
+    * all break the hash. */
+  def streamingOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosRead(spark)
+    val out = graft.streaming.Streaming.runOnce(spark, q216DriveFor(spark, dir),
+      ev => {
+        val fixed = Tables.rebuildNanosTs(ev)
+        graft.streaming.Streaming.clickErrorJoin(
+          fixed.filter($"event_type" === "click"),
+          fixed.filter($"event_type" === "error"),
+          joinType = "left_outer")
+      },
+      name = "q216_streaming_outer_join_sink",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    out.filter($"user_id" >= 0)
+  }
+
   /** q18's STREAMING twin via `flatMapGroupsWithState` — the third stateful
     * streaming operator class at the gate (custom per-key state, vs q81's
     * window state and q90's join state). Deterministic MULTI-batch drive
@@ -670,6 +745,7 @@ object EventQueries {
     q92DriveFor(spark, dir): Unit
     lateDriveFor(spark, dir): Unit
     q194DriveFor(spark, dir): Unit
+    q216DriveFor(spark, dir): Unit
   }
 
   def streamingLateData(spark: SparkSession, dir: String): DataFrame = {
@@ -1151,7 +1227,8 @@ object EventQueries {
     "q194_streaming_update_mode" -> (streamingUpdateMode _),
     "q196_stream_static_join" -> (streamingStaticJoin _),
     "q198_gap_fill" -> (gapFillForwardFill _),
-    "q201_streaming_replay_idempotence" -> (streamingReplayIdempotence _))
+    "q201_streaming_replay_idempotence" -> (streamingReplayIdempotence _),
+    "q216_streaming_outer_join" -> (streamingOuterJoin _))
 
   val oracle: Map[String, String] = Map(
     // q182: the TWS processor's count + integer-cent sum per user is the
@@ -1500,6 +1577,17 @@ object EventQueries {
         |SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
         |       c.ts AS click_ts, e.ts AS error_ts
         |FROM c JOIN e
+        |  ON c.user_id = e.user_id
+        | AND e.ts <= c.ts
+        | AND e.ts >= c.ts - INTERVAL 60 MINUTE""".stripMargin,
+    // q216: q90's join LEFT-OUTER — every click appears exactly once if
+    // unmatched (null error columns) or once per matching error.
+    "q216_streaming_outer_join" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     e AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+        |       c.ts AS click_ts, e.ts AS error_ts
+        |FROM c LEFT JOIN e
         |  ON c.user_id = e.user_id
         | AND e.ts <= c.ts
         | AND e.ts >= c.ts - INTERVAL 60 MINUTE""".stripMargin,

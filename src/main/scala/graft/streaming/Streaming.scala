@@ -222,17 +222,24 @@ object Streaming {
     * side's watermark passes its join window) — the only stream-stream
     * join formulation whose state does not grow without bound. */
   def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
-      gapMinutes: Int = 60, watermark: String = "2 hours"): DataFrame = {
+      gapMinutes: Int = 60, watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
     val e = errors.withWatermark("ts", watermark)
       .select(col("user_id").as("e_user"), col("ts").as("error_ts"),
         col("event_id").as("error_id"))
+    // OUTER variants are legal ONLY because the time-range predicate plus
+    // both watermarks bound the join state: a left row's null-match emits
+    // once the error-side watermark passes its join window, and the state
+    // entry is evicted — the same condition that keeps the inner join's
+    // buffers finite.
     c.join(e,
       col("user_id") === col("e_user") &&
         col("error_ts") <= col("click_ts") &&
-        col("error_ts") >= col("click_ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
+        col("error_ts") >= col("click_ts") - expr(s"INTERVAL $gapMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("error_id"),
         col("click_ts"), col("error_ts"))
   }
