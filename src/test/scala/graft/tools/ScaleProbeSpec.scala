@@ -31,6 +31,26 @@ class ScaleProbeSpec extends SparkSpec {
     assert(md.contains("## Findings log"), "findings log lost on regeneration")
   }
 
+  test("q149's occupancy-sized index path engages on a scaled corpus and stays mutual") {
+    import org.apache.spark.sql.functions._
+    // 5x sf0.001 -> 2500 vectors -> kCells = max(8, 2500/250) = 10: the
+    // private adaptive index (the ScaleProbe-measured quadratic fix)
+    // actually forks off the shared 8-cell path, which sbt test would
+    // otherwise never execute
+    import spark.implicits._
+    val scaled = ScaleProbe.scaledCorpus(spark, sf0001, 5)
+    assert(spark.read.parquet(s"$scaled/embeddings.parquet").count() == 2500)
+    val pairs = graft.ops.AnnQueries.mutualKnnIvf(spark, scaled)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty, "adaptive-k mutual kNN found no pairs")
+    // canonical orientation and no self-pairs
+    assert(pairs.forall { case (a, b) => a < b })
+    // determinism: a second run through the memoized index is identical
+    val again = graft.ops.AnnQueries.mutualKnnIvf(spark, scaled)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+  }
+
   test("the scaled corpus is a genuine salted union, not a verbatim copy") {
     import org.apache.spark.sql.functions._
     val scaled = ScaleProbe.scaledCorpus(spark, sf0001, 2)
