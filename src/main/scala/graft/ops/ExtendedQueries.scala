@@ -1137,7 +1137,89 @@ object ExtendedQueries {
 
   // ---------------------------------------------------------------- wiring
 
+  // ------------------------------------------------- mergeable id sketches
+
+  /** BITMAP-INDEX distinct (q217) — exact COUNT(DISTINCT) as a MERGEABLE
+    * bitmap aggregate, the roaring-bitmap pattern of OLAP segment
+    * metadata: each (month, word) row ORs one 63-bit word of the
+    * customer-id bitmap (63, not 64 — a `1 << 63` overflows DuckDB's
+    * checked shift, and the sign bit buys nothing), so the shuffle
+    * carries at most groups × ⌈|id domain| / 63⌉ words no matter how many
+    * fact rows fan in, and `bit_or` partially aggregates map-side like
+    * any algebraic agg. popcount over the words then reads the exact
+    * cardinality without re-touching the fact table — unlike HLL this is
+    * NOT an estimate, and unlike countDistinct the per-group state is
+    * bounded by the id domain, not the row count. The countDistinct twin
+    * rides alongside; the gate's contract is bitmap == exact on every
+    * group. At 100 TB the dense words become roaring containers — the
+    * algebra (OR then popcount) is unchanged. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select(
+      date_format($"o_orderdate", "yyyy-MM").as("ym"),
+      expr("o_custkey div 63").as("word"),
+      expr("shiftleft(cast(1 as bigint), cast(o_custkey % 63 as int))")
+        .as("mask"))
+    val viaBitmap = o.groupBy($"ym", $"word")
+      .agg(expr("bit_or(mask)").as("bm"))
+      .groupBy($"ym").agg(
+        sum(bit_count($"bm")).as("n_distinct_bitmap"),
+        count(lit(1)).as("n_words"))
+    val exact = Tables.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("ym"))
+      .agg(countDistinct($"o_custkey").as("n_exact"))
+    viaBitmap.join(exact, "ym")
+      .select($"ym", $"n_exact", $"n_distinct_bitmap", $"n_words")
+  }
+
+  /** PORTABLE HyperLogLog (q218) — an approx-distinct sketch whose
+    * ESTIMATE is engine-reproducible, complementing q115 (Spark's native
+    * HLL registers are engine-private, so q115 can only gate a bounds
+    * flag; this sketch's estimate itself hash-matches the oracle). The
+    * md5 of the id feeds 8 hex chars — 2 for the register index (m=256),
+    * 6 for a 24-bit rho window — and the raw-HLL harmonic mean runs
+    * entirely in BIGINT fixed point: registers hold rho = 25 − bitlen(w)
+    * (bitlen via length(bin(w)), the repo's integer-log2 idiom),
+    * Σ 2^(24−rho) is an exact integer ≤ 2^32, alpha_256 ≈ 0.718274 rides
+    * as the rational 718274/10^6, and the estimate is ONE BIGINT
+    * floor-div both engines replay digit-for-digit (no libm, no doubles —
+    * ARCHITECTURE Correctness rule 4; the 24-bit window keeps the
+    * numerator alpha_num·m²·2^24 < 2^63 where a 48-bit window would
+    * overflow). Scale: the register table is a (group, bucket ≤ 256)
+    * hash-agg with map-side MAX — the sketch merges associatively across
+    * any partitioning, which is the whole point of HLL at 100 TB.
+    * Sparse-regime bias (n ≲ 2.5m) stays uncorrected BY DESIGN — linear
+    * counting needs ln(); n_filled documents the regime and the exact
+    * twin rides alongside (err_bp ≈ 50 at sf0.01's n=2000). */
+  def portableHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val num = 718274L * 65536L * (1L << 24)
+    val b = Tables.lineitem(spark, dir).select($"l_returnflag".as("grp"),
+      md5($"l_partkey".cast("string")).as("hh"))
+      .select($"grp",
+        conv(substring($"hh", 1, 2), 16, 10).cast("int").as("bucket"),
+        conv(substring($"hh", 3, 6), 16, 10).cast("long").as("w"))
+    val reg = b.groupBy($"grp", $"bucket").agg(
+      max(when($"w" === 0L, lit(24))
+        .otherwise(lit(25) - length(bin($"w")))).as("rho"))
+    val s = reg.groupBy($"grp").agg(
+      (sum(expr("shiftleft(cast(1 as bigint), 24 - rho)")) +
+        (lit(256L) - count(lit(1))) * lit(1L << 24)).as("ssum"),
+      count(lit(1)).as("n_filled"))
+    val exact = Tables.lineitem(spark, dir).groupBy($"l_returnflag".as("grp"))
+      .agg(countDistinct($"l_partkey").as("n_exact"))
+    s.join(exact, "grp")
+      .withColumn("hll_est", expr(s"${num}L div (1000000L * ssum)"))
+      .withColumn("err_bp",
+        when($"n_exact" > 0L,
+          expr("abs(hll_est - n_exact) * 10000L div n_exact"))
+          .otherwise(0L))
+      .select($"grp", $"n_exact", $"hll_est", $"n_filled", $"err_bp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_bitmap_distinct" -> (bitmapDistinct _),
+    "q218_portable_hll" -> (portableHll _),
     "q143_exact_corr" -> (exactCorr _),
     "q144_mode" -> (modeAgg _),
     "q139_ntile_binning" -> (ntileBinning _),
@@ -1234,6 +1316,57 @@ object ExtendedQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q217: same bitmap algebra — 63-bit words, OR, popcount — next to the
+    // exact twin; SUM(bit_count) is HUGEINT in DuckDB, hence the BIGINT cast.
+    "q217_bitmap_distinct" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |         o_custkey // 63 AS word,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 63 AS INT)) AS bm
+        |  FROM orders GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT ym, CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct_bitmap,
+        |         COUNT(*) AS n_words
+        |  FROM m GROUP BY 1
+        |), ex AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |         COUNT(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT agg.ym AS ym, n_exact, n_distinct_bitmap, n_words
+        |FROM agg JOIN ex USING (ym)""".stripMargin,
+    // q218: digit-for-digit replay of the fixed-point raw-HLL estimator —
+    // md5 register/rho split, integer bitlen via length(bin(w)), one BIGINT
+    // floor-div with alpha as 718274/1e6.
+    "q218_portable_hll" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS grp,
+        |         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+        |         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 3, 6))::BIGINT AS w
+        |  FROM lineitem
+        |), reg AS (
+        |  SELECT grp, bucket,
+        |         MAX(CASE WHEN w = 0 THEN 24 ELSE 25 - length(bin(w)) END) AS rho
+        |  FROM b GROUP BY 1, 2
+        |), s AS (
+        |  SELECT grp,
+        |         CAST(SUM(CAST(1 AS BIGINT) << (24 - rho))
+        |              + (256 - COUNT(*)) * 16777216 AS BIGINT) AS ssum,
+        |         COUNT(*) AS n_filled
+        |  FROM reg GROUP BY 1
+        |), ex AS (
+        |  SELECT l_returnflag AS grp, COUNT(DISTINCT l_partkey) AS n_exact
+        |  FROM lineitem GROUP BY 1
+        |), est AS (
+        |  SELECT s.grp AS grp, n_exact, n_filled,
+        |         (CAST(718274 AS BIGINT) * 65536 * 16777216) // (1000000 * ssum) AS hll_est
+        |  FROM s JOIN ex USING (grp)
+        |)
+        |SELECT grp, n_exact, hll_est, n_filled,
+        |       CASE WHEN n_exact > 0
+        |            THEN ABS(hll_est - n_exact) * 10000 // n_exact
+        |            ELSE 0 END AS err_bp
+        |FROM est""".stripMargin,
     // bivariate exact moments: DuckDB's HUGEINT sums/products are exact,
     // and HUGEINT→DOUBLE / BIGINT→DOUBLE are both correctly rounded IEEE
     // conversions, so the final float tree matches term for term
