@@ -111,4 +111,43 @@ object Graph {
     }
     pr.select(col("vtx"), col("pr"))
   }
+
+  /** k-hop BFS frontier census from a DETERMINISTIC seed — the minimum-
+    * degree vertex, ties to the smallest id (the hardest seed on a
+    * near-clique co-purchase graph: a hub would reach everything in one
+    * hop). Levels are UNROLLED like [[integerPageRank]]: level k is one
+    * adjacency equi-join on the previous frontier + distinct + anti-join
+    * against the reached set — the Pregel superstep as relational
+    * algebra, shuffle-bounded by frontier × degree, never all-pairs.
+    * Output is one row per hop (frontier size, cumulative reached); the
+    * running sum is a window over those k+1 rows — a single implicit
+    * partition, fine because the frame is the hop census, not data.
+    * Plan depth grows linearly in k, so a production deep BFS would
+    * checkpoint each frontier the way the co-purchase edge fixture is
+    * checkpointed; 3 unrolled levels keep the one-plan formulation
+    * honest and AQE-visible. */
+  def bfsFrontiers(edges: DataFrame, hops: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src").as("vtx")).agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(col("deg").asc, col("vtx").asc)
+      .limit(1).select(col("vtx"))
+    var frontier = seed
+    var reached = seed
+    var counts = seed.agg(count(lit(1)).as("n_frontier"))
+      .select(lit(0).as("hop"), col("n_frontier"))
+    (1 to hops).foreach { k =>
+      val next = adj.join(frontier, adj("src") === frontier("vtx"))
+        .select(col("dst").as("vtx")).distinct()
+        .join(reached, Seq("vtx"), "left_anti")
+      counts = counts.unionAll(next.agg(count(lit(1)).as("n_frontier"))
+        .select(lit(k).as("hop"), col("n_frontier")))
+      reached = reached.unionAll(next) // disjoint by the anti-join
+      frontier = next
+    }
+    val w = Window.orderBy(col("hop"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.withColumn("n_reached", sum(col("n_frontier")).over(w))
+  }
 }

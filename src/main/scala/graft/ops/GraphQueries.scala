@@ -77,10 +77,21 @@ object GraphQueries {
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.integerPageRank(coPurchaseEdges(spark, dir))
 
+  /** 3-hop BFS reachability census
+    * ([[graft.operators.Graph.bfsFrontiers]] — unrolled Pregel supersteps
+    * from the min-degree seed). The oracle replays the same level
+    * structure as chained CTEs (fᵢ = neighbors of fᵢ₋₁ minus everything
+    * reached), so every per-hop frontier size is checked, not just the
+    * final reachable count. At sf0.01 the census is 1 / 42 / 1814 / 143 —
+    * the periphery-seeded traversal genuinely needs all three hops. */
+  def bfsCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.bfsFrontiers(coPurchaseEdges(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_triangle_count" -> (triangles _),
     "q126_degree_histogram" -> (degreeHist _),
-    "q130_pagerank" -> (pagerank _))
+    "q130_pagerank" -> (pagerank _),
+    "q219_bfs_frontiers" -> (bfsCensus _))
 
   private val edgesSql =
     """i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -148,5 +159,40 @@ object GraphQueries {
          |  FROM adj a JOIN p2 p ON p.vtx = a.src GROUP BY a.dst
          |)
          |SELECT s3.vtx, CAST(150000000000 + (17 * s3.s) // 20 AS BIGINT) AS pr
-         |FROM s3""".stripMargin)
+         |FROM s3""".stripMargin,
+    // q219: the identical level structure as chained CTEs — min-degree
+    // seed (ties to smallest id), each frontier = distinct neighbors of
+    // the previous minus everything already reached.
+    "q219_bfs_frontiers" ->
+      s"""WITH $edgesSql,
+         |adj AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v AS src, u AS dst FROM e
+         |),
+         |d AS (SELECT src AS vtx, count(*) AS deg FROM adj GROUP BY src),
+         |seed AS (SELECT vtx FROM d ORDER BY deg ASC, vtx ASC LIMIT 1),
+         |f1 AS (
+         |  SELECT DISTINCT dst AS vtx FROM adj JOIN seed ON adj.src = seed.vtx
+         |  WHERE dst NOT IN (SELECT vtx FROM seed)
+         |),
+         |r1 AS (SELECT vtx FROM seed UNION SELECT vtx FROM f1),
+         |f2 AS (
+         |  SELECT DISTINCT dst AS vtx FROM adj JOIN f1 ON adj.src = f1.vtx
+         |  WHERE dst NOT IN (SELECT vtx FROM r1)
+         |),
+         |r2 AS (SELECT vtx FROM r1 UNION SELECT vtx FROM f2),
+         |f3 AS (
+         |  SELECT DISTINCT dst AS vtx FROM adj JOIN f2 ON adj.src = f2.vtx
+         |  WHERE dst NOT IN (SELECT vtx FROM r2)
+         |),
+         |cnt AS (
+         |  SELECT (SELECT count(*) FROM f1) AS n1,
+         |         (SELECT count(*) FROM f2) AS n2,
+         |         (SELECT count(*) FROM f3) AS n3
+         |)
+         |SELECT 0 AS hop, CAST(1 AS BIGINT) AS n_frontier,
+         |       CAST(1 AS BIGINT) AS n_reached FROM cnt
+         |UNION ALL SELECT 1, n1, 1 + n1 FROM cnt
+         |UNION ALL SELECT 2, n2, 1 + n1 + n2 FROM cnt
+         |UNION ALL SELECT 3, n3, 1 + n1 + n2 + n3 FROM cnt""".stripMargin)
 }
