@@ -782,17 +782,54 @@ object SourceQueries {
         sum($"rev").cast("double").as("revenue"))
   }
 
+  // ------------------------------------------------ hidden partitioning
+
+  /** q221's bucket-transform layout (16 buckets of l_orderkey), memoized
+    * per (JVM, dir) — write-once/look-up-many by contract. */
+  private val hiddenLayoutPath = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def hiddenLayout(spark: SparkSession, dir: String): String =
+    hiddenLayoutPath.computeIfAbsent(dir, _ => {
+      val out = graft.Scratch.fresh("q221_hidden_").resolve("li").toString
+      graft.sources.Sources.writeKeyBucketed(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        out, "l_orderkey", 16, "okey_bucket")
+      out
+    })
+
+  /** HIDDEN-PARTITION POINT LOOKUP (q221) — Iceberg-style transform
+    * partitioning ([[graft.sources.Sources.readKeyLookup]]): the layout
+    * is bucketed by l_orderkey mod 16, the query only speaks l_orderkey,
+    * and the reader injects the implied bucket predicate so the scan
+    * prunes to the 3 matching directories out of 16 (DPP's q183 prunes on
+    * a JOIN against a dim; this prunes on a POINT predicate the user
+    * never phrased in layout terms — the other half of the scan-killer
+    * story). The oracle runs the same lookup against the raw table — the
+    * layout must be invisible to the result. HiddenPartitionSpec pins
+    * "partitions read = 3 of 16" on the executed scan. */
+  def hiddenPartitionLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Seq(1L, 2L, 3L)
+    graft.sources.Sources.readKeyLookup(spark, hiddenLayout(spark, dir),
+      "l_orderkey", 16, "okey_bucket", keys)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("sum_qty"))
+  }
+
   /** Bench fixture hook ([[graft.Fixtures]], VERDICT r8 #2): the bucketed
     * fact tables (write-once/join-many by contract), the q183
     * month-partitioned fact + dim, the q189 evolved layout, the q202
-    * sorted/scrambled skipping pair, and the q220 base join-view
-    * checkpoint. */
+    * sorted/scrambled skipping pair, the q220 base join-view checkpoint,
+    * and the q221 hidden-partition layout. */
   private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit = {
     bucketedTables(spark, dir): Unit
     dppTables(spark, dir): Unit
     evolvedLayout(spark, dir): Unit
     skipLayouts(spark, dir): Unit
     ivmBasePath(spark, dir): Unit
+    hiddenLayout(spark, dir): Unit
   }
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -822,7 +859,8 @@ object SourceQueries {
     "q211_merge_delete" -> (mergeDelete _),
     "q212_cdc_removals" -> (cdcWithDeletes _),
     "q213_generation_vacuum" -> (generationVacuum _),
-    "q220_ivm_join_view" -> (ivmJoinView _))
+    "q220_ivm_join_view" -> (ivmJoinView _),
+    "q221_hidden_partitioning" -> (hiddenPartitionLookup _))
 
   /** The q205/q206 oracle summary over a merged or base state: `src` is a
     * CTE name providing (c_custkey, c_mktsegment, bal); a non-empty
@@ -910,6 +948,13 @@ object SourceQueries {
     // never change what a reader sees (q205's oracle again by design).
     "q213_generation_vacuum" ->
       s"WITH $mergedStateSql\n${mergeSummarySql("", "m")}",
+    // q221: the raw-table lookup — the bucket layout must be invisible
+    // to the result.
+    "q221_hidden_partitioning" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey IN (1, 2, 3)
+        |GROUP BY 1""".stripMargin,
     // q220: the full join recomputed from scratch — the oracle has no
     // idea the engine maintained the view incrementally, which is the
     // claim under test.

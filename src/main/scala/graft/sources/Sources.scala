@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface (SURVEY §2.1 S1–S5, re-expressed Spark-first).
@@ -138,5 +139,34 @@ object Sources {
       .coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     (in.size, partFiles(outPath).size, totalBytes)
+  }
+
+  // ---------------------------------------------- hidden partitioning
+
+  /** Iceberg-style HIDDEN PARTITIONING: the table is laid out by a
+    * TRANSFORM of a data column — here bucket(n) = key mod n, written as
+    * a real partition-directory column — and the READER, not the user,
+    * owes the translation from data predicates to layout predicates.
+    * [[writeKeyBucketed]] derives the bucket column at write time;
+    * [[readKeyLookup]] appends the implied transform predicate to a
+    * key-set lookup, which Catalyst turns into partition pruning (the
+    * bucket column is a directory, so the filter never touches data
+    * files outside the matching buckets). Without the rewrite the bucket
+    * column is invisible to the query and every lookup scans all n
+    * directories — the difference between O(1) and O(n) directories per
+    * point read at warehouse scale. HiddenPartitionSpec pins the pruned
+    * partition count on the executed scan. */
+  def writeKeyBucketed(df: DataFrame, path: String, srcCol: String,
+      nBuckets: Int, partCol: String): Unit =
+    df.withColumn(partCol, pmod(col(srcCol), lit(nBuckets)))
+      .write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(path)
+
+  def readKeyLookup(spark: SparkSession, path: String, srcCol: String,
+      nBuckets: Int, partCol: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "hidden-partition lookup needs at least one key")
+    val buckets = keys.map(k => ((k % nBuckets) + nBuckets) % nBuckets).distinct
+    spark.read.parquet(path)
+      .where(col(srcCol).isin(keys: _*) && col(partCol).isin(buckets: _*))
+      .drop(partCol)
   }
 }
