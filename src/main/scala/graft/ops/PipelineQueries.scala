@@ -905,7 +905,40 @@ object PipelineQueries {
         greatest($"n_chars".cast("double"), $"tau").as("ht_weight"))
   }
 
+  /** POINT-IN-TIME JOIN against the SCD2 dimension (q222) — the temporal
+    * lookup every feature store / training-label pipeline runs: "what did
+    * this dimension row say AS OF this observation's time?" (q45's as-of
+    * join aligns two event streams; this joins a probe against CLOSED
+    * VERSION INTERVALS, the warehouse formulation). Probes are the full
+    * key universe × as_of ∈ {0,1,2} — before the update, after it, after
+    * the delete — so every temporal edge is exercised: pre-insert probes
+    * and post-delete probes must find NOTHING (the left join's null
+    * group), not leak an adjacent version. The join is EQUI on the key
+    * with the interval predicate as a residual filter — per-key version
+    * counts are tiny, so this stays a hash join on the key at 100 TB
+    * (never a blind range join); the 3-row as_of spine is a bounded
+    * literal frame (the q-hours×types precedent). Output aggregates to
+    * (as_of, source) census cells, NULL source = the no-match group. */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = scd2History(spark, dir).alias("d")
+    val keys = Tables.documents(spark, dir).select($"doc_id")
+      .union(Tables.documents(spark, dir)
+        .filter($"doc_id" % 7 === 0).select(($"doc_id" + 10000000L).as("doc_id")))
+      .distinct()
+    val probes = keys.crossJoin(Seq(0L, 1L, 2L).toDF("as_of")).alias("p")
+    probes.join(dim,
+        col("p.doc_id") === col("d.doc_id") &&
+          col("d.valid_from_seq") <= col("p.as_of") &&
+          (col("d.valid_to_seq").isNull ||
+            col("p.as_of") < col("d.valid_to_seq")),
+        "left")
+      .groupBy(col("p.as_of").as("as_of"), col("d.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d.n_chars")).as("sum_nc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_pit_join" -> (pitJoin _),
     "q170_bloom_decontaminate" -> (bloomDecontaminate _),
     "q171_dsir_importance" -> (dsirImportance _),
     "q174_priority_sample" -> (prioritySample _),
@@ -1008,6 +1041,37 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM merged GROUP BY source""".stripMargin,
+    // q222: q111's version CTE chain + the probe grid — unmatched probes
+    // (pre-insert, post-delete) land in the NULL-source census cell.
+    "q222_pit_join" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), versions AS (
+        |  SELECT doc_id, 0 AS seq, 'B' AS op, source AS src, n_chars AS nc
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'U', upper(source), n_chars + 1
+        |  FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'D', NULL, NULL FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 1, 'I', 'backfill', n_chars
+        |  FROM base WHERE doc_id % 7 = 0
+        |), v AS (
+        |  SELECT *, lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS vt
+        |  FROM versions
+        |), dim AS (SELECT * FROM v WHERE op <> 'D'),
+        |probes AS (
+        |  SELECT p.doc_id, s.as_of
+        |  FROM (SELECT DISTINCT doc_id FROM versions) p,
+        |       (SELECT unnest(generate_series(0, 2)) AS as_of) s
+        |)
+        |SELECT p.as_of AS as_of, d.src AS source,
+        |  count(*) AS n_docs, CAST(sum(d.nc) AS BIGINT) AS sum_nc
+        |FROM probes p LEFT JOIN dim d
+        |  ON d.doc_id = p.doc_id AND d.seq <= p.as_of
+        |  AND (d.vt IS NULL OR p.as_of < d.vt)
+        |GROUP BY 1, 2""".stripMargin,
     "q111_scd2_history" ->
       """WITH base AS (
         |  SELECT doc_id, source, n_chars FROM documents

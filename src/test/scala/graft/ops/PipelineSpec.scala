@@ -338,4 +338,30 @@ class PipelineSpec extends SparkSpec {
     assert(out(1) == ((2L, 0L, 0.0)))
     assert(out(2) == ((2L, 2L, 1.0)))
   }
+
+  test("q222 PIT join: every temporal edge on a hand-built timeline") {
+    // id 3: plain base; id 5: update at seq 1; id 10: update then delete;
+    // id 7: base + a backfill insert under key 10000007 at seq 1
+    val dir = docsDir(
+      (3L, "t", "en", "src3", 30L),
+      (5L, "t", "en", "src5", 50L),
+      (7L, "t", "en", "src7", 70L),
+      (10L, "t", "en", "src10", 100L))
+    val got = PipelineQueries.pitJoin(spark, dir)
+      .as[(Long, Option[String], Long, Option[Long])].collect().toSet
+    val want = Set[(Long, Option[String], Long, Option[Long])](
+      // as_of 0: pre-insert probe for 10000007 finds nothing
+      (0L, Some("src3"), 1L, Some(30L)), (0L, Some("src5"), 1L, Some(50L)),
+      (0L, Some("src7"), 1L, Some(70L)), (0L, Some("src10"), 1L, Some(100L)),
+      (0L, None, 1L, None),
+      // as_of 1: updates visible, insert live
+      (1L, Some("src3"), 1L, Some(30L)), (1L, Some("SRC5"), 1L, Some(51L)),
+      (1L, Some("src7"), 1L, Some(70L)), (1L, Some("SRC10"), 1L, Some(101L)),
+      (1L, Some("backfill"), 1L, Some(70L)),
+      // as_of 2: the delete closes id 10's last version — null group, no leak
+      (2L, Some("src3"), 1L, Some(30L)), (2L, Some("SRC5"), 1L, Some(51L)),
+      (2L, Some("src7"), 1L, Some(70L)), (2L, Some("backfill"), 1L, Some(70L)),
+      (2L, None, 1L, None))
+    assert(got == want, s"got:\n${got.toSeq.sorted.mkString("\n")}")
+  }
 }
