@@ -1050,6 +1050,45 @@ object EventQueries {
           .as("twap_cents"))
   }
 
+  /** ROLLING 7-DAY DISTINCT USERS per event type (q223) — the WAU curve,
+    * the metric a naive formulation writes as COUNT(DISTINCT) OVER a
+    * RANGE frame, which no engine supports and a per-day self-join makes
+    * O(days × users). Sweep-line instead: a user's active days split into
+    * COVERAGE SEGMENTS wherever a gap exceeds the window (lag + cumsum of
+    * break flags — q18's sessionize shape on the day axis), each segment
+    * [first, last+6] contributes +1/−1 boundary deltas, and the curve is
+    * one cumulative sum of net deltas over the calendar spine. Every step
+    * is a keyed shuffle or a per-type window; nothing is ever
+    * users × days. The final cumsum partitions by event_type over
+    * calendar-day rows — a census axis (30 rows/type here, bounded by the
+    * corpus date span), not data. The spec checks the sweep against the
+    * brute-force windowed-distinct definition. */
+  def rollingDistinctWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"event_type", $"user_id", to_date($"ts").as("d")).distinct()
+    val byUserDay = Window.partitionBy($"event_type", $"user_id").orderBy($"d")
+    val seg = days
+      .withColumn("is_break",
+        when(lag($"d", 1).over(byUserDay).isNull ||
+          datediff($"d", lag($"d", 1).over(byUserDay)) > 6, 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_break").over(
+        byUserDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val segs = seg.groupBy($"event_type", $"user_id", $"sid")
+      .agg(min($"d").as("s"), date_add(max($"d"), 7).as("e"))
+    val net = segs.select($"event_type", $"s".as("d"), lit(1L).as("delta"))
+      .unionAll(segs.select($"event_type", $"e".as("d"), lit(-1L).as("delta")))
+      .groupBy($"event_type", $"d").agg(sum($"delta").as("nd"))
+    val spine = days.select($"event_type").distinct()
+      .crossJoin(days.agg(min($"d").as("lo"), max($"d").as("hi")))
+      .select($"event_type", explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    val curve = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(net, Seq("event_type", "d"), "left")
+      .withColumn("wau", sum(coalesce($"nd", lit(0L))).over(curve))
+      .select($"event_type", $"d".as("day"), $"wau")
+  }
+
   /** Declarative SESSION WINDOWS via Spark's `session_window(ts, gap)` —
     * the one-expression form of what q18 builds from gap-flag + cumsum
     * CTEs (and the same expression `readStream` executes with merging
@@ -1200,6 +1239,7 @@ object EventQueries {
     "q145_sequence_audit" -> (sequenceAudit _),
     "q146_typed_json" -> (typedJson _),
     "q138_session_window_fn" -> (sessionWindowFn _),
+    "q223_rolling_wau" -> (rollingDistinctWau _),
     "q140_streaming_foreach_sink" -> (streamingForeachSink _),
     "q141_asof_forward" -> (asofNextError _),
     "q134_path_trigrams" -> (pathTrigrams _),
@@ -1319,6 +1359,41 @@ object EventQueries {
         |  min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |  max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // q223: the same sweep-line algebra — coverage segments, boundary
+    // deltas, one cumsum over the calendar spine.
+    "q223_rolling_wau" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d FROM events
+        |), brk AS (
+        |  SELECT event_type, user_id, d,
+        |    CASE WHEN lag(d) OVER w IS NULL
+        |              OR date_diff('day', lag(d) OVER w, d) > 6
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM days WINDOW w AS (PARTITION BY event_type, user_id ORDER BY d)
+        |), seg AS (
+        |  SELECT event_type, user_id, d,
+        |    SUM(is_break) OVER (PARTITION BY event_type, user_id ORDER BY d) AS sid
+        |  FROM brk
+        |), segs AS (
+        |  SELECT event_type, user_id, sid, min(d) AS s, max(d) + 7 AS e
+        |  FROM seg GROUP BY 1, 2, 3
+        |), net AS (
+        |  SELECT event_type, d, SUM(delta) AS nd FROM (
+        |    SELECT event_type, s AS d, CAST(1 AS BIGINT) AS delta FROM segs
+        |    UNION ALL
+        |    SELECT event_type, e, CAST(-1 AS BIGINT) FROM segs
+        |  ) GROUP BY 1, 2
+        |), bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM days),
+        |spine AS (
+        |  SELECT et.event_type,
+        |         unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))::DATE AS d
+        |  FROM (SELECT DISTINCT event_type FROM days) et, bounds b
+        |)
+        |SELECT sp.event_type, sp.d AS day,
+        |  CAST(SUM(coalesce(n.nd, 0))
+        |       OVER (PARTITION BY sp.event_type ORDER BY sp.d) AS BIGINT) AS wau
+        |FROM spine sp LEFT JOIN net n
+        |  ON n.event_type = sp.event_type AND n.d = sp.d""".stripMargin,
     // the CTE sessionizer with window.end = last event + 30 min — the
     // session_window() contract
     "q138_session_window_fn" ->

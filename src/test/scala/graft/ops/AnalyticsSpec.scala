@@ -251,4 +251,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.nonEmpty && out.toSeq == brute.toSeq)
     spark.catalog.clearCache() // prefixFilterJoin caches its shingle frame
   }
+
+  test("q223 rolling WAU sweep-line equals the brute-force windowed distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventQueries.rollingDistinctWau(spark, dir)
+      .as[(String, java.sql.Date, Long)].collect().toSet
+    // brute force straight off the definition: distinct users with any
+    // activity in [day-6, day], per type, over the same calendar spine
+    val days = graft.Tables.events(spark, dir)
+      .select($"event_type", $"user_id", to_date($"ts").as("d")).distinct()
+    val spine = days.select($"event_type").distinct()
+      .crossJoin(days.agg(min($"d").as("lo"), max($"d").as("hi")))
+      .select($"event_type",
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val brute = spine.alias("s")
+      .join(days.alias("a"),
+        col("a.event_type") === col("s.event_type") &&
+          col("a.d") >= date_sub(col("s.day"), 6) &&
+          col("a.d") <= col("s.day"),
+        "left")
+      .groupBy(col("s.event_type").as("event_type"), col("s.day").as("day"))
+      .agg(countDistinct(col("a.user_id")).as("wau"))
+      .as[(String, java.sql.Date, Long)].collect().toSet
+    assert(got == brute)
+    // a WAU curve that never moves is a broken fixture, not a pass
+    assert(got.map(_._3).size > 1, "constant curve — segments never break")
+  }
 }
