@@ -150,4 +150,37 @@ object Graph {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts.withColumn("n_reached", sum(col("n_frontier")).over(w))
   }
+
+  /** LABEL PROPAGATION community detection (Raghavan's LPA), made
+    * DETERMINISTIC: k SYNCHRONOUS iterations (every vertex updates from
+    * the previous generation's labels — asynchronous LPA is
+    * order-dependent and can never be oracle-checked), each adopting the
+    * MOST FREQUENT label among neighbors with ties broken to the SMALLEST
+    * label. Distinct from connected components / [[bfsFrontiers]]:
+    * hash-min propagation finds reachability; frequency propagation finds
+    * DENSITY — a vertex between two communities goes where more of its
+    * neighbors are. Each iteration is one adjacency join + a (vtx, label)
+    * count + a per-vertex arg-max window (state per vertex = its degree,
+    * never the graph); labels are integers throughout, so both engines
+    * replay the same fixed-iteration trajectory exactly. Returns the
+    * community census after `iters` rounds. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    var labels = adj.select(col("src").as("vtx")).distinct()
+      .select(col("vtx"), col("vtx").as("lbl"))
+    val byVtx = Window.partitionBy(col("vtx"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    (1 to iters).foreach { _ =>
+      labels = adj.join(labels, adj("src") === labels("vtx"))
+        .groupBy(col("dst").as("vtx"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byVtx))
+        .filter(col("rn") === 1)
+        .select(col("vtx"), col("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+  }
 }

@@ -87,11 +87,21 @@ object GraphQueries {
   def bfsCensus(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.bfsFrontiers(coPurchaseEdges(spark, dir))
 
+  /** Deterministic label-propagation communities
+    * ([[graft.operators.Graph.labelPropagation]] — 3 synchronous
+    * frequency-adoption rounds, ties to the smallest label). The oracle
+    * unrolls the same three rounds as chained CTEs with the identical
+    * (count DESC, label ASC) arg-max, so the whole trajectory is checked,
+    * not just the final census. */
+  def lpaCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(coPurchaseEdges(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_triangle_count" -> (triangles _),
     "q126_degree_histogram" -> (degreeHist _),
     "q130_pagerank" -> (pagerank _),
-    "q219_bfs_frontiers" -> (bfsCensus _))
+    "q219_bfs_frontiers" -> (bfsCensus _),
+    "q224_label_propagation" -> (lpaCensus _))
 
   private val edgesSql =
     """i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -194,5 +204,46 @@ object GraphQueries {
          |       CAST(1 AS BIGINT) AS n_reached FROM cnt
          |UNION ALL SELECT 1, n1, 1 + n1 FROM cnt
          |UNION ALL SELECT 2, n2, 1 + n1 + n2 FROM cnt
-         |UNION ALL SELECT 3, n3, 1 + n1 + n2 + n3 FROM cnt""".stripMargin)
+         |UNION ALL SELECT 3, n3, 1 + n1 + n2 + n3 FROM cnt""".stripMargin,
+    // q224: the same three synchronous LPA rounds, identical arg-max
+    // (count DESC, label ASC) at every step.
+    "q224_label_propagation" ->
+      s"""WITH $edgesSql,
+         |adj AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v AS src, u AS dst FROM e
+         |),
+         |l0 AS (SELECT DISTINCT src AS vtx, src AS lbl FROM adj),
+         |c1 AS (
+         |  SELECT a.dst AS vtx, l.lbl, count(*) AS c
+         |  FROM adj a JOIN l0 l ON l.vtx = a.src GROUP BY 1, 2
+         |),
+         |l1 AS (
+         |  SELECT vtx, lbl FROM (
+         |    SELECT vtx, lbl,
+         |      row_number() OVER (PARTITION BY vtx ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c1) WHERE rn = 1
+         |),
+         |c2 AS (
+         |  SELECT a.dst AS vtx, l.lbl, count(*) AS c
+         |  FROM adj a JOIN l1 l ON l.vtx = a.src GROUP BY 1, 2
+         |),
+         |l2 AS (
+         |  SELECT vtx, lbl FROM (
+         |    SELECT vtx, lbl,
+         |      row_number() OVER (PARTITION BY vtx ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c2) WHERE rn = 1
+         |),
+         |c3 AS (
+         |  SELECT a.dst AS vtx, l.lbl, count(*) AS c
+         |  FROM adj a JOIN l2 l ON l.vtx = a.src GROUP BY 1, 2
+         |),
+         |l3 AS (
+         |  SELECT vtx, lbl FROM (
+         |    SELECT vtx, lbl,
+         |      row_number() OVER (PARTITION BY vtx ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c3) WHERE rn = 1
+         |)
+         |SELECT lbl AS community, count(*) AS n_members
+         |FROM l3 GROUP BY 1""".stripMargin)
 }

@@ -84,6 +84,25 @@ class GraphSpec extends SparkSpec {
     assert(rows.toSeq == Seq((0, 1L, 1L), (1, 1L, 2L), (2, 9L, 11L), (3, 0L, 11L)))
   }
 
+  test("label propagation separates the two triangles of a barbell graph") {
+    // triangles {1,2,3} and {10,11,12} joined by the bridge 3-10; the
+    // 3-round synchronous trajectory was traced by hand: round 3 settles
+    // on community 1 = {1,2,3} and community 3 = {10,11,12} — the bridge
+    // does NOT merge them, because frequency beats reachability
+    val barbell = edges((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val census = Graph.labelPropagation(barbell, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(census == Map(1L -> 3L, 3L -> 3L), s"census drifted: $census")
+  }
+
+  test("label propagation on a clique converges to the min label") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val census = Graph.labelPropagation(k4, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(census == Map(1L -> 4L), s"census drifted: $census")
+  }
+
   test("BFS frontiers: disconnected component is never reached") {
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L))
     // min-degree tie at deg 1 between 1 and 3 -> seed 1; the 10-11-12
