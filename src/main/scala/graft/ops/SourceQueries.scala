@@ -432,7 +432,8 @@ object SourceQueries {
     * with the upsert rows); every untouched bucket rides into the new
     * generation as a reference; the pointer flips last. */
   private def cowMerge(spark: SparkSession, root: String, upserts: DataFrame,
-      deleteKeys: Option[DataFrame], expectTouched: Int): Unit = {
+      deleteKeys: Option[DataFrame], expectTouched: Int,
+      evolveSchema: Boolean = false): Unit = {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
     val baseGen = s"$root/gen-000001"
@@ -451,7 +452,7 @@ object SourceQueries {
       .filter($"bucket".isin(touched.map(Int.box): _*))
     val rewritten = base
       .join(allKeys.select($"c_custkey"), Seq("c_custkey"), "left_anti")
-      .unionByName(up)
+      .unionByName(up, allowMissingColumns = evolveSchema)
     rewritten.write.mode("overwrite").partitionBy("bucket")
       .parquet(genPath.toString)
     // untouched buckets: referenced, never copied
@@ -713,6 +714,39 @@ object SourceQueries {
           .as("n_inserted"),
         max(col("c_custkey")).as("max_custkey"))
 
+  /** MERGE WITH SCHEMA EVOLUTION (q225) — the fourth MERGE dimension
+    * after upsert (q205), delete (q211), and CDC (q207/q212): the delta
+    * CARRIES A COLUMN THE TABLE DOES NOT HAVE (`c_tier`). The rewritten
+    * buckets land with the widened schema (survivors take NULL via
+    * `unionByName(allowMissingColumns)`), the 14 untouched buckets ride
+    * in as references STILL ON THE OLD SCHEMA — schema evolution that
+    * forces a table-wide rewrite is not evolution, it is a migration —
+    * and the read side owes the reconciliation: a `mergeSchema` footer
+    * union surfaces `c_tier` as NULL for every un-rewritten row (q189
+    * proved that read path on flat layouts; here it runs against a LIVE
+    * mixed-schema generation). Own generation root (the q211 rule). The
+    * oracle replays update/insert/tier semantics on the raw table. */
+  def mergeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = mergeRootTagged(spark, dir, "q225")
+    val c = Tables.customer(spark, dir)
+    val delta = c.filter(pmod($"c_custkey", lit(MergeBuckets)) === 5)
+      .withColumn("c_acctbal", $"c_acctbal" + lit(50.0))
+      .withColumn("c_tier", lit("gold"))
+      .unionByName(
+        c.filter(pmod($"c_custkey", lit(MergeBuckets)) === 9)
+          .withColumn("c_custkey", $"c_custkey" + lit(1000000L))
+          .withColumn("c_tier", lit("new")))
+    cowMerge(spark, root, delta, deleteKeys = None, expectTouched = 2,
+      evolveSchema = true)
+    spark.read.option("mergeSchema", "true")
+      .parquet(graft.operators.Ann.currentGenerationPath(spark, root))
+      .groupBy($"c_mktsegment", $"c_tier")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(($"c_acctbal".cast("decimal(14,2)") * 100).cast("long"))
+          .as("total_cents"))
+  }
+
   // ------------------------------------------------ join-view maintenance
 
   /** q220's deterministic table splits — deltas are slices of the shipped
@@ -860,7 +894,8 @@ object SourceQueries {
     "q212_cdc_removals" -> (cdcWithDeletes _),
     "q213_generation_vacuum" -> (generationVacuum _),
     "q220_ivm_join_view" -> (ivmJoinView _),
-    "q221_hidden_partitioning" -> (hiddenPartitionLookup _))
+    "q221_hidden_partitioning" -> (hiddenPartitionLookup _),
+    "q225_merge_schema_evolution" -> (mergeSchemaEvolution _))
 
   /** The q205/q206 oracle summary over a merged or base state: `src` is a
     * CTE name providing (c_custkey, c_mktsegment, bal); a non-empty
@@ -948,6 +983,24 @@ object SourceQueries {
     // never change what a reader sees (q205's oracle again by design).
     "q213_generation_vacuum" ->
       s"WITH $mergedStateSql\n${mergeSummarySql("", "m")}",
+    // q225: MERGE + schema-evolution semantics on the raw table — bucket-5
+    // keys updated (+50.00, tier 'gold'), bucket-9 keys re-keyed as
+    // inserts (tier 'new'), everyone else NULL tier.
+    "q225_merge_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 16 = 5 THEN c_acctbal + 50.0
+        |         ELSE c_acctbal END AS bal,
+        |    CASE WHEN c_custkey % 16 = 5 THEN 'gold' ELSE NULL END AS c_tier
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal, 'new'
+        |  FROM customer WHERE c_custkey % 16 = 9
+        |)
+        |SELECT c_mktsegment, c_tier, count(*) AS n_customers,
+        |  CAST(sum(CAST(CAST(bal AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM m GROUP BY 1, 2""".stripMargin,
     // q221: the raw-table lookup — the bucket layout must be invisible
     // to the result.
     "q221_hidden_partitioning" ->

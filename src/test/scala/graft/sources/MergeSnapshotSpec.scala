@@ -101,4 +101,30 @@ class MergeSnapshotSpec extends SparkSpec {
     assert(statuses == Set("added", "changed", "unchanged"),
       s"unexpected statuses: $statuses")
   }
+
+  test("schema-evolving merge leaves a genuinely mixed-schema generation") {
+    import java.nio.file.{Files, Paths}
+    // run the gate (publishes the q225 generation), then inspect layout
+    graft.ops.SourceQueries.mergeSchemaEvolution(spark, sf0001).collect()
+    val root = graft.Scratch.named(
+      s"q225_${graft.Scratch.dirKey(sf0001)}").toString
+    val gen = Paths.get(
+      graft.operators.Ann.currentGenerationPath(spark, root))
+    // rewritten buckets carry c_tier; referenced buckets must NOT — a
+    // table-wide rewrite would be a migration, not evolution
+    def schemaOf(bucket: Int): Seq[String] =
+      spark.read.parquet(gen.resolve(s"bucket=$bucket").toString)
+        .schema.fieldNames.toSeq
+    assert(schemaOf(5).contains("c_tier"), "rewritten bucket lost the new column")
+    assert(schemaOf(9).contains("c_tier"))
+    assert(!schemaOf(3).contains("c_tier"),
+      "referenced bucket gained c_tier — the merge rewrote what it should reference")
+    assert(Files.isSymbolicLink(gen.resolve("bucket=3")))
+    // the mergeSchema read reconciles: tier NULL everywhere but the delta
+    val cur = spark.read.option("mergeSchema", "true").parquet(gen.toString)
+    val tiers = cur.groupBy("c_tier").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(tiers.keySet == Set(None, Some("gold"), Some("new")), s"$tiers")
+    assert(tiers(Some("gold")) > 0 && tiers(Some("new")) > 0)
+  }
 }
