@@ -747,6 +747,64 @@ object SourceQueries {
           .as("total_cents"))
   }
 
+  /** q226's retention root, built once per (JVM, dir): gen-000001 is a
+    * PURE REFERENCE generation — every ship_month directory of the q183
+    * month-partitioned fact symlinked in, zero bytes copied. */
+  private val retentionBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def retentionRoot(spark: SparkSession, dir: String): String =
+    retentionBuilt.computeIfAbsent(dir, _ => {
+      import java.nio.file.{Files, Paths}
+      val (factPath, _) = dppTables(spark, dir)
+      val root = graft.Scratch.named(s"q226_${graft.Scratch.dirKey(dir)}").toString
+      val gen = Paths.get(root, "gen-000001")
+      Files.createDirectories(gen)
+      Files.list(Paths.get(factPath)).iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("ship_month=") && !Files.exists(gen.resolve(n)))
+          Files.createSymbolicLink(gen.resolve(n), p.toAbsolutePath)
+      }
+      graft.operators.Ann.publishGeneration(spark, root, "gen-000001")
+      root
+    })
+
+  /** PARTITION-LEVEL RETENTION (q226) — TTL enforcement as the
+    * maintenance op a partitioned time-series table actually runs:
+    * "delete data older than the cutoff" is a PARTITION DROP, never a row
+    * delete (a row-level delete would rewrite every old file to remove
+    * 100% of its rows). The new generation references only the surviving
+    * ship_month directories — like the COW merge's untouched buckets,
+    * except here EVERY entry is a reference: enforcing retention writes
+    * ZERO data bytes (RetentionSpec pins "no parquet file anywhere under
+    * the root"). Expired months are simply absent from the published
+    * snapshot, and q213's reachability vacuum can later reclaim them.
+    * The retention run executes inside the gate (idempotent — each run
+    * derives the same snapshot from gen-000001); the oracle applies the
+    * equivalent date predicate to the raw table. */
+  def partitionRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = retentionRoot(spark, dir)
+    val cutoff = "1999-01"
+    val gen1 = Paths.get(root, "gen-000001")
+    val gen = graft.operators.Ann.nextGenerationName(spark, root)
+    val genPath = Paths.get(root, gen)
+    Files.createDirectories(genPath)
+    Files.list(gen1).iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("ship_month=") &&
+          n.stripPrefix("ship_month=") >= cutoff &&
+          !Files.exists(genPath.resolve(n)))
+        Files.createSymbolicLink(genPath.resolve(n), Files.readSymbolicLink(p))
+    }
+    graft.operators.Ann.publishGeneration(spark, root, gen)
+    spark.read.parquet(
+        graft.operators.Ann.currentGenerationPath(spark, root))
+      .groupBy($"ship_month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("sum_qty"))
+  }
+
   // ------------------------------------------------ join-view maintenance
 
   /** q220's deterministic table splits — deltas are slices of the shipped
@@ -895,7 +953,8 @@ object SourceQueries {
     "q213_generation_vacuum" -> (generationVacuum _),
     "q220_ivm_join_view" -> (ivmJoinView _),
     "q221_hidden_partitioning" -> (hiddenPartitionLookup _),
-    "q225_merge_schema_evolution" -> (mergeSchemaEvolution _))
+    "q225_merge_schema_evolution" -> (mergeSchemaEvolution _),
+    "q226_partition_retention" -> (partitionRetention _))
 
   /** The q205/q206 oracle summary over a merged or base state: `src` is a
     * CTE name providing (c_custkey, c_mktsegment, bal); a non-empty
@@ -983,6 +1042,15 @@ object SourceQueries {
     // never change what a reader sees (q205's oracle again by design).
     "q213_generation_vacuum" ->
       s"WITH $mergedStateSql\n${mergeSummarySql("", "m")}",
+    // q226: the retention predicate on the raw table — partition drop may
+    // change what a reader sees ONLY at the cutoff boundary.
+    "q226_partition_retention" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') >= '1999-01'
+        |GROUP BY 1""".stripMargin,
     // q225: MERGE + schema-evolution semantics on the raw table — bucket-5
     // keys updated (+50.00, tier 'gold'), bucket-9 keys re-keyed as
     // inserts (tier 'new'), everyone else NULL tier.

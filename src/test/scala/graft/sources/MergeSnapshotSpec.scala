@@ -102,6 +102,29 @@ class MergeSnapshotSpec extends SparkSpec {
       s"unexpected statuses: $statuses")
   }
 
+  test("partition retention drops expired months without writing a byte") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    graft.ops.SourceQueries.partitionRetention(spark, sf0001).collect()
+    val root = graft.ops.SourceQueries.retentionRoot(spark, sf0001)
+    val gen = Paths.get(
+      graft.operators.Ann.currentGenerationPath(spark, root))
+    val entries = Files.list(gen).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("ship_month=")).toSeq
+    assert(entries.nonEmpty)
+    // every surviving month is a reference, none predates the cutoff
+    entries.foreach { p =>
+      assert(Files.isSymbolicLink(p), s"$p was copied, not referenced")
+      assert(p.getFileName.toString.stripPrefix("ship_month=") >= "1999-01",
+        s"expired month survived retention: $p")
+    }
+    // the root holds metadata only — retention wrote zero data bytes
+    val dataFiles = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.isEmpty, s"retention copied data: $dataFiles")
+  }
+
   test("schema-evolving merge leaves a genuinely mixed-schema generation") {
     import java.nio.file.{Files, Paths}
     // run the gate (publishes the q225 generation), then inspect layout
