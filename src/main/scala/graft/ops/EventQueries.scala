@@ -252,6 +252,33 @@ object EventQueries {
     out.filter($"user_id" >= 0)
   }
 
+  /** FULL-OUTER stream-stream join (q227) — the last join mode of the
+    * class (inner q90, left q216): unmatched rows on EITHER side must
+    * null-extend exactly once when the opposite side's watermark proves
+    * no match can still arrive — clicks with no preceding error AND
+    * errors with no following click (the genuinely new half: error-side
+    * state flushes against the CLICK watermark, so the join key must come
+    * from whichever side exists). Shares q216's two-batch drive — the
+    * same per-side advancers move both watermarks, and the advancer pair
+    * matching itself is filtered by user sign. Oracle = the batch FULL
+    * JOIN with the identical time-range predicate. */
+  def streamingFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosRead(spark)
+    val out = graft.streaming.Streaming.runOnce(spark, q216DriveFor(spark, dir),
+      ev => {
+        val fixed = Tables.rebuildNanosTs(ev)
+        graft.streaming.Streaming.clickErrorJoin(
+          fixed.filter($"event_type" === "click"),
+          fixed.filter($"event_type" === "error"),
+          joinType = "full_outer")
+      },
+      name = "q227_streaming_full_outer_sink",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    out.filter($"user_id" >= 0)
+  }
+
   /** q18's STREAMING twin via `flatMapGroupsWithState` — the third stateful
     * streaming operator class at the gate (custom per-key state, vs q81's
     * window state and q90's join state). Deterministic MULTI-batch drive
@@ -1268,7 +1295,8 @@ object EventQueries {
     "q196_stream_static_join" -> (streamingStaticJoin _),
     "q198_gap_fill" -> (gapFillForwardFill _),
     "q201_streaming_replay_idempotence" -> (streamingReplayIdempotence _),
-    "q216_streaming_outer_join" -> (streamingOuterJoin _))
+    "q216_streaming_outer_join" -> (streamingOuterJoin _),
+    "q227_streaming_full_outer" -> (streamingFullOuterJoin _))
 
   val oracle: Map[String, String] = Map(
     // q182: the TWS processor's count + integer-cent sum per user is the
@@ -1663,6 +1691,18 @@ object EventQueries {
         |SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
         |       c.ts AS click_ts, e.ts AS error_ts
         |FROM c LEFT JOIN e
+        |  ON c.user_id = e.user_id
+        | AND e.ts <= c.ts
+        | AND e.ts >= c.ts - INTERVAL 60 MINUTE""".stripMargin,
+    // q227: the batch FULL JOIN twin — the key comes from whichever side
+    // exists.
+    "q227_streaming_full_outer" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     e AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT coalesce(c.user_id, e.user_id) AS user_id,
+        |       c.event_id AS click_id, e.event_id AS error_id,
+        |       c.ts AS click_ts, e.ts AS error_ts
+        |FROM c FULL JOIN e
         |  ON c.user_id = e.user_id
         | AND e.ts <= c.ts
         | AND e.ts >= c.ts - INTERVAL 60 MINUTE""".stripMargin,

@@ -235,12 +235,17 @@ object Streaming {
     // once the error-side watermark passes its join window, and the state
     // entry is evicted — the same condition that keeps the inner join's
     // buffers finite.
+    // full_outer adds error-only rows whose click side is entirely NULL —
+    // the join key must then come from whichever side exists
+    val userCol =
+      if (joinType == "full_outer") coalesce(col("user_id"), col("e_user"))
+      else col("user_id")
     c.join(e,
       col("user_id") === col("e_user") &&
         col("error_ts") <= col("click_ts") &&
         col("error_ts") >= col("click_ts") - expr(s"INTERVAL $gapMinutes MINUTES"),
       joinType)
-      .select(col("user_id"), col("click_id"), col("error_id"),
+      .select(userCol.as("user_id"), col("click_id"), col("error_id"),
         col("click_ts"), col("error_ts"))
   }
 

@@ -294,6 +294,38 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((11L, 21L)))
   }
 
+  test("full-outer stream-stream join takes the key from whichever side exists") {
+    val clickDir = graft.Scratch.fresh("fo-clicks").toString
+    val errorDir = graft.Scratch.fresh("fo-errors").toString
+    Seq(
+      (7L, ts("2024-01-01 01:00:00"), 11L), // matched by error 21
+      (8L, ts("2024-01-01 01:00:00"), 12L), // click-only → null error side
+      // far-future advancers move both watermarks so null rows can flush
+      (-1L, ts("2024-06-01 00:00:00"), -2L))
+      .toDF("user_id", "ts", "event_id").write.mode("overwrite").parquet(clickDir)
+    Seq(
+      (7L, ts("2024-01-01 00:30:00"), 21L), // joins click 11
+      (9L, ts("2024-01-01 00:30:00"), 24L), // error-only → null click side
+      (-1L, ts("2024-06-01 00:00:00"), -3L))
+      .toDF("user_id", "ts", "event_id").write.mode("overwrite").parquet(errorDir)
+
+    val cSchema = spark.read.parquet(clickDir).schema
+    val q = Streaming.clickErrorJoin(
+      spark.readStream.schema(cSchema).parquet(clickDir),
+      spark.readStream.schema(cSchema).parquet(errorDir),
+      joinType = "full_outer")
+      .writeStream.outputMode("append").format("memory").queryName("foj_test")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("foj_test").filter($"user_id" >= 0)
+      .select("user_id", "click_id", "error_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(out == Set(
+      (7L, Some(11L), Some(21L)),
+      (8L, Some(12L), None),
+      (9L, None, Some(24L))), s"got $out")
+  }
+
   test("foreachBatch sink writes idempotent batch-keyed parquet") {
     val srcDir = graft.Scratch.fresh("fb-src").toString
     val outDir = graft.Scratch.fresh("fb-out").toString
