@@ -905,6 +905,54 @@ object PipelineQueries {
         greatest($"n_chars".cast("double"), $"tau").as("ht_weight"))
   }
 
+  /** CHANGELOG COMPACTION (q228) — CDC minimization, the normalization a
+    * changelog consumer (or a Flink/Debezium-style upsert sink) runs
+    * before applying a multi-op feed: collapse each key's op sequence to
+    * its NET effect. The algebra needs only the FIRST and LAST op per key
+    * (one hash-agg with min_by/max_by — never a per-key sort): last=D
+    * with first=I cancels to nothing (the key never existed downstream),
+    * last=D otherwise nets to D, first=I nets to I carrying the last
+    * values, anything else nets to U — including the D-then-I
+    * resurrection, which MUST surface as U (the key existed before the
+    * feed), the case naive last-op-wins compaction gets wrong. The feed
+    * exercises all six op-sequence classes on disjoint key slices; the
+    * oracle replays the same first/last algebra in SQL. At 100 TB this is
+    * one key-hashed shuffle over the feed, independent of table size. */
+  def changelogCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars")
+    def slice(k: Int) = d.filter($"doc_id" % 11 === k)
+    def row(df: DataFrame, seq: Long, op: String, keyShift: Long,
+        src: Column, nc: Column) =
+      df.select(($"doc_id" + keyShift).as("doc_id"), lit(seq).as("seq"),
+        lit(op).as("op"), src.as("src"), nc.as("nc"))
+    val nulls = (lit(null).cast("string"), lit(null).cast("long"))
+    val feed =
+      row(slice(1), 1, "U", 0, upper($"source"), $"n_chars" + 1) // U,U → U
+        .unionByName(row(slice(1), 2, "U", 0, lit("vA"), $"n_chars" + 2))
+        .unionByName(row(slice(2), 1, "U", 0, upper($"source"), $"n_chars" + 1)) // U,D → D
+        .unionByName(row(slice(2), 2, "D", 0, nulls._1, nulls._2))
+        .unionByName(row(slice(3), 1, "I", 20000000L, lit("ins"), $"n_chars")) // I,U → I
+        .unionByName(row(slice(3), 2, "U", 20000000L, lit("insU"), $"n_chars" + 5))
+        .unionByName(row(slice(4), 1, "I", 20000000L, lit("tmp"), $"n_chars")) // I,D → ∅
+        .unionByName(row(slice(4), 2, "D", 20000000L, nulls._1, nulls._2))
+        .unionByName(row(slice(5), 1, "D", 0, nulls._1, nulls._2)) // D,I → U
+        .unionByName(row(slice(5), 2, "I", 0, lit("reborn"), $"n_chars" + 7))
+        .unionByName(row(slice(6), 1, "U", 0, lit("only"), $"n_chars" + 9)) // U → U
+    feed.groupBy($"doc_id")
+      .agg(min_by($"op", $"seq").as("first_op"),
+        max_by(struct($"op", $"src", $"nc"), $"seq").as("l"))
+      .select($"doc_id", $"first_op",
+        $"l.op".as("last_op"), $"l.src".as("src"), $"l.nc".as("nc"))
+      .withColumn("net_op",
+        when($"last_op" === "D" && $"first_op" === "I", lit(null).cast("string"))
+          .when($"last_op" === "D", lit("D"))
+          .when($"first_op" === "I", lit("I"))
+          .otherwise(lit("U")))
+      .filter($"net_op".isNotNull)
+      .select($"doc_id", $"net_op", $"src".as("source"), $"nc".as("n_chars"))
+  }
+
   /** POINT-IN-TIME JOIN against the SCD2 dimension (q222) — the temporal
     * lookup every feature store / training-label pipeline runs: "what did
     * this dimension row say AS OF this observation's time?" (q45's as-of
@@ -939,6 +987,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_pit_join" -> (pitJoin _),
+    "q228_changelog_compaction" -> (changelogCompaction _),
     "q170_bloom_decontaminate" -> (bloomDecontaminate _),
     "q171_dsir_importance" -> (dsirImportance _),
     "q174_priority_sample" -> (prioritySample _),
@@ -1041,6 +1090,50 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM merged GROUP BY source""".stripMargin,
+    // q228: the same first/last-op net algebra over the six-class feed.
+    "q228_changelog_compaction" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), feed AS (
+        |  SELECT doc_id, 1 AS seq, 'U' AS op, upper(source) AS src,
+        |    n_chars + 1 AS nc FROM base WHERE doc_id % 11 = 1
+        |  UNION ALL SELECT doc_id, 2, 'U', 'vA', n_chars + 2
+        |    FROM base WHERE doc_id % 11 = 1
+        |  UNION ALL SELECT doc_id, 1, 'U', upper(source), n_chars + 1
+        |    FROM base WHERE doc_id % 11 = 2
+        |  UNION ALL SELECT doc_id, 2, 'D', NULL, NULL
+        |    FROM base WHERE doc_id % 11 = 2
+        |  UNION ALL SELECT doc_id + 20000000, 1, 'I', 'ins', n_chars
+        |    FROM base WHERE doc_id % 11 = 3
+        |  UNION ALL SELECT doc_id + 20000000, 2, 'U', 'insU', n_chars + 5
+        |    FROM base WHERE doc_id % 11 = 3
+        |  UNION ALL SELECT doc_id + 20000000, 1, 'I', 'tmp', n_chars
+        |    FROM base WHERE doc_id % 11 = 4
+        |  UNION ALL SELECT doc_id + 20000000, 2, 'D', NULL, NULL
+        |    FROM base WHERE doc_id % 11 = 4
+        |  UNION ALL SELECT doc_id, 1, 'D', NULL, NULL
+        |    FROM base WHERE doc_id % 11 = 5
+        |  UNION ALL SELECT doc_id, 2, 'I', 'reborn', n_chars + 7
+        |    FROM base WHERE doc_id % 11 = 5
+        |  UNION ALL SELECT doc_id, 1, 'U', 'only', n_chars + 9
+        |    FROM base WHERE doc_id % 11 = 6
+        |), g AS (
+        |  SELECT doc_id, min_by(op, seq) AS first_op, max_by(op, seq) AS last_op,
+        |         max_by(src, seq) AS src, max_by(nc, seq) AS nc
+        |  FROM feed GROUP BY doc_id
+        |), net AS (
+        |  SELECT doc_id,
+        |    CASE WHEN last_op = 'D' AND first_op = 'I' THEN NULL
+        |         WHEN last_op = 'D' THEN 'D'
+        |         WHEN first_op = 'I' THEN 'I'
+        |         ELSE 'U' END AS net_op,
+        |    src AS source, CAST(nc AS BIGINT) AS n_chars
+        |  FROM g
+        |)
+        |SELECT doc_id, net_op,
+        |  CASE WHEN net_op = 'D' THEN NULL ELSE source END AS source,
+        |  CASE WHEN net_op = 'D' THEN NULL ELSE n_chars END AS n_chars
+        |FROM net WHERE net_op IS NOT NULL""".stripMargin,
     // q222: q111's version CTE chain + the probe grid — unmatched probes
     // (pre-insert, post-delete) land in the NULL-source census cell.
     "q222_pit_join" ->
