@@ -354,6 +354,71 @@ object SourceQueries {
     scans.map(_.metrics("numOutputRows").value).sum
   }
 
+  /** Range-clustered multi-file lineitem copy + its zone-map manifest for
+    * q229, built once per (JVM, dir). The data dir holds 24 range slices
+    * of `ship_day` (each FILE covers a narrow contiguous date band — the
+    * layout OPTIMIZE/range-cluster produces); the manifest is the
+    * file-statistics TABLE a lakehouse log keeps (file_path, min/max
+    * ship_day, n_rows), derived in one scan via `_metadata.file_path` and
+    * persisted as parquet — stats live beside the data, not in it. */
+  private val zoneMapBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def zoneMapLayout(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    zoneMapBuilt.computeIfAbsent(dir, _ => {
+      val scratch = graft.Scratch.named(s"q229_${graft.Scratch.dirKey(dir)}")
+      val dataPath = scratch.resolve("li_zones").toString
+      val statsPath = scratch.resolve("li_zonemap").toString
+      Tables.lineitem(spark, dir)
+        .select(to_date($"l_shipdate").as("ship_day"),
+          $"l_returnflag", $"l_quantity", $"l_extendedprice")
+        .repartitionByRange(24, $"ship_day")
+        .write.mode("overwrite").parquet(dataPath)
+      spark.read.parquet(dataPath)
+        .groupBy(col("_metadata.file_path").as("file_path"))
+        .agg(min($"ship_day").as("min_day"), max($"ship_day").as("max_day"),
+          count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(statsPath)
+      (dataPath, statsPath)
+    })
+  }
+
+  /** ZONE-MAP FILE PRUNING (q229) — data skipping one level ABOVE q202's
+    * row groups: an EXTERNAL file-statistics manifest (the Delta/Iceberg
+    * scan-planning model) decides which files a selective query opens at
+    * all, without touching a single data footer. Planning reads only the
+    * manifest (O(files) rows — here 24; at 100 TB still just one row per
+    * file, the table the transaction log already maintains), keeps the
+    * files whose [min_day, max_day] band overlaps the probe month, and
+    * the collected path list (bounded by file count, the documented O(k)
+    * driver state) becomes the scan's input — a 1998-vintage query never
+    * opens a 1995 file. The `require` pins the physical claim (≤ a
+    * quarter of the files survive planning; in practice 1-2 of 24); the
+    * oracle computes the same month aggregate from the raw table, so a
+    * manifest that lies (stale stats, an off-by-one band compare dropping
+    * a boundary file) breaks the hash, not just the speed. */
+  def zoneMapPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (dataPath, statsPath) = zoneMapLayout(spark, dir)
+    val lo = java.sql.Date.valueOf("1997-06-01")
+    val hi = java.sql.Date.valueOf("1997-06-30")
+    val manifest = spark.read.parquet(statsPath)
+    val totalFiles = manifest.count()
+    val selected = manifest
+      .filter($"max_day" >= lit(lo) && $"min_day" <= lit(hi))
+      .select($"file_path").collect().map(_.getString(0))
+    require(selected.nonEmpty && selected.length * 4 <= totalFiles,
+      s"zone-map pruning regressed: ${selected.length} of $totalFiles " +
+        "files survive a one-month probe — the manifest is not selective")
+    spark.read.parquet(selected.toIndexedSeq: _*)
+      .filter($"ship_day" >= lit(lo) && $"ship_day" <= lit(hi))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
+  }
+
   // ------------------------------------------------------------------
   // q205/q206: copy-on-write MERGE + snapshot reads over a generation-
   // pointer table (the q153/q180 `_CURRENT` machinery applied to DATA)
@@ -920,6 +985,7 @@ object SourceQueries {
     dppTables(spark, dir): Unit
     evolvedLayout(spark, dir): Unit
     skipLayouts(spark, dir): Unit
+    zoneMapLayout(spark, dir): Unit
     ivmBasePath(spark, dir): Unit
     hiddenLayout(spark, dir): Unit
   }
@@ -944,6 +1010,7 @@ object SourceQueries {
     "q189_schema_evolution" -> (schemaEvolutionRead _),
     "q191_orc_roundtrip" -> (orcRoundtrip _),
     "q202_rowgroup_skipping" -> (rowGroupSkipping _),
+    "q229_zone_map_pruning" -> (zoneMapPrunedScan _),
     "q205_merge_upsert" -> (mergeUpsert _),
     "q206_snapshot_read" -> (snapshotRead _),
     "q207_snapshot_diff" -> (snapshotDiff _),
@@ -1097,6 +1164,16 @@ object SourceQueries {
           |""".stripMargin +
         mergeSummarySql("base", "b") + "\nUNION ALL\n" +
         mergeSummarySql("current", "m")),
+    // q229: pruning may drop files, never rows — the month aggregate from
+    // the raw table must match what the manifest-planned scan returns.
+    "q229_zone_map_pruning" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-06-01'
+        |  AND CAST(l_shipdate AS DATE) <= DATE '1997-06-30'
+        |GROUP BY l_returnflag""".stripMargin,
     "q202_rowgroup_skipping" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,
