@@ -419,6 +419,72 @@ object SourceQueries {
         sum($"l_extendedprice".cast("decimal(14,2)")).cast("double").as("sum_price"))
   }
 
+  /** Immutable multi-file documents base + a POSITIONAL delete vector for
+    * q230, built once per (JVM, dir). The delete files carry (file_path,
+    * row_index) ONLY — no logical key — exactly what an Iceberg/Delta
+    * merge-on-read writer emits: deleting is writing a tiny side file,
+    * never rewriting a data file. The vector is derived by one metadata
+    * scan of the base (`_metadata.file_path` / `_metadata.row_index`) and
+    * the doc_id is dropped on purpose; a reader that can't reproduce the
+    * same positions cannot reconstruct the table. */
+  private val morBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def morLayout(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    morBuilt.computeIfAbsent(dir, _ => {
+      val scratch = graft.Scratch.named(s"q230_${graft.Scratch.dirKey(dir)}")
+      val basePath = scratch.resolve("docs_base").toString
+      val delPath = scratch.resolve("docs_deletes").toString
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .repartition(8, $"doc_id")
+        .write.mode("overwrite").parquet(basePath)
+      spark.read.parquet(basePath)
+        .filter($"doc_id" % 7 === 3)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("overwrite").parquet(delPath)
+      (basePath, delPath)
+    })
+  }
+
+  /** MERGE-ON-READ POSITIONAL DELETES (q230) — the OTHER half of the
+    * lakehouse mutation model: q205/q211 are copy-on-write (a delete
+    * rewrites its bucket), this is merge-on-read (a delete writes a
+    * (file, position) side file and the READER subtracts it) — the shape
+    * every high-churn 100 TB table uses because rewriting a 1 GB file to
+    * drop 3 rows doesn't scale. The gate runs the MOR read path: scan the
+    * immutable base with its metadata columns, broadcast-anti-join the
+    * positional vector on (file_path, row_index) — the vector is tiny by
+    * construction, so applying deletes costs no shuffle of the fact side —
+    * and census what survives. Correctness hangs on parquet's stable
+    * in-file row order (position N at delete-write time is position N at
+    * read time); the oracle applies the delete PREDICATE logically to the
+    * raw table, so any positional drift (wrong row dropped, an off-by-one,
+    * a reordered scan) changes the content digests and breaks the hash.
+    * The `require` pins the physical claim: not one base data file was
+    * rewritten by the delete. */
+  def morPositionalDeletes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (basePath, delPath) = morLayout(spark, dir)
+    val dataFiles = new java.io.File(basePath).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    require(dataFiles.length == 8 && dataFiles.forall(_.length > 0),
+      s"merge-on-read base drifted: ${dataFiles.length} data files — " +
+        "a delete must never rewrite the base layout")
+    val base = spark.read.parquet(basePath)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars",
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+    val deletes = spark.read.parquet(delPath)
+    base.join(broadcast(deletes), Seq("file_path", "row_index"), "left_anti")
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct(md5($"text")).as("n_uniq_texts"))
+  }
+
   // ------------------------------------------------------------------
   // q205/q206: copy-on-write MERGE + snapshot reads over a generation-
   // pointer table (the q153/q180 `_CURRENT` machinery applied to DATA)
@@ -986,6 +1052,7 @@ object SourceQueries {
     evolvedLayout(spark, dir): Unit
     skipLayouts(spark, dir): Unit
     zoneMapLayout(spark, dir): Unit
+    morLayout(spark, dir): Unit
     ivmBasePath(spark, dir): Unit
     hiddenLayout(spark, dir): Unit
   }
@@ -1011,6 +1078,7 @@ object SourceQueries {
     "q191_orc_roundtrip" -> (orcRoundtrip _),
     "q202_rowgroup_skipping" -> (rowGroupSkipping _),
     "q229_zone_map_pruning" -> (zoneMapPrunedScan _),
+    "q230_mor_positional_deletes" -> (morPositionalDeletes _),
     "q205_merge_upsert" -> (mergeUpsert _),
     "q206_snapshot_read" -> (snapshotRead _),
     "q207_snapshot_diff" -> (snapshotDiff _),
@@ -1164,6 +1232,14 @@ object SourceQueries {
           |""".stripMargin +
         mergeSummarySql("base", "b") + "\nUNION ALL\n" +
         mergeSummarySql("current", "m")),
+    // q230: the positional vector was derived from the doc_id % 7 = 3
+    // predicate — applying it BY POSITION must equal applying it BY VALUE.
+    "q230_mor_positional_deletes" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT md5(text)) AS n_uniq_texts
+        |FROM documents WHERE NOT (doc_id % 7 = 3)
+        |GROUP BY source, lang""".stripMargin,
     // q229: pruning may drop files, never rows — the month aggregate from
     // the raw table must match what the manifest-planned scan returns.
     "q229_zone_map_pruning" ->
