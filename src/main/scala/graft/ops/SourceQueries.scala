@@ -625,6 +625,77 @@ object SourceQueries {
       graft.operators.Ann.currentGenerationPath(spark, root)))
   }
 
+  /** THREE-WAY BRANCH MERGE (q231) — git-for-data on top of the snapshot
+    * model: two writers branch from the same base snapshot, each produces
+    * its own delta (the CDC diff q207 would extract from its branch), and
+    * the merge reconciles BOTH deltas against the common ancestor — the
+    * concurrent-writer story every multi-team 100 TB table eventually
+    * needs. The algebra is one full-outer join of the two deltas on the
+    * key: a key touched by one branch applies directly; a key touched by
+    * both is a CONFLICT, classified update-update (resolved here
+    * branch-B-wins, the documented last-writer rule) or delete-vs-update
+    * (resolved update-wins — the row is resurrected), and the conflict
+    * census rides the result so a merge is auditable, never silent.
+    * Branch A updates buckets 3 and 5, deletes bucket 13, inserts re-keyed
+    * bucket-1 copies; branch B updates buckets 5, 7 and 13 and inserts
+    * re-keyed bucket-2 copies — so bucket 5 is the update-update conflict
+    * and bucket 13 the delete-vs-update. Scale shape: deltas are
+    * delta-sized (broadcastable), the base is touched by ONE anti-join on
+    * the resolved key set; the base fact data is never rescanned per
+    * branch. The oracle replays resolution by rule on the raw table —
+    * a lost branch, double-applied delta, or misresolved conflict breaks
+    * the segment cents. */
+  def branchMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    def m16(k: Int) = pmod($"c_custkey", lit(16)) === k
+    def upd(k: Int, add: Double) = c.filter(m16(k))
+      .select($"c_custkey", lit("U").as("op"), $"c_mktsegment",
+        ($"c_acctbal" + lit(add)).as("bal"))
+    def ins(k: Int, shift: Long) = c.filter(m16(k))
+      .select(($"c_custkey" + lit(shift)).as("c_custkey"), lit("I").as("op"),
+        $"c_mktsegment", $"c_acctbal".as("bal"))
+    def del(k: Int) = c.filter(m16(k))
+      .select($"c_custkey", lit("D").as("op"), $"c_mktsegment",
+        lit(null).cast("double").as("bal"))
+    val deltaA = upd(3, 100.0).unionByName(upd(5, 25.0))
+      .unionByName(del(13)).unionByName(ins(1, 1000000L))
+    val deltaB = upd(5, 200.0).unionByName(upd(7, 75.0))
+      .unionByName(upd(13, 50.0)).unionByName(ins(2, 2000000L))
+    val both = deltaA.select($"c_custkey", $"op".as("op_a"),
+        $"c_mktsegment".as("seg_a"), $"bal".as("bal_a"))
+      .join(deltaB.select($"c_custkey", $"op".as("op_b"),
+        $"c_mktsegment".as("seg_b"), $"bal".as("bal_b")),
+        Seq("c_custkey"), "full_outer")
+    val resolved = both.select($"c_custkey",
+      coalesce($"seg_b", $"seg_a").as("c_mktsegment"),
+      // both branches touched the key: B's op wins update-update (last
+      // writer) and delete-vs-update (the update resurrects the row);
+      // otherwise whichever branch spoke
+      when($"op_a".isNotNull && $"op_b".isNotNull, $"op_b")
+        .otherwise(coalesce($"op_b", $"op_a")).as("op"),
+      when($"op_a".isNotNull && $"op_b".isNotNull, $"bal_b")
+        .otherwise(coalesce($"bal_b", $"bal_a")).as("bal"),
+      when($"op_a" === "U" && $"op_b" === "U", 1L).otherwise(0L).as("uu"),
+      when($"op_a" === "D" && $"op_b" === "U", 1L).otherwise(0L).as("du"))
+    val survivors = c
+      .join(resolved.select($"c_custkey"), Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal".as("bal"))
+    val merged = survivors.unionByName(
+      resolved.filter($"op" =!= "D")
+        .select($"c_custkey", $"c_mktsegment", $"bal"))
+    val summary = merged.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(($"bal".cast("decimal(14,2)") * 100).cast("long")).as("total_cents"))
+    val conflicts = resolved.groupBy($"c_mktsegment")
+      .agg(sum($"uu").as("n_uu"), sum($"du").as("n_du"))
+    summary.join(conflicts, Seq("c_mktsegment"), "left")
+      .select($"c_mktsegment", $"n_customers", $"total_cents",
+        coalesce($"n_uu", lit(0L)).as("n_uu_conflicts"),
+        coalesce($"n_du", lit(0L)).as("n_du_conflicts"))
+  }
+
   /** SNAPSHOT READS across generations (q206) — the time-travel contract
     * the pointer machinery exists for: after q205's merge, gen-000001
     * must still read back EXACTLY as the pre-merge table (no upsert may
@@ -1079,6 +1150,7 @@ object SourceQueries {
     "q202_rowgroup_skipping" -> (rowGroupSkipping _),
     "q229_zone_map_pruning" -> (zoneMapPrunedScan _),
     "q230_mor_positional_deletes" -> (morPositionalDeletes _),
+    "q231_branch_merge" -> (branchMerge _),
     "q205_merge_upsert" -> (mergeUpsert _),
     "q206_snapshot_read" -> (snapshotRead _),
     "q207_snapshot_diff" -> (snapshotDiff _),
@@ -1232,6 +1304,42 @@ object SourceQueries {
           |""".stripMargin +
         mergeSummarySql("base", "b") + "\nUNION ALL\n" +
         mergeSummarySql("current", "m")),
+    // q231: resolution replayed by rule — bucket 5 takes B's +200
+    // (update-update, B wins), bucket 13 takes B's +50 (delete-vs-update,
+    // update wins), buckets 3/7 apply their single branch, both insert
+    // sets land; the conflict census comes straight off the bucket rule.
+    "q231_branch_merge" ->
+      """WITH m AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 16 = 3 THEN c_acctbal + 100.0
+        |         WHEN c_custkey % 16 = 5 THEN c_acctbal + 200.0
+        |         WHEN c_custkey % 16 = 7 THEN c_acctbal + 75.0
+        |         WHEN c_custkey % 16 = 13 THEN c_acctbal + 50.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 16 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 16 = 2
+        |), s AS (
+        |  SELECT c_mktsegment, count(*) AS n_customers,
+        |    CAST(sum(CAST(CAST(bal AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM m GROUP BY c_mktsegment
+        |), cf AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CASE WHEN c_custkey % 16 = 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_uu,
+        |    CAST(sum(CASE WHEN c_custkey % 16 = 13 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_du
+        |  FROM customer GROUP BY c_mktsegment
+        |)
+        |SELECT s.c_mktsegment, s.n_customers, s.total_cents,
+        |  CAST(COALESCE(cf.n_uu, 0) AS BIGINT) AS n_uu_conflicts,
+        |  CAST(COALESCE(cf.n_du, 0) AS BIGINT) AS n_du_conflicts
+        |FROM s LEFT JOIN cf USING (c_mktsegment)""".stripMargin,
     // q230: the positional vector was derived from the doc_id % 7 = 3
     // predicate — applying it BY POSITION must equal applying it BY VALUE.
     "q230_mor_positional_deletes" ->
