@@ -505,6 +505,49 @@ object PipelineQueries {
         sum(coalesce($"n_rows", lit(0L))).as("n_rows"))
   }
 
+  /** DECLARED-CONSTRAINT AUDIT SUITE (q232) — the Deequ-style contract
+    * check a warehouse runs per load, completing the q214/q215 quality
+    * family: a SUITE of named constraints (completeness, key uniqueness,
+    * two range checks, set membership, a cross-field comparison, plus a
+    * deliberately tight bound that FAILS so both statuses are exercised)
+    * evaluated in ONE aggregate pass over the fact table — every
+    * constraint is a conditional count inside the same hash-agg, and
+    * uniqueness rides `count − countDistinct(key struct)` in that pass
+    * rather than a second self-join — then unpivoted to one row per
+    * constraint with its violation count and pass/fail verdict. At 100 TB
+    * this is the difference between one scan for the whole suite and one
+    * scan per check; the map-side partials are a handful of counters. The
+    * oracle recomputes every counter independently, so a miscounted
+    * violation (filter drift, null-handling slip) flips a status and
+    * breaks the hash. */
+  def constraintSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    def viol(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val a = li.agg(
+      count(lit(1)).as("n"),
+      viol($"l_linestatus".isNull).as("v_complete"),
+      (count(lit(1)) -
+        countDistinct(struct($"l_orderkey", $"l_linenumber"))).as("v_unique"),
+      viol($"l_quantity" < 1 || $"l_quantity" > 50).as("v_range"),
+      viol(!$"l_returnflag".isin("R", "A", "N")).as("v_set"),
+      viol($"l_discount" < 0.0 || $"l_discount" > 0.1).as("v_disc"),
+      viol($"l_extendedprice" < $"l_quantity").as("v_cross"),
+      viol($"l_quantity" > 30).as("v_tight"))
+    a.select(expr(
+      """stack(7,
+        |  'completeness(l_linestatus)', v_complete,
+        |  'uniqueness(l_orderkey,l_linenumber)', v_unique,
+        |  'range(l_quantity,1,50)', v_range,
+        |  'isin(l_returnflag,R|A|N)', v_set,
+        |  'range(l_discount,0,0.1)', v_disc,
+        |  'cross(l_extendedprice>=l_quantity)', v_cross,
+        |  'bound(l_quantity<=30)', v_tight) AS (check_name, n_violations)
+        |""".stripMargin), $"n".as("n_checked"))
+      .select($"check_name", $"n_checked", $"n_violations",
+        when($"n_violations" === 0L, "pass").otherwise("fail").as("status"))
+  }
+
   /** Exact-k stratified sample (eval-set construction): the k docs with the
     * smallest salted-hash keys per source — deterministic, reproducible,
     * uniformly random within each stratum. Selection runs through the
@@ -1011,6 +1054,7 @@ object PipelineQueries {
     "q203_compaction_manifest" -> (compactionManifest _),
     "q214_referential_integrity" -> (referentialIntegrity _),
     "q215_partition_gap_audit" -> (partitionGapAudit _),
+    "q232_constraint_suite" -> (constraintSuite _),
     "q95_stratified_sample" -> (stratifiedSample _),
     "q96_bigram_lm" -> (bigramLm _),
     "q99_curation_pipeline" -> (curationPipeline _),
@@ -1379,6 +1423,41 @@ object PipelineQueries {
     // strpos digit arithmetic (Spark uses conv; the values agree exactly),
     // summed order-independently per shard.
     "q200_shard_manifest" -> manifestOracleSql,
+    // q232: every counter recomputed independently; the pair-uniqueness
+    // counter uses the injective integer encoding key*8+linenumber
+    // (linenumber ∈ 1..7) — same distinct-pair count as the engine's
+    // struct distinct.
+    "q232_constraint_suite" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_complete,
+        |    CAST(count(*) - count(DISTINCT l_orderkey * 8 + l_linenumber)
+        |      AS BIGINT) AS v_unique,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_range,
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_set,
+        |    CAST(sum(CASE WHEN l_discount < CAST(0.0 AS DOUBLE)
+        |      OR l_discount > CAST(0.1 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_disc,
+        |    CAST(sum(CASE WHEN l_extendedprice < l_quantity THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_cross,
+        |    CAST(sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_tight
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT 'completeness(l_linestatus)' AS check_name, n, v_complete AS v FROM a
+        |  UNION ALL SELECT 'uniqueness(l_orderkey,l_linenumber)', n, v_unique FROM a
+        |  UNION ALL SELECT 'range(l_quantity,1,50)', n, v_range FROM a
+        |  UNION ALL SELECT 'isin(l_returnflag,R|A|N)', n, v_set FROM a
+        |  UNION ALL SELECT 'range(l_discount,0,0.1)', n, v_disc FROM a
+        |  UNION ALL SELECT 'cross(l_extendedprice>=l_quantity)', n, v_cross FROM a
+        |  UNION ALL SELECT 'bound(l_quantity<=30)', n, v_tight FROM a
+        |)
+        |SELECT check_name, n AS n_checked, v AS n_violations,
+        |  CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM u""".stripMargin,
     // q214: the same four FK anti-joins.
     "q214_referential_integrity" -> {
       def edge(name: String, child: String, key: String, parent: String,
