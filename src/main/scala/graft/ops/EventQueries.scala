@@ -920,6 +920,37 @@ object EventQueries {
         $"touch_type", $"touch_ts")
   }
 
+  /** POSITION-BASED MULTI-TOUCH ATTRIBUTION (q233) — q124's last-touch is
+    * the degenerate single-winner rule; marketing mix runs the U-shaped
+    * split: per user journey (non-purchase touches in time order), the
+    * FIRST and LAST touch earn 40% each and the middles share the
+    * remaining 20% equally. Credit is integer BASIS POINTS, never a float
+    * fraction: a journey always allocates exactly 10,000 bp (n=1 → all,
+    * n=2 → 5000/5000, else 4000/4000 + the middles' `2000 div (n−2)` with
+    * the `2000 mod (n−2)` remainder going to the EARLIEST middles, one bp
+    * each) — conservation is exact by construction, so the channel census
+    * sums to 10,000 × journeys and any misallocation breaks the oracle
+    * hash rather than hiding in float dust. One pass over the same
+    * (user, time) window spec as every other per-user feature — one
+    * exchange+sort at 100 TB, no per-conversion lookback join. */
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val t = Tables.events(spark, dir)
+      .filter($"event_type" =!= "purchase")
+      .select($"user_id", $"event_type",
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy($"user_id")).as("n"))
+    val bp = when($"n" === 1, lit(10000L))
+      .when($"n" === 2, lit(5000L))
+      .when($"rn" === 1 || $"rn" === $"n", lit(4000L))
+      .otherwise(expr("2000 div (n - 2)") +
+        when($"rn" - 1 <= lit(2000L) % ($"n" - 2), 1L).otherwise(0L))
+    t.select($"event_type", bp.as("bp"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_touches"), sum($"bp").as("total_bp"))
+  }
+
   /** STREAM-STATIC join as a gate query — the fifth streaming operator
     * class at the gate (stateless per-batch enrichment, vs q81's window
     * state, q90's join state, q92's custom session state, q103's dedup
@@ -1275,6 +1306,7 @@ object EventQueries {
     "q122_stream_static_enrich" -> (streamStaticEnrich _),
     "q123_dyadic_ewma" -> (dyadicEwma _),
     "q124_last_touch" -> (lastTouch _),
+    "q233_multi_touch_attribution" -> (multiTouchAttribution _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1569,6 +1601,29 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q233: the same integer-bp U-shape replayed; `//`/`%` on positive
+    // BIGINTs = Spark's div/%; conservation (Σbp = 10000·journeys) is a
+    // consequence, not an assumption — any drift shows per channel.
+    "q233_multi_touch_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), c AS (
+        |  SELECT event_type,
+        |    CASE WHEN n = 1 THEN 10000
+        |         WHEN n = 2 THEN 5000
+        |         WHEN rn = 1 OR rn = n THEN 4000
+        |         ELSE 2000 // (n - 2)
+        |           + (CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
+        |    END AS bp
+        |  FROM t
+        |)
+        |SELECT event_type, count(*) AS n_touches,
+        |  CAST(sum(bp) AS BIGINT) AS total_bp
+        |FROM c GROUP BY event_type""".stripMargin,
     "q124_last_touch" ->
       """WITH t AS (
         |  SELECT event_id, user_id, ts, event_type,
