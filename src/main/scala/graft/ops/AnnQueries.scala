@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -716,7 +716,136 @@ object AnnQueries {
           .as("n_outliers"))
   }
 
+  /** PQ index fixture per (JVM, dir): 4 × 16-d subspace codebooks (k=8,
+    * the integer-grid Lloyd of [[gridIndex]] run per subspace) and the
+    * corpus encoded as 4 one-byte codes per vector. Codebooks collect to
+    * rows (O(m·k·subdim)) and rebuild as local relations so every
+    * consumer broadcasts a literal; codes persist as parquet. */
+  private val pqIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[org.apache.spark.sql.Row],
+             org.apache.spark.sql.types.StructType)]()
+
+  private val PqM = 4
+  private val PqSubDim = 16
+
+  private def pqIndexFor(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (codesPath, bookRows, bookSchema) =
+      pqIndex.computeIfAbsent(dir, _ => {
+        import spark.implicits._
+        val base = Tables.embeddings(spark, dir)
+          .select($"vec_id", Ann.gridQuantize($"embedding").as("g")).cache()
+        val parts = (0 until PqM).map { s =>
+          val sub = base.select($"vec_id",
+            slice($"g", s * PqSubDim + 1, PqSubDim).as("embedding"),
+            pmod($"vec_id", lit(16)).cast("int").as("seed"))
+          val book = Ann.trainCentroidsGrid(sub, "seed", iters = 2)
+          val codes = Ann.assignCells(sub, book)
+            .select($"vec_id", lit(s).as("sub"), $"cell")
+          val bookD = book.select(lit(s).as("sub"), $"cell",
+            posexplode($"centroid").as(Seq("sdim", "cx")))
+          (codes, bookD)
+        }
+        val scratch = graft.Scratch.named(s"q234_${graft.Scratch.dirKey(dir)}")
+        val cp = scratch.resolve("pq_codes").toString
+        parts.map(_._1).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(cp)
+        val books = parts.map(_._2).reduce(_ unionByName _)
+        val collected = (books.collect(), books.schema)
+        base.unpersist()
+        (cp, collected._1, collected._2)
+      })
+    (spark.read.parquet(codesPath),
+      spark.createDataFrame(
+        java.util.Arrays.asList(bookRows: _*), bookSchema))
+  }
+
+  /** PRODUCT-QUANTIZATION ANN with exact re-rank (q234) — the
+    * memory-bound half of a production vector index (IVF partitions the
+    * corpus, PQ compresses it): each 64-d grid vector is stored as FOUR
+    * small codes (one per 16-d subspace, 16 codewords each, codebooks
+    * from the same engine-exact integer Lloyd as q77), and the first
+    * search pass scans CODES, not vectors — asymmetric distance
+    * computation builds a per-query lookup table (for each subspace and
+    * codeword, the exact-BIGINT squared L2 between the query's subvector
+    * and the codeword) and a candidate's approximate distance is four
+    * LUT adds. The 50-deep ADC shortlist is then RE-RANKED exactly,
+    * fetching only those 50 full vectors per query — the two-stage
+    * compress-then-verify shape every deployed PQ system uses. At 100 TB
+    * the first pass reads bytes-per-vector instead of the full vector,
+    * the LUT join broadcasts m·k rows, and the exact fetch is 50 rows
+    * per query. L2² decomposes additively across subspaces (why PQ uses
+    * it; cosine does not). The gate emits per-query recall@10 against
+    * the exact-BIGINT full-vector top-10 (floor basis points,
+    * zero-guarded) — the oracle replays all four Lloyd trainings, the
+    * encoding, both passes, and the reconciliation, so a wrong code, a
+    * drifted LUT, or a broken tie-break shifts a count. */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (codes, books) = pqIndexFor(spark, dir)
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", Ann.gridQuantize($"embedding").as("g"))
+    val qd = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), posexplode($"g").as(Seq("dim0", "qx")))
+      .select($"query_id", ($"dim0" / lit(PqSubDim)).cast("int").as("sub"),
+        pmod($"dim0", lit(PqSubDim)).as("sdim"), $"qx".cast("long").as("qx"))
+    val lut = qd.join(broadcast(books), Seq("sub", "sdim"))
+      .select($"query_id", $"sub", $"cell",
+        (($"qx" - $"cx".cast("long")) * ($"qx" - $"cx".cast("long"))).as("d2"))
+      .groupBy($"query_id", $"sub", $"cell")
+      .agg(sum($"d2").as("d2"))
+    val shortlist = codes.join(broadcast(lut), Seq("sub", "cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"d2").as("adist"))
+      .select($"query_id", $"vec_id".as("cand_id"),
+        (-$"adist").cast("double").as("neg"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.scoredTopK($"neg", $"cand_id", 50).as("top"))
+      .select($"query_id", explode($"top.cand_id").as("cand_id"))
+    // exact re-rank of the 50-deep ADC shortlist: fetch ONLY the
+    // shortlisted vectors (50/query — the candidate fetch a production
+    // searcher pays), exact-BIGINT full-vector L2², keep 10
+    val qvec = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"g".as("qg"))
+    val sqdist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
+        lit(0L), (acc, v) => acc + v)
+    val approx = shortlist
+      .join(base.select($"vec_id".as("cand_id"), $"g".as("cg")), Seq("cand_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .select($"query_id", $"cand_id",
+        (-sqdist($"qg", $"cg")).cast("double").as("neg"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.scoredTopK($"neg", $"cand_id", 10).as("top"))
+      .select($"query_id", explode($"top.cand_id").as("cand_id"))
+    val qfull = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), posexplode($"g").as(Seq("dim0", "qx")))
+    val exact = base
+      .select($"vec_id".as("cand_id"), posexplode($"g").as(Seq("dim0", "x")))
+      .join(broadcast(qfull), Seq("dim0"))
+      .filter($"cand_id" =!= $"query_id")
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum(($"qx".cast("long") - $"x".cast("long")) *
+        ($"qx".cast("long") - $"x".cast("long"))).as("sse"))
+      .select($"query_id", $"cand_id", (-$"sse").cast("double").as("neg"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.scoredTopK($"neg", $"cand_id", 10).as("top"))
+      .select($"query_id", explode($"top.cand_id").as("cand_id"))
+    val nex = exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = approx.join(exact, Seq("query_id", "cand_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    nex.join(hits, Seq("query_id"), "left")
+      .select($"query_id", $"n_exact",
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .withColumn("recall_bp",
+        when($"n_exact" > 0, expr("(10000 * n_hits) div n_exact"))
+          .otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_pq_ann" -> (pqAnn _),
     "q177_embedding_norm_qa" -> (embeddingNormQa _),
     "q169_random_projection_ann" -> (rpAnn _),
     "q165_semdedup" -> (semDedup _),
@@ -829,6 +958,104 @@ object AnnQueries {
        |)""".stripMargin
   }
 
+  /** Per-subspace CTE block for the q234 PQ replay: slice global dims
+    * (off, off+16] to local `sdim`, run the same M-E-M grid Lloyd as
+    * [[gridLloydSqlFor]], encode every vector (code_s), and build the
+    * per-query exact-BIGINT L2² lookup table (lut_s) plus the decoded
+    * candidate distances (ad_s). All products of grid ints stay < 2⁵³,
+    * so every double is exact and summation order is irrelevant. */
+  private def pqSubCtes(s: Int): String = {
+    val off = s * PqSubDim
+    val mStep = (src: String) =>
+      s"""SELECT cell, sdim, ${floorDivSql("sum(CAST(x AS BIGINT))", "count(*)")} AS cx
+         |  FROM $src GROUP BY cell, sdim""".stripMargin
+    s"""sub_$s AS (
+       |  SELECT vec_id, vec_id % 16 AS seed, dim - $off AS sdim, x
+       |  FROM ivd WHERE dim > $off AND dim <= ${off + PqSubDim}
+       |), c0_$s AS (
+       |  ${mStep(s"(SELECT seed AS cell, sdim, x FROM sub_$s)")}
+       |), s1_$s AS (
+       |  SELECT i.vec_id, c.cell,
+       |    sum(i.x * c.cx) / (sqrt(sum(i.x * i.x)) * sqrt(sum(c.cx * c.cx))) AS cos
+       |  FROM sub_$s i JOIN c0_$s c ON i.sdim = c.sdim GROUP BY i.vec_id, c.cell
+       |), a1_$s AS (
+       |  SELECT vec_id, cell FROM s1_$s
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, cell ASC) = 1
+       |), c1_$s AS (
+       |  ${mStep(s"(SELECT a.cell, i.sdim, i.x FROM sub_$s i JOIN a1_$s a USING (vec_id))")}
+       |), s2_$s AS (
+       |  SELECT i.vec_id, c.cell,
+       |    sum(i.x * c.cx) / (sqrt(sum(i.x * i.x)) * sqrt(sum(c.cx * c.cx))) AS cos
+       |  FROM sub_$s i JOIN c1_$s c ON i.sdim = c.sdim GROUP BY i.vec_id, c.cell
+       |), code_$s AS (
+       |  SELECT vec_id, cell FROM s2_$s
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, cell ASC) = 1
+       |), lut_$s AS (
+       |  SELECT i.vec_id AS query_id, c.cell,
+       |    sum(CAST((i.x - c.cx) * (i.x - c.cx) AS BIGINT)) AS d2
+       |  FROM sub_$s i JOIN c1_$s c ON i.sdim = c.sdim
+       |  WHERE i.vec_id < 10 GROUP BY i.vec_id, c.cell
+       |), ad_$s AS (
+       |  SELECT l.query_id, k.vec_id AS cand_id, l.d2
+       |  FROM code_$s k JOIN lut_$s l ON k.cell = l.cell
+       |)""".stripMargin
+  }
+
+  private lazy val pqAnnSql: String = {
+    val subs = (0 until PqM).map(pqSubCtes).mkString(",\n")
+    val adUnion = (0 until PqM).map(s => s"SELECT * FROM ad_$s")
+      .mkString(" UNION ALL ")
+    s"""WITH iv AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> floor(x * 1000000.0)) AS v
+       |  FROM embeddings
+       |), ivd AS (
+       |  SELECT vec_id, v[dim] AS x, dim
+       |  FROM iv, (SELECT unnest(generate_series(1, 64)) AS dim)
+       |),
+       |$subs,
+       |ad AS ($adUnion),
+       |adist AS (
+       |  SELECT query_id, cand_id, sum(d2) AS adist FROM ad
+       |  WHERE cand_id <> query_id GROUP BY query_id, cand_id
+       |), short AS (
+       |  SELECT query_id, cand_id FROM adist
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, cand_id ASC) <= 50
+       |), ex AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    sum(CAST((q.x - c.x) * (q.x - c.x) AS BIGINT)) AS sse
+       |  FROM ivd q JOIN ivd c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10 GROUP BY 1, 2
+       |), approx AS (
+       |  SELECT s.query_id, s.cand_id
+       |  FROM short s JOIN ex e
+       |    ON s.query_id = e.query_id AND s.cand_id = e.cand_id
+       |  QUALIFY row_number() OVER (PARTITION BY s.query_id
+       |    ORDER BY e.sse ASC, s.cand_id ASC) <= 10
+       |), ext AS (
+       |  SELECT query_id, cand_id FROM ex
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sse ASC, cand_id ASC) <= 10
+       |), nex AS (
+       |  SELECT query_id, count(*) AS n_exact FROM ext GROUP BY query_id
+       |), hit AS (
+       |  SELECT a.query_id, count(*) AS n_hits
+       |  FROM approx a JOIN ext e
+       |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |  GROUP BY a.query_id
+       |)
+       |SELECT n.query_id, CAST(n.n_exact AS BIGINT) AS n_exact,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(CASE WHEN n.n_exact > 0
+       |    THEN (10000 * COALESCE(h.n_hits, 0)) // n.n_exact
+       |    ELSE 0 END AS BIGINT) AS recall_bp
+       |FROM nex n LEFT JOIN hit h ON n.query_id = h.query_id""".stripMargin
+  }
+
   private lazy val ivfElbowSql: String = {
     val ks = Seq(4, 8, 16)
     s"""WITH iv AS (
@@ -885,6 +1112,9 @@ object AnnQueries {
     searchReplaySql(gridLloydSqlFor("vec_id % 5 <> 0"))
 
   val oracle: Map[String, String] = Map(
+    // q234: four per-subspace Lloyd replays + encoding + ADC vs the exact
+    // full-vector L2² top-10 — every distance an exact BIGINT.
+    "q234_pq_ann" -> pqAnnSql,
     // q177: the same 1e-3 grid snap (CAST float→DOUBLE is exact, one IEEE
     // multiply, floor), Σv² as BIGINT, integer drift predicate. The empty
     // vector is pinned on BOTH sides (ADVICE r9): Spark's aggregate over
