@@ -920,6 +920,59 @@ object EventQueries {
         $"touch_type", $"touch_ts")
   }
 
+  /** ALLEN INTERVAL-RELATION CENSUS (q235) — the full temporal-relation
+    * vocabulary between a user's activity streams: sessionize per
+    * (user, event_type) (q18's gap rule partitioned one level finer and
+    * deliberately coarser — a 24h gap, so a type's activity episodes are
+    * long enough to genuinely nest and overlap), pair same-user sessions
+    * of DIFFERENT types whose starts lie within 24h, and classify each
+    * pair into its Allen relation — all THIRTEEN
+    * (precedes/meets/overlaps/starts/during/finishes, their inverses,
+    * equals) as one mutually-exclusive integer-microsecond CASE ladder —
+    * then census by relation. This is the algebra behind "did the error
+    * burst HAPPEN DURING the checkout session or just after it", asked
+    * symmetrically for every type pair at once. Scale shape: the pair
+    * join is an equi-join on user_id with the 24h start band; per-user
+    * cost is bounded by that user's session count per type (the same
+    * per-key bound as q132's overlap sweep), never a global cartesian.
+    * Zero-length sessions (one event) are legal intervals here; the
+    * ladder is total, so both engines classify them identically. */
+  def allenCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUT = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val gapUs = unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(byUT)
+    val isNew = when(gapUs.isNull || gapUs > lit(86400000000L), 1L).otherwise(0L)
+    val s = Tables.events(spark, dir)
+      .withColumn("is_new", isNew)
+      .withColumn("sid",
+        sum($"is_new").over(byUT.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"event_type", $"sid")
+      .agg(min(unix_micros($"ts")).as("st"), max(unix_micros($"ts")).as("en"))
+    val a = s.select($"user_id", $"event_type".as("type_a"),
+      $"st".as("sa"), $"en".as("ea"))
+    val b = s.select($"user_id", $"event_type".as("type_b"),
+      $"st".as("sb"), $"en".as("eb"))
+    val pairs = a.join(b, Seq("user_id"))
+      .filter($"type_a" < $"type_b" &&
+        abs($"sa" - $"sb") <= lit(86400000000L))
+    val rel = when($"ea" < $"sb", "precedes")
+      .when($"eb" < $"sa", "preceded_by")
+      .when($"ea" === $"sb", "meets")
+      .when($"eb" === $"sa", "met_by")
+      .when($"sa" === $"sb" && $"ea" === $"eb", "equals")
+      .when($"sa" === $"sb" && $"ea" < $"eb", "starts")
+      .when($"sa" === $"sb", "started_by")
+      .when($"ea" === $"eb" && $"sa" > $"sb", "finishes")
+      .when($"ea" === $"eb", "finished_by")
+      .when($"sa" > $"sb" && $"ea" < $"eb", "during")
+      .when($"sa" < $"sb" && $"ea" > $"eb", "contains")
+      .when($"sa" < $"sb", "overlaps")
+      .otherwise("overlapped_by")
+    pairs.select(rel.as("relation"))
+      .groupBy($"relation").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** POSITION-BASED MULTI-TOUCH ATTRIBUTION (q233) — q124's last-touch is
     * the degenerate single-winner rule; marketing mix runs the U-shaped
     * split: per user journey (non-purchase touches in time order), the
@@ -1307,6 +1360,7 @@ object EventQueries {
     "q123_dyadic_ewma" -> (dyadicEwma _),
     "q124_last_touch" -> (lastTouch _),
     "q233_multi_touch_attribution" -> (multiTouchAttribution _),
+    "q235_allen_census" -> (allenCensus _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1601,6 +1655,47 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q235: identical per-(user,type) sessionization and the same
+    // mutually-exclusive CASE ladder over exact microsecond endpoints.
+    "q235_allen_census" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 86400000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), s0 AS (
+        |  SELECT user_id, event_type, tu,
+        |    sum(is_new) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), s AS (
+        |  SELECT user_id, event_type, sid, min(tu) AS st, max(tu) AS en
+        |  FROM s0 GROUP BY 1, 2, 3
+        |), p AS (
+        |  SELECT a.st AS sa, a.en AS ea, b.st AS sb, b.en AS eb
+        |  FROM s a JOIN s b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  WHERE abs(a.st - b.st) <= 86400000000
+        |)
+        |SELECT CASE
+        |    WHEN ea < sb THEN 'precedes'
+        |    WHEN eb < sa THEN 'preceded_by'
+        |    WHEN ea = sb THEN 'meets'
+        |    WHEN eb = sa THEN 'met_by'
+        |    WHEN sa = sb AND ea = eb THEN 'equals'
+        |    WHEN sa = sb AND ea < eb THEN 'starts'
+        |    WHEN sa = sb THEN 'started_by'
+        |    WHEN ea = eb AND sa > sb THEN 'finishes'
+        |    WHEN ea = eb THEN 'finished_by'
+        |    WHEN sa > sb AND ea < eb THEN 'during'
+        |    WHEN sa < sb AND ea > eb THEN 'contains'
+        |    WHEN sa < sb THEN 'overlaps'
+        |    ELSE 'overlapped_by' END AS relation,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1""".stripMargin,
     // q233: the same integer-bp U-shape replayed; `//`/`%` on positive
     // BIGINTs = Spark's div/%; conservation (Σbp = 10000·journeys) is a
     // consequence, not an assumption — any drift shows per channel.
