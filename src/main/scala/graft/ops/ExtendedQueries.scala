@@ -1217,7 +1217,45 @@ object ExtendedQueries {
       .select($"grp", $"n_exact", $"hll_est", $"n_filled", $"err_bp")
   }
 
+  /** GROUPED LINEAR TREND (q236) — least-squares slope/intercept of
+    * monthly revenue per return flag, the per-entity trend fit every
+    * forecasting/drift pipeline wants, computed the q143 way: OLS needs
+    * only the five sufficient statistics (n, Σx, Σy, Σx², Σxy), all
+    * exact BIGINTs here (x = month index from the corpus' own min month,
+    * y = monthly revenue in whole dollars — exact cents floor-divided by
+    * 100 to keep the cross products far from overflow), so the whole fit
+    * is two hash-aggs plus ONE correctly-rounded double division per
+    * coefficient — no libm, no iterative solver, nothing a 1000-executor
+    * fan-in can reorder. slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and
+    * intercept = (Σy·den−num·Σx)/(n·den) ride the same integer num/den
+    * rational, zero-guarded per the repo DIV rule (a one-month group has
+    * den = 0). The oracle replays the identical integer algebra. */
+  def groupedTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long").as("mi"),
+        ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .groupBy($"l_returnflag", $"mi")
+      .agg(sum($"cents").as("mcents"))
+    val pts = m.crossJoin(broadcast(m.agg(min($"mi").as("mn0"))))
+      .select($"l_returnflag", ($"mi" - $"mn0").as("x"),
+        expr("mcents div 100").as("y"))
+    val a = pts.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+    val num = $"n" * $"sxy" - $"sx" * $"sy"
+    val den = $"n" * $"sxx" - $"sx" * $"sx"
+    a.select($"l_returnflag", $"n".as("n_months"),
+      when(den === 0L, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double")).as("slope"),
+      when(den === 0L, lit(0.0))
+        .otherwise(($"sy" * den - num * $"sx").cast("double")
+          / ($"n" * den).cast("double")).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_grouped_trend" -> (groupedTrend _),
     "q217_bitmap_distinct" -> (bitmapDistinct _),
     "q218_portable_hll" -> (portableHll _),
     "q143_exact_corr" -> (exactCorr _),
@@ -1316,6 +1354,34 @@ object ExtendedQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q236: identical five-statistic OLS; every product stays in exact
+    // integer range, the only float ops are the two final divisions.
+    "q236_grouped_trend" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS mcents
+        |  FROM lineitem GROUP BY 1, 2
+        |), b AS (SELECT min(mi) AS mn0 FROM m
+        |), p AS (
+        |  SELECT l_returnflag, mi - mn0 AS x, mcents // 100 AS y FROM m, b
+        |), a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT l_returnflag, n AS n_months,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(sy * (n * sxx - sx * sx)
+        |                 - (n * sxy - sx * sy) * sx AS DOUBLE)
+        |            / CAST(n * (n * sxx - sx * sx) AS DOUBLE) END AS intercept
+        |FROM a""".stripMargin,
     // q217: same bitmap algebra — 63-bit words, OR, popcount — next to the
     // exact twin; SUM(bit_count) is HUGEINT in DuckDB, hence the BIGINT cast.
     "q217_bitmap_distinct" ->
