@@ -494,6 +494,39 @@ object CoreQueries {
       .toDF("n_tp", "n_tn", "n_fp", "n_fn", "accuracy", "prec", "rec", "f1")
   }
 
+  /** CALIBRATION CURVE (q237) — the reliability table behind every "is
+    * the model's score meaningful" review, extending q185's confusion
+    * metrics from one global cut to the whole score range: rank orders by
+    * the classifier score (total-price cents, q185's raw score) into
+    * score deciles PER CUSTOMER SEGMENT — the window partitions by
+    * segment so the sorts run group-parallel (a global ntile serializes
+    * onto one task, the q94/q139 lesson) and each segment gets its own
+    * curve, which is also the fairness-audit framing (is the score
+    * calibrated for every cohort, not just on average). Ordering is
+    * total (score, orderkey), so both engines assign identical bins; per
+    * (segment, decile) the gate emits exact counts, the positive rate in
+    * floor basis points (zero-guarded div), and the bin's score bounds —
+    * a monotone-increasing rate column is what a calibrated score looks
+    * like; the oracle recomputes every cell. */
+  def calibrationCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey",
+      when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)
+        .as("pos"),
+      ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("score"))
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"score", $"o_orderkey")
+    o.join(cust, $"o_custkey" === $"c_custkey")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"c_mktsegment", $"decile")
+      .agg(count(lit(1)).as("n_orders"), sum($"pos").as("n_pos"),
+        min($"score").as("min_score_cents"), max($"score").as("max_score_cents"))
+      .withColumn("pos_rate_bp",
+        when($"n_orders" > 0, expr("(10000 * n_pos) div n_orders"))
+          .otherwise(0L))
+  }
+
   /** Order-stats buffer for [[q199 typed aggregation]]: integer cents only,
     * so merges are exact in any combine order. */
   case class CentsStats(n: Long, min: Long, max: Long, sum: Long)
@@ -545,6 +578,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_typed_aggregator" -> (typedAggregator _),
     "q185_evaluation_metrics" -> (evaluationMetrics _),
+    "q237_calibration_curve" -> (calibrationCurve _),
     "q51_string_agg" -> (stringAgg _),
     "q52_nested_types" -> (nestedTypes _),
     "q50_unpivot" -> (unpivotMetrics _),
@@ -599,6 +633,32 @@ object CoreQueries {
         |  CAST(max(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS max_cents,
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q237: ntile is deterministic given the total (score, orderkey)
+    // order; every cell an exact count, the rate a guarded integer DIV.
+    "q237_calibration_curve" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS pos,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS score
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), d AS (
+        |  SELECT c_mktsegment, pos, score,
+        |    ntile(10) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY score, o_orderkey) AS decile
+        |  FROM j
+        |), a AS (
+        |  SELECT c_mktsegment, decile, count(*) AS n_orders,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(min(score) AS BIGINT) AS min_score_cents,
+        |    CAST(max(score) AS BIGINT) AS max_score_cents
+        |  FROM d GROUP BY 1, 2
+        |)
+        |SELECT c_mktsegment, decile, n_orders, n_pos,
+        |  min_score_cents, max_score_cents,
+        |  CAST(CASE WHEN n_orders > 0 THEN (10000 * n_pos) // n_orders
+        |       ELSE 0 END AS BIGINT) AS pos_rate_bp
+        |FROM a""".stripMargin,
     // q185: identical integer predicates, then the metric ratios with the
     // engine's exact association order — each a fixed IEEE op sequence
     // over exact integer counts, so DuckDB reproduces every double
