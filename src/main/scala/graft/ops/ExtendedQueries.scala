@@ -1254,7 +1254,43 @@ object ExtendedQueries {
           / ($"n" * den).cast("double")).as("intercept"))
   }
 
+  /** JOIN-SKEW DIAGNOSTICS (q238) — the pre-flight report behind every
+    * salting / AQE-skew decision (q63 salts, q168 lets AQE split; THIS is
+    * the measurement that tells you whether you need either): for each
+    * candidate join key of the fact table, the key-group size
+    * distribution — key count, row count, the largest group, dyadic
+    * percentiles of group size (p50/p75 — dyadic fracs are the one
+    * interpolation point Spark's `percentile` and DuckDB's
+    * `quantile_cont` agree on exactly, the repo quantile rule), the
+    * heaviest key (ties to the smallest key, pinned via max_by over
+    * (size, −key)), and a skew ratio in floor basis points computed as
+    * integer cross-multiplication (10⁴·max·n_keys div n_rows — never a
+    * float average). Scale shape: one hash-agg per key column over the
+    * fact, then an O(keys) stats pass; the per-column results union to a
+    * three-row report. */
+  def joinSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    def report(keyCol: String): DataFrame = {
+      val sizes = li.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("sz"))
+      sizes.agg(
+        count(lit(1)).as("n_keys"), sum($"sz").as("n_rows"),
+        max($"sz").as("max_sz"),
+        percentile($"sz", lit(0.5)).as("p50_sz"),
+        percentile($"sz", lit(0.75)).as("p75_sz"),
+        max_by($"k", struct($"sz", -$"k")).as("heaviest_key"))
+        .select(lit(keyCol).as("key_col"), $"n_keys", $"n_rows", $"max_sz",
+          $"p50_sz", $"p75_sz", $"heaviest_key",
+          when($"n_rows" > 0,
+            expr("(10000 * max_sz * n_keys) div n_rows")).otherwise(0L)
+            .as("skew_bp"))
+    }
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(report)
+      .reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_join_skew_report" -> (joinSkewReport _),
     "q236_grouped_trend" -> (groupedTrend _),
     "q217_bitmap_distinct" -> (bitmapDistinct _),
     "q218_portable_hll" -> (portableHll _),
@@ -1354,6 +1390,27 @@ object ExtendedQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q238: per key column the same size-distribution pass; the heaviest
+    // key replays Spark's max_by(struct(sz, −k)) as min(k) among the
+    // max-size keys; p50/p75 are dyadic so quantile_cont matches.
+    "q238_join_skew_report" -> {
+      def col(k: String) =
+        s"""(WITH s AS (SELECT $k AS k, count(*) AS sz FROM lineitem GROUP BY 1)
+           |SELECT '$k' AS key_col,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(sz) AS BIGINT) AS n_rows,
+           |  CAST(max(sz) AS BIGINT) AS max_sz,
+           |  CAST(quantile_cont(sz, 0.5) AS DOUBLE) AS p50_sz,
+           |  CAST(quantile_cont(sz, 0.75) AS DOUBLE) AS p75_sz,
+           |  CAST((SELECT min(k) FROM s WHERE sz = (SELECT max(sz) FROM s))
+           |    AS BIGINT) AS heaviest_key,
+           |  CAST(CASE WHEN sum(sz) > 0
+           |    THEN (10000 * max(sz) * count(*)) // sum(sz)
+           |    ELSE 0 END AS BIGINT) AS skew_bp
+           |FROM s)""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(col)
+        .mkString("\nUNION ALL\n")
+    },
     // q236: identical five-statistic OLS; every product stays in exact
     // integer range, the only float ops are the two final divisions.
     "q236_grouped_trend" ->
