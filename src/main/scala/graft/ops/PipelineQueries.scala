@@ -548,6 +548,38 @@ object PipelineQueries {
         when($"n_violations" === 0L, "pass").otherwise("fail").as("status"))
   }
 
+  /** MULTI-EPOCH TRAINING SHUFFLE (q239) — the reshuffle-every-epoch
+    * contract of a training data loader, as a deterministic distributed
+    * op: epoch e orders and shards the corpus by md5("e:doc_id"), so
+    * each epoch is a fresh pseudorandom permutation (no epoch sees the
+    * previous epoch's order — the generalization hygiene reason loaders
+    * reshuffle at all) while staying bit-reproducible across reruns and
+    * engines — seeded randomness as hashing, the q94/q174 rule, never an
+    * RNG. The census per (epoch, shard) pins membership (every doc in
+    * exactly one shard per epoch, counts and char totals conserved) and
+    * the ORDER ITSELF via lead_doc — the document that opens the shard,
+    * extracted from the min (hash ‖ zero-padded id) string key, a total
+    * tie-free order both engines agree on. At 100 TB each epoch is one
+    * hash-partitioned write with no coordination; the three epochs here
+    * ride one crossJoin against a 3-row literal. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epochs = spark.range(3).select($"id".cast("int").as("epoch"))
+    Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+      .crossJoin(broadcast(epochs))
+      .select($"epoch", $"doc_id", $"n_chars",
+        md5(concat($"epoch".cast("string"), lit(":"),
+          $"doc_id".cast("string"))).as("h"))
+      .select($"epoch",
+        (conv(substring($"h", 1, 1), 16, 10).cast("long") % 8).as("shard"),
+        $"n_chars",
+        concat($"h", lpad($"doc_id".cast("string"), 12, "0")).as("ord"))
+      .groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        substring(min($"ord"), 33, 12).cast("long").as("lead_doc"))
+  }
+
   /** Exact-k stratified sample (eval-set construction): the k docs with the
     * smallest salted-hash keys per source — deterministic, reproducible,
     * uniformly random within each stratum. Selection runs through the
@@ -1055,6 +1087,7 @@ object PipelineQueries {
     "q214_referential_integrity" -> (referentialIntegrity _),
     "q215_partition_gap_audit" -> (partitionGapAudit _),
     "q232_constraint_suite" -> (constraintSuite _),
+    "q239_epoch_shuffle" -> (epochShuffle _),
     "q95_stratified_sample" -> (stratifiedSample _),
     "q96_bigram_lm" -> (bigramLm _),
     "q99_curation_pipeline" -> (curationPipeline _),
@@ -1423,6 +1456,27 @@ object PipelineQueries {
     // strpos digit arithmetic (Spark uses conv; the values agree exactly),
     // summed order-independently per shard.
     "q200_shard_manifest" -> manifestOracleSql,
+    // q239: same md5("e:id") permutation; the first hex digit mod 8 is
+    // the shard, the min (hash ‖ padded id) string is the shard opener.
+    "q239_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT CAST(unnest(generate_series(0, 2)) AS INTEGER) AS epoch
+        |), a AS (
+        |  SELECT epoch, doc_id, n_chars,
+        |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents, e
+        |), s AS (
+        |  SELECT epoch,
+        |    CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+        |      AS BIGINT) AS shard,
+        |    n_chars,
+        |    h || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS ord
+        |  FROM a
+        |)
+        |SELECT epoch, shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(substr(min(ord), 33, 12) AS BIGINT) AS lead_doc
+        |FROM s GROUP BY epoch, shard""".stripMargin,
     // q232: every counter recomputed independently; the pair-uniqueness
     // counter uses the injective integer encoding key*8+linenumber
     // (linenumber ∈ 1..7) — same distinct-pair count as the engine's
