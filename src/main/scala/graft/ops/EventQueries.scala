@@ -973,6 +973,40 @@ object EventQueries {
       .groupBy($"relation").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** TIME-DECAYED HEAVY HITTERS (q240) — "who is trending", the
+    * recency-weighted ranking every feed/alerting pipeline wants, with
+    * the decay that is EXACT across engines: an event aged `a` days
+    * (against the corpus' own max day — never wall clock) weighs
+    * 2^(40−a) for a ≤ 40 and 0 beyond — the q123 dyadic-EWMA rule
+    * applied to counts, so every weight is one BIGINT shift, per-user
+    * totals are exact integer sums (< 2⁵³, so the ranking double is
+    * exact too), and a float `pow(λ, a)` ulp drift can never reorder
+    * two users. Half-life = one day; 40 binary orders of magnitude ≈
+    * anything older than 40 days contributes nothing, which IS the
+    * product semantics of "trending". The top-10 rides the k-bounded
+    * TopK heap (ties to the smaller user_id), never a global sort; the
+    * 10 winners broadcast-join back for their audit columns. */
+  def decayedHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+    val w = d.crossJoin(broadcast(d.agg(max($"day").as("mx"))))
+      .select($"user_id", datediff($"mx", $"day").as("age"))
+      .select($"user_id",
+        when($"age" <= 40,
+          expr("shiftleft(cast(1 as bigint), cast(40 - age as int))"))
+          .otherwise(0L).as("wt"))
+    val a = w.groupBy($"user_id")
+      .agg(sum($"wt").as("decayed_w"), count(lit(1)).as("n_events"))
+    val top = a
+      .agg(graft.functions.TopK.scoredTopK(
+        $"decayed_w".cast("double"), $"user_id", 10).as("top"))
+      .select(posexplode($"top").as(Seq("pos", "s")))
+      .select(($"pos" + 1).cast("int").as("rank"), $"s.cand_id".as("user_id"))
+    a.join(broadcast(top), Seq("user_id"))
+      .select($"rank", $"user_id", $"decayed_w", $"n_events")
+  }
+
   /** POSITION-BASED MULTI-TOUCH ATTRIBUTION (q233) — q124's last-touch is
     * the degenerate single-winner rule; marketing mix runs the U-shaped
     * split: per user journey (non-purchase touches in time order), the
@@ -1361,6 +1395,7 @@ object EventQueries {
     "q124_last_touch" -> (lastTouch _),
     "q233_multi_touch_attribution" -> (multiTouchAttribution _),
     "q235_allen_census" -> (allenCensus _),
+    "q240_decayed_heavy_hitters" -> (decayedHeavyHitters _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1655,6 +1690,31 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q240: same dyadic shift weights against the corpus max day; `<<`
+    // on BIGINT mirrors shiftleft, row_number replays the heap's
+    // (weight DESC, user_id ASC) order.
+    "q240_decayed_heavy_hitters" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |), b AS (SELECT max(day) AS mx FROM d
+        |), w AS (
+        |  SELECT user_id,
+        |    CASE WHEN date_diff('day', day, mx) <= 40
+        |      THEN CAST(1 AS BIGINT)
+        |           << CAST(40 - date_diff('day', day, mx) AS INT)
+        |      ELSE CAST(0 AS BIGINT) END AS wt
+        |  FROM d, b
+        |), a AS (
+        |  SELECT user_id, CAST(sum(wt) AS BIGINT) AS decayed_w,
+        |    count(*) AS n_events
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY decayed_w DESC, user_id ASC)
+        |      AS INTEGER) AS rank,
+        |    user_id, decayed_w, n_events
+        |  FROM a
+        |) WHERE rank <= 10""".stripMargin,
     // q235: identical per-(user,type) sessionization and the same
     // mutually-exclusive CASE ladder over exact microsecond endpoints.
     "q235_allen_census" ->
