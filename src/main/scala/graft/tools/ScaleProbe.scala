@@ -51,7 +51,11 @@ object ScaleProbe {
     * re-emission (q194), the multi-p decile loop and its binning
     * consumer (q204/q210), and the SpaceSaving candidate set
     * (q208 — per-partition sketch size is constant, so candidate count
-    * grows only with partition count, never with rows). */
+    * grows only with partition count, never with rows). Round 11 adds the
+    * PQ search (q234 — the ADC join is codes×queries, the exact re-rank
+    * 50/query; the baseline brute-force pass is the designed linear term)
+    * and the Allen pair join (q235 — per-user quadratic, bounded by
+    * per-user session counts, which the salted union holds constant). */
   val DefaultGates: Seq[String] = Seq(
     "q101_grouped_quantile_pruned",
     "q112_similarity_join_prefix",
@@ -66,7 +70,9 @@ object ScaleProbe {
     "q194_streaming_update_mode",
     "q204_decile_grid",
     "q208_vocab_heavy_hitters",
-    "q210_decile_binning")
+    "q210_decile_binning",
+    "q234_pq_ann",
+    "q235_allen_census")
 
   private val KeyOff = 10_000_000_000L // per-copy key offset (all keys int64)
 
