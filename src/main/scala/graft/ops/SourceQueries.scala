@@ -625,6 +625,41 @@ object SourceQueries {
       graft.operators.Ann.currentGenerationPath(spark, root)))
   }
 
+  /** SNAPSHOT METADATA TABLE (q241) — the `DESCRIBE SNAPSHOT` / files-
+    * introspection surface every lakehouse exposes (Delta's DESCRIBE
+    * HISTORY, Iceberg's metadata tables), over the q205 generation root:
+    * for the base generation and for `_CURRENT`, how many bucket
+    * directories are MATERIALIZED data vs borrowed REFERENCES (the
+    * symlink census is the physical copy-on-write audit — 16/0 for the
+    * base, 2/14 for any partial merge), whether the pointer names it,
+    * and the distributed row count. Run-count independence by design:
+    * repeated merges mint new generations but every partial merge has
+    * the same shape, and the gate reads only the two stable snapshots —
+    * so the report is deterministic however many times the engine ran.
+    * The oracle derives both rows from the raw table and the delta rule;
+    * a pointer pointing at a half-written generation, a reference
+    * mis-census, or a leaked row breaks it. */
+  def snapshotMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = mergeRoot(spark, dir)
+    if (graft.operators.Ann.currentGenerationPath(spark, root)
+        .endsWith("gen-000001")) mergeUpsert(spark, dir): Unit
+    val current = graft.operators.Ann.currentGenerationPath(spark, root)
+    def describe(label: String, path: String): DataFrame = {
+      val buckets = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+      val (refs, mats) = buckets.partition(f =>
+        Files.isSymbolicLink(Paths.get(f.getPath)))
+      val n = spark.read.parquet(path).count()
+      Seq((label, mats.length, refs.length, n, path == current))
+        .toDF("snapshot", "n_buckets_materialized", "n_buckets_referenced",
+          "n_rows", "is_current")
+    }
+    describe("base", s"$root/gen-000001")
+      .unionByName(describe("current", current))
+  }
+
   /** THREE-WAY BRANCH MERGE (q231) — git-for-data on top of the snapshot
     * model: two writers branch from the same base snapshot, each produces
     * its own delta (the CDC diff q207 would extract from its branch), and
@@ -1151,6 +1186,7 @@ object SourceQueries {
     "q229_zone_map_pruning" -> (zoneMapPrunedScan _),
     "q230_mor_positional_deletes" -> (morPositionalDeletes _),
     "q231_branch_merge" -> (branchMerge _),
+    "q241_snapshot_metadata" -> (snapshotMetadata _),
     "q205_merge_upsert" -> (mergeUpsert _),
     "q206_snapshot_read" -> (snapshotRead _),
     "q207_snapshot_diff" -> (snapshotDiff _),
@@ -1304,6 +1340,22 @@ object SourceQueries {
           |""".stripMargin +
         mergeSummarySql("base", "b") + "\nUNION ALL\n" +
         mergeSummarySql("current", "m")),
+    // q241: both snapshot shapes from the rule — the base holds every
+    // customer in 16 materialized buckets; any partial merge rewrites
+    // buckets 3 and 7 (2 materialized, 14 references) and adds the
+    // re-keyed bucket-7 inserts.
+    "q241_snapshot_metadata" ->
+      """SELECT 'base' AS snapshot,
+        |  16 AS n_buckets_materialized, 0 AS n_buckets_referenced,
+        |  CAST(count(*) AS BIGINT) AS n_rows, FALSE AS is_current
+        |FROM customer
+        |UNION ALL
+        |SELECT 'current',
+        |  2, 14,
+        |  CAST(count(*)
+        |    + sum(CASE WHEN c_custkey % 16 = 7 THEN 1 ELSE 0 END) AS BIGINT),
+        |  TRUE
+        |FROM customer""".stripMargin,
     // q231: resolution replayed by rule — bucket 5 takes B's +200
     // (update-update, B wins), bucket 13 takes B's +50 (delete-vs-update,
     // update wins), buckets 3/7 apply their single branch, both insert
