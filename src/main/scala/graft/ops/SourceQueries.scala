@@ -660,6 +660,78 @@ object SourceQueries {
       .unionByName(describe("current", current))
   }
 
+  private val wapRootBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def wapRoot(spark: SparkSession, dir: String): String =
+    wapRootBuilt.computeIfAbsent(dir, _ => {
+      val root = graft.Scratch.named(s"q242_${graft.Scratch.dirKey(dir)}").toString
+      val gen = graft.operators.Ann.nextGenerationName(spark, root)
+      Tables.customer(spark, dir)
+        .select(org.apache.spark.sql.functions.col("c_custkey"),
+          org.apache.spark.sql.functions.col("c_mktsegment"),
+          org.apache.spark.sql.functions.col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$root/$gen")
+      graft.operators.Ann.publishGeneration(spark, root, gen)
+      root
+    })
+
+  /** WRITE-AUDIT-PUBLISH (q242) — the governance contract on top of the
+    * snapshot model (Iceberg's WAP / staging-branch pattern): a writer
+    * STAGES a candidate generation (files on disk, pointer untouched),
+    * an AUDIT runs q232-style declared constraints against WHAT WAS
+    * ACTUALLY WRITTEN (read back from the staged files — never against
+    * the dataframe the writer intended to write), and only a passing
+    * audit flips `_CURRENT`; a failing candidate stays quarantined on
+    * disk, invisible to every reader. The gate drives both paths: a BAD
+    * candidate (bucket-9 rows duplicated with a NULLed segment — key
+    * uniqueness and completeness both violated) that must NOT publish,
+    * then a GOOD candidate (the q205 upsert semantics) that must; the
+    * closing `require` proves the pointer serves exactly the good
+    * snapshot's rows. Readers meanwhile only ever saw published
+    * generations — the whole point of WAP at 100 TB, where a bad load
+    * must cost a quarantined directory, not a restore. The oracle
+    * derives every audit counter and verdict from the delta rules. */
+  def writeAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = wapRoot(spark, dir)
+    val base = spark.read.parquet(s"$root/gen-000001")
+    val bad = base.unionByName(
+      base.filter(pmod($"c_custkey", lit(16)) === 9)
+        .withColumn("c_mktsegment", lit(null).cast("string")))
+    val good = base
+      .withColumn("c_acctbal",
+        when(pmod($"c_custkey", lit(16)) === 3, $"c_acctbal" + lit(100.0))
+          .otherwise($"c_acctbal"))
+      .unionByName(base.filter(pmod($"c_custkey", lit(16)) === 7)
+        .withColumn("c_custkey", $"c_custkey" + lit(1000000L)))
+    def stageAuditPublish(label: String, cand: DataFrame): DataFrame = {
+      val gen = graft.operators.Ann.nextGenerationName(spark, root)
+      cand.write.mode("overwrite").parquet(s"$root/$gen")
+      val staged = spark.read.parquet(s"$root/$gen")
+      val a = staged.agg(count(lit(1)).as("n_rows"),
+        sum(when($"c_mktsegment".isNull, 1L).otherwise(0L)).as("n_null_segment"),
+        (count(lit(1)) - countDistinct($"c_custkey")).as("n_dup_rows"))
+        .collect().head
+      val pass = a.getLong(1) == 0L && a.getLong(2) == 0L
+      if (pass) graft.operators.Ann.publishGeneration(spark, root, gen)
+      Seq((label, a.getLong(0), a.getLong(1), a.getLong(2),
+        if (pass) "pass" else "fail", pass))
+        .toDF("candidate", "n_rows", "n_null_segment", "n_dup_rows",
+          "audit_status", "published")
+    }
+    val out = stageAuditPublish("bad", bad)
+      .unionByName(stageAuditPublish("good", good))
+    val served = spark.read.parquet(
+      graft.operators.Ann.currentGenerationPath(spark, root)).count()
+    val expected = base.count() +
+      base.filter(pmod($"c_custkey", lit(16)) === 7).count()
+    require(served == expected,
+      s"WAP published the wrong snapshot: readers see $served rows, " +
+        s"the good candidate carries $expected")
+    out
+  }
+
   /** THREE-WAY BRANCH MERGE (q231) — git-for-data on top of the snapshot
     * model: two writers branch from the same base snapshot, each produces
     * its own delta (the CDC diff q207 would extract from its branch), and
@@ -1187,6 +1259,7 @@ object SourceQueries {
     "q230_mor_positional_deletes" -> (morPositionalDeletes _),
     "q231_branch_merge" -> (branchMerge _),
     "q241_snapshot_metadata" -> (snapshotMetadata _),
+    "q242_write_audit_publish" -> (writeAuditPublish _),
     "q205_merge_upsert" -> (mergeUpsert _),
     "q206_snapshot_read" -> (snapshotRead _),
     "q207_snapshot_diff" -> (snapshotDiff _),
@@ -1340,6 +1413,26 @@ object SourceQueries {
           |""".stripMargin +
         mergeSummarySql("base", "b") + "\nUNION ALL\n" +
         mergeSummarySql("current", "m")),
+    // q242: audit counters and verdicts from the candidate rules — the
+    // bad write duplicates bucket-9 keys with a NULL segment, the good
+    // write is the q205 upsert (no nulls, no dups, bucket-7 inserts).
+    "q242_write_audit_publish" ->
+      """SELECT 'bad' AS candidate,
+        |  CAST(count(*)
+        |    + sum(CASE WHEN c_custkey % 16 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rows,
+        |  CAST(sum(CASE WHEN c_custkey % 16 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_segment,
+        |  CAST(sum(CASE WHEN c_custkey % 16 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_rows,
+        |  'fail' AS audit_status, FALSE AS published
+        |FROM customer
+        |UNION ALL
+        |SELECT 'good',
+        |  CAST(count(*)
+        |    + sum(CASE WHEN c_custkey % 16 = 7 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'pass', TRUE
+        |FROM customer""".stripMargin,
     // q241: both snapshot shapes from the rule — the base holds every
     // customer in 16 materialized buckets; any partial merge rewrites
     // buckets 3 and 7 (2 materialized, 14 references) and adds the
