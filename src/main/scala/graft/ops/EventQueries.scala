@@ -937,18 +937,27 @@ object EventQueries {
     * per-key bound as q132's overlap sweep), never a global cartesian.
     * Zero-length sessions (one event) are legal intervals here; the
     * ladder is total, so both engines classify them identically. */
-  def allenCensus(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(user, event_type) activity episodes under a deliberately coarse
+    * 24h gap (q18's rule one level finer) — the interval frame shared by
+    * the Allen census (q235) and the stabbing index (q243): (user_id,
+    * event_type, st, en) in exact microseconds. */
+  private def typeSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byUT = Window.partitionBy($"user_id", $"event_type")
       .orderBy($"ts", $"event_id")
     val gapUs = unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(byUT)
     val isNew = when(gapUs.isNull || gapUs > lit(86400000000L), 1L).otherwise(0L)
-    val s = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .withColumn("is_new", isNew)
       .withColumn("sid",
         sum($"is_new").over(byUT.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"user_id", $"event_type", $"sid")
       .agg(min(unix_micros($"ts")).as("st"), max(unix_micros($"ts")).as("en"))
+  }
+
+  def allenCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = typeSessions(spark, dir)
     val a = s.select($"user_id", $"event_type".as("type_a"),
       $"st".as("sa"), $"en".as("ea"))
     val b = s.select($"user_id", $"event_type".as("type_b"),
@@ -971,6 +980,43 @@ object EventQueries {
       .otherwise("overlapped_by")
     pairs.select(rel.as("relation"))
       .groupBy($"relation").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** INTERVAL-BUCKETED STABBING INDEX (q243) — "how many episodes cover
+    * timestamp T", answered WITHOUT an interval×probe range join: each
+    * [[typeSessions]] interval is assigned to every UTC-day bucket it
+    * spans (one `sequence()` explode — fan-out bounded by interval
+    * length, which the 24h session gap bounds), a probe carries exactly
+    * its own day bucket, and the lookup becomes a plain EQUI-join on the
+    * day plus a residual containment filter. A covering interval always
+    * spans the probe's day, and within one probe's day each interval
+    * appears once, so the join is exact with no dedup — the interval-
+    * partitioning trick behind every time-range index at scale, where a
+    * banded range join would still stream all intervals near T. The five
+    * probes derive from the corpus' own span (min + k·span/6, integer
+    * floor-div — never wall clock); the oracle answers them with the
+    * naive full range join, so the bucketed path must find EXACTLY the
+    * covering set, including the zero-coverage probes the left join
+    * keeps. */
+  def intervalStabbing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val DayUs = 86400000000L
+    val s = typeSessions(spark, dir)
+    val sDays = s.select($"st", $"en",
+      explode(expr(s"sequence(st div $DayUs, en div $DayUs)")).as("day"))
+    val bounds = Tables.events(spark, dir)
+      .agg(min(unix_micros($"ts")).as("mn"), max(unix_micros($"ts")).as("mx"))
+    val probes = spark.range(1, 6).select($"id".as("probe_id"))
+      .crossJoin(broadcast(bounds))
+      .select($"probe_id",
+        ($"mn" + expr("(mx - mn) div 6") * $"probe_id").as("t"))
+      .withColumn("day", expr(s"t div $DayUs"))
+    val hits = sDays.join(broadcast(probes), Seq("day"))
+      .filter($"st" <= $"t" && $"en" >= $"t")
+      .groupBy($"probe_id").agg(count(lit(1)).as("n"))
+    probes.join(hits, Seq("probe_id"), "left")
+      .select($"probe_id", $"t".as("t_micros"),
+        coalesce($"n", lit(0L)).as("n_covering"))
   }
 
   /** TIME-DECAYED HEAVY HITTERS (q240) — "who is trending", the
@@ -1396,6 +1442,7 @@ object EventQueries {
     "q233_multi_touch_attribution" -> (multiTouchAttribution _),
     "q235_allen_census" -> (allenCensus _),
     "q240_decayed_heavy_hitters" -> (decayedHeavyHitters _),
+    "q243_interval_stabbing" -> (intervalStabbing _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1690,6 +1737,39 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q243: the oracle stabs with the NAIVE full range join — the
+    // engine's day-bucketed equi-join must find exactly the same
+    // covering sets; probes from the corpus' own bounds, floor-div.
+    "q243_interval_stabbing" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 86400000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), s0 AS (
+        |  SELECT user_id, event_type, tu,
+        |    sum(is_new) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), s AS (
+        |  SELECT user_id, event_type, sid, min(tu) AS st, max(tu) AS en
+        |  FROM s0 GROUP BY 1, 2, 3
+        |), b AS (
+        |  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+        |), p AS (
+        |  SELECT k AS probe_id, mn + ((mx - mn) // 6) * k AS t
+        |  FROM b, (SELECT unnest(generate_series(1, 5)) AS k)
+        |), h AS (
+        |  SELECT p.probe_id, count(*) AS n
+        |  FROM s JOIN p ON s.st <= p.t AND s.en >= p.t
+        |  GROUP BY 1
+        |)
+        |SELECT p.probe_id, CAST(p.t AS BIGINT) AS t_micros,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_covering
+        |FROM p LEFT JOIN h USING (probe_id)""".stripMargin,
     // q240: same dyadic shift weights against the corpus max day; `<<`
     // on BIGINT mirrors shiftleft, row_number replays the heap's
     // (weight DESC, user_id ASC) order.
