@@ -1289,7 +1289,53 @@ object ExtendedQueries {
       .reduce(_ unionByName _)
   }
 
+  /** FREQUENT PAIR MINING (q244) — market-basket co-occurrence with the
+    * a-priori contract: items (brands, via the lineitem→part join) are
+    * counted per DISTINCT basket first, only items above the 5% support
+    * floor may enter pair enumeration (the monotonicity prune — an
+    * infrequent item cannot belong to a frequent pair, so the quadratic
+    * stage never sees it), pairs enumerate per basket through a
+    * basket-keyed self-equi-join (per-basket cost ≤ distinct-items², ≤
+    * C(25,2) here — bounded by the item vocabulary, never by basket
+    * count), and surviving pairs (support ≥ 275 bp) report support and
+    * LIFT, both as integer cross-multiplications — lift_bp =
+    * 10⁴·n_ab·N div (n_a·n_b), the ln-free association strength. All
+    * thresholds integer, every count exact; the oracle replays the
+    * whole lattice walk. */
+  def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ob = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("oid"), $"p_brand".as("item")).distinct()
+    val nb = ob.agg(countDistinct($"oid").as("n_baskets"))
+    val itemCnt = ob.groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val freq = itemCnt.crossJoin(broadcast(nb))
+      .filter($"n_item" * 20 >= $"n_baskets")
+      .select($"item", $"n_item")
+    val obF = ob.join(broadcast(freq.select($"item")), Seq("item"))
+      .select($"oid", $"item")
+    val pairs = obF.as("x").join(obF.as("y"),
+        col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("brand_a"), col("y.item").as("brand_b"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairs.crossJoin(broadcast(nb))
+      .join(broadcast(freq.select($"item".as("brand_a"), $"n_item".as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(freq.select($"item".as("brand_b"), $"n_item".as("n_b"))),
+        Seq("brand_b"))
+      .withColumn("support_bp",
+        when($"n_baskets" > 0, expr("(10000 * n_pair) div n_baskets"))
+          .otherwise(0L))
+      .filter($"support_bp" >= 275)
+      .withColumn("lift_bp",
+        when($"n_a" * $"n_b" > 0,
+          expr("(10000 * n_pair * n_baskets) div (n_a * n_b)")).otherwise(0L))
+      .select($"brand_a", $"brand_b", $"n_pair", $"support_bp", $"lift_bp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_frequent_pairs" -> (frequentPairs _),
     "q238_join_skew_report" -> (joinSkewReport _),
     "q236_grouped_trend" -> (groupedTrend _),
     "q217_bitmap_distinct" -> (bitmapDistinct _),
@@ -1390,6 +1436,32 @@ object ExtendedQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q244: the same a-priori walk — 5% item floor, basket-keyed pair
+    // join, 275 bp pair floor, integer cross-mult support and lift.
+    "q244_frequent_pairs" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), nb AS (SELECT count(DISTINCT oid) AS n FROM ob
+        |), ic AS (
+        |  SELECT item, count(*) AS n_item FROM ob GROUP BY 1
+        |), f AS (
+        |  SELECT item, n_item FROM ic WHERE n_item * 20 >= (SELECT n FROM nb)
+        |), obf AS (
+        |  SELECT oid, ob.item FROM ob JOIN f USING (item)
+        |), pr AS (
+        |  SELECT x.item AS brand_a, y.item AS brand_b, count(*) AS n_pair
+        |  FROM obf x JOIN obf y ON x.oid = y.oid AND x.item < y.item
+        |  GROUP BY 1, 2
+        |)
+        |SELECT brand_a, brand_b, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST((10000 * n_pair) // (SELECT n FROM nb) AS BIGINT) AS support_bp,
+        |  CAST((10000 * n_pair * (SELECT n FROM nb))
+        |    // (fa.n_item * fb.n_item) AS BIGINT) AS lift_bp
+        |FROM pr
+        |JOIN f fa ON fa.item = brand_a
+        |JOIN f fb ON fb.item = brand_b
+        |WHERE (10000 * n_pair) // (SELECT n FROM nb) >= 275""".stripMargin,
     // q238: per key column the same size-distribution pass; the heaviest
     // key replays Spark's max_by(struct(sz, −k)) as min(k) among the
     // max-size keys; p50/p75 are dyadic so quantile_cont matches.
