@@ -625,6 +625,40 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** COLLOCATION MINING (q245) — "which word pairs belong together",
+    * the phrase-induction pass of a tokenizer/vocab pipeline, ranked by
+    * LIFT with the ln-free integer rule: lift_bp =
+    * 10⁴·c(w1,w2)·N div (c(w1)·c(w2)) — the same association strength
+    * PMI orders by (PMI = log lift, and log is monotone, so the integer
+    * ratio ranks identically without a transcendental in sight; the
+    * q86/q150 determinism trade). One token pass feeds the unigram
+    * counts and total, one shingle pass the bigram counts; a ≥20
+    * occurrence floor keeps the noise out, the unigram table broadcasts
+    * (vocab-bounded), and the top-20 is fully tie-broken
+    * (lift desc, w1, w2). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(
+      explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+    val uc = uni.groupBy($"w").agg(count(lit(1)).as("c_w"))
+    val nt = uni.agg(count(lit(1)).as("n_tokens"))
+    val bc = docs.select(explode(Dedup.wordShingles($"text", 2)).as("bg"))
+      .select(split($"bg", " ").as("p")).filter(size($"p") === 2)
+      .select($"p".getItem(0).as("w1"), $"p".getItem(1).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+    bc.filter($"c_ab" >= 20)
+      .crossJoin(broadcast(nt))
+      .join(broadcast(uc.select($"w".as("w1"), $"c_w".as("c_a"))), Seq("w1"))
+      .join(broadcast(uc.select($"w".as("w2"), $"c_w".as("c_b"))), Seq("w2"))
+      .withColumn("lift_bp",
+        when($"c_a" * $"c_b" > 0,
+          expr("(10000 * c_ab * n_tokens) div (c_a * c_b)")).otherwise(0L))
+      .select($"w1", $"w2", $"c_ab", $"c_a", $"c_b", $"lift_bp")
+      .orderBy($"lift_bp".desc, $"w1".asc, $"w2".asc)
+      .limit(20)
+  }
+
   /** Per-document SURPRISAL under the corpus's own bigram LM — the
     * perplexity-style quality signal of a pretraining pipeline (rare-
     * bigram-heavy gibberish scores high, templated boilerplate scores
@@ -1088,6 +1122,7 @@ object PipelineQueries {
     "q215_partition_gap_audit" -> (partitionGapAudit _),
     "q232_constraint_suite" -> (constraintSuite _),
     "q239_epoch_shuffle" -> (epochShuffle _),
+    "q245_collocations" -> (collocations _),
     "q95_stratified_sample" -> (stratifiedSample _),
     "q96_bigram_lm" -> (bigramLm _),
     "q99_curation_pipeline" -> (curationPipeline _),
@@ -1456,6 +1491,34 @@ object PipelineQueries {
     // strpos digit arithmetic (Spark uses conv; the values agree exactly),
     // summed order-independently per shard.
     "q200_shard_manifest" -> manifestOracleSql,
+    // q245: same unigram/bigram passes and the identical integer lift;
+    // ORDER BY (lift DESC, w1, w2) is total, so LIMIT 20 is exact.
+    "q245_collocations" ->
+      s"""WITH tk0 AS (
+         |  SELECT $toksSql AS tk FROM documents
+         |), u AS (
+         |  SELECT unnest(tk) AS w FROM tk0
+         |), uc AS (
+         |  SELECT w, count(*) AS c_w FROM u GROUP BY 1
+         |), nt AS (
+         |  SELECT count(*) AS n_tokens FROM u
+         |), bp AS (
+         |  SELECT p[1] AS w1, p[2] AS w2
+         |  FROM (SELECT string_split(bg, ' ') AS p
+         |        FROM (SELECT unnest($bigramsSql) AS bg FROM tk0))
+         |  WHERE len(p) = 2
+         |), bc AS (
+         |  SELECT w1, w2, count(*) AS c_ab FROM bp GROUP BY 1, 2
+         |)
+         |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+         |  CAST(ca.c_w AS BIGINT) AS c_a, CAST(cb.c_w AS BIGINT) AS c_b,
+         |  CAST(CASE WHEN ca.c_w * cb.c_w > 0
+         |    THEN (10000 * c_ab * (SELECT n_tokens FROM nt))
+         |         // (ca.c_w * cb.c_w)
+         |    ELSE 0 END AS BIGINT) AS lift_bp
+         |FROM bc JOIN uc ca ON ca.w = w1 JOIN uc cb ON cb.w = w2
+         |WHERE c_ab >= 20
+         |ORDER BY lift_bp DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     // q239: same md5("e:id") permutation; the first hex digit mod 8 is
     // the shard, the min (hash ‖ padded id) string is the shard opener.
     "q239_epoch_shuffle" ->
