@@ -1334,7 +1334,40 @@ object ExtendedQueries {
       .select($"brand_a", $"brand_b", $"n_pair", $"support_bp", $"lift_bp")
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT (q246) — the classic fabricated-numbers
+    * screen a finance/fraud pipeline runs over an amount column: the
+    * distribution of first significant digits of exact integer cents,
+    * compared against Benford's law with the law itself as a FIXED
+    * integer basis-point table (3010, 1761, … — log10(1+1/d) needs no
+    * runtime logarithm when the nine constants are spelled out), so the
+    * whole audit is counts, one guarded integer DIV per digit, and an
+    * absolute deviation — hash-exact anywhere. TPC-H prices are
+    * generated uniform-ish, NOT Benford — the audit duly reports large
+    * deviations, which is the point of having one. One scan, one 9-row
+    * broadcast join. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq((1, 3010L), (2, 1761L), (3, 1249L), (4, 969L),
+      (5, 792L), (6, 669L), (7, 580L), (8, 512L), (9, 458L))
+      .toDF("digit", "benford_bp")
+    val d = Tables.orders(spark, dir)
+      .select(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+        .as("cents"))
+      .filter($"cents" > 0)
+      .select(substring($"cents".cast("string"), 1, 1).cast("int").as("digit"))
+    val n = d.agg(count(lit(1)).as("n_total"))
+    d.groupBy($"digit").agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(n))
+      .join(broadcast(benford), Seq("digit"))
+      .withColumn("obs_bp",
+        when($"n_total" > 0, expr("(10000 * n_orders) div n_total"))
+          .otherwise(0L))
+      .select($"digit", $"n_orders", $"obs_bp", $"benford_bp",
+        abs($"obs_bp" - $"benford_bp").as("dev_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_benford_audit" -> (benfordAudit _),
     "q244_frequent_pairs" -> (frequentPairs _),
     "q238_join_skew_report" -> (joinSkewReport _),
     "q236_grouped_trend" -> (groupedTrend _),
@@ -1436,6 +1469,31 @@ object ExtendedQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q246: same exact-cents first digit; the law as the same 9 integer
+    // constants via VALUES.
+    "q246_benford_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders
+        |), d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit FROM c WHERE cents > 0
+        |), n AS (SELECT count(*) AS n_total FROM d
+        |), b(digit, benford_bp) AS (
+        |  VALUES (1, CAST(3010 AS BIGINT)), (2, 1761), (3, 1249), (4, 969),
+        |    (5, 792), (6, 669), (7, 580), (8, 512), (9, 458)
+        |), o AS (
+        |  SELECT digit, count(*) AS n_orders FROM d GROUP BY 1
+        |)
+        |SELECT o.digit, o.n_orders,
+        |  CAST(CASE WHEN (SELECT n_total FROM n) > 0
+        |    THEN (10000 * o.n_orders) // (SELECT n_total FROM n)
+        |    ELSE 0 END AS BIGINT) AS obs_bp,
+        |  CAST(b.benford_bp AS BIGINT) AS benford_bp,
+        |  CAST(abs(CASE WHEN (SELECT n_total FROM n) > 0
+        |    THEN (10000 * o.n_orders) // (SELECT n_total FROM n)
+        |    ELSE 0 END - b.benford_bp) AS BIGINT) AS dev_bp
+        |FROM o JOIN b USING (digit)""".stripMargin,
     // q244: the same a-priori walk — 5% item floor, basket-keyed pair
     // join, 275 bp pair floor, integer cross-mult support and lift.
     "q244_frequent_pairs" ->
