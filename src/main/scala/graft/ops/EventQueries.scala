@@ -1019,6 +1019,55 @@ object EventQueries {
         coalesce($"n", lit(0L)).as("n_covering"))
   }
 
+  /** KAPLAN-MEIER CHURN SURVIVAL (q247) — the survival curve behind
+    * every retention/LTV model, with censoring done right: a user's
+    * lifetime is last-active − first-active in HOURS (the corpus spans
+    * ~30 days, so hours are the resolution where churn is visible);
+    * users whose last activity is ≥12 hours before the corpus' own max
+    * timestamp CHURNED (an event at their lifetime), everyone else is
+    * CENSORED (still alive —
+    * they leave the risk set without an event, the thing naive
+    * retention curves get wrong). The estimator is the product-limit
+    * S(tᵢ) = Π (1 − dⱼ/nⱼ), made hash-exact by replacing the float
+    * product with an INTEGER recurrence in basis points —
+    * s ← (s·(n−d)) div n from s = 10000 — which both engines can replay
+    * exactly (here a bounded driver fold over the O(distinct lifetimes)
+    * event table, the groupedPercentile O(k)-driver-state pattern; the
+    * oracle walks the identical recurrence with a recursive CTE). The
+    * distributed work is one per-user agg, one lifetime census, and one
+    * small-frame cumulative window for risk sets. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val HourUs = 3600000000L
+    val users = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("tu"))
+      .groupBy($"user_id")
+      .agg(min($"tu").as("fu"), max($"tu").as("lu"))
+    val mx = users.agg(max($"lu").as("m"))
+    val u = users.crossJoin(broadcast(mx))
+      .select(expr(s"(lu - fu) div $HourUs").cast("int").as("t"),
+        (expr(s"(m - lu) div $HourUs") >= 12).as("churned"))
+    val total = u.count()
+    val a = u.groupBy($"t")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when($"churned", 1L).otherwise(0L)).as("d"))
+    val w = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+    val km = a
+      .withColumn("n_risk", lit(total) - coalesce(sum($"n_at").over(w), lit(0L)))
+      .filter($"d" > 0)
+      .select($"t", $"d", $"n_risk")
+      .orderBy($"t")
+      .collect() // O(distinct lifetimes) — bounded by the corpus day span
+    var s = 10000L
+    val rows = km.map { r =>
+      val (t, d, n) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      require(n > 0, s"empty risk set at t=$t")
+      s = s * (n - d) / n
+      (t, n, d, s)
+    }.toSeq
+    rows.toDF("t_hours", "n_risk", "n_events", "survival_bp")
+  }
+
   /** TIME-DECAYED HEAVY HITTERS (q240) — "who is trending", the
     * recency-weighted ranking every feed/alerting pipeline wants, with
     * the decay that is EXACT across engines: an event aged `a` days
@@ -1443,6 +1492,7 @@ object EventQueries {
     "q235_allen_census" -> (allenCensus _),
     "q240_decayed_heavy_hitters" -> (decayedHeavyHitters _),
     "q243_interval_stabbing" -> (intervalStabbing _),
+    "q247_kaplan_meier" -> (kaplanMeier _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1737,6 +1787,40 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q247: the identical integer product-limit recurrence, walked by a
+    // recursive CTE over the event-time table in t order.
+    "q247_kaplan_meier" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS fu, max(epoch_us(ts)) AS lu
+        |  FROM events GROUP BY 1
+        |), mx AS (SELECT max(lu) AS m FROM d0
+        |), u AS (
+        |  SELECT (lu - fu) // 3600000000 AS t,
+        |    (((SELECT m FROM mx) - lu) // 3600000000 >= 12) AS churned
+        |  FROM d0
+        |), a AS (
+        |  SELECT t, count(*) AS n_at,
+        |    sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d
+        |  FROM u GROUP BY 1
+        |), o AS (
+        |  SELECT t, d,
+        |    (SELECT count(*) FROM u)
+        |      - coalesce(sum(n_at) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM a
+        |), ev AS (
+        |  SELECT t, d, n_risk, row_number() OVER (ORDER BY t) AS i
+        |  FROM o WHERE d > 0
+        |), km(i, s) AS (
+        |  SELECT 0, CAST(10000 AS BIGINT)
+        |  UNION ALL
+        |  SELECT e.i, (k.s * (e.n_risk - e.d)) // e.n_risk
+        |  FROM km k JOIN ev e ON e.i = k.i + 1
+        |)
+        |SELECT CAST(e.t AS INTEGER) AS t_hours, CAST(e.n_risk AS BIGINT) AS n_risk,
+        |  CAST(e.d AS BIGINT) AS n_events, CAST(k.s AS BIGINT) AS survival_bp
+        |FROM ev e JOIN km k USING (i)""".stripMargin,
     // q243: the oracle stabs with the NAIVE full range join — the
     // engine's day-bucketed equi-join must find exactly the same
     // covering sets; probes from the corpus' own bounds, floor-div.
