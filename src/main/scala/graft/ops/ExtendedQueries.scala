@@ -1366,7 +1366,55 @@ object ExtendedQueries {
         abs($"obs_bp" - $"benford_bp").as("dev_bp"))
   }
 
+  /** GRID-CELL SPATIAL JOIN (q248) — radius search without a cross
+    * join, the geohash/S2 bucketing pattern every spatial engine uses,
+    * in its planar integer form: points live in milli-degree space
+    * (coordinates derived deterministically from md5(custkey) — the
+    * corpus has no geography, the OPERATOR under test is the
+    * cell-bucketed join, not geodesy), the grid cell edge EQUALS the
+    * search radius, so any match lies in the probe's 3×3 cell
+    * neighborhood — the probe side explodes to nine (cx, cy) keys, the
+    * join is pure equi, and the exact integer d² ≤ r² filter runs only
+    * on neighborhood candidates. At 100 TB the points partition by
+    * cell and a probe touches nine partitions, never the globe. The
+    * oracle answers the same probes by brute force over ALL points —
+    * the index must find exactly the within-radius sets, zero-hit
+    * probes included. */
+  def gridSpatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val R = 5000L // radius = cell edge, milli-degrees
+    def h(prefix: String, key: Column, m: Int, shift: Int) =
+      (conv(substring(md5(concat(lit(prefix), key.cast("string"))), 1, 12),
+        16, 10).cast("long") % m) - shift
+    val pts = Tables.customer(spark, dir).select($"c_custkey",
+      h("lat:", $"c_custkey", 180001, 90000).as("lat"),
+      h("lon:", $"c_custkey", 360001, 180000).as("lon"))
+      .withColumn("cx", expr(s"(lon + 180000) div $R"))
+      .withColumn("cy", expr(s"(lat + 90000) div $R"))
+    val probes = spark.range(1, 6).select($"id".as("probe_id"))
+      .select($"probe_id",
+        h("plat:", $"probe_id", 180001, 90000).as("plat"),
+        h("plon:", $"probe_id", 360001, 180000).as("plon"))
+    val nbr = probes
+      .crossJoin(spark.range(-1, 2).select($"id".as("dx")))
+      .crossJoin(spark.range(-1, 2).select($"id".as("dy")))
+      .select($"probe_id", $"plat", $"plon",
+        (expr(s"(plon + 180000) div $R") + $"dx").as("cx"),
+        (expr(s"(plat + 90000) div $R") + $"dy").as("cy"))
+    val hits = pts.join(broadcast(nbr), Seq("cx", "cy"))
+      .filter(($"lat" - $"plat") * ($"lat" - $"plat") +
+        ($"lon" - $"plon") * ($"lon" - $"plon") <= lit(R * R))
+      .groupBy($"probe_id")
+      .agg(count(lit(1)).as("n"), min(($"lat" - $"plat") * ($"lat" - $"plat") +
+        ($"lon" - $"plon") * ($"lon" - $"plon")).as("md2"))
+    probes.join(hits, Seq("probe_id"), "left")
+      .select($"probe_id", $"plat", $"plon",
+        coalesce($"n", lit(0L)).as("n_within"),
+        coalesce($"md2", lit(-1L)).as("min_d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_grid_spatial_join" -> (gridSpatialJoin _),
     "q246_benford_audit" -> (benfordAudit _),
     "q244_frequent_pairs" -> (frequentPairs _),
     "q238_join_skew_report" -> (joinSkewReport _),
@@ -1468,7 +1516,50 @@ object ExtendedQueries {
       |  FROM q
       |)""".stripMargin
 
+  /** 48-bit BIGINT from the first 12 hex chars of `e` (a VARCHAR md5) —
+    * DuckDB twin of Spark's `conv(substring(md5(..),1,12),16,10)`. */
+  private def hex48(e: String): String =
+    (0 until 12).map { i =>
+      s"(strpos('0123456789abcdef', substr($e, ${i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}"
+    }.mkString("(", "\n     + ", ")")
+
   val oracle: Map[String, String] = Map(
+    // q248: the oracle searches by BRUTE FORCE over every point — the
+    // 3×3 cell neighborhood must find exactly the within-radius sets.
+    "q248_grid_spatial_join" -> {
+      s"""WITH raw AS (
+         |  SELECT c_custkey,
+         |    md5('lat:' || CAST(c_custkey AS VARCHAR)) AS hlat,
+         |    md5('lon:' || CAST(c_custkey AS VARCHAR)) AS hlon
+         |  FROM customer
+         |), pts AS (
+         |  SELECT c_custkey,
+         |    CAST(${hex48("hlat")} % 180001 - 90000 AS BIGINT) AS lat,
+         |    CAST(${hex48("hlon")} % 360001 - 180000 AS BIGINT) AS lon
+         |  FROM raw
+         |), praw AS (
+         |  SELECT k, md5('plat:' || CAST(k AS VARCHAR)) AS hplat,
+         |    md5('plon:' || CAST(k AS VARCHAR)) AS hplon
+         |  FROM (SELECT unnest(generate_series(1, 5)) AS k)
+         |), p AS (
+         |  SELECT k AS probe_id,
+         |    CAST(${hex48("hplat")} % 180001 - 90000 AS BIGINT) AS plat,
+         |    CAST(${hex48("hplon")} % 360001 - 180000 AS BIGINT) AS plon
+         |  FROM praw
+         |), h AS (
+         |  SELECT p.probe_id, count(*) AS n,
+         |    min((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon))
+         |      AS md2
+         |  FROM pts, p
+         |  WHERE (lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)
+         |    <= 25000000
+         |  GROUP BY 1
+         |)
+         |SELECT p.probe_id, p.plat, p.plon,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_within,
+         |  CAST(COALESCE(h.md2, -1) AS BIGINT) AS min_d2
+         |FROM p LEFT JOIN h USING (probe_id)""".stripMargin
+    },
     // q246: same exact-cents first digit; the law as the same 9 integer
     // constants via VALUES.
     "q246_benford_audit" ->
