@@ -1413,7 +1413,43 @@ object ExtendedQueries {
         coalesce($"md2", lit(-1L)).as("min_d2"))
   }
 
+  /** HIERARCHICAL SUBTREE ROLLUP (q249) — the BOM / org-chart / category
+    * -tree aggregation a warehouse runs without recursive SQL: the part
+    * key's decimal digits ARE the hierarchy (parent = key div 10 — a
+    * synthetic but perfectly regular tree over real data), and subtree
+    * totals roll up BOTTOM-UP one level per iteration: each pass
+    * re-keys the current level to its parent and hash-aggregates, so a
+    * depth-d tree costs d bounded shuffles of ever-shrinking frames —
+    * the iterative-join pattern (q219/q130) applied to aggregation, and
+    * the scale answer when recursive CTEs don't distribute. The gate
+    * reports every node at depth ≤ 2 with its subtree part count and
+    * exact cents total; the oracle derives the same totals analytically
+    * (each part meets a given ancestor at exactly one division level,
+    * so an unnest over the seven powers of ten is the closed form). */
+  def hierarchyRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir).select($"p_partkey".as("node"),
+      ($"p_retailprice".cast("decimal(14,2)") * 100).cast("long").as("cents"),
+      lit(1L).as("cnt"))
+    var cur = parts
+    var acc = parts
+    for (_ <- 1 to 7) {
+      cur = cur.filter($"node" >= 10)
+        .select(expr("node div 10").as("node"), $"cents", $"cnt")
+        .groupBy($"node")
+        .agg(sum($"cents").as("cents"), sum($"cnt").as("cnt"))
+      acc = acc.unionByName(cur)
+    }
+    acc.filter($"node".between(1, 99))
+      .groupBy($"node")
+      .agg(sum($"cnt").as("n_parts"), sum($"cents").as("total_cents"))
+      .select($"node",
+        length($"node".cast("string")).as("depth"),
+        $"n_parts", $"total_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_hierarchy_rollup" -> (hierarchyRollup _),
     "q248_grid_spatial_join" -> (gridSpatialJoin _),
     "q246_benford_audit" -> (benfordAudit _),
     "q244_frequent_pairs" -> (frequentPairs _),
@@ -1524,6 +1560,22 @@ object ExtendedQueries {
     }.mkString("(", "\n     + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // q249: closed form — a part meets a given ancestor node at exactly
+    // one of the seven division levels, so unnest-over-powers-of-ten
+    // GROUP BY equals the engine's iterative bottom-up rollup.
+    "q249_hierarchy_rollup" ->
+      """WITH anc AS (
+        |  SELECT p_partkey // d.f AS node,
+        |    CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        |  FROM part,
+        |    (VALUES (1), (10), (100), (1000), (10000), (100000), (1000000),
+        |            (10000000)) d(f)
+        |  WHERE p_partkey // d.f >= 1
+        |)
+        |SELECT node,
+        |  CAST(length(CAST(node AS VARCHAR)) AS INTEGER) AS depth,
+        |  count(*) AS n_parts, CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM anc WHERE node <= 99 GROUP BY node""".stripMargin,
     // q248: the oracle searches by BRUTE FORCE over every point — the
     // 3×3 cell neighborhood must find exactly the within-radius sets.
     "q248_grid_spatial_join" -> {
