@@ -1448,7 +1448,46 @@ object ExtendedQueries {
         $"n_parts", $"total_cents")
   }
 
+  /** HASH-BOOTSTRAP CONFIDENCE INTERVALS (q250) — uncertainty
+    * quantification without an RNG: 32 bootstrap replicas of the
+    * per-flag mean price, where each row's multiplicity in replica r is
+    * a DETERMINISTIC hash draw (16 md5 bits → weight 0/1/2 with mean 1,
+    * the q94/q174 seeded-randomness-as-hashing rule — reruns and
+    * engines agree bit-for-bit, which no `rand()` bootstrap can claim).
+    * Replica statistics stay INTEGER (weighted cents sum div weight
+    * sum, zero-guarded), so the p25/p50/p75 spread across the 32
+    * replica means sits exactly on the dyadic-fraction interpolation
+    * points where Spark's `percentile` and DuckDB's `quantile_cont`
+    * agree (the repo quantile rule). Scale shape: one
+    * rows×32 flat-map (a crossJoin against a broadcast literal), one
+    * (flag, replica) hash-agg, one O(flags×32) stats pass — replica
+    * count is the only fan-out knob, and partial aggregation eats it
+    * map-side. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reps = spark.range(1, 33).select($"id".as("r"))
+    val rows = Tables.lineitem(spark, dir).select($"l_returnflag",
+      $"l_orderkey", $"l_linenumber",
+      ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    val h = conv(substring(md5(concat(lit("boot:"), $"r".cast("string"),
+      lit(":"), $"l_orderkey".cast("string"), lit(":"),
+      $"l_linenumber".cast("string"))), 1, 4), 16, 10).cast("long")
+    val drawn = rows.crossJoin(broadcast(reps))
+      .select($"l_returnflag", $"r", $"cents",
+        when(h < 16384L, 0L).when(h >= 49152L, 2L).otherwise(1L).as("w"))
+    val means = drawn.groupBy($"l_returnflag", $"r")
+      .agg(sum($"w" * $"cents").as("wc"), sum($"w").as("ws"))
+      .select($"l_returnflag",
+        when($"ws" > 0, expr("wc div ws")).otherwise(0L).as("m"))
+    means.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_replicas"),
+        percentile($"m", lit(0.25)).as("mean_cents_p25"),
+        percentile($"m", lit(0.5)).as("mean_cents_p50"),
+        percentile($"m", lit(0.75)).as("mean_cents_p75"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_bootstrap_ci" -> (bootstrapCi _),
     "q249_hierarchy_rollup" -> (hierarchyRollup _),
     "q248_grid_spatial_join" -> (gridSpatialJoin _),
     "q246_benford_audit" -> (benfordAudit _),
@@ -1560,6 +1599,40 @@ object ExtendedQueries {
     }.mkString("(", "\n     + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // q250: identical 16-bit hash draws and integer replica means; the
+    // dyadic p25/p50/p75 are the interpolation points both engines share.
+    "q250_bootstrap_ci" -> {
+      val h16 =
+        """((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096
+          | + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256
+          | + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+          | + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1))""".stripMargin
+      s"""WITH d AS (
+         |  SELECT l_returnflag, r,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+         |      AS cents,
+         |    md5('boot:' || CAST(r AS VARCHAR) || ':'
+         |      || CAST(l_orderkey AS VARCHAR) || ':'
+         |      || CAST(l_linenumber AS VARCHAR)) AS hh
+         |  FROM lineitem, (SELECT unnest(generate_series(1, 32)) AS r)
+         |), w AS (
+         |  SELECT l_returnflag, r, cents,
+         |    CASE WHEN $h16 < 16384 THEN 0
+         |         WHEN $h16 >= 49152 THEN 2 ELSE 1 END AS w
+         |  FROM d
+         |), m AS (
+         |  SELECT l_returnflag,
+         |    CASE WHEN sum(w) > 0
+         |      THEN CAST(sum(w * cents) AS BIGINT) // CAST(sum(w) AS BIGINT)
+         |      ELSE 0 END AS m
+         |  FROM w GROUP BY l_returnflag, r
+         |)
+         |SELECT l_returnflag, count(*) AS n_replicas,
+         |  CAST(quantile_cont(m, 0.25) AS DOUBLE) AS mean_cents_p25,
+         |  CAST(quantile_cont(m, 0.5) AS DOUBLE) AS mean_cents_p50,
+         |  CAST(quantile_cont(m, 0.75) AS DOUBLE) AS mean_cents_p75
+         |FROM m GROUP BY l_returnflag""".stripMargin
+    },
     // q249: closed form — a part meets a given ancestor node at exactly
     // one of the seven division levels, so unnest-over-powers-of-ten
     // GROUP BY equals the engine's iterative bottom-up rollup.
