@@ -1451,9 +1451,12 @@ object ExtendedQueries {
   /** HASH-BOOTSTRAP CONFIDENCE INTERVALS (q250) — uncertainty
     * quantification without an RNG: 32 bootstrap replicas of the
     * per-flag mean price, where each row's multiplicity in replica r is
-    * a DETERMINISTIC hash draw (16 md5 bits → weight 0/1/2 with mean 1,
-    * the q94/q174 seeded-randomness-as-hashing rule — reruns and
-    * engines agree bit-for-bit, which no `rand()` bootstrap can claim).
+    * a DETERMINISTIC hash draw — ONE md5 per row, and replica r reads
+    * its r-th hex digit (4 independent bits → weight 0/1/2 with
+    * P = ¼/½/¼, mean 1; the q94/q174 seeded-randomness-as-hashing rule —
+    * reruns and engines agree bit-for-bit, which no `rand()` bootstrap
+    * can claim). One digest per ROW, not per (row, replica) — the 32×
+    * fan-out happens after hashing, as a char lookup inside codegen.
     * Replica statistics stay INTEGER (weighted cents sum div weight
     * sum, zero-guarded), so the p25/p50/p75 spread across the 32
     * replica means sits exactly on the dyadic-fraction interpolation
@@ -1465,20 +1468,40 @@ object ExtendedQueries {
     * map-side. */
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val reps = spark.range(1, 33).select($"id".as("r"))
-    val rows = Tables.lineitem(spark, dir).select($"l_returnflag",
-      $"l_orderkey", $"l_linenumber",
-      ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
-    val h = conv(substring(md5(concat(lit("boot:"), $"r".cast("string"),
-      lit(":"), $"l_orderkey".cast("string"), lit(":"),
-      $"l_linenumber".cast("string"))), 1, 4), 16, 10).cast("long")
-    val drawn = rows.crossJoin(broadcast(reps))
-      .select($"l_returnflag", $"r", $"cents",
-        when(h < 16384L, 0L).when(h >= 49152L, 2L).otherwise(1L).as("w"))
-    val means = drawn.groupBy($"l_returnflag", $"r")
-      .agg(sum($"w" * $"cents").as("wc"), sum($"w").as("ws"))
-      .select($"l_returnflag",
-        when($"ws" > 0, expr("wc div ws")).otherwise(0L).as("m"))
+    // the fact corpus ships one row group per file (see Tables.load's
+    // layout note) — spread BEFORE the digest+draw projection, or the
+    // per-row CPU runs on one task regardless of cluster width
+    val rows = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long")
+          .as("cents"))
+      .repartition(spark.sparkContext.defaultParallelism,
+        $"l_orderkey", $"l_linenumber")
+      .withColumn("hh", md5(concat(lit("boot:"),
+        $"l_orderkey".cast("string"), lit(":"),
+        $"l_linenumber".cast("string"))))
+    // All 32 draws in ONE scan pass as 64 aggregate expressions with
+    // LITERAL digit positions — no replica join at all. A crossJoin
+    // formulation collapses its projection and re-evaluates the md5 per
+    // (row, replica) — 32× the hashing (measured 25 s vs ~2 s here);
+    // with literal positions, codegen's common-subexpression
+    // elimination digests each row exactly once, and the digit read is
+    // an ascii range check ('0'-'3' → 0, 'c'-'f' → 2) inside
+    // whole-stage codegen.
+    val wcols = (1 to 32).map { r =>
+      val d = ascii(substring($"hh", r, 1))
+      when(d <= 51, 0L).when(d >= 99, 2L).otherwise(1L).as(s"w_$r")
+    }
+    val proj = rows.select(($"l_returnflag" +: $"cents" +: wcols): _*)
+    val aggs = (1 to 32).flatMap { r =>
+      Seq(sum(col(s"w_$r") * $"cents").as(s"wc_$r"),
+        sum(col(s"w_$r")).as(s"ws_$r"))
+    }
+    val means = proj.groupBy($"l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
+      .select($"l_returnflag", explode(array((1 to 32).map(r =>
+        when(col(s"ws_$r") > 0, expr(s"wc_$r div ws_$r"))
+          .otherwise(0L)): _*)).as("m"))
     means.groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_replicas"),
         percentile($"m", lit(0.25)).as("mean_cents_p25"),
@@ -1602,24 +1625,19 @@ object ExtendedQueries {
     // q250: identical 16-bit hash draws and integer replica means; the
     // dyadic p25/p50/p75 are the interpolation points both engines share.
     "q250_bootstrap_ci" -> {
-      val h16 =
-        """((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096
-          | + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256
-          | + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
-          | + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1))""".stripMargin
+      val dig = "(strpos('0123456789abcdef', substr(hh, CAST(r AS INTEGER), 1)) - 1)"
       s"""WITH d AS (
-         |  SELECT l_returnflag, r,
+         |  SELECT l_returnflag,
          |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
          |      AS cents,
-         |    md5('boot:' || CAST(r AS VARCHAR) || ':'
-         |      || CAST(l_orderkey AS VARCHAR) || ':'
+         |    md5('boot:' || CAST(l_orderkey AS VARCHAR) || ':'
          |      || CAST(l_linenumber AS VARCHAR)) AS hh
-         |  FROM lineitem, (SELECT unnest(generate_series(1, 32)) AS r)
+         |  FROM lineitem
          |), w AS (
          |  SELECT l_returnflag, r, cents,
-         |    CASE WHEN $h16 < 16384 THEN 0
-         |         WHEN $h16 >= 49152 THEN 2 ELSE 1 END AS w
-         |  FROM d
+         |    CASE WHEN $dig < 4 THEN 0
+         |         WHEN $dig >= 12 THEN 2 ELSE 1 END AS w
+         |  FROM d, (SELECT unnest(generate_series(1, 32)) AS r)
          |), m AS (
          |  SELECT l_returnflag,
          |    CASE WHEN sum(w) > 0
