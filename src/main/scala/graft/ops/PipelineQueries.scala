@@ -505,6 +505,51 @@ object PipelineQueries {
         sum(coalesce($"n_rows", lit(0L))).as("n_rows"))
   }
 
+  /** CASCADING ERASURE AUDIT (q251) — the right-to-be-forgotten drill a
+    * 100 TB warehouse must be able to run and PROVE: given a subject set
+    * (customers with custkey % 97 = 3 — ~1%), erase them and everything
+    * that references them transitively (their orders, those orders'
+    * lineitems — the FK graph q214 audits is exactly the graph an
+    * erasure must walk), and emit the auditable census: rows before,
+    * rows removed, rows after, and — the part regulators actually ask
+    * for — a RESIDUAL count proving zero surviving rows still reference
+    * a subject. Erasure is left-anti joins keyed on each hop (subject
+    * keys broadcast; the order-key hop shuffles on its own key at scale);
+    * the residual check re-joins the survivors against the subject set,
+    * so a leaked row is a nonzero cell, not a silent success. The oracle
+    * recomputes every cell from the modulus rule. */
+  def cascadingErasure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val subjects = cust.filter(pmod($"c_custkey", lit(97)) === 3)
+      .select($"c_custkey")
+    val doomedOrders = orders
+      .join(broadcast(subjects), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey")
+    def census(table: String, before: DataFrame, after: DataFrame,
+        residual: Long): DataFrame = {
+      val nb = before.count(); val na = after.count()
+      Seq((table, nb, nb - na, na, residual))
+        .toDF("table_name", "n_before", "n_removed", "n_after", "n_residual")
+    }
+    val custAfter = cust.join(broadcast(subjects), Seq("c_custkey"), "left_anti")
+    val ordAfter = orders
+      .join(broadcast(subjects), $"o_custkey" === $"c_custkey", "left_anti")
+    val liAfter = li
+      .join(doomedOrders, $"l_orderkey" === $"o_orderkey", "left_anti")
+    val custResid = custAfter
+      .join(broadcast(subjects), Seq("c_custkey")).count()
+    val ordResid = ordAfter
+      .join(broadcast(subjects), $"o_custkey" === $"c_custkey").count()
+    val liResid = liAfter
+      .join(doomedOrders, $"l_orderkey" === $"o_orderkey").count()
+    census("customer", cust, custAfter, custResid)
+      .unionByName(census("orders", orders, ordAfter, ordResid))
+      .unionByName(census("lineitem", li, liAfter, liResid))
+  }
+
   /** DECLARED-CONSTRAINT AUDIT SUITE (q232) — the Deequ-style contract
     * check a warehouse runs per load, completing the q214/q215 quality
     * family: a SUITE of named constraints (completeness, key uniqueness,
@@ -1123,6 +1168,7 @@ object PipelineQueries {
     "q232_constraint_suite" -> (constraintSuite _),
     "q239_epoch_shuffle" -> (epochShuffle _),
     "q245_collocations" -> (collocations _),
+    "q251_cascading_erasure" -> (cascadingErasure _),
     "q95_stratified_sample" -> (stratifiedSample _),
     "q96_bigram_lm" -> (bigramLm _),
     "q99_curation_pipeline" -> (curationPipeline _),
@@ -1491,6 +1537,35 @@ object PipelineQueries {
     // strpos digit arithmetic (Spark uses conv; the values agree exactly),
     // summed order-independently per shard.
     "q200_shard_manifest" -> manifestOracleSql,
+    // q251: every census cell from the modulus rule; residuals are zero
+    // by construction of a correct cascade — a leak breaks the hash.
+    "q251_cascading_erasure" ->
+      """WITH s AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 3
+        |), od AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM s)
+        |)
+        |SELECT 'customer' AS table_name,
+        |  CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST((SELECT count(*) FROM s) AS BIGINT) AS n_removed,
+        |  CAST(count(*) - (SELECT count(*) FROM s) AS BIGINT) AS n_after,
+        |  CAST(0 AS BIGINT) AS n_residual
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', CAST(count(*) AS BIGINT),
+        |  CAST((SELECT count(*) FROM od) AS BIGINT),
+        |  CAST(count(*) - (SELECT count(*) FROM od) AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', CAST(count(*) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IN (SELECT o_orderkey FROM od)) AS BIGINT),
+        |  CAST(count(*) - (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IN (SELECT o_orderkey FROM od)) AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM lineitem""".stripMargin,
     // q245: same unigram/bigram passes and the identical integer lift;
     // ORDER BY (lift DESC, w1, w2) is total, so LIMIT 20 is exact.
     "q245_collocations" ->
