@@ -519,6 +519,42 @@ object EventQueries {
     })
   }
 
+  /** STREAMING MERGE SINK (q252) — the streaming and lakehouse halves of
+    * the engine composed: the q194 time-split drive feeds
+    * [[graft.streaming.Streaming.runMergeSink]], which MERGEs each
+    * micro-batch's per-user deltas into a generation-pointer snapshot
+    * table (full-outer sum, write-new, flip-last) — the Delta-style
+    * "MERGE INTO profiles" sink, where downstream always reads ONE
+    * complete keyed table instead of replaying an append log. The
+    * `require` pins that the table really was built incrementally (≥ 2
+    * published generations — one per micro-batch); the final snapshot
+    * must equal the plain batch aggregate of all events, so a lost
+    * batch, a double merge, or a torn snapshot breaks the oracle. */
+  def streamingMergeSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.enableNanosRead(spark)
+    val drivePath = q194DriveFor(spark, dir)
+    val root = graft.Scratch.fresh("q252_root_").toString
+    val delta: DataFrame => DataFrame = b =>
+      Tables.rebuildNanosTs(b)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_delta"),
+          sum(coalesce(($"value".cast("decimal(14,2)") * 100).cast("long"),
+            lit(0L))).as("cents_delta"))
+        .select($"user_id".as("key"), $"n_delta", $"cents_delta")
+    graft.streaming.Streaming.runMergeSink(spark, drivePath, root, delta,
+      "q252_merge_sink", sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    val gens = new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("gen-"))
+    require(gens >= 2,
+      s"merge sink published $gens generations — the drive must merge " +
+        "at least two micro-batches incrementally")
+    spark.read.parquet(
+      graft.operators.Ann.currentGenerationPath(spark, root))
+      .select($"key".as("user_id"), $"n".as("n_events"),
+        $"cents".as("total_cents"))
+  }
+
   /** UPDATE output mode as a gate query (q194) — the third and last
     * streaming output mode at the gate (q81 Complete, q90/q92/… Append):
     * the hourly windowed aggregate re-EMITS a changed window every
@@ -1493,6 +1529,7 @@ object EventQueries {
     "q240_decayed_heavy_hitters" -> (decayedHeavyHitters _),
     "q243_interval_stabbing" -> (intervalStabbing _),
     "q247_kaplan_meier" -> (kaplanMeier _),
+    "q252_streaming_merge_sink" -> (streamingMergeSink _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1787,6 +1824,13 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q252: the snapshot the merge sink converges to IS the batch
+    // aggregate — per-user count + exact cents (q182's null-adds-0 rule).
+    "q252_streaming_merge_sink" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100
+        |    AS BIGINT)), 0) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin,
     // q247: the identical integer product-limit recurrence, walked by a
     // recursive CTE over the event-time table in t order.
     "q247_kaplan_meier" ->

@@ -431,6 +431,53 @@ object Streaming {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** STREAMING MERGE SINK (q252) — foreachBatch that maintains a keyed
+    * SNAPSHOT TABLE under the generation-pointer model instead of
+    * appending per-batch files: each micro-batch's keyed deltas
+    * full-outer-merge with the CURRENT published snapshot into a new
+    * generation directory, and `_CURRENT` flips only after the write —
+    * batch N+1 merges into batch N's published result, a crash between
+    * write and flip leaves the previous complete snapshot live, and a
+    * reader never sees a half-merged table (the q242 staging discipline
+    * applied once per batch; at scale the write keys by bucket like
+    * q205's COW so only delta-touched buckets rewrite). `delta` maps a
+    * raw batch to (key BIGINT, n_delta BIGINT, cents_delta BIGINT). */
+  def runMergeSink(spark: SparkSession, sourceDir: String, root: String,
+      delta: DataFrame => DataFrame, name: String,
+      sourceOptions: Map[String, String] = Map.empty,
+      statePartitions: Int = 8): Unit =
+    withStatePartitions(spark, statePartitions) {
+      import org.apache.spark.sql.functions._
+      val stream = fileStream(spark, sourceDir, sourceOptions)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val d = delta(batch.toDF())
+          val merged = graft.operators.Ann.currentGeneration(spark, root) match {
+            case Some(gen) =>
+              spark.read.parquet(s"$root/$gen")
+                .join(d, Seq("key"), "full_outer")
+                .select(col("key"),
+                  (coalesce(col("n"), lit(0L))
+                    + coalesce(col("n_delta"), lit(0L))).as("n"),
+                  (coalesce(col("cents"), lit(0L))
+                    + coalesce(col("cents_delta"), lit(0L))).as("cents"))
+            case None =>
+              d.select(col("key"), col("n_delta").as("n"),
+                col("cents_delta").as("cents"))
+          }
+          val gen = graft.operators.Ann.nextGenerationName(spark, root)
+          merged.write.mode("overwrite").parquet(s"$root/$gen")
+          graft.operators.Ann.publishGeneration(spark, root, gen)
+        }
+        .option("checkpointLocation",
+          graft.Scratch.freshFast(s"ckpt_${name}_").resolve("ckpt").toString)
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
   /** Run a streaming query over a parquet directory source and collect the
     * result synchronously via the memory sink — the local-mode harness for
     * the streaming plans above (file source + memory sink are the no-Kafka
