@@ -1055,6 +1055,35 @@ object EventQueries {
         coalesce($"n", lit(0L)).as("n_covering"))
   }
 
+  /** LONGEST ACTIVITY STREAK (q253) — gaps-and-islands, the canonical
+    * consecutive-runs idiom (login streaks, uptime runs, SLA windows)
+    * done the declarative way: per user, distinct active DAYS get a
+    * per-user row_number, and `day_number − row_number` is constant
+    * exactly within a consecutive run — so one window pass turns runs
+    * into island keys, and a hash-agg over (user, island) yields run
+    * lengths with no self-join, no recursion, no per-user loop. The
+    * census reports each user's active-day count, island count, and
+    * longest streak; all integer day arithmetic against the epoch. At
+    * 100 TB this is the same single (user, day) exchange every per-user
+    * feature shares. */
+  def longestStreak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val days = Tables.events(spark, dir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .as("d"))
+      .distinct()
+    days
+      .withColumn("island", $"d" - row_number().over(w))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"user_id")
+      .agg(sum($"run").as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max($"run").as("longest_streak"))
+  }
+
   /** KAPLAN-MEIER CHURN SURVIVAL (q247) — the survival curve behind
     * every retention/LTV model, with censoring done right: a user's
     * lifetime is last-active − first-active in HOURS (the corpus spans
@@ -1530,6 +1559,7 @@ object EventQueries {
     "q243_interval_stabbing" -> (intervalStabbing _),
     "q247_kaplan_meier" -> (kaplanMeier _),
     "q252_streaming_merge_sink" -> (streamingMergeSink _),
+    "q253_longest_streak" -> (longestStreak _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1824,6 +1854,24 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q253: identical islands — day_number − row_number over the same
+    // distinct (user, day) frame; date subtraction is exact integer days.
+    "q253_longest_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events
+        |), isl AS (
+        |  SELECT user_id,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        |  FROM days
+        |), runs AS (
+        |  SELECT user_id, island, count(*) AS run
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(run) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_islands, CAST(max(run) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY user_id""".stripMargin,
     // q252: the snapshot the merge sink converges to IS the batch
     // aggregate — per-user count + exact cents (q182's null-adds-0 rule).
     "q252_streaming_merge_sink" ->
