@@ -1055,6 +1055,44 @@ object EventQueries {
         coalesce($"n", lit(0L)).as("n_covering"))
   }
 
+  /** A/B EXPERIMENT READOUT (q254) — the analysis side of every
+    * hash-split experiment (q83's split machinery is the assignment
+    * side): users land in variant A or B by one md5 bit (first hex
+    * digit < 8 — deterministic, stable across sessions, balanced in
+    * expectation), conversion is "had ≥1 purchase event", and the
+    * one-row readout carries both arms' exact counts, conversion rates
+    * in floor basis points (guarded DIV), the absolute lift in bp, and
+    * a DECISION made by integer comparison against a declared 200 bp
+    * minimum detectable effect — no p-value theater, just the
+    * pre-registered threshold rule, reproducible anywhere. One per-user
+    * agg, one 2-row pivot; nothing user-sized leaves the executors. */
+  def abReadout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("ab:"),
+          $"user_id".cast("string"))), 1, 1), 16, 10).cast("int") < 8, "A")
+          .otherwise("B"))
+    val arms = users.groupBy($"variant")
+      .agg(count(lit(1)).as("n"), sum($"converted").as("c"))
+      .withColumn("bp",
+        when($"n" > 0, expr("(10000 * c) div n")).otherwise(0L))
+    arms.agg(
+      sum(when($"variant" === "A", $"n")).as("n_a"),
+      sum(when($"variant" === "B", $"n")).as("n_b"),
+      sum(when($"variant" === "A", $"c")).as("conv_a"),
+      sum(when($"variant" === "B", $"c")).as("conv_b"),
+      sum(when($"variant" === "A", $"bp")).as("rate_a_bp"),
+      sum(when($"variant" === "B", $"bp")).as("rate_b_bp"))
+      .withColumn("lift_bp", $"rate_b_bp" - $"rate_a_bp")
+      .withColumn("decision",
+        when(abs($"lift_bp") < 200, "inconclusive")
+          .when($"lift_bp" >= 200, "ship_b").otherwise("keep_a"))
+  }
+
   /** LONGEST ACTIVITY STREAK (q253) — gaps-and-islands, the canonical
     * consecutive-runs idiom (login streaks, uptime runs, SLA windows)
     * done the declarative way: per user, distinct active DAYS get a
@@ -1560,6 +1598,7 @@ object EventQueries {
     "q247_kaplan_meier" -> (kaplanMeier _),
     "q252_streaming_merge_sink" -> (streamingMergeSink _),
     "q253_longest_streak" -> (longestStreak _),
+    "q254_ab_readout" -> (abReadout _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1854,6 +1893,40 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q254: same md5-bit assignment (first hex digit < 8 via strpos),
+    // same integer rates and the same declared 200 bp decision rule.
+    "q254_ab_readout" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) < 8
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id
+        |), arms AS (
+        |  SELECT variant, count(*) AS n, sum(converted) AS c,
+        |    CASE WHEN count(*) > 0
+        |      THEN (10000 * sum(converted)) // count(*) ELSE 0 END AS bp
+        |  FROM u GROUP BY variant
+        |), p AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN n END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN n END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN c END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN c END) AS BIGINT) AS conv_b,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN bp END) AS BIGINT)
+        |      AS rate_a_bp,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN bp END) AS BIGINT)
+        |      AS rate_b_bp
+        |  FROM arms
+        |)
+        |SELECT n_a, n_b, conv_a, conv_b, rate_a_bp, rate_b_bp,
+        |  rate_b_bp - rate_a_bp AS lift_bp,
+        |  CASE WHEN abs(rate_b_bp - rate_a_bp) < 200 THEN 'inconclusive'
+        |       WHEN rate_b_bp - rate_a_bp >= 200 THEN 'ship_b'
+        |       ELSE 'keep_a' END AS decision
+        |FROM p""".stripMargin,
     // q253: identical islands — day_number − row_number over the same
     // distinct (user, day) frame; date subtraction is exact integer days.
     "q253_longest_streak" ->
