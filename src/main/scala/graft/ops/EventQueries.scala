@@ -1055,6 +1055,34 @@ object EventQueries {
         coalesce($"n", lit(0L)).as("n_covering"))
   }
 
+  /** SLO LATENCY REPORT (q255) — the error-budget readout an SRE
+    * pipeline publishes per service: treating each event's value as a
+    * latency (bridged to exact integer cents, the A1 rule), the report
+    * gives per event_type the request count, the dyadic p50/p75
+    * latency (the interpolation points both engines share on integer
+    * inputs), the count breaching a declared 250.00 threshold, the
+    * error-budget burn in floor basis points (guarded DIV), and the
+    * budget verdict against a declared 500 bp allowance — integer
+    * comparisons end to end, so the verdict can never flip on a float
+    * ulp. One hash-agg plus the grouped exact percentile. */
+  def sloReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_type",
+        coalesce(($"value".cast("decimal(14,2)") * 100).cast("long"), lit(0L))
+          .as("cents"))
+    e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_requests"),
+        percentile($"cents", lit(0.5)).as("p50_cents"),
+        percentile($"cents", lit(0.75)).as("p75_cents"),
+        sum(when($"cents" > 25000L, 1L).otherwise(0L)).as("n_breaches"))
+      .withColumn("burn_bp",
+        when($"n_requests" > 0, expr("(10000 * n_breaches) div n_requests"))
+          .otherwise(0L))
+      .withColumn("budget_status",
+        when($"burn_bp" <= 500, "within_budget").otherwise("exhausted"))
+  }
+
   /** A/B EXPERIMENT READOUT (q254) — the analysis side of every
     * hash-split experiment (q83's split machinery is the assignment
     * side): users land in variant A or B by one md5 bit (first hex
@@ -1599,6 +1627,7 @@ object EventQueries {
     "q252_streaming_merge_sink" -> (streamingMergeSink _),
     "q253_longest_streak" -> (longestStreak _),
     "q254_ab_readout" -> (abReadout _),
+    "q255_slo_report" -> (sloReport _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1893,6 +1922,29 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q255: same cents bridge, dyadic quantile_cont, integer budget rule.
+    "q255_slo_report" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    coalesce(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT), 0)
+        |      AS cents
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type, count(*) AS n_requests,
+        |    CAST(quantile_cont(cents, 0.5) AS DOUBLE) AS p50_cents,
+        |    CAST(quantile_cont(cents, 0.75) AS DOUBLE) AS p75_cents,
+        |    CAST(sum(CASE WHEN cents > 25000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_breaches
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type, n_requests, p50_cents, p75_cents, n_breaches,
+        |  CAST(CASE WHEN n_requests > 0
+        |    THEN (10000 * n_breaches) // n_requests ELSE 0 END AS BIGINT)
+        |    AS burn_bp,
+        |  CASE WHEN (CASE WHEN n_requests > 0
+        |      THEN (10000 * n_breaches) // n_requests ELSE 0 END) <= 500
+        |    THEN 'within_budget' ELSE 'exhausted' END AS budget_status
+        |FROM a""".stripMargin,
     // q254: same md5-bit assignment (first hex digit < 8 via strpos),
     // same integer rates and the same declared 200 bp decision rule.
     "q254_ab_readout" ->
