@@ -1150,6 +1150,120 @@ object EventQueries {
         max($"run").as("longest_streak"))
   }
 
+  /** MARKOV TRANSITION MATRIX (q256) — the first-order behavioral model
+    * behind next-action prediction and session simulation: each user's
+    * stream in (ts, event_id) order (event_id makes the order TOTAL, so
+    * lag() is deterministic on both engines) yields adjacent
+    * (prev → next) event-type pairs; one hash-agg counts each
+    * transition, and the per-source row total arrives by a window over
+    * the TINY k×k transition table — never a second scan of the events.
+    * Probabilities are floor basis points of exact counts (guarded DIV),
+    * so the matrix is bit-stable. At 100 TB the only event-sized
+    * exchange is the per-user window every sequence feature shares. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("n_from",
+        sum($"n_transitions").over(Window.partitionBy($"prev_type")))
+      .withColumn("prob_bp",
+        when($"n_from" > 0, expr("(10000 * n_transitions) div n_from"))
+          .otherwise(0L))
+      .select($"prev_type", $"event_type".as("next_type"),
+        $"n_transitions", $"n_from", $"prob_bp")
+  }
+
+  /** DAY-OF-WEEK SEASONALITY INDEX (q258) — the load-shape readout
+    * capacity planning starts from: per (event_type, day-of-week) the
+    * event count, its share of the type in floor basis points, and an
+    * over/under/uniform verdict decided by the integer cross-product
+    * `7·n_dow vs n_type` — the exact form of "above the uniform 1/7
+    * share" that no float ratio can misjudge. One hash-agg; the type
+    * totals ride a window over the 7-row-per-type result. */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", dayofweek(to_date($"ts")).as("dow"))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n_dow"))
+      .withColumn("n_type",
+        sum($"n_dow").over(Window.partitionBy($"event_type")))
+      .withColumn("share_bp",
+        when($"n_type" > 0, expr("(10000 * n_dow) div n_type")).otherwise(0L))
+      .withColumn("seasonality",
+        when($"n_dow" * 7 > $"n_type", "over")
+          .when($"n_dow" * 7 < $"n_type", "under").otherwise("uniform"))
+  }
+
+  /** EVENT-MIX GINI IMPURITY (q259) — how concentrated each user's
+    * behavior is, as the Gini impurity of their event-type distribution:
+    * 0 bp = single-minded (one type), →10000 bp = perfectly mixed. The
+    * whole quantity is ONE integer expression,
+    * `10000·(n² − Σc²) div n²`, over exact per-(user, type) counts — a
+    * log-free diversity measure (entropy needs libm; Gini ranks the
+    * same users) computed in two hash-aggs with nothing user-sized on
+    * the driver. Squares stay < 2⁶³ for any plausible per-user volume. */
+  def eventMixGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * $"c").as("ss"))
+      .withColumn("gini_bp",
+        when($"n_events" > 0,
+          expr("(10000 * (n_events * n_events - ss)) div " +
+            "(n_events * n_events)")).otherwise(0L))
+      .select($"user_id", $"n_events", $"n_types", $"gini_bp")
+  }
+
+  /** LEVEL-SHIFT CHANGEPOINT (q262) — "did the daily rate change, and
+    * when?": per event_type the best single split of the daily-count
+    * series, scored by the scaled mean gap
+    * `10⁶·|before_sum·after_days − after_sum·before_days| div
+    * (before_days·after_days)` — the exact-integer form of
+    * |mean_before − mean_after|, the two-sample statistic CUSUM/binary
+    * segmentation maximizes. The candidate scan is a window over the
+    * PRE-AGGREGATED per-day table (≤ a few hundred rows per type at any
+    * corpus size), so the O(days) sweep never touches raw events twice;
+    * argmax by (score, earlier day) tie-break. */
+  def levelShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val scored = daily
+      .withColumn("cum_cnt",
+        sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_days", row_number().over(w))
+      .withColumn("s_tot",
+        sum($"cnt").over(Window.partitionBy($"event_type")))
+      .withColumn("d_tot",
+        count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"cum_days" < $"d_tot")
+      .withColumn("score",
+        expr("(1000000 * abs(cum_cnt * (d_tot - cum_days) - " +
+          "(s_tot - cum_cnt) * cum_days)) div " +
+          "(cum_days * (d_tot - cum_days))"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"score".desc, $"d")))
+      .filter($"rk" === 1)
+      .select($"event_type", $"d".cast("string").as("split_day"),
+        $"cum_days".cast("long").as("days_before"),
+        ($"d_tot" - $"cum_days").cast("long").as("days_after"),
+        $"cum_cnt".as("sum_before"), ($"s_tot" - $"cum_cnt").as("sum_after"),
+        $"score".as("gap_score"))
+  }
+
   /** KAPLAN-MEIER CHURN SURVIVAL (q247) — the survival curve behind
     * every retention/LTV model, with censoring done right: a user's
     * lifetime is last-active − first-active in HOURS (the corpus spans
@@ -1628,6 +1742,10 @@ object EventQueries {
     "q253_longest_streak" -> (longestStreak _),
     "q254_ab_readout" -> (abReadout _),
     "q255_slo_report" -> (sloReport _),
+    "q256_markov_transitions" -> (markovTransitions _),
+    "q258_dow_seasonality" -> (dowSeasonality _),
+    "q259_event_mix_gini" -> (eventMixGini _),
+    "q262_level_shift" -> (levelShift _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -1922,6 +2040,99 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q256: same (ts, event_id) total order for lag, same guarded
+    // floor-bp probabilities via a window over the transition table.
+    "q256_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), t AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    count(*) AS n_transitions
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type,
+        |  CAST(n_transitions AS BIGINT) AS n_transitions,
+        |  CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS n_from,
+        |  CAST(CASE WHEN sum(n_transitions) OVER (PARTITION BY prev_type) > 0
+        |    THEN (10000 * n_transitions) //
+        |      (sum(n_transitions) OVER (PARTITION BY prev_type))
+        |    ELSE 0 END AS BIGINT) AS prob_bp
+        |FROM t""".stripMargin,
+    // q258: DuckDB dayofweek is 0-based (Sun=0) — +1 aligns with Spark;
+    // the verdict is the integer cross-product, never a float share.
+    "q258_dow_seasonality" ->
+      """WITH a AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow,
+        |    count(*) AS n_dow
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, dow, CAST(n_dow AS BIGINT) AS n_dow,
+        |  CAST(sum(n_dow) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS n_type,
+        |  CAST(CASE WHEN sum(n_dow) OVER (PARTITION BY event_type) > 0
+        |    THEN (10000 * n_dow) //
+        |      (sum(n_dow) OVER (PARTITION BY event_type))
+        |    ELSE 0 END AS BIGINT) AS share_bp,
+        |  CASE
+        |    WHEN n_dow * 7 > sum(n_dow) OVER (PARTITION BY event_type)
+        |      THEN 'over'
+        |    WHEN n_dow * 7 < sum(n_dow) OVER (PARTITION BY event_type)
+        |      THEN 'under'
+        |    ELSE 'uniform' END AS seasonality
+        |FROM a""".stripMargin,
+    // q259: identical single integer Gini expression over exact counts.
+    "q259_event_mix_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), u AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT user_id, n_events, n_types,
+        |  CAST(CASE WHEN n_events > 0
+        |    THEN (10000 * (n_events * n_events - ss)) //
+        |      (n_events * n_events)
+        |    ELSE 0 END AS BIGINT) AS gini_bp
+        |FROM u""".stripMargin,
+    // q262: same scaled-integer two-sample gap over the same per-day
+    // cumulative window; argmax with the same (score desc, day) order.
+    "q262_level_shift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT event_type, d,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS cum_days,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS s_tot,
+        |    count(*) OVER (PARTITION BY event_type) AS d_tot
+        |  FROM daily
+        |), f AS (
+        |  SELECT *, (1000000 * abs(cum_cnt * (d_tot - cum_days) -
+        |      (s_tot - cum_cnt) * cum_days)) //
+        |      (cum_days * (d_tot - cum_days)) AS score
+        |  FROM sc WHERE cum_days < d_tot
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY score DESC, d) AS rk
+        |  FROM f
+        |)
+        |SELECT event_type, CAST(d AS VARCHAR) AS split_day,
+        |  CAST(cum_days AS BIGINT) AS days_before,
+        |  CAST(d_tot - cum_days AS BIGINT) AS days_after,
+        |  CAST(cum_cnt AS BIGINT) AS sum_before,
+        |  CAST(s_tot - cum_cnt AS BIGINT) AS sum_after,
+        |  CAST(score AS BIGINT) AS gap_score
+        |FROM r WHERE rk = 1""".stripMargin,
     // q255: same cents bridge, dyadic quantile_cont, integer budget rule.
     "q255_slo_report" ->
       """WITH e AS (
