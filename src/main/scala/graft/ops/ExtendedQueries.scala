@@ -1334,6 +1334,78 @@ object ExtendedQueries {
       .select($"brand_a", $"brand_b", $"n_pair", $"support_bp", $"lift_bp")
   }
 
+  /** ABC / PARETO CLASSIFICATION (q257) — the 80/95 revenue-concentration
+    * cut every inventory and account-tiering pipeline runs: customers
+    * ranked by exact cents revenue (custkey tie-break), classed A while
+    * the cumulative share is ≤80% (`10·cum ≤ 8·total` — integer
+    * cross-multiplication, never a float share), B to 95%
+    * (`20·cum ≤ 19·total`), else C. The global ordered window runs over
+    * the AGGREGATED customer frame — orders of magnitude smaller than
+    * the fact table, the only place a total order is inherent to the
+    * semantics — and the output is the 3-row class census. */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy($"cents".desc, $"o_custkey")
+    rev
+      .withColumn("cum_cents",
+        sum($"cents").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total_cents", sum($"cents").over(Window.partitionBy()))
+      .withColumn("abc_class",
+        when($"cum_cents" * 10 <= $"total_cents" * 8, "A")
+          .when($"cum_cents" * 20 <= $"total_cents" * 19, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("class_cents"),
+        max($"total_cents").as("total_cents"))
+      .withColumn("share_bp",
+        when($"total_cents" > 0,
+          expr("(10000 * class_cents) div total_cents")).otherwise(0L))
+      .select($"abc_class", $"n_customers", $"class_cents", $"share_bp")
+  }
+
+  /** ITEM-ITEM CO-OCCURRENCE SHORTLIST (q263) — the classic
+    * "customers who bought X also bought Y" recommendation table:
+    * baskets are distinct (order, part-type) pairs, co-occurrence counts
+    * come from the same basket-keyed self-equi-join family as q244 but
+    * at part-TYPE granularity (~150 items), similarity is the SQUARED
+    * cosine in floor basis points — `10⁴·c_ab² div (c_a·c_b)` — which
+    * ranks identically to cosine with zero square roots, and each item
+    * keeps its top-3 neighbors by (sim, neighbor) through a window over
+    * the bounded item×item frame. A 5-basket absolute floor keeps noise
+    * pairs out of the ranking. */
+  def itemCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ob = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select($"p_partkey", $"p_type"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("oid"), $"p_type".as("item")).distinct()
+    val itemCnt = ob.groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val pairs = ob.as("x").join(ob.as("y"),
+        col("x.oid") === col("y.oid") && col("x.item") =!= col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+    val sim = pairs
+      .join(broadcast(itemCnt.select($"item".as("item_a"),
+        $"n_item".as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemCnt.select($"item".as("item_b"),
+        $"n_item".as("n_b"))), Seq("item_b"))
+      .withColumn("cos2_bp",
+        when($"n_a" * $"n_b" > 0,
+          expr("(10000 * n_ab * n_ab) div (n_a * n_b)")).otherwise(0L))
+    sim
+      .withColumn("rk", row_number().over(Window.partitionBy($"item_a")
+        .orderBy($"cos2_bp".desc, $"item_b")))
+      .filter($"rk" <= 3)
+      .select($"item_a", $"item_b", $"n_ab", $"n_a", $"n_b", $"cos2_bp",
+        $"rk".cast("long").as("rank"))
+  }
+
   /** BENFORD FIRST-DIGIT AUDIT (q246) — the classic fabricated-numbers
     * screen a finance/fraud pipeline runs over an amount column: the
     * distribution of first significant digits of exact integer cents,
@@ -1515,6 +1587,8 @@ object ExtendedQueries {
     "q248_grid_spatial_join" -> (gridSpatialJoin _),
     "q246_benford_audit" -> (benfordAudit _),
     "q244_frequent_pairs" -> (frequentPairs _),
+    "q257_abc_classification" -> (abcClassification _),
+    "q263_item_cooccurrence" -> (itemCooccurrence _),
     "q238_join_skew_report" -> (joinSkewReport _),
     "q236_grouped_trend" -> (groupedTrend _),
     "q217_bitmap_distinct" -> (bitmapDistinct _),
@@ -1754,6 +1828,62 @@ object ExtendedQueries {
         |JOIN f fa ON fa.item = brand_a
         |JOIN f fb ON fb.item = brand_b
         |WHERE (10000 * n_pair) // (SELECT n FROM nb) >= 275""".stripMargin,
+    // q257: the same cents ranks (custkey tie-break), the same integer
+    // cross-multiplied 80/95 cuts, the same 3-row census.
+    "q257_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |      AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT cents,
+        |    sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+        |    sum(cents) OVER () AS total_cents
+        |  FROM rev
+        |), c AS (
+        |  SELECT cents, total_cents,
+        |    CASE WHEN cum_cents * 10 <= total_cents * 8 THEN 'A'
+        |         WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM r
+        |)
+        |SELECT abc_class, count(*) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS class_cents,
+        |  CAST(CASE WHEN max(total_cents) > 0
+        |    THEN (10000 * sum(cents)) // max(total_cents)
+        |    ELSE 0 END AS BIGINT) AS share_bp
+        |FROM c GROUP BY 1""".stripMargin,
+    // q263: same distinct (order, type) baskets, same 5-basket floor,
+    // same squared-cosine bp, same (sim desc, neighbor) top-3 window.
+    "q263_item_cooccurrence" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS oid, p_type AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), ic AS (
+        |  SELECT item, count(*) AS n_item FROM ob GROUP BY 1
+        |), pr AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |  FROM ob x JOIN ob y ON x.oid = y.oid AND x.item <> y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |), sim AS (
+        |  SELECT item_a, item_b, n_ab, fa.n_item AS n_a, fb.n_item AS n_b,
+        |    CASE WHEN fa.n_item * fb.n_item > 0
+        |      THEN (10000 * n_ab * n_ab) // (fa.n_item * fb.n_item)
+        |      ELSE 0 END AS cos2_bp
+        |  FROM pr
+        |  JOIN ic fa ON fa.item = item_a
+        |  JOIN ic fb ON fb.item = item_b
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item_a
+        |    ORDER BY cos2_bp DESC, item_b) AS rk
+        |  FROM sim
+        |)
+        |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(cos2_bp AS BIGINT) AS cos2_bp, CAST(rk AS BIGINT) AS rank
+        |FROM rk WHERE rk <= 3""".stripMargin,
     // q238: per key column the same size-distribution pass; the heaviest
     // key replays Spark's max_by(struct(sz, −k)) as min(k) among the
     // max-size keys; p50/p75 are dyadic so quantile_cont matches.
