@@ -1245,7 +1245,65 @@ object SourceQueries {
         countDistinct($"l_orderkey").as("n_orders"))
   }
 
+  /** ANALYZE-STYLE COLUMN STATISTICS (q260) — the `ANALYZE TABLE`
+    * census a cost-based optimizer and every data-quality dashboard
+    * read: per column the row count, null count, EXACT NDV, and min/max
+    * (rendered as strings under engine-identical rules: integers, dates
+    * and exact cents only — no float formatting in sight). All six
+    * columns are profiled in ONE scan: the multi-distinct agg plans as
+    * Spark's expand (6× the rows into one hash-agg, map-side partial) —
+    * the standard price of exact NDV, paid once, never six scans. The
+    * wide one-row agg is then unpivoted by `stack` into the census. */
+  def analyzeTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("l_shipdate", to_date($"l_shipdate"))
+      .withColumn("l_extendedprice_cents",
+        ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long"))
+    val cols = Seq("l_orderkey", "l_partkey", "l_linenumber",
+      "l_returnflag", "l_shipdate", "l_extendedprice_cents")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c =>
+      s"'$c', n, n - nn_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+    wide.selectExpr(s"stack(${cols.length}, $rows) AS " +
+      "(column_name, n_rows, n_nulls, ndv, min_repr, max_repr)")
+  }
+
+  /** DICTIONARY-ENCODING ADVISOR (q261) — the layout decision behind
+    * every columnar writer: per column the exact NDV (same one-scan
+    * expand as q260), the declared plain width in bits, the dictionary
+    * code width `ceil(log2 ndv)` computed WITHOUT logarithms as
+    * `length(bin(ndv − 1))` (0 for a constant column), and the
+    * projected savings in floor basis points — the integer-only form of
+    * "should this column be dictionary-encoded". */
+  def encodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq(("l_orderkey", 64), ("l_partkey", 64), ("l_suppkey", 64),
+      ("l_linenumber", 32), ("l_returnflag", 8), ("l_linestatus", 8))
+    val aggs = cols.map { case (c, _) => countDistinct(col(c)).as(s"ndv_$c") }
+    val wide = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { case (c, bits) => s"'$c', ndv_$c, $bits" }
+      .mkString(", ")
+    wide.selectExpr(s"stack(${cols.length}, $rows) AS " +
+      "(column_name, ndv, plain_bits)")
+      .withColumn("dict_bits",
+        when($"ndv" <= 1, 0L)
+          .otherwise(length(bin($"ndv" - 1)).cast("long")))
+      .withColumn("plain_bits", $"plain_bits".cast("long"))
+      .withColumn("savings_bp",
+        when($"plain_bits" > $"dict_bits",
+          expr("(10000 * (plain_bits - dict_bits)) div plain_bits"))
+          .otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_analyze_stats" -> (analyzeTable _),
+    "q261_encoding_advisor" -> (encodingAdvisor _),
     "q118_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q119_csv_roundtrip" -> (csvRoundtrip _),
     "q136_partitioned_roundtrip" -> (partitionedRoundtrip _),
@@ -1301,6 +1359,50 @@ object SourceQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q260: one union-per-column census; every min/max rendering rule is
+    // engine-identical (BIGINT/INT/VARCHAR/DATE/cents — no floats).
+    "q260_analyze_stats" -> {
+      def c(name: String, e: String) =
+        s"""SELECT '$name' AS column_name, count(*) AS n_rows,
+           |  CAST(count(*) - count($e) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $e) AS BIGINT) AS ndv,
+           |  CAST(min($e) AS VARCHAR) AS min_repr,
+           |  CAST(max($e) AS VARCHAR) AS max_repr FROM li""".stripMargin
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey, l_linenumber, l_returnflag,
+        |    CAST(l_shipdate AS DATE) AS l_shipdate,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS l_extendedprice_cents
+        |  FROM lineitem
+        |)
+        |""".stripMargin +
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
+          "l_shipdate", "l_extendedprice_cents")
+          .map(n => c(n, n)).mkString("\nUNION ALL\n")
+    },
+    // q261: same exact NDVs, same log-free `length(bin(ndv − 1))` code
+    // width, same guarded floor-bp savings.
+    "q261_encoding_advisor" -> {
+      def row(name: String, bits: Int) =
+        s"""SELECT '$name' AS column_name,
+           |  CAST(count(DISTINCT $name) AS BIGINT) AS ndv,
+           |  CAST($bits AS BIGINT) AS plain_bits FROM lineitem""".stripMargin
+      "WITH w AS (\n" +
+        Seq(("l_orderkey", 64), ("l_partkey", 64), ("l_suppkey", 64),
+          ("l_linenumber", 32), ("l_returnflag", 8), ("l_linestatus", 8))
+          .map { case (n, b) => row(n, b) }.mkString("\nUNION ALL\n") +
+        """
+          |)
+          |SELECT column_name, ndv, plain_bits,
+          |  CAST(CASE WHEN ndv <= 1 THEN 0
+          |    ELSE length(bin(ndv - 1)) END AS BIGINT) AS dict_bits,
+          |  CAST(CASE WHEN plain_bits > (CASE WHEN ndv <= 1 THEN 0
+          |      ELSE length(bin(ndv - 1)) END)
+          |    THEN (10000 * (plain_bits - (CASE WHEN ndv <= 1 THEN 0
+          |      ELSE length(bin(ndv - 1)) END))) // plain_bits
+          |    ELSE 0 END AS BIGINT) AS savings_bp
+          |FROM w""".stripMargin
+    },
     // q202: one aggregate over the raw table, emitted once per physical
     // layout — data skipping may prune I/O, never change numbers. UTC
     // session ⇒ Spark's to_date(ts) ≡ DuckDB's CAST(ts AS DATE).
