@@ -1264,6 +1264,129 @@ object EventQueries {
         $"score".as("gap_score"))
   }
 
+  /** TREND RUNS CENSUS (q265) — the randomness screen on a daily rate
+    * series: day-over-day moves classified up/down/flat (pure integer
+    * comparisons of exact counts), consecutive same-sign moves grouped
+    * into runs by the same `rn − row_number` island trick as q253, and
+    * per type the move counts, longest up/down runs, and run count — a
+    * monitoring primitive (too few runs = trending, too many =
+    * oscillating) that needs no distribution theory, only counting. The
+    * whole sweep is windows over the PRE-AGGREGATED per-day table. */
+  def trendRuns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val moves = daily
+      .withColumn("prev", lag($"cnt", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("sgn",
+        when($"cnt" > $"prev", 1).when($"cnt" < $"prev", -1).otherwise(0))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("isl", $"rn" - row_number().over(
+        Window.partitionBy($"event_type", $"sgn").orderBy($"d")))
+    moves.groupBy($"event_type", $"sgn", $"isl")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"event_type")
+      .agg(sum($"len").as("n_moves"),
+        coalesce(sum(when($"sgn" === 1, $"len")), lit(0L)).as("n_up"),
+        coalesce(sum(when($"sgn" === -1, $"len")), lit(0L)).as("n_down"),
+        coalesce(sum(when($"sgn" === 0, $"len")), lit(0L)).as("n_flat"),
+        coalesce(max(when($"sgn" === 1, $"len")), lit(0L)).as("longest_up"),
+        coalesce(max(when($"sgn" === -1, $"len")), lit(0L))
+          .as("longest_down"),
+        count(lit(1)).as("n_runs"))
+  }
+
+  /** DATA FRESHNESS AUDIT (q266) — the staleness SLA check every
+    * ingestion dashboard runs per source: each event_type's last-seen
+    * lag behind the corpus' own high-water mark in integer hours
+    * (microsecond floor-div — no timestamp float math), its active span
+    * in days, and a fresh/stale verdict by integer comparison against a
+    * declared 24 h SLA. One grouped agg plus one broadcast scalar. */
+  def freshnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mx = Tables.events(spark, dir)
+      .agg(max(unix_micros($"ts")).as("corpus_max"))
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros($"ts")).as("min_us"),
+        max(unix_micros($"ts")).as("max_us"))
+      .crossJoin(broadcast(mx))
+      .withColumn("staleness_hours",
+        expr("(corpus_max - max_us) div 3600000000"))
+      .withColumn("span_days", expr("(max_us - min_us) div 86400000000"))
+      .withColumn("freshness",
+        when($"staleness_hours" < 24, "fresh").otherwise("stale"))
+      .select($"event_type", $"n_events", $"staleness_hours", $"span_days",
+        $"freshness")
+  }
+
+  /** FUNNEL CONVERSION LATENCY (q267) — q110 counts who converts; this
+    * measures HOW LONG: per converting user the first purchase strictly
+    * after their first view, latency in integer seconds (microsecond
+    * floor-div), summarized as n plus dyadic p25/p50/p75 — the
+    * interpolation points both engines compute identically on integer
+    * inputs. Two per-user min-aggs and one broadcast-size join; the
+    * quantile runs over the small converted-user frame. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tu"))
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tu").as("t_view"))
+    val lat = ev.filter($"event_type" === "purchase")
+      .join(views, Seq("user_id"))
+      .filter($"tu" > $"t_view")
+      .groupBy($"user_id").agg(min($"tu" - col("t_view")).as("lat_us"))
+      .select($"user_id", expr("lat_us div 1000000").as("lat_s"))
+    lat.agg(count(lit(1)).as("n_converted"),
+      percentile($"lat_s", lit(0.25)).as("p25_s"),
+      percentile($"lat_s", lit(0.5)).as("p50_s"),
+      percentile($"lat_s", lit(0.75)).as("p75_s"))
+  }
+
+  /** LEADERBOARD CHURN (q269) — how stable is the weekly top-10?
+    * Per ISO week (both engines' Monday-start `date_trunc`) users rank
+    * by exact event count (user-id tie-break); adjacent calendar weeks
+    * (+7 days — a missing week simply yields no pair) compare their
+    * top-10 SETS: overlap count and Jaccard in floor basis points over
+    * the actual set sizes. The ranking window runs per-week over the
+    * per-user counts; the set intersection is an equi-join of two
+    * ≤10-row-per-week frames. */
+  def leaderboardChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wkUser = Tables.events(spark, dir)
+      .groupBy(to_date(date_trunc("week", $"ts")).as("wk"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+    val top = wkUser
+      .withColumn("rk", row_number().over(Window.partitionBy($"wk")
+        .orderBy($"n".desc, $"user_id")))
+      .filter($"rk" <= 10)
+      .select($"wk", $"user_id")
+    val sizes = top.groupBy($"wk").agg(count(lit(1)).as("sz"))
+    val pairs = sizes.as("a").join(sizes.as("b"),
+        date_add(col("a.wk"), 7) === col("b.wk"))
+      .select(col("a.wk").as("week_a"), col("b.wk").as("week_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+    val ov = top.as("x").join(top.as("y"),
+        date_add(col("x.wk"), 7) === col("y.wk") &&
+          col("x.user_id") === col("y.user_id"))
+      .groupBy(col("x.wk").as("week_a"))
+      .agg(count(lit(1)).as("n_overlap"))
+    pairs.join(ov, Seq("week_a"), "left")
+      .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
+      .withColumn("jaccard_bp",
+        when($"sz_a" + $"sz_b" - $"n_overlap" > 0,
+          expr("(10000 * n_overlap) div (sz_a + sz_b - n_overlap)"))
+          .otherwise(0L))
+      .select($"week_a".cast("string").as("week_a"),
+        $"week_b".cast("string").as("week_b"),
+        $"sz_a", $"sz_b", $"n_overlap", $"jaccard_bp")
+  }
+
   /** KAPLAN-MEIER CHURN SURVIVAL (q247) — the survival curve behind
     * every retention/LTV model, with censoring done right: a user's
     * lifetime is last-active − first-active in HOURS (the corpus spans
@@ -1746,6 +1869,10 @@ object EventQueries {
     "q258_dow_seasonality" -> (dowSeasonality _),
     "q259_event_mix_gini" -> (eventMixGini _),
     "q262_level_shift" -> (levelShift _),
+    "q265_trend_runs" -> (trendRuns _),
+    "q266_freshness_audit" -> (freshnessAudit _),
+    "q267_funnel_latency" -> (funnelLatency _),
+    "q269_leaderboard_churn" -> (leaderboardChurn _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -2040,6 +2167,110 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q265: identical sign classification and island keys over the same
+    // per-day frame; coalesced zeros where a sign class is absent.
+    "q265_trend_runs" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), mv AS (
+        |  SELECT event_type, d, cnt,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY d) AS prev
+        |  FROM daily
+        |), sg AS (
+        |  SELECT event_type, d,
+        |    CASE WHEN cnt > prev THEN 1 WHEN cnt < prev THEN -1
+        |      ELSE 0 END AS sgn
+        |  FROM mv WHERE prev IS NOT NULL
+        |), isl AS (
+        |  SELECT event_type, sgn,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) -
+        |    row_number() OVER (PARTITION BY event_type, sgn ORDER BY d)
+        |      AS isl
+        |  FROM sg
+        |), runs AS (
+        |  SELECT event_type, sgn, isl, count(*) AS len
+        |  FROM isl GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, CAST(sum(len) AS BIGINT) AS n_moves,
+        |  CAST(coalesce(sum(CASE WHEN sgn = 1 THEN len END), 0) AS BIGINT)
+        |    AS n_up,
+        |  CAST(coalesce(sum(CASE WHEN sgn = -1 THEN len END), 0) AS BIGINT)
+        |    AS n_down,
+        |  CAST(coalesce(sum(CASE WHEN sgn = 0 THEN len END), 0) AS BIGINT)
+        |    AS n_flat,
+        |  CAST(coalesce(max(CASE WHEN sgn = 1 THEN len END), 0) AS BIGINT)
+        |    AS longest_up,
+        |  CAST(coalesce(max(CASE WHEN sgn = -1 THEN len END), 0) AS BIGINT)
+        |    AS longest_down,
+        |  count(*) AS n_runs
+        |FROM runs GROUP BY event_type""".stripMargin,
+    // q266: same integer-microsecond floor-divs against the corpus max.
+    "q266_freshness_audit" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS corpus_max FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, n_events,
+        |  CAST(((SELECT corpus_max FROM mx) - max_us) // 3600000000
+        |    AS BIGINT) AS staleness_hours,
+        |  CAST((max_us - min_us) // 86400000000 AS BIGINT) AS span_days,
+        |  CASE WHEN ((SELECT corpus_max FROM mx) - max_us) // 3600000000
+        |    < 24 THEN 'fresh' ELSE 'stale' END AS freshness
+        |FROM a""".stripMargin,
+    // q267: same first-view/first-later-purchase pairing, integer
+    // seconds, dyadic quantile_cont on integer inputs.
+    "q267_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), l AS (
+        |  SELECT e.user_id,
+        |    min(epoch_us(e.ts) - v.t_view) // 1000000 AS lat_s
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_view
+        |  GROUP BY 1
+        |)
+        |SELECT count(*) AS n_converted,
+        |  CAST(quantile_cont(lat_s, 0.25) AS DOUBLE) AS p25_s,
+        |  CAST(quantile_cont(lat_s, 0.5) AS DOUBLE) AS p50_s,
+        |  CAST(quantile_cont(lat_s, 0.75) AS DOUBLE) AS p75_s
+        |FROM l""".stripMargin,
+    // q269: same Monday-start date_trunc weeks, same (count desc, user)
+    // top-10 ranking, same +7d adjacency and Jaccard cross-mult.
+    "q269_leaderboard_churn" ->
+      """WITH wu AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, user_id,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), top AS (
+        |  SELECT wk, user_id FROM (
+        |    SELECT wk, user_id, row_number() OVER (PARTITION BY wk
+        |      ORDER BY n DESC, user_id) AS rk
+        |    FROM wu
+        |  ) WHERE rk <= 10
+        |), sizes AS (
+        |  SELECT wk, count(*) AS sz FROM top GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.wk AS week_a, b.wk AS week_b, a.sz AS sz_a, b.sz AS sz_b
+        |  FROM sizes a JOIN sizes b ON a.wk + 7 = b.wk
+        |), ov AS (
+        |  SELECT x.wk AS week_a, count(*) AS n_overlap
+        |  FROM top x JOIN top y
+        |    ON x.wk + 7 = y.wk AND x.user_id = y.user_id
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(p.week_a AS VARCHAR) AS week_a,
+        |  CAST(p.week_b AS VARCHAR) AS week_b,
+        |  CAST(p.sz_a AS BIGINT) AS sz_a, CAST(p.sz_b AS BIGINT) AS sz_b,
+        |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(CASE WHEN p.sz_a + p.sz_b - coalesce(o.n_overlap, 0) > 0
+        |    THEN (10000 * coalesce(o.n_overlap, 0)) //
+        |      (p.sz_a + p.sz_b - coalesce(o.n_overlap, 0))
+        |    ELSE 0 END AS BIGINT) AS jaccard_bp
+        |FROM pairs p LEFT JOIN ov o ON p.week_a = o.week_a""".stripMargin,
     // q256: same (ts, event_id) total order for lag, same guarded
     // floor-bp probabilities via a window over the transition table.
     "q256_markov_transitions" ->

@@ -1406,6 +1406,35 @@ object ExtendedQueries {
         $"rk".cast("long").as("rank"))
   }
 
+  /** WEIGHTED MEDIAN (q264) — the quantity-weighted price midpoint per
+    * return flag, defined exactly: the smallest value whose cumulative
+    * weight reaches half the total (`2·cumw ≥ totw` — integer
+    * cross-multiplication, no 0.5 float anywhere). Equal values collapse
+    * to one row FIRST (per-(group, value) weight sum), so the cumulative
+    * window runs over a deduplicated, totally-ordered frame and the
+    * first-crossing pick is `min(value)` over the crossing set — no
+    * row_number tie hazard, deterministic on any engine. Weights are
+    * integral quantities, values exact cents. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byVal = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        (dec2($"l_extendedprice") * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("wt"))
+      .groupBy($"l_returnflag", $"cents")
+      .agg(sum($"wt").as("w"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"cents")
+    byVal
+      .withColumn("cumw",
+        sum($"w").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("totw", sum($"w").over(Window.partitionBy($"l_returnflag")))
+      .filter($"cumw" * 2 >= $"totw")
+      .groupBy($"l_returnflag", $"totw")
+      .agg(min($"cents").as("weighted_median_cents"))
+      .select($"l_returnflag", $"totw".as("total_weight"),
+        $"weighted_median_cents")
+  }
+
   /** BENFORD FIRST-DIGIT AUDIT (q246) — the classic fabricated-numbers
     * screen a finance/fraud pipeline runs over an amount column: the
     * distribution of first significant digits of exact integer cents,
@@ -1589,6 +1618,7 @@ object ExtendedQueries {
     "q244_frequent_pairs" -> (frequentPairs _),
     "q257_abc_classification" -> (abcClassification _),
     "q263_item_cooccurrence" -> (itemCooccurrence _),
+    "q264_weighted_median" -> (weightedMedian _),
     "q238_join_skew_report" -> (joinSkewReport _),
     "q236_grouped_trend" -> (groupedTrend _),
     "q217_bitmap_distinct" -> (bitmapDistinct _),
@@ -1884,6 +1914,26 @@ object ExtendedQueries {
         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(cos2_bp AS BIGINT) AS cos2_bp, CAST(rk AS BIGINT) AS rank
         |FROM rk WHERE rk <= 3""".stripMargin,
+    // q264: same per-value weight collapse, same 2·cumw ≥ totw crossing,
+    // same min-over-crossing pick.
+    "q264_weighted_median" ->
+      """WITH bv AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    sum(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_returnflag, cents,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM bv
+        |)
+        |SELECT l_returnflag, CAST(totw AS BIGINT) AS total_weight,
+        |  CAST(min(cents) AS BIGINT) AS weighted_median_cents
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY l_returnflag, totw""".stripMargin,
     // q238: per key column the same size-distribution pass; the heaviest
     // key replays Spark's max_by(struct(sz, −k)) as min(k) among the
     // max-size keys; p50/p75 are dyadic so quantile_cont matches.

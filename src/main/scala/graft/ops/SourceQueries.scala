@@ -1301,7 +1301,42 @@ object SourceQueries {
           .otherwise(0L))
   }
 
+  /** ROLLUP MATERIALIZATION ADVISOR (q268) — which pre-aggregations are
+    * worth materializing: for five candidate grains the EXACT group
+    * count (distinct grouping-key tuples, via `countDistinct(struct)` in
+    * ONE expand-based scan), the reduction ratio in floor basis points
+    * (aggregate rows per 10⁴ fact rows), and a materialize/scan verdict
+    * by integer comparison against a declared 100 bp (≥100×) reduction
+    * floor — the summary-table decision a lakehouse platform makes per
+    * dashboard query family. */
+  def rollupAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grains = Seq(
+      "l_returnflag" -> Seq("l_returnflag"),
+      "l_returnflag,l_linestatus" -> Seq("l_returnflag", "l_linestatus"),
+      "l_shipdate" -> Seq("l_shipdate"),
+      "l_partkey" -> Seq("l_partkey"),
+      "l_partkey,l_suppkey" -> Seq("l_partkey", "l_suppkey"))
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("l_shipdate", to_date($"l_shipdate"))
+    val aggs = count(lit(1)).as("n") +: grains.zipWithIndex.map {
+      case ((_, cols), i) =>
+        countDistinct(struct(cols.map(col): _*)).as(s"g_$i")
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val rows = grains.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', n, g_$i" }.mkString(", ")
+    wide.selectExpr(s"stack(${grains.length}, $rows) AS " +
+      "(grain, n_rows, n_groups)")
+      .withColumn("reduction_bp",
+        when($"n_rows" > 0, expr("(10000 * n_groups) div n_rows"))
+          .otherwise(0L))
+      .withColumn("advice",
+        when($"reduction_bp" <= 100, "materialize").otherwise("scan"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_rollup_advisor" -> (rollupAdvisor _),
     "q260_analyze_stats" -> (analyzeTable _),
     "q261_encoding_advisor" -> (encodingAdvisor _),
     "q118_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -1401,6 +1436,37 @@ object SourceQueries {
           |    THEN (10000 * (plain_bits - (CASE WHEN ndv <= 1 THEN 0
           |      ELSE length(bin(ndv - 1)) END))) // plain_bits
           |    ELSE 0 END AS BIGINT) AS savings_bp
+          |FROM w""".stripMargin
+    },
+    // q268: exact distinct-tuple counts per grain via scalar subqueries,
+    // same guarded floor-bp reduction and 100 bp advice rule.
+    "q268_rollup_advisor" -> {
+      def row(name: String, cols: String) =
+        s"""SELECT '$name' AS grain,
+           |  (SELECT count(*) FROM lineitem) AS n_rows,
+           |  CAST((SELECT count(*) FROM (SELECT DISTINCT $cols
+           |    FROM li)) AS BIGINT) AS n_groups""".stripMargin
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE)
+        |    AS l_shipdate, l_partkey, l_suppkey
+        |  FROM lineitem
+        |), w AS (
+        |""".stripMargin +
+        Seq("l_returnflag" -> "l_returnflag",
+          "l_returnflag,l_linestatus" -> "l_returnflag, l_linestatus",
+          "l_shipdate" -> "l_shipdate",
+          "l_partkey" -> "l_partkey",
+          "l_partkey,l_suppkey" -> "l_partkey, l_suppkey")
+          .map { case (n, c) => row(n, c) }.mkString("\nUNION ALL\n") +
+        """
+          |)
+          |SELECT grain, n_rows, n_groups,
+          |  CAST(CASE WHEN n_rows > 0
+          |    THEN (10000 * n_groups) // n_rows ELSE 0 END AS BIGINT)
+          |    AS reduction_bp,
+          |  CASE WHEN (CASE WHEN n_rows > 0
+          |      THEN (10000 * n_groups) // n_rows ELSE 0 END) <= 100
+          |    THEN 'materialize' ELSE 'scan' END AS advice
           |FROM w""".stripMargin
     },
     // q202: one aggregate over the raw table, emitted once per physical
