@@ -1387,6 +1387,66 @@ object EventQueries {
         $"sz_a", $"sz_b", $"n_overlap", $"jaccard_bp")
   }
 
+  /** COMPLETENESS MATRIX (q273) — q215 audits one dimension (day gaps);
+    * this audits the GRID: for every observed day × every known
+    * event_type, is the cell populated? Per day the present/missing
+    * type counts and the sorted missing-type list (string-joined so the
+    * cell is one comparable value) — the at-a-glance ingestion health
+    * matrix. The grid is a cross join of two TINY distinct frames; the
+    * presence probe is one distinct projection of the facts. */
+  def completenessMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val present = Tables.events(spark, dir)
+      .select(to_date($"ts").as("d"), $"event_type").distinct()
+    val days = present.select($"d").distinct()
+    val types = present.select($"event_type").distinct()
+    val nTypes = types.count()
+    val missing = days.crossJoin(types)
+      .join(present, Seq("d", "event_type"), "left_anti")
+    val missPerDay = missing.groupBy($"d")
+      .agg(count(lit(1)).as("n_missing"),
+        concat_ws(",", array_sort(collect_list($"event_type")))
+          .as("missing_types"))
+    days.join(missPerDay, Seq("d"), "left")
+      .withColumn("n_missing", coalesce($"n_missing", lit(0L)))
+      .withColumn("missing_types", coalesce($"missing_types", lit("")))
+      .withColumn("n_present", lit(nTypes) - $"n_missing")
+      .withColumn("status",
+        when($"n_missing" === 0, "complete").otherwise("incomplete"))
+      .select($"d".cast("string").as("day"), $"n_present", $"n_missing",
+        $"missing_types", $"status")
+  }
+
+  /** DUPLICATE-PAYMENT AUDIT (q274) — the fraud/ops double-charge
+    * screen: purchase pairs by the SAME user for the same whole-dollar
+    * amount (`cents div 100` — retries and double-clicks rarely repeat
+    * to the cent) within 24 h of each other. The pair join is keyed on
+    * (user, dollars) — candidate pairs only ever form inside those tiny
+    * groups, never across the corpus — with `event_id_a < event_id_b`
+    * canonicalization and an integer-microsecond window predicate; the
+    * report carries both event ids, both exact amounts, and the gap in
+    * whole hours. */
+  def duplicatePayments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts").as("tu"),
+        ($"value".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+    p.as("a").join(p.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.dollars") === col("b.dollars") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("b.tu") - col("a.tu")) <= lit(86400000000L))
+      .select(col("a.user_id").as("user_id"),
+        col("a.dollars").as("amount_dollars"),
+        col("a.event_id").as("event_id_a"),
+        col("b.event_id").as("event_id_b"),
+        col("a.cents").as("cents_a"), col("b.cents").as("cents_b"),
+        expr("abs(b.tu - a.tu) div 3600000000").as("gap_hours"))
+  }
+
   /** KAPLAN-MEIER CHURN SURVIVAL (q247) — the survival curve behind
     * every retention/LTV model, with censoring done right: a user's
     * lifetime is last-active − first-active in HOURS (the corpus spans
@@ -1873,6 +1933,8 @@ object EventQueries {
     "q266_freshness_audit" -> (freshnessAudit _),
     "q267_funnel_latency" -> (funnelLatency _),
     "q269_leaderboard_churn" -> (leaderboardChurn _),
+    "q273_completeness_matrix" -> (completenessMatrix _),
+    "q274_duplicate_payments" -> (duplicatePayments _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -2167,6 +2229,51 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q273: same grid (distinct days × distinct types), same left-anti
+    // probe, same sorted comma-joined missing list.
+    "q273_completeness_matrix" ->
+      """WITH present AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, event_type FROM events
+        |), days AS (SELECT DISTINCT d FROM present),
+        |types AS (SELECT DISTINCT event_type FROM present),
+        |grid AS (SELECT d, event_type FROM days CROSS JOIN types),
+        |miss AS (
+        |  SELECT g.d, g.event_type FROM grid g
+        |  WHERE NOT EXISTS (SELECT 1 FROM present p
+        |    WHERE p.d = g.d AND p.event_type = g.event_type)
+        |), mpd AS (
+        |  SELECT d, count(*) AS n_missing,
+        |    string_agg(event_type, ',' ORDER BY event_type)
+        |      AS missing_types
+        |  FROM miss GROUP BY 1
+        |)
+        |SELECT CAST(days.d AS VARCHAR) AS day,
+        |  CAST((SELECT count(*) FROM types) - coalesce(mpd.n_missing, 0)
+        |    AS BIGINT) AS n_present,
+        |  CAST(coalesce(mpd.n_missing, 0) AS BIGINT) AS n_missing,
+        |  coalesce(mpd.missing_types, '') AS missing_types,
+        |  CASE WHEN coalesce(mpd.n_missing, 0) = 0 THEN 'complete'
+        |    ELSE 'incomplete' END AS status
+        |FROM days LEFT JOIN mpd ON days.d = mpd.d""".stripMargin,
+    // q274: same (user, whole-dollar) pair keying, id canonicalization
+    // and 24 h integer-microsecond window.
+    "q274_duplicate_payments" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) // 100
+        |      AS dollars
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |)
+        |SELECT a.user_id, a.dollars AS amount_dollars,
+        |  a.event_id AS event_id_a, b.event_id AS event_id_b,
+        |  a.cents AS cents_a, b.cents AS cents_b,
+        |  CAST(abs(b.tu - a.tu) // 3600000000 AS BIGINT) AS gap_hours
+        |FROM p a JOIN p b
+        |  ON a.user_id = b.user_id AND a.dollars = b.dollars
+        |  AND a.event_id < b.event_id
+        |  AND abs(b.tu - a.tu) <= 86400000000""".stripMargin,
     // q265: identical sign classification and island keys over the same
     // per-day frame; coalesced zeros where a sign class is absent.
     "q265_trend_runs" ->

@@ -1435,6 +1435,63 @@ object ExtendedQueries {
         $"weighted_median_cents")
   }
 
+  /** TUKEY IQR FENCES (q272) — the boxplot outlier rule (1.5·IQR past
+    * the quartiles) with every quantity exact: quartiles are dyadic
+    * interpolations of integer cents (engine-identical by the p25/p75
+    * rule), and the fence comparison is scaled by 4 —
+    * `4·x < 4·Q1 − 6·IQR` — so every operand is an integral-valued
+    * double below 2⁵³ and the float 1.5 never appears. Complements the
+    * MAD family (q121/q195) with the standard boxplot definition. One
+    * grouped quantile pass + one broadcast join back over the facts. */
+  def tukeyFences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        (dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+    val q = vals.groupBy($"l_returnflag")
+      .agg(percentile($"cents", lit(0.25)).as("q1"),
+        percentile($"cents", lit(0.75)).as("q3"),
+        count(lit(1)).as("n"))
+    vals.join(broadcast(q), Seq("l_returnflag"))
+      .withColumn("x4", ($"cents" * 4).cast("double"))
+      .withColumn("is_low", $"x4" < lit(4.0) * $"q1" - lit(6.0) * ($"q3" - $"q1"))
+      .withColumn("is_high", $"x4" > lit(4.0) * $"q3" + lit(6.0) * ($"q3" - $"q1"))
+      .groupBy($"l_returnflag")
+      .agg(max($"n").as("n_rows"), max($"q1").as("q1_cents"),
+        max($"q3").as("q3_cents"),
+        sum(when($"is_low", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"is_high", 1L).otherwise(0L)).as("n_high"))
+      .withColumn("outlier_bp",
+        when($"n_rows" > 0,
+          expr("(10000 * (n_low + n_high)) div n_rows")).otherwise(0L))
+  }
+
+  /** JOIN-SIZE ESTIMATOR AUDIT (q275) — the optimizer-internals check:
+    * how well does a bucketized histogram predict a self-join's output
+    * size? Ground truth for the l_partkey self-join is Σ c(k)² from one
+    * grouped count (never a materialized join); the estimate buckets
+    * keys 64-wide and applies the uniform-within-bucket formula
+    * `rows² div ndv` per bucket. Both sides are exact BIGINT sums; the
+    * report is actual, estimated, and signed error in floor basis
+    * points — the number a cost model's sanity dashboard would track. */
+  def joinSizeEstimator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_partkey")
+    val actual = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c").as("actual_pairs"))
+    val est = li.groupBy(expr("l_partkey div 64").as("b"))
+      .agg(count(lit(1)).as("rows_b"),
+        countDistinct($"l_partkey").as("ndv_b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("(rows_b * rows_b) div ndv_b")).as("est_pairs"))
+    actual.crossJoin(est)
+      .withColumn("err_bp",
+        when($"actual_pairs" > 0,
+          expr("(10000 * (est_pairs - actual_pairs)) div actual_pairs"))
+          .otherwise(0L))
+      .select($"n_buckets", $"actual_pairs", $"est_pairs", $"err_bp")
+  }
+
   /** BENFORD FIRST-DIGIT AUDIT (q246) — the classic fabricated-numbers
     * screen a finance/fraud pipeline runs over an amount column: the
     * distribution of first significant digits of exact integer cents,
@@ -1619,6 +1676,8 @@ object ExtendedQueries {
     "q257_abc_classification" -> (abcClassification _),
     "q263_item_cooccurrence" -> (itemCooccurrence _),
     "q264_weighted_median" -> (weightedMedian _),
+    "q272_tukey_fences" -> (tukeyFences _),
+    "q275_join_size_estimator" -> (joinSizeEstimator _),
     "q238_join_skew_report" -> (joinSkewReport _),
     "q236_grouped_trend" -> (groupedTrend _),
     "q217_bitmap_distinct" -> (bitmapDistinct _),
@@ -1914,6 +1973,57 @@ object ExtendedQueries {
         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(cos2_bp AS BIGINT) AS cos2_bp, CAST(rk AS BIGINT) AS rank
         |FROM rk WHERE rk <= 3""".stripMargin,
+    // q272: same dyadic quartiles, same ×4-scaled fence comparison (all
+    // operands integral-valued doubles — bit-identical both engines).
+    "q272_tukey_fences" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem
+        |), q AS (
+        |  SELECT l_returnflag,
+        |    CAST(quantile_cont(cents, 0.25) AS DOUBLE) AS q1,
+        |    CAST(quantile_cont(cents, 0.75) AS DOUBLE) AS q3,
+        |    count(*) AS n
+        |  FROM v GROUP BY 1
+        |), f AS (
+        |  SELECT v.l_returnflag, q.n, q.q1, q.q3,
+        |    CAST(v.cents * 4 AS DOUBLE) AS x4
+        |  FROM v JOIN q USING (l_returnflag)
+        |)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        |  max(q1) AS q1_cents, max(q3) AS q3_cents,
+        |  CAST(sum(CASE WHEN x4 < 4.0 * q1 - 6.0 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN x4 > 4.0 * q3 + 6.0 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(CASE WHEN max(n) > 0
+        |    THEN (10000 * (sum(CASE WHEN x4 < 4.0 * q1 - 6.0 * (q3 - q1)
+        |        THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN x4 > 4.0 * q3 + 6.0 * (q3 - q1)
+        |        THEN 1 ELSE 0 END))) // max(n)
+        |    ELSE 0 END AS BIGINT) AS outlier_bp
+        |FROM f GROUP BY l_returnflag""".stripMargin,
+    // q275: same Σc² ground truth, same 64-wide buckets and
+    // rows²//ndv estimate, same signed floor-bp error.
+    "q275_join_size_estimator" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(c * c) AS BIGINT) AS actual_pairs FROM (
+        |    SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
+        |), e AS (
+        |  SELECT count(*) AS n_buckets,
+        |    CAST(sum((rows_b * rows_b) // ndv_b) AS BIGINT) AS est_pairs
+        |  FROM (
+        |    SELECT l_partkey // 64 AS b, count(*) AS rows_b,
+        |      count(DISTINCT l_partkey) AS ndv_b
+        |    FROM lineitem GROUP BY 1)
+        |)
+        |SELECT e.n_buckets, a.actual_pairs, e.est_pairs,
+        |  CAST(CASE WHEN a.actual_pairs > 0
+        |    THEN (10000 * (e.est_pairs - a.actual_pairs)) // a.actual_pairs
+        |    ELSE 0 END AS BIGINT) AS err_bp
+        |FROM a CROSS JOIN e""".stripMargin,
     // q264: same per-value weight collapse, same 2·cumw ≥ totw crossing,
     // same min-over-crossing pick.
     "q264_weighted_median" ->

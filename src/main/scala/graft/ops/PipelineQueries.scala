@@ -1139,7 +1139,38 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("d.n_chars")).as("sum_nc"))
   }
 
+  /** QUOTA APPORTIONMENT (q270) — the largest-remainder (Hamilton)
+    * method every sampling/budgeting stage needs when a FIXED total
+    * (here a declared 1,000,000-example budget) must be split across
+    * strata EXACTLY proportionally to their counts and still sum to the
+    * total: base quota `(B·cᵢ) div N`, then the leftover seats go to the
+    * largest remainders `(B·cᵢ) mod N` (stratum-name tie-break). Every
+    * step is BIGINT arithmetic over a strata-count-sized frame — the
+    * only fact-sized work is one grouped count — and Σ final_quota = B
+    * by construction, which the oracle re-derives independently. */
+  def quotaApportionment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 1000000L
+    val counts = Tables.events(spark, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+    val tot = counts.agg(sum($"n_events").as("n_total"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("base_quota", expr(s"($budget * n_events) div n_total"))
+      .withColumn("remainder", expr(s"($budget * n_events) % n_total"))
+    val leftover = based
+      .withColumn("leftover",
+        lit(budget) - sum($"base_quota").over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(Window.orderBy($"remainder".desc,
+        $"event_type")))
+    leftover
+      .withColumn("extra", when($"rk" <= $"leftover", 1L).otherwise(0L))
+      .withColumn("final_quota", $"base_quota" + $"extra")
+      .select($"event_type", $"n_events", $"base_quota", $"remainder",
+        $"extra", $"final_quota")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_quota_apportionment" -> (quotaApportionment _),
     "q222_pit_join" -> (pitJoin _),
     "q228_changelog_compaction" -> (changelogCompaction _),
     "q170_bloom_decontaminate" -> (bloomDecontaminate _),
@@ -1206,6 +1237,30 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q270: same BIGINT base/remainder split, same (remainder desc,
+    // stratum) seat order, leftover re-derived from the base sum.
+    "q270_quota_apportionment" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+        |), t AS (SELECT sum(n_events) AS n_total FROM c),
+        |b AS (
+        |  SELECT event_type, n_events,
+        |    (1000000 * n_events) // (SELECT n_total FROM t) AS base_quota,
+        |    (1000000 * n_events) % (SELECT n_total FROM t) AS remainder
+        |  FROM c
+        |), l AS (
+        |  SELECT *, 1000000 - sum(base_quota) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, event_type) AS rk
+        |  FROM b
+        |)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(base_quota AS BIGINT) AS base_quota,
+        |  CAST(remainder AS BIGINT) AS remainder,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extra,
+        |  CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS final_quota
+        |FROM l""".stripMargin,
     // q162: same salted-hash admission order (md5 hex strings compare
     // byte-identically) and integer cumsum-≤-budget rule.
     "q162_token_budget_mix" ->

@@ -1335,7 +1335,35 @@ object SourceQueries {
         when($"reduction_bp" <= 100, "materialize").otherwise("scan"))
   }
 
+  /** RANGE-PARTITION PLANNER (q271) — the boundary table behind
+    * `repartitionByRange` / sorted-table writes, computed EXACTLY as the
+    * audit target a sampling partitioner is judged against: orders
+    * ranked by key, each row assigned slice `((rank−1)·k) div n` (the
+    * even-slices rule, pure integer), then per slice its row count and
+    * [lo, hi] key bounds, plus the global balance ratio
+    * `10⁴·max_size·k div n` — 10000 = perfectly balanced. Production
+    * range partitioners SAMPLE to get near these boundaries; this gate
+    * pins what "ideal" means so the sampled version has a yardstick.
+    * The global rank is one sort of the key projection. */
+  def rangePartitionPlanner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val keys = Tables.orders(spark, dir).select($"o_orderkey".as("key"))
+    val n = keys.count()
+    val ranked = keys.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"key")))
+      .withColumn("pid", expr(s"((r - 1) * $k) div $n"))
+    ranked.groupBy($"pid")
+      .agg(count(lit(1)).as("n_keys"),
+        min($"key").as("lo_key"), max($"key").as("hi_key"))
+      .withColumn("balance_bp",
+        expr(s"(10000 * n_keys * $k) div $n"))
+      .select($"pid".cast("long").as("pid"), $"n_keys", $"lo_key",
+        $"hi_key", $"balance_bp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_range_partition_planner" -> (rangePartitionPlanner _),
     "q268_rollup_advisor" -> (rollupAdvisor _),
     "q260_analyze_stats" -> (analyzeTable _),
     "q261_encoding_advisor" -> (encodingAdvisor _),
@@ -1438,6 +1466,23 @@ object SourceQueries {
           |    ELSE 0 END AS BIGINT) AS savings_bp
           |FROM w""".stripMargin
     },
+    // q271: same global key rank, same even-slices integer assignment,
+    // same balance cross-mult.
+    "q271_range_partition_planner" ->
+      """WITH n AS (SELECT count(*) AS n FROM orders),
+        |r AS (
+        |  SELECT o_orderkey AS key,
+        |    row_number() OVER (ORDER BY o_orderkey) AS r
+        |  FROM orders
+        |), p AS (
+        |  SELECT key, ((r - 1) * 8) // (SELECT n FROM n) AS pid FROM r
+        |)
+        |SELECT CAST(pid AS BIGINT) AS pid, count(*) AS n_keys,
+        |  CAST(min(key) AS BIGINT) AS lo_key,
+        |  CAST(max(key) AS BIGINT) AS hi_key,
+        |  CAST((10000 * count(*) * 8) // (SELECT n FROM n) AS BIGINT)
+        |    AS balance_bp
+        |FROM p GROUP BY pid""".stripMargin,
     // q268: exact distinct-tuple counts per grain via scalar subqueries,
     // same guarded floor-bp reduction and 100 bp advice rule.
     "q268_rollup_advisor" -> {
