@@ -1447,6 +1447,150 @@ object EventQueries {
         expr("abs(b.tu - a.tu) div 3600000000").as("gap_hours"))
   }
 
+  /** GROWTH ACCOUNTING (q276) — the weekly new / retained / resurrected
+    * / churned quad every growth dashboard opens with: per (user, week)
+    * activity (Monday-start `date_trunc`), a user is NEW in their first
+    * week, RETAINED if active the immediately previous calendar week
+    * (`lag(wk) = wk − 7` — integer date arithmetic), RESURRECTED
+    * otherwise; CHURNED users are charged to the week AFTER their
+    * last-seen activity gap (active at w−7, absent at w), counted by an
+    * anti-join of the +7-shifted activity set against itself. All four
+    * classes come from one distinct (user, week) frame and one per-user
+    * lag window. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wu = Tables.events(spark, dir)
+      .select(to_date(date_trunc("week", $"ts")).as("wk"), $"user_id")
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"wk")
+    val classed = wu
+      .withColumn("prev_wk", lag($"wk", 1).over(w))
+      .withColumn("cls",
+        when($"prev_wk".isNull, "new")
+          .when(date_add($"prev_wk", 7) === $"wk", "retained")
+          .otherwise("resurrected"))
+    val active = classed.groupBy($"wk")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"cls" === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"cls" === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"cls" === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churned = wu.select(date_add($"wk", 7).as("wk"), $"user_id")
+      .join(wu, Seq("wk", "user_id"), "left_anti")
+      .groupBy($"wk").agg(count(lit(1)).as("n_churned"))
+    active.join(churned, Seq("wk"), "left")
+      .withColumn("n_churned", coalesce($"n_churned", lit(0L)))
+      .select($"wk".cast("string").as("week"), $"n_active", $"n_new",
+        $"n_retained", $"n_resurrected", $"n_churned")
+  }
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST (q277) — is this series better
+    * predicted by "same as yesterday" (naive-1) or "same as last
+    * Monday" (seasonal-7)? Per event_type the daily-count series is
+    * backtested on every day where BOTH lags exist (calendar equi-joins
+    * on the pre-aggregated per-day table), absolute errors summed as
+    * exact integers, MAE reported ×10⁶ by one guarded floor-div, and
+    * the winner decided by comparing the two integer error SUMS (same
+    * denominator — no division needed to rank). Model selection with
+    * zero distribution theory and zero floats. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = daily.as("t")
+    val joined = t
+      .join(daily.as("p1"),
+        col("t.event_type") === col("p1.event_type") &&
+          col("t.d") === date_add(col("p1.d"), 1))
+      .join(daily.as("p7"),
+        col("t.event_type") === col("p7.event_type") &&
+          col("t.d") === date_add(col("p7.d"), 7))
+      .select(col("t.event_type").as("event_type"),
+        abs(col("t.cnt") - col("p1.cnt")).as("err1"),
+        abs(col("t.cnt") - col("p7.cnt")).as("err7"))
+    joined.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_evaluated"),
+        sum($"err1").as("sum_err1"), sum($"err7").as("sum_err7"))
+      .withColumn("mae1_ppm",
+        when($"n_evaluated" > 0,
+          expr("(1000000 * sum_err1) div n_evaluated")).otherwise(0L))
+      .withColumn("mae7_ppm",
+        when($"n_evaluated" > 0,
+          expr("(1000000 * sum_err7) div n_evaluated")).otherwise(0L))
+      .withColumn("winner",
+        when($"sum_err7" < $"sum_err1", "seasonal_7")
+          .when($"sum_err7" > $"sum_err1", "naive_1").otherwise("tie"))
+  }
+
+  /** PEAK CONCURRENCY (q278) — the capacity number an SRE sizes for:
+    * the maximum number of simultaneously-open sessions (q18's 30-min
+    * rule), computed by the sweep-line: +1 at each session start, −1
+    * just after its inclusive end, deltas COLLAPSED PER UNIQUE
+    * TIMESTAMP first (so the running sum is over a strictly increasing
+    * time axis — no tie-order ambiguity for any engine), then one
+    * cumulative window; the peak and the first instant it is reached.
+    * The sweep frame is two rows per session — session-sized, never
+    * event-sized. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sessions = Tables.events(spark, dir)
+      .withColumn("gap", unix_micros($"ts") - lag(unix_micros($"ts"), 1)
+        .over(byUser))
+      .withColumn("is_new",
+        when($"gap".isNull || $"gap" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min(unix_micros($"ts")).as("st"),
+        (max(unix_micros($"ts")) + 1).as("en"))
+    val deltas = sessions.select($"st".as("t"), lit(1L).as("delta"))
+      .unionByName(sessions.select($"en".as("t"), lit(-1L).as("delta")))
+      .groupBy($"t").agg(sum($"delta").as("net"))
+    val run = deltas.withColumn("conc", sum($"net").over(
+      Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, 0)))
+    val nSessions = sessions.count()
+    run.agg(max($"conc").as("peak")).crossJoin(run)
+      .filter($"conc" === $"peak")
+      .agg(min($"t").as("peak_at_us"), max($"peak").as("peak_concurrency"))
+      .select(lit(nSessions).as("n_sessions"), $"peak_concurrency",
+        $"peak_at_us")
+  }
+
+  /** TOP CONVERSION PATHS (q280) — which event sequences actually lead
+    * to purchase: within each session (q18's 30-min rule), the ordered
+    * event-type path up to and including the FIRST purchase, rendered
+    * as one `>`-joined string under a total (ts, event_id) order;
+    * identical paths counted, top-10 by (count, path). The path build
+    * is a per-session sort of a handful of events; the ranking window
+    * runs over the tiny distinct-path frame. */
+  def conversionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = Tables.events(spark, dir)
+      .withColumn("tu", unix_micros($"ts"))
+      .withColumn("gap", $"tu" - lag($"tu", 1).over(byUser))
+      .withColumn("is_new",
+        when($"gap".isNull || $"gap" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val firstPurchase = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"sid")
+      .agg(min(struct($"tu", $"event_id")).as("fp"))
+    val paths = ev.join(firstPurchase, Seq("user_id", "sid"))
+      .filter(struct($"tu", $"event_id") <= $"fp")
+      .groupBy($"user_id", $"sid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"tu", $"event_id", $"event_type"))),
+        x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n_sessions".desc, $"path")))
+      .filter($"rk" <= 10)
+      .select($"rk".cast("long").as("rank"), $"path", $"n_sessions")
+  }
+
   /** KAPLAN-MEIER CHURN SURVIVAL (q247) — the survival curve behind
     * every retention/LTV model, with censoring done right: a user's
     * lifetime is last-active − first-active in HOURS (the corpus spans
@@ -1935,6 +2079,10 @@ object EventQueries {
     "q269_leaderboard_churn" -> (leaderboardChurn _),
     "q273_completeness_matrix" -> (completenessMatrix _),
     "q274_duplicate_payments" -> (duplicatePayments _),
+    "q276_growth_accounting" -> (growthAccounting _),
+    "q277_forecast_backtest" -> (forecastBacktest _),
+    "q278_peak_concurrency" -> (peakConcurrency _),
+    "q280_conversion_paths" -> (conversionPaths _),
     "q120_gap_fill" -> (gapFillHourly _),
     "q110_funnel" -> (funnel _),
     "q114_cohort_retention" -> (cohortRetention _),
@@ -2229,6 +2377,135 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q276: same Monday weeks, same lag classification, same +7 shifted
+    // anti-join churn attribution.
+    "q276_growth_accounting" ->
+      """WITH wu AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    user_id
+        |  FROM events
+        |), cl AS (
+        |  SELECT wk, user_id,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+        |  FROM wu
+        |), act AS (
+        |  SELECT wk, count(*) AS n_active,
+        |    sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |    sum(CASE WHEN prev_wk + 7 = wk THEN 1 ELSE 0 END)
+        |      AS n_retained,
+        |    sum(CASE WHEN prev_wk IS NOT NULL AND prev_wk + 7 <> wk
+        |      THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM cl GROUP BY 1
+        |), ch AS (
+        |  SELECT s.wk, count(*) AS n_churned FROM (
+        |    SELECT wk + 7 AS wk, user_id FROM wu) s
+        |  WHERE NOT EXISTS (SELECT 1 FROM wu
+        |    WHERE wu.wk = s.wk AND wu.user_id = s.user_id)
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(act.wk AS VARCHAR) AS week, act.n_active,
+        |  CAST(act.n_new AS BIGINT) AS n_new,
+        |  CAST(act.n_retained AS BIGINT) AS n_retained,
+        |  CAST(act.n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM act LEFT JOIN ch ON act.wk = ch.wk""".stripMargin,
+    // q277: same calendar equi-joins on the per-day frame, same integer
+    // error sums, ppm floor-divs and sum-comparison winner.
+    "q277_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), j AS (
+        |  SELECT t.event_type, abs(t.cnt - p1.cnt) AS err1,
+        |    abs(t.cnt - p7.cnt) AS err7
+        |  FROM daily t
+        |  JOIN daily p1 ON t.event_type = p1.event_type
+        |    AND t.d = p1.d + 1
+        |  JOIN daily p7 ON t.event_type = p7.event_type
+        |    AND t.d = p7.d + 7
+        |), a AS (
+        |  SELECT event_type, count(*) AS n_evaluated,
+        |    CAST(sum(err1) AS BIGINT) AS sum_err1,
+        |    CAST(sum(err7) AS BIGINT) AS sum_err7
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT event_type, n_evaluated, sum_err1, sum_err7,
+        |  CAST(CASE WHEN n_evaluated > 0
+        |    THEN (1000000 * sum_err1) // n_evaluated ELSE 0 END AS BIGINT)
+        |    AS mae1_ppm,
+        |  CAST(CASE WHEN n_evaluated > 0
+        |    THEN (1000000 * sum_err7) // n_evaluated ELSE 0 END AS BIGINT)
+        |    AS mae7_ppm,
+        |  CASE WHEN sum_err7 < sum_err1 THEN 'seasonal_7'
+        |       WHEN sum_err7 > sum_err1 THEN 'naive_1'
+        |       ELSE 'tie' END AS winner
+        |FROM a""".stripMargin,
+    // q278: same 30-min sessions, same per-unique-timestamp collapsed
+    // sweep line, same first-peak instant.
+    "q278_peak_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, tu,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1
+        |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, sid, min(tu) AS st, max(tu) + 1 AS en
+        |  FROM s GROUP BY 1, 2
+        |), d AS (
+        |  SELECT t, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |    SELECT st AS t, 1 AS delta FROM sess
+        |    UNION ALL
+        |    SELECT en AS t, -1 AS delta FROM sess) GROUP BY 1
+        |), run AS (
+        |  SELECT t, sum(net) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM d
+        |)
+        |SELECT (SELECT count(*) FROM sess) AS n_sessions,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(min(t) AS BIGINT) AS peak_at_us
+        |FROM run WHERE conc = (SELECT max(conc) FROM run)""".stripMargin,
+    // q280: same sessions, same first-purchase cut under the same total
+    // order, string_agg replays the sorted '>' join.
+    "q280_conversion_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tu,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, tu,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1
+        |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), fp AS (
+        |  SELECT user_id, sid, tu AS fp_tu, event_id AS fp_id FROM (
+        |    SELECT user_id, sid, tu, event_id,
+        |      row_number() OVER (PARTITION BY user_id, sid
+        |        ORDER BY tu, event_id) AS rn
+        |    FROM s WHERE event_type = 'purchase')
+        |  WHERE rn = 1
+        |), paths AS (
+        |  SELECT s.user_id, s.sid,
+        |    string_agg(s.event_type, '>' ORDER BY s.tu, s.event_id)
+        |      AS path
+        |  FROM s JOIN fp ON s.user_id = fp.user_id AND s.sid = fp.sid
+        |  WHERE (s.tu, s.event_id) <= (fp.fp_tu, fp.fp_id)
+        |  GROUP BY 1, 2
+        |), pc AS (
+        |  SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+        |    AS BIGINT) AS rank, path, n_sessions
+        |FROM pc
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
     // q273: same grid (distinct days × distinct types), same left-anti
     // probe, same sorted comma-joined missing list.
     "q273_completeness_matrix" ->

@@ -1466,6 +1466,64 @@ object ExtendedQueries {
           expr("(10000 * (n_low + n_high)) div n_rows")).otherwise(0L))
   }
 
+  /** SHIP-LATENCY SLA BY PRIORITY (q279) — does the order book honor
+    * its priority ladder? Per o_orderpriority the order-to-ship latency
+    * in integer days (`datediff` of the join's two dates — exact), its
+    * dyadic quartiles, and the count/basis-points breaching a declared
+    * 90-day SLA (guarded DIV). The orders⋈lineitem equi-join shuffles
+    * on the order key — the same co-location every fact join in the
+    * engine uses; the quartiles run per 5-value priority group. */
+  def shipLatencySla(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lat = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        to_date($"o_orderdate").as("od"))
+      .join(Tables.lineitem(spark, dir)
+        .select($"l_orderkey", to_date($"l_shipdate").as("sd")),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderpriority", datediff($"sd", $"od").as("lat_days"))
+    lat.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        percentile($"lat_days", lit(0.25)).as("p25_days"),
+        percentile($"lat_days", lit(0.5)).as("p50_days"),
+        percentile($"lat_days", lit(0.75)).as("p75_days"),
+        sum(when($"lat_days" > 90, 1L).otherwise(0L)).as("n_breach"))
+      .withColumn("breach_bp",
+        when($"n_lines" > 0, expr("(10000 * n_breach) div n_lines"))
+          .otherwise(0L))
+  }
+
+  /** LUHN CHECKSUM AUDIT (q281) — the check-digit validation a payment
+    * or identifier ingest runs per batch: the Luhn (mod-10) sum over
+    * each order key zero-padded to 12 digits, every step integer string
+    * arithmetic (`lpad`/`substr`/CAST — identical builtins both
+    * engines), and the census of valid/invalid keys with the valid
+    * share in guarded floor basis points. Synthetic keys carry no
+    * check digit, so ~10% validate — exactly what the audit should
+    * report; the gate pins that the validator itself is bit-exact. */
+  def luhnAudit(spark: SparkSession, dir: String): DataFrame = {
+    val terms = luhnTerms("STRING", "INT")
+    Tables.orders(spark, dir)
+      .selectExpr(s"(($terms) % 10) = 0 AS is_valid")
+      .selectExpr("count(*) AS n_orders",
+        "sum(CASE WHEN is_valid THEN 1L ELSE 0L END) AS n_valid",
+        "sum(CASE WHEN is_valid THEN 0L ELSE 1L END) AS n_invalid")
+      .selectExpr("n_orders", "n_valid", "n_invalid",
+        "CASE WHEN n_orders > 0 THEN (10000 * n_valid) div n_orders " +
+          "ELSE 0L END AS valid_bp")
+  }
+
+  /** The Luhn digit-sum expression, shared verbatim (modulo type-name
+    * spelling) between the Spark query and the DuckDB oracle. */
+  private[ops] def luhnTerms(strTy: String, intTy: String): String =
+    (1 to 12).map { i =>
+      val d = s"CAST(substr(lpad(CAST(o_orderkey AS $strTy), 12, '0'), " +
+        s"$i, 1) AS $intTy)"
+      // odd left-positions are even positions from the right → doubled
+      if (i % 2 == 1) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)"
+      else d
+    }.mkString(" + ")
+
   /** JOIN-SIZE ESTIMATOR AUDIT (q275) — the optimizer-internals check:
     * how well does a bucketized histogram predict a self-join's output
     * size? Ground truth for the l_partkey self-join is Σ c(k)² from one
@@ -1678,6 +1736,8 @@ object ExtendedQueries {
     "q264_weighted_median" -> (weightedMedian _),
     "q272_tukey_fences" -> (tukeyFences _),
     "q275_join_size_estimator" -> (joinSizeEstimator _),
+    "q279_ship_latency_sla" -> (shipLatencySla _),
+    "q281_luhn_audit" -> (luhnAudit _),
     "q238_join_skew_report" -> (joinSkewReport _),
     "q236_grouped_trend" -> (groupedTrend _),
     "q217_bitmap_distinct" -> (bitmapDistinct _),
@@ -1973,6 +2033,43 @@ object ExtendedQueries {
         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(cos2_bp AS BIGINT) AS cos2_bp, CAST(rk AS BIGINT) AS rank
         |FROM rk WHERE rk <= 3""".stripMargin,
+    // q279: same integer day latency, dyadic quartiles, 90-day rule.
+    "q279_ship_latency_sla" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS lat_days
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |)
+        |SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(quantile_cont(lat_days, 0.25) AS DOUBLE) AS p25_days,
+        |  CAST(quantile_cont(lat_days, 0.5) AS DOUBLE) AS p50_days,
+        |  CAST(quantile_cont(lat_days, 0.75) AS DOUBLE) AS p75_days,
+        |  CAST(sum(CASE WHEN lat_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_breach,
+        |  CAST(CASE WHEN count(*) > 0
+        |    THEN (10000 * sum(CASE WHEN lat_days > 90 THEN 1 ELSE 0 END))
+        |      // count(*)
+        |    ELSE 0 END AS BIGINT) AS breach_bp
+        |FROM lat GROUP BY o_orderpriority""".stripMargin,
+    // q281: the identical lpad/substr Luhn sum (shared via luhnTerms),
+    // VARCHAR/INTEGER spellings aside.
+    "q281_luhn_audit" -> {
+      val terms = luhnTerms("VARCHAR", "INTEGER")
+      s"""WITH v AS (
+         |  SELECT (($terms) % 10) = 0 AS is_valid FROM orders
+         |)
+         |SELECT count(*) AS n_orders,
+         |  CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_valid,
+         |  CAST(sum(CASE WHEN is_valid THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_invalid,
+         |  CAST(CASE WHEN count(*) > 0
+         |    THEN (10000 * sum(CASE WHEN is_valid THEN 1 ELSE 0 END))
+         |      // count(*)
+         |    ELSE 0 END AS BIGINT) AS valid_bp
+         |FROM v""".stripMargin
+    },
     // q272: same dyadic quartiles, same ×4-scaled fence comparison (all
     // operands integral-valued doubles — bit-identical both engines).
     "q272_tukey_fences" ->
