@@ -716,6 +716,31 @@ object AnnQueries {
           .as("n_outliers"))
   }
 
+  /** INT8 QUANTIZATION RESIDUAL AUDIT (q284) — before shipping an int8
+    * copy of the embedding corpus (the q108 path), measure what the
+    * cast throws away: per label the element count, the sum / sum of
+    * squares / max of the quantization residual in exact thousandths
+    * (`floor((127x − floor(127x))·1000)` — every step a correctly
+    * rounded IEEE op followed by a floor, so both engines produce the
+    * identical integer; residuals then sum as BIGINTs in any order).
+    * One explode + one hash-agg; nothing vector-sized leaves the
+    * executors. */
+  def quantResidualAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        explode($"embedding".cast("array<double>")).as("x"))
+      .withColumn("e",
+        floor(($"x" * lit(127.0) - floor($"x" * lit(127.0))) * lit(1000.0))
+          .cast("long"))
+    xs.groupBy($"label")
+      .agg(countDistinct($"vec_id").as("n_vecs"),
+        count(lit(1)).as("n_elems"),
+        sum($"e").as("sum_e"),
+        sum($"e" * $"e").as("sum_e2"),
+        max($"e").as("max_e"))
+  }
+
   /** PQ index fixture per (JVM, dir): 4 × 16-d subspace codebooks (k=8,
     * the integer-grid Lloyd of [[gridIndex]] run per subspace) and the
     * corpus encoded as 4 one-byte codes per vector. Codebooks collect to
@@ -847,6 +872,7 @@ object AnnQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_pq_ann" -> (pqAnn _),
     "q177_embedding_norm_qa" -> (embeddingNormQa _),
+    "q284_quant_residual_audit" -> (quantResidualAudit _),
     "q169_random_projection_ann" -> (rpAnn _),
     "q165_semdedup" -> (semDedup _),
     "q163_hard_negatives" -> (hardNegatives _),
@@ -1122,6 +1148,23 @@ object AnnQueries {
     // NULL — coalesce normalizes the oracle to the engine's 0, so a
     // zero-length embedding lands at norm² = 0 and is REPORTED as a norm
     // outlier (|0 − 10⁶| > 2000) instead of silently breaking the hash.
+    // q284: identical mult/floor residual op sequence per element.
+    "q284_quant_residual_audit" ->
+      """WITH xs AS (
+        |  SELECT vec_id, label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, label,
+        |    CAST(floor((x * 127.0 - floor(x * 127.0)) * 1000.0) AS BIGINT)
+        |      AS e
+        |  FROM xs
+        |)
+        |SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |  count(*) AS n_elems, CAST(sum(e) AS BIGINT) AS sum_e,
+        |  CAST(sum(e * e) AS BIGINT) AS sum_e2,
+        |  CAST(max(e) AS BIGINT) AS max_e
+        |FROM e GROUP BY label""".stripMargin,
     "q177_embedding_norm_qa" ->
       """WITH q AS (
         |  SELECT vec_id, label,

@@ -500,7 +500,39 @@ object DedupQueries {
           .otherwise(0L).as("precision_bp"))
   }
 
+  /** CROSS-SOURCE DUPLICATION MATRIX (q283) — where is shared
+    * content leaking BETWEEN sources? Fingerprint = md5 of the first 32
+    * characters (the head fingerprint that catches shared templates and
+    * boilerplate leads — whole-document digests collide too rarely to
+    * audit); per source pair the number of distinct fingerprints
+    * present in both (the contamination matrix a multi-crawl corpus
+    * audit opens with), and per single source its internally-repeated
+    * fingerprint count on the diagonal. Everything runs on the distinct
+    * (digest, source) frame — corpus-sized work is one fingerprint
+    * projection; the pair join is keyed on the digest. */
+  def crossSourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.documents(spark, dir)
+      .select(md5(substring($"text", 1, 32)).as("digest"), $"source")
+    val distinctDs = ds.distinct()
+    val cross = distinctDs.as("a").join(distinctDs.as("b"),
+        col("a.digest") === col("b.digest") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val internal = ds.groupBy($"digest", $"source")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_shared"))
+      .select($"source".as("source_a"), $"source".as("source_b"),
+        $"n_shared")
+    cross.unionByName(internal)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_cross_source_dup" -> (crossSourceDupMatrix _),
     "q188_lsh_band_sweep" -> (lshBandSweep _),
     "q173_containment_join" -> (containmentJoin _),
     "q161_cluster_keep_best" -> (clusterKeepBest _),
@@ -906,6 +938,24 @@ object DedupQueries {
        |WHERE 10 * i.n_shared >= 6 * za.sz""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q283: same distinct (digest, source) frame, same a<b pair keying,
+    // same >1-copy diagonal rule.
+    "q283_cross_source_dup" ->
+      """WITH ds AS (
+        |  SELECT md5(substr(text, 1, 32)) AS digest, source
+        |  FROM documents
+        |), dd AS (SELECT DISTINCT digest, source FROM ds)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |FROM dd a JOIN dd b
+        |  ON a.digest = b.digest AND a.source < b.source
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT source AS source_a, source AS source_b,
+        |  count(*) AS n_shared
+        |FROM (
+        |  SELECT digest, source, count(*) AS n FROM ds GROUP BY 1, 2
+        |) WHERE n > 1 GROUP BY 1, 2""".stripMargin,
     "q173_containment_join" -> containmentOracle,
     "q112_similarity_join_prefix" -> prefixFilterOracle,
     "q27_dedup_minhash_lsh" -> minhashOracle,

@@ -1466,6 +1466,40 @@ object ExtendedQueries {
           expr("(10000 * (n_low + n_high)) div n_rows")).otherwise(0L))
   }
 
+  /** RATIO-TO-PARENT HIERARCHY SHARES (q287) — the two-level
+    * percent-of-parent readout every regional report opens with: exact
+    * cents revenue per nation, each nation's share of its REGION and
+    * each region's share of the TOTAL, all in guarded floor basis
+    * points via windows over the 25-row aggregated nation frame — the
+    * facts are scanned once, the hierarchy math never touches them. */
+  def hierarchyShares(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)
+        .select($"r_regionkey", $"r_name")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum((dec2($"o_totalprice") * 100).cast("long")).as("nation_cents"))
+    rev
+      .withColumn("region_cents",
+        sum($"nation_cents").over(Window.partitionBy($"r_name")))
+      .withColumn("total_cents",
+        sum($"nation_cents").over(Window.partitionBy()))
+      .withColumn("nation_share_bp",
+        when($"region_cents" > 0,
+          expr("(10000 * nation_cents) div region_cents")).otherwise(0L))
+      .withColumn("region_share_bp",
+        when($"total_cents" > 0,
+          expr("(10000 * region_cents) div total_cents")).otherwise(0L))
+      .select($"r_name", $"n_name", $"nation_cents", $"region_cents",
+        $"nation_share_bp", $"region_share_bp")
+  }
+
   /** SHIP-LATENCY SLA BY PRIORITY (q279) — does the order book honor
     * its priority ladder? Per o_orderpriority the order-to-ship latency
     * in integer days (`datediff` of the join's two dates — exact), its
@@ -1738,6 +1772,7 @@ object ExtendedQueries {
     "q275_join_size_estimator" -> (joinSizeEstimator _),
     "q279_ship_latency_sla" -> (shipLatencySla _),
     "q281_luhn_audit" -> (luhnAudit _),
+    "q287_hierarchy_shares" -> (hierarchyShares _),
     "q238_join_skew_report" -> (joinSkewReport _),
     "q236_grouped_trend" -> (groupedTrend _),
     "q217_bitmap_distinct" -> (bitmapDistinct _),
@@ -2033,6 +2068,34 @@ object ExtendedQueries {
         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(cos2_bp AS BIGINT) AS cos2_bp, CAST(rk AS BIGINT) AS rank
         |FROM rk WHERE rk <= 3""".stripMargin,
+    // q287: same exact-cents rollup, same two window totals and guarded
+    // floor-bp shares.
+    "q287_hierarchy_shares" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |      AS nation_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT r_name, n_name, CAST(nation_cents AS BIGINT)
+        |      AS nation_cents,
+        |    CAST(sum(nation_cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |      AS region_cents,
+        |    CAST(sum(nation_cents) OVER () AS BIGINT) AS total_cents
+        |  FROM rev
+        |)
+        |SELECT r_name, n_name, nation_cents, region_cents,
+        |  CAST(CASE WHEN region_cents > 0
+        |    THEN (10000 * nation_cents) // region_cents ELSE 0 END
+        |    AS BIGINT) AS nation_share_bp,
+        |  CAST(CASE WHEN total_cents > 0
+        |    THEN (10000 * region_cents) // total_cents ELSE 0 END
+        |    AS BIGINT) AS region_share_bp
+        |FROM w""".stripMargin,
     // q279: same integer day latency, dyadic quartiles, 90-day rule.
     "q279_ship_latency_sla" ->
       """WITH lat AS (

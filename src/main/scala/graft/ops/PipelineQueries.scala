@@ -1169,7 +1169,32 @@ object PipelineQueries {
         $"extra", $"final_quota")
   }
 
+  /** K-ANONYMITY AUDIT (q285) — q251's erasure proves deletion; this
+    * measures RE-IDENTIFIABILITY before release: group the fact table
+    * by a quasi-identifier tuple (priority, order month, status —
+    * attributes an adversary plausibly knows), and report the group
+    * count, the k-anonymity level (the minimum group size), how many
+    * rows sit in groups below the declared k=5, and that share in
+    * guarded floor basis points. One grouped count plus one census agg
+    * over the group-size frame. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val groups = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", date_trunc("month", $"o_orderdate")
+        .cast("date").as("om"), $"o_orderstatus")
+      .agg(count(lit(1)).as("sz"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum($"sz").as("n_rows"),
+      min($"sz").as("k_anonymity"),
+      sum(when($"sz" < 5, $"sz").otherwise(0L)).as("n_rows_at_risk"))
+      .withColumn("risk_bp",
+        when($"n_rows" > 0,
+          expr("(10000 * n_rows_at_risk) div n_rows")).otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_k_anonymity" -> (kAnonymityAudit _),
     "q270_quota_apportionment" -> (quotaApportionment _),
     "q222_pit_join" -> (pitJoin _),
     "q228_changelog_compaction" -> (changelogCompaction _),
@@ -1237,6 +1262,25 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q285: same quasi-identifier tuple (month via date_trunc), same
+    // k=5 rule and guarded share.
+    "q285_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+        |    o_orderstatus, count(*) AS sz
+        |  FROM orders GROUP BY 1, 2, 3
+        |)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(min(sz) AS BIGINT) AS k_anonymity,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(CASE WHEN sum(sz) > 0
+        |    THEN (10000 * sum(CASE WHEN sz < 5 THEN sz ELSE 0 END))
+        |      // sum(sz)
+        |    ELSE 0 END AS BIGINT) AS risk_bp
+        |FROM g""".stripMargin,
     // q270: same BIGINT base/remainder split, same (remainder desc,
     // stratum) seat order, leftover re-derived from the base sum.
     "q270_quota_apportionment" ->

@@ -1362,7 +1362,38 @@ object SourceQueries {
         $"hi_key", $"balance_bp")
   }
 
+  /** LATE-ARRIVING DIMENSION BACKFILL (q286) — the orphan-quarantine
+    * protocol for facts that reference dimension rows that haven't
+    * landed yet: against dimension generation 1 (10% of parts withheld
+    * by a modulus rule — the late arrivals), fact lines either match or
+    * go to quarantine (left join, null probe); when generation 2 lands,
+    * ONLY the quarantine is re-joined — never the already-matched bulk.
+    * The census pins matched/orphan counts per phase and that the
+    * backfill resolves every orphan. Both joins are plain equi-joins on
+    * the part key; the quarantine is the only re-read data. */
+  def lateArrivingDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val facts = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val dimFull = Tables.part(spark, dir).select($"p_partkey")
+    val dimGen1 = dimFull.filter(pmod($"p_partkey", lit(10)) =!= 3)
+    val joined1 = facts.join(dimGen1, $"l_partkey" === $"p_partkey",
+      "left")
+    val quarantine = joined1.filter($"p_partkey".isNull)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val matched1 = joined1.filter($"p_partkey".isNotNull).count()
+    val orphans1 = quarantine.count()
+    val joined2 = quarantine.join(dimFull, $"l_partkey" === $"p_partkey",
+      "left")
+    val matched2 = joined2.filter($"p_partkey".isNotNull).count()
+    val orphans2 = joined2.filter($"p_partkey".isNull).count()
+    Seq(("initial", matched1, orphans1),
+      ("backfill", matched2, orphans2))
+      .toDF("phase", "n_matched", "n_orphan")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_late_arriving_dim" -> (lateArrivingDim _),
     "q271_range_partition_planner" -> (rangePartitionPlanner _),
     "q268_rollup_advisor" -> (rollupAdvisor _),
     "q260_analyze_stats" -> (analyzeTable _),
@@ -1466,6 +1497,23 @@ object SourceQueries {
           |    ELSE 0 END AS BIGINT) AS savings_bp
           |FROM w""".stripMargin
     },
+    // q286: every census cell re-derived from the modulus rule (TPC-H
+    // lineitem part keys always resolve in the full dimension).
+    "q286_late_arriving_dim" ->
+      """SELECT 'initial' AS phase,
+        |  CAST((SELECT count(*) FROM lineitem JOIN part
+        |    ON l_partkey = p_partkey WHERE p_partkey % 10 <> 3)
+        |    AS BIGINT) AS n_matched,
+        |  CAST((SELECT count(*) FROM lineitem
+        |    WHERE l_partkey % 10 = 3) AS BIGINT) AS n_orphan
+        |UNION ALL
+        |SELECT 'backfill' AS phase,
+        |  CAST((SELECT count(*) FROM lineitem JOIN part
+        |    ON l_partkey = p_partkey WHERE l_partkey % 10 = 3)
+        |    AS BIGINT) AS n_matched,
+        |  CAST((SELECT count(*) FROM lineitem
+        |    WHERE l_partkey % 10 = 3 AND l_partkey NOT IN
+        |      (SELECT p_partkey FROM part)) AS BIGINT) AS n_orphan""".stripMargin,
     // q271: same global key rank, same even-slices integer assignment,
     // same balance cross-mult.
     "q271_range_partition_planner" ->

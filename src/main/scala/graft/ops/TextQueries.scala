@@ -14,6 +14,42 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
+  /** VOCABULARY GROWTH CURVE (q282) — the Heaps-law audit a corpus
+    * report ships: at ten doc-rank checkpoints (`(i·n) div 10`), how
+    * many distinct token types has the corpus accumulated vs tokens
+    * processed? Each token's FIRST document (min doc_id over the
+    * exploded stream) is computed once; a checkpoint's vocabulary is
+    * then one conditional count against the tiny broadcast checkpoint
+    * frame — never a re-scan per checkpoint. Type-token ratio in
+    * guarded floor basis points; all counts exact. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val cpRanks = (1 to 10).map(i => (i * n) / 10).distinct
+    val cps = docs.select($"doc_id")
+      .withColumn("r", row_number().over(Window.orderBy($"doc_id")))
+      .filter($"r".isin(cpRanks: _*))
+      .select($"r".as("cp_rank"), $"doc_id".as("cp_doc"))
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val firstSeen = toks.groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+    val vocabAt = firstSeen.crossJoin(broadcast(cps))
+      .filter($"first_doc" <= $"cp_doc")
+      .groupBy($"cp_rank").agg(count(lit(1)).as("vocab"))
+    val tokensAt = toks.groupBy($"doc_id").agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(cps))
+      .filter($"doc_id" <= $"cp_doc")
+      .groupBy($"cp_rank").agg(sum($"nt").as("n_tokens"))
+    cps.join(vocabAt, Seq("cp_rank")).join(tokensAt, Seq("cp_rank"))
+      .withColumn("pct_bp", expr(s"(10000 * cp_rank) div $n"))
+      .withColumn("ttr_bp",
+        when($"n_tokens" > 0, expr("(10000 * vocab) div n_tokens"))
+          .otherwise(0L))
+      .select($"cp_rank".cast("long").as("n_docs"), $"pct_bp",
+        $"n_tokens", $"vocab", $"ttr_bp")
+  }
+
   /** Token statistics: counts, distinct counts, mean token length,
     * type-token ratio. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -494,6 +530,7 @@ object TextQueries {
     "q86_tfidf_topterms" -> (tfidfTopTerms _),
     "q47_top_tokens" -> (topTokens _),
     "q37_regex_tokens" -> (regexTokens _),
+    "q282_vocab_growth" -> (vocabGrowth _),
     "q22_token_stats" -> (tokenStats _),
     "q23_quality_score" -> (qualityScore _),
     "q24_language_id" -> (languageId _),
@@ -530,6 +567,37 @@ object TextQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q282: same shared tokenization, same (i·n) div 10 checkpoint
+    // ranks, same first-doc vocabulary accounting.
+    "q282_vocab_growth" ->
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         |cps AS (
+         |  SELECT r AS cp_rank, doc_id AS cp_doc FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+         |    FROM documents)
+         |  WHERE r IN (SELECT DISTINCT (i * (SELECT n FROM n)) // 10
+         |    FROM generate_series(1, 10) AS t(i))
+         |), toks AS (
+         |  SELECT doc_id, unnest(${DedupQueries.toksSql}) AS tok
+         |  FROM documents
+         |), fs AS (
+         |  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1
+         |), va AS (
+         |  SELECT cp_rank, count(*) AS vocab
+         |  FROM fs CROSS JOIN cps WHERE first_doc <= cp_doc GROUP BY 1
+         |), ta AS (
+         |  SELECT cp_rank, CAST(sum(nt) AS BIGINT) AS n_tokens FROM (
+         |    SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1) d
+         |  CROSS JOIN cps WHERE d.doc_id <= cp_doc GROUP BY 1
+         |)
+         |SELECT CAST(cps.cp_rank AS BIGINT) AS n_docs,
+         |  CAST((10000 * cps.cp_rank) // (SELECT n FROM n) AS BIGINT)
+         |    AS pct_bp,
+         |  ta.n_tokens, va.vocab,
+         |  CAST(CASE WHEN ta.n_tokens > 0
+         |    THEN (10000 * va.vocab) // ta.n_tokens ELSE 0 END AS BIGINT)
+         |    AS ttr_bp
+         |FROM cps JOIN va USING (cp_rank) JOIN ta USING (cp_rank)""".stripMargin,
     // q208: exact verification makes the sketch invisible — the oracle is
     // the plain grouped count over the same unigram+bigram stream with
     // the identical integer cross-multiplied floor.
