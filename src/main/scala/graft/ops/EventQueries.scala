@@ -1591,6 +1591,85 @@ object EventQueries {
       .select($"rk".cast("long").as("rank"), $"path", $"n_sessions")
   }
 
+  /** MEDIAN OF DAILY MEDIANS (q288) — the robust weekly location metric
+    * ops teams prefer over a raw weekly median (one bad day cannot drag
+    * the week): per (type, day) the dyadic p50 of exact cents, then per
+    * (type, week) the dyadic median OF those daily medians. Every
+    * interpolation is a midpoint of integral-or-half values — exact in
+    * binary on both engines. Two grouped quantile passes, the second
+    * over a ≤7-row-per-group frame. */
+  def medianOfMedians(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("d"),
+        coalesce(($"value".cast("decimal(14,2)") * 100).cast("long"), lit(0L))
+          .as("cents"))
+      .groupBy($"event_type", $"d")
+      .agg(percentile($"cents", lit(0.5)).as("daily_p50"))
+    daily
+      .groupBy($"event_type",
+        to_date(date_trunc("week", $"d")).as("wk"))
+      .agg(count(lit(1)).as("n_days"),
+        percentile($"daily_p50", lit(0.5)).as("week_median_of_p50"))
+      .select($"event_type", $"wk".cast("string").as("week"), $"n_days",
+        $"week_median_of_p50")
+  }
+
+  /** WEEKLY PERCENTILE DRIFT (q291) — the monitoring alarm on a
+    * location statistic: per (type, week) the dyadic p50 of exact
+    * cents, its delta vs the previous week (lag over the tiny
+    * type×week frame), and a shift flag when the absolute delta
+    * exceeds 10% of the prior value — compared as `10·|Δ| > prev`,
+    * multiplication of exact integral-or-half doubles, never a float
+    * ratio. */
+  def percentileDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = Tables.events(spark, dir)
+      .select($"event_type",
+        to_date(date_trunc("week", $"ts")).as("wk"),
+        coalesce(($"value".cast("decimal(14,2)") * 100).cast("long"), lit(0L))
+          .as("cents"))
+      .groupBy($"event_type", $"wk")
+      .agg(count(lit(1)).as("n_events"),
+        percentile($"cents", lit(0.5)).as("p50_cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"wk")
+    weekly
+      .withColumn("prev_p50", lag($"p50_cents", 1).over(w))
+      .withColumn("delta", $"p50_cents" - $"prev_p50")
+      .withColumn("status",
+        when($"prev_p50".isNull, "first")
+          .when(abs($"delta") * 10 > $"prev_p50", "shifted")
+          .otherwise("stable"))
+      .select($"event_type", $"wk".cast("string").as("week"), $"n_events",
+        $"p50_cents", $"prev_p50", $"delta", $"status")
+  }
+
+  /** RANDOMIZATION HEALTH CHECK (q293) — before reading q254's A/B
+    * verdict, audit the assignment itself: per event_type stratum the
+    * distinct users landing in each md5-bit arm, the imbalance in floor
+    * basis points of the stratum size, and a balanced/imbalanced
+    * verdict at a declared 500 bp tolerance — the chi-square-free
+    * health check that catches a broken hash salt before it poisons an
+    * experiment. */
+  def randomizationHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arms = Tables.events(spark, dir)
+      .select($"event_type", $"user_id")
+      .distinct()
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("ab:"),
+          $"user_id".cast("string"))), 1, 1), 16, 10).cast("int") < 8, "A")
+          .otherwise("B"))
+    arms.groupBy($"event_type")
+      .agg(sum(when($"variant" === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"variant" === "B", 1L).otherwise(0L)).as("n_b"))
+      .withColumn("imbalance_bp",
+        when($"n_a" + $"n_b" > 0,
+          expr("(10000 * abs(n_a - n_b)) div (n_a + n_b)")).otherwise(0L))
+      .withColumn("verdict",
+        when($"imbalance_bp" <= 500, "balanced").otherwise("imbalanced"))
+  }
+
   /** KAPLAN-MEIER CHURN SURVIVAL (q247) — the survival curve behind
     * every retention/LTV model, with censoring done right: a user's
     * lifetime is last-active − first-active in HOURS (the corpus spans
@@ -2081,6 +2160,9 @@ object EventQueries {
     "q274_duplicate_payments" -> (duplicatePayments _),
     "q276_growth_accounting" -> (growthAccounting _),
     "q277_forecast_backtest" -> (forecastBacktest _),
+    "q288_median_of_medians" -> (medianOfMedians _),
+    "q291_percentile_drift" -> (percentileDrift _),
+    "q293_randomization_health" -> (randomizationHealth _),
     "q278_peak_concurrency" -> (peakConcurrency _),
     "q280_conversion_paths" -> (conversionPaths _),
     "q120_gap_fill" -> (gapFillHourly _),
@@ -2377,6 +2459,71 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q288: two identical dyadic quantile passes; every interpolation a
+    // midpoint of integral-or-half values.
+    "q288_median_of_medians" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(quantile_cont(coalesce(CAST(CAST(value AS DECIMAL(14,2))
+        |      * 100 AS BIGINT), 0), 0.5) AS DOUBLE) AS daily_p50
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |  CAST(CAST(date_trunc('week', d) AS DATE) AS VARCHAR) AS week,
+        |  count(*) AS n_days,
+        |  CAST(quantile_cont(daily_p50, 0.5) AS DOUBLE)
+        |    AS week_median_of_p50
+        |FROM daily GROUP BY 1, 2""".stripMargin,
+    // q291: same weekly dyadic p50, same ×10 shift comparison on exact
+    // integral-or-half doubles.
+    "q291_percentile_drift" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    count(*) AS n_events,
+        |    CAST(quantile_cont(coalesce(CAST(CAST(value AS DECIMAL(14,2))
+        |      * 100 AS BIGINT), 0), 0.5) AS DOUBLE) AS p50_cents
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT *, lag(p50_cents) OVER (PARTITION BY event_type
+        |    ORDER BY wk) AS prev_p50
+        |  FROM weekly
+        |)
+        |SELECT event_type, CAST(wk AS VARCHAR) AS week, n_events,
+        |  p50_cents, prev_p50, p50_cents - prev_p50 AS delta,
+        |  CASE WHEN prev_p50 IS NULL THEN 'first'
+        |       WHEN abs(p50_cents - prev_p50) * 10 > prev_p50
+        |         THEN 'shifted'
+        |       ELSE 'stable' END AS status
+        |FROM l""".stripMargin,
+    // q293: same md5-bit arms on distinct (type, user), same guarded
+    // imbalance cross-mult and 500 bp verdict.
+    "q293_randomization_health" ->
+      """WITH arms AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+        |        < 8
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_b,
+        |  CAST(CASE WHEN count(*) > 0
+        |    THEN (10000 * abs(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0
+        |      END) - sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)))
+        |      // count(*)
+        |    ELSE 0 END AS BIGINT) AS imbalance_bp,
+        |  CASE WHEN (CASE WHEN count(*) > 0
+        |    THEN (10000 * abs(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0
+        |      END) - sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)))
+        |      // count(*)
+        |    ELSE 0 END) <= 500 THEN 'balanced' ELSE 'imbalanced' END
+        |    AS verdict
+        |FROM arms GROUP BY event_type""".stripMargin,
     // q276: same Monday weeks, same lag classification, same +7 shifted
     // anti-join churn attribution.
     "q276_growth_accounting" ->

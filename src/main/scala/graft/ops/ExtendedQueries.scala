@@ -1380,10 +1380,14 @@ object ExtendedQueries {
     * pairs out of the ranking. */
   def itemCooccurrence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cached: both sides of the pair self-join and the two count
+    // broadcasts read this frame — uncached, the lineitem⋈part distinct
+    // runs four times
     val ob = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir).select($"p_partkey", $"p_type"),
         $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("oid"), $"p_type".as("item")).distinct()
+      .cache()
     val itemCnt = ob.groupBy($"item").agg(count(lit(1)).as("n_item"))
     val pairs = ob.as("x").join(ob.as("y"),
         col("x.oid") === col("y.oid") && col("x.item") =!= col("y.item"))

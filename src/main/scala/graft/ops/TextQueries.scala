@@ -32,7 +32,10 @@ object TextQueries {
       .withColumn("r", row_number().over(Window.orderBy($"doc_id")))
       .filter($"r".isin(cpRanks: _*))
       .select($"r".as("cp_rank"), $"doc_id".as("cp_doc"))
+    // cached: the first-seen agg and the per-doc token counts both read
+    // the exploded stream — uncached, the corpus tokenizes twice
     val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      .cache()
     val firstSeen = toks.groupBy($"tok").agg(min($"doc_id").as("first_doc"))
     val vocabAt = firstSeen.crossJoin(broadcast(cps))
       .filter($"first_doc" <= $"cp_doc")
