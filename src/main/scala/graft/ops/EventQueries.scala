@@ -1670,6 +1670,105 @@ object EventQueries {
         when($"imbalance_bp" <= 500, "balanced").otherwise("imbalanced"))
   }
 
+  /** VALUE-DISTRIBUTION DRIFT (q292) — the PSI-style drift monitor
+    * without PSI's logarithm: per event_type the value histogram
+    * (50-dollar cents buckets) of the corpus' first half of days vs its
+    * second half (split at the integer midpoint day), compared by L1
+    * distance — `Σ|n_a·N_b − n_b·N_a|` over a full-outer bucket join,
+    * scaled to floor basis points by the single division
+    * `10⁴·Σ div (2·N_a·N_b)` so 0 bp = identical shapes, 10000 bp =
+    * disjoint. Drift verdict at a declared 1000 bp tolerance. */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .as("day"),
+        coalesce(($"value".cast("decimal(14,2)") * 100).cast("long"), lit(0L))
+          .as("cents"))
+    val bounds = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val bucketed = e.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when($"day" < expr("(d0 + d1 + 1) div 2"), "a").otherwise("b"))
+      .withColumn("bucket", expr("cents div 5000"))
+      .groupBy($"event_type", $"half", $"bucket")
+      .agg(count(lit(1)).as("n"))
+    val a = bucketed.filter($"half" === "a")
+      .select($"event_type", $"bucket", $"n".as("n_a"))
+    val b = bucketed.filter($"half" === "b")
+      .select($"event_type", $"bucket", $"n".as("n_b"))
+    val joined = a.join(b, Seq("event_type", "bucket"), "full_outer")
+      .select($"event_type", $"bucket",
+        coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"))
+    val tot = joined.groupBy($"event_type")
+      .agg(sum($"n_a").as("ta"), sum($"n_b").as("tb"))
+    joined.join(broadcast(tot), Seq("event_type"))
+      .withColumn("term", abs($"n_a" * $"tb" - $"n_b" * $"ta"))
+      .groupBy($"event_type")
+      .agg(max($"ta").as("n_first"), max($"tb").as("n_second"),
+        count(lit(1)).as("n_buckets"), sum($"term").as("l1_raw"))
+      .withColumn("drift_bp",
+        when($"n_first" * $"n_second" > 0,
+          expr("(10000 * l1_raw) div (2 * n_first * n_second)"))
+          .otherwise(0L))
+      .withColumn("verdict",
+        when($"drift_bp" > 1000, "drifted").otherwise("stable"))
+      .select($"event_type", $"n_first", $"n_second", $"n_buckets",
+        $"drift_bp", $"verdict")
+  }
+
+  /** OUT-OF-ORDER ARRIVAL AUDIT (q297) — does assignment order agree
+    * with event time? Adjacent event pairs per user in event_id order
+    * (the producer's sequence); a pair whose timestamp goes BACKWARD is
+    * a late/out-of-order arrival — the number that sizes every
+    * streaming watermark in the engine. Census: pair count, backward
+    * count and share (guarded floor bp), and the worst backstep in
+    * integer microseconds. One per-user window. */
+  def outOfOrderAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tu"))
+      .withColumn("prev_tu", lag($"tu", 1).over(w))
+      .filter($"prev_tu".isNotNull)
+      .withColumn("backstep",
+        when($"tu" < $"prev_tu", $"prev_tu" - $"tu").otherwise(0L))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when($"backstep" > 0, 1L).otherwise(0L)).as("n_backward"),
+      max($"backstep").as("max_backstep_us"))
+      .withColumn("backward_bp",
+        when($"n_pairs" > 0, expr("(10000 * n_backward) div n_pairs"))
+          .otherwise(0L))
+  }
+
+  /** SESSION PROFILE (q299) — the shape of a session at a glance:
+    * dyadic quartiles of events-per-session and of session duration in
+    * integer seconds, over the q18 30-minute sessions. The quantile
+    * pass runs on the session-level frame — two integral columns, one
+    * row per session. */
+  def sessionProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = Tables.events(spark, dir)
+      .withColumn("tu", unix_micros($"ts"))
+      .withColumn("gap", $"tu" - lag($"tu", 1).over(byUser))
+      .withColumn("is_new",
+        when($"gap".isNull || $"gap" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(tu) - min(tu)) div 1000000").as("dur_s"))
+    sess.agg(count(lit(1)).as("n_sessions"),
+      percentile($"n_events", lit(0.25)).as("p25_events"),
+      percentile($"n_events", lit(0.5)).as("p50_events"),
+      percentile($"n_events", lit(0.75)).as("p75_events"),
+      percentile($"dur_s", lit(0.25)).as("p25_dur_s"),
+      percentile($"dur_s", lit(0.5)).as("p50_dur_s"),
+      percentile($"dur_s", lit(0.75)).as("p75_dur_s"))
+  }
+
   /** KAPLAN-MEIER CHURN SURVIVAL (q247) — the survival curve behind
     * every retention/LTV model, with censoring done right: a user's
     * lifetime is last-active − first-active in HOURS (the corpus spans
@@ -2162,7 +2261,10 @@ object EventQueries {
     "q277_forecast_backtest" -> (forecastBacktest _),
     "q288_median_of_medians" -> (medianOfMedians _),
     "q291_percentile_drift" -> (percentileDrift _),
+    "q292_distribution_drift" -> (distributionDrift _),
     "q293_randomization_health" -> (randomizationHealth _),
+    "q297_out_of_order_audit" -> (outOfOrderAudit _),
+    "q299_session_profile" -> (sessionProfile _),
     "q278_peak_concurrency" -> (peakConcurrency _),
     "q280_conversion_paths" -> (conversionPaths _),
     "q120_gap_fill" -> (gapFillHourly _),
@@ -2459,6 +2561,97 @@ object EventQueries {
         |    AS DOUBLE) AS ewma
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q292: same midpoint-day split, same 5000-cent buckets, same
+    // single-division L1 in floor bp.
+    "q292_distribution_drift" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    coalesce(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT),
+        |      0) AS cents
+        |  FROM events
+        |), bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |bk AS (
+        |  SELECT event_type,
+        |    CASE WHEN day < ((SELECT d0 FROM bd) + (SELECT d1 FROM bd)
+        |      + 1) // 2 THEN 'a' ELSE 'b' END AS half,
+        |    cents // 5000 AS bucket, count(*) AS n
+        |  FROM e GROUP BY 1, 2, 3
+        |), j AS (
+        |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |    coalesce(a.bucket, b.bucket) AS bucket,
+        |    coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b
+        |  FROM (SELECT event_type, bucket, n FROM bk WHERE half = 'a') a
+        |  FULL OUTER JOIN
+        |    (SELECT event_type, bucket, n FROM bk WHERE half = 'b') b
+        |  ON a.event_type = b.event_type AND a.bucket = b.bucket
+        |), t AS (
+        |  SELECT event_type, sum(n_a) AS ta, sum(n_b) AS tb
+        |  FROM j GROUP BY 1
+        |), l AS (
+        |  SELECT j.event_type, max(t.ta) AS n_first, max(t.tb) AS n_second,
+        |    count(*) AS n_buckets,
+        |    sum(abs(j.n_a * t.tb - j.n_b * t.ta)) AS l1_raw
+        |  FROM j JOIN t ON j.event_type = t.event_type
+        |  GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n_first AS BIGINT) AS n_first,
+        |  CAST(n_second AS BIGINT) AS n_second, n_buckets,
+        |  CAST(CASE WHEN n_first * n_second > 0
+        |    THEN (10000 * l1_raw) // (2 * n_first * n_second)
+        |    ELSE 0 END AS BIGINT) AS drift_bp,
+        |  CASE WHEN (CASE WHEN n_first * n_second > 0
+        |      THEN (10000 * l1_raw) // (2 * n_first * n_second)
+        |      ELSE 0 END) > 1000
+        |    THEN 'drifted' ELSE 'stable' END AS verdict
+        |FROM l""".stripMargin,
+    // q297: same event_id adjacency, same backstep arithmetic.
+    "q297_out_of_order_audit" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS prev_tu
+        |  FROM events
+        |), f AS (
+        |  SELECT CASE WHEN tu < prev_tu THEN prev_tu - tu ELSE 0 END
+        |    AS backstep
+        |  FROM p WHERE prev_tu IS NOT NULL
+        |)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN backstep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_backward,
+        |  CAST(max(backstep) AS BIGINT) AS max_backstep_us,
+        |  CAST(CASE WHEN count(*) > 0
+        |    THEN (10000 * sum(CASE WHEN backstep > 0 THEN 1 ELSE 0 END))
+        |      // count(*)
+        |    ELSE 0 END AS BIGINT) AS backward_bp
+        |FROM f""".stripMargin,
+    // q299: same 30-min sessions, dyadic quartiles on integral columns.
+    "q299_session_profile" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, tu,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1
+        |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    (max(tu) - min(tu)) // 1000000 AS dur_s
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT count(*) AS n_sessions,
+        |  CAST(quantile_cont(n_events, 0.25) AS DOUBLE) AS p25_events,
+        |  CAST(quantile_cont(n_events, 0.5) AS DOUBLE) AS p50_events,
+        |  CAST(quantile_cont(n_events, 0.75) AS DOUBLE) AS p75_events,
+        |  CAST(quantile_cont(dur_s, 0.25) AS DOUBLE) AS p25_dur_s,
+        |  CAST(quantile_cont(dur_s, 0.5) AS DOUBLE) AS p50_dur_s,
+        |  CAST(quantile_cont(dur_s, 0.75) AS DOUBLE) AS p75_dur_s
+        |FROM sess""".stripMargin,
     // q288: two identical dyadic quantile passes; every interpolation a
     // midpoint of integral-or-half values.
     "q288_median_of_medians" ->

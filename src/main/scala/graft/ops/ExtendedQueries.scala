@@ -1470,6 +1470,33 @@ object ExtendedQueries {
           expr("(10000 * (n_low + n_high)) div n_rows")).otherwise(0L))
   }
 
+  /** SALTING-FACTOR ADVISOR (q295) — q238 measures the skew; this one
+    * prescribes the fix: per candidate join key the skew factor ×10
+    * (`10·max_sz·n_keys div n_rows` — 10 = perfectly uniform) and the
+    * RECOMMENDED salt fan-out `max_sz·n_keys div n_rows` clamped to
+    * [1, 32] — exactly the factor that would level the heaviest key to
+    * the average — with a salt/no-salt verdict at a declared 4×
+    * tolerance. Pure integer prescriptions from one grouped count per
+    * key. */
+  def saltAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def report(keyCol: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_keys"), sum($"sz").as("n_rows"),
+          max($"sz").as("max_sz"))
+        .select(lit(keyCol).as("key_col"), $"n_keys", $"n_rows", $"max_sz",
+          when($"n_rows" > 0, expr("(10 * max_sz * n_keys) div n_rows"))
+            .otherwise(0L).as("skew_x10"),
+          greatest(lit(1L), least(lit(32L),
+            when($"n_rows" > 0, expr("(max_sz * n_keys) div n_rows"))
+              .otherwise(1L))).as("salt_factor"))
+        .withColumn("advice",
+          when($"skew_x10" > 40, "salt").otherwise("no_salt"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(report)
+      .reduce(_ unionByName _)
+  }
+
   /** RATIO-TO-PARENT HIERARCHY SHARES (q287) — the two-level
     * percent-of-parent readout every regional report opens with: exact
     * cents revenue per nation, each nation's share of its REGION and
@@ -1777,6 +1804,7 @@ object ExtendedQueries {
     "q279_ship_latency_sla" -> (shipLatencySla _),
     "q281_luhn_audit" -> (luhnAudit _),
     "q287_hierarchy_shares" -> (hierarchyShares _),
+    "q295_salt_advisor" -> (saltAdvisor _),
     "q238_join_skew_report" -> (joinSkewReport _),
     "q236_grouped_trend" -> (groupedTrend _),
     "q217_bitmap_distinct" -> (bitmapDistinct _),
@@ -2072,6 +2100,28 @@ object ExtendedQueries {
         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(cos2_bp AS BIGINT) AS cos2_bp, CAST(rk AS BIGINT) AS rank
         |FROM rk WHERE rk <= 3""".stripMargin,
+    // q295: same per-key size census, same clamped integer fan-out.
+    "q295_salt_advisor" -> {
+      def col(k: String) =
+        s"""(WITH s AS (SELECT $k AS k, count(*) AS sz FROM lineitem
+           |  GROUP BY 1),
+           |a AS (SELECT count(*) AS n_keys,
+           |  CAST(sum(sz) AS BIGINT) AS n_rows,
+           |  CAST(max(sz) AS BIGINT) AS max_sz FROM s)
+           |SELECT '$k' AS key_col, n_keys, n_rows, max_sz,
+           |  CAST(CASE WHEN n_rows > 0
+           |    THEN (10 * max_sz * n_keys) // n_rows ELSE 0 END AS BIGINT)
+           |    AS skew_x10,
+           |  CAST(greatest(1, least(32, CASE WHEN n_rows > 0
+           |    THEN (max_sz * n_keys) // n_rows ELSE 1 END)) AS BIGINT)
+           |    AS salt_factor,
+           |  CASE WHEN (CASE WHEN n_rows > 0
+           |      THEN (10 * max_sz * n_keys) // n_rows ELSE 0 END) > 40
+           |    THEN 'salt' ELSE 'no_salt' END AS advice
+           |FROM a)""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(col)
+        .mkString("\nUNION ALL\n")
+    },
     // q287: same exact-cents rollup, same two window totals and guarded
     // floor-bp shares.
     "q287_hierarchy_shares" ->

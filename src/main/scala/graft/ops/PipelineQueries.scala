@@ -1193,7 +1193,108 @@ object PipelineQueries {
           expr("(10000 * n_rows_at_risk) div n_rows")).otherwise(0L))
   }
 
+  /** QUOTA-EXACT STRATIFIED SAMPLER (q298) — q270's apportionment put
+    * to work: a 10% budget (`N div 10`) is Hamilton-split across
+    * event-type strata, then each stratum takes EXACTLY its quota by
+    * deterministic md5 rank (salted hash order, event-id tie-break) —
+    * the sampler that hits its stratum counts to the row, unlike any
+    * Bernoulli sampler. The census pins quota = taken per stratum and
+    * carries the Σ event_id checksum of the selected set, so a
+    * different selection (not just a different count) breaks the
+    * oracle. Ranks are windows per stratum; everything else is
+    * stratum-frame arithmetic. */
+  def stratifiedQuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_type", $"event_id")
+    val counts = e.groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+    val tot = counts.agg(sum($"n_events").as("n_total"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("n_total div 10"))
+      .withColumn("base_quota", expr("(budget * n_events) div n_total"))
+      .withColumn("remainder", expr("(budget * n_events) % n_total"))
+    val quotas = based
+      .withColumn("leftover",
+        $"budget" - sum($"base_quota").over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"remainder".desc, $"event_type")))
+      .withColumn("final_quota",
+        $"base_quota" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+      .select($"event_type", $"n_events", $"final_quota")
+    val ranked = e
+      .withColumn("hk", md5(concat(lit("sq:"), $"event_id".cast("string"))))
+      .withColumn("rn", row_number().over(Window.partitionBy($"event_type")
+        .orderBy($"hk", $"event_id")))
+    ranked.join(broadcast(quotas), Seq("event_type"))
+      .filter($"rn" <= $"final_quota")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_taken"), sum($"event_id").as("sum_taken_ids"))
+      .join(broadcast(quotas), Seq("event_type"))
+      .select($"event_type", $"n_events", $"final_quota", $"n_taken",
+        $"sum_taken_ids")
+  }
+
+  /** DATA-HEALTH SCORECARD (q300) — the one-row governance readout that
+    * composes five of the engine's audits into integer subscores
+    * (0-100) and one overall health score: content duplication (q283's
+    * head fingerprints), source freshness (q266's 24 h SLA), grid
+    * completeness (q273), k-anonymity (q285's QI groups), and shuffle
+    * balance (q290's pmod model). Every subscore is a guarded integer
+    * expression over a tiny census agg; the overall score is their
+    * floor mean. The scorecard is deliberately derived from the SAME
+    * rules as the underlying gates, so it can never disagree with
+    * them. */
+  def healthScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(md5(substring($"text", 1, 32)).as("fp"))
+    val dup = docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct($"fp").as("ndv_fp"))
+      .select(when($"n_docs" > 0,
+        expr("(100 * ndv_fp) div n_docs")).otherwise(100L)
+        .as("dup_score"))
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", unix_micros($"ts").as("tu"),
+        to_date($"ts").as("d"))
+    val fresh = ev.groupBy($"event_type").agg(max($"tu").as("mx"))
+      .crossJoin(broadcast(ev.agg(max($"tu").as("cm"))))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(expr("(cm - mx) div 3600000000") < 24, 1L).otherwise(0L))
+          .as("n_fresh"))
+      .select(when($"n_types" > 0,
+        expr("(100 * n_fresh) div n_types")).otherwise(100L)
+        .as("freshness_score"))
+    val present = ev.select($"d", $"event_type").distinct()
+    val complete = present.groupBy($"d")
+      .agg(count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(present.select($"event_type").distinct()
+        .agg(count(lit(1)).as("t"))))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"n_types" === $"t", 1L).otherwise(0L)).as("n_complete"))
+      .select(when($"n_days" > 0,
+        expr("(100 * n_complete) div n_days")).otherwise(100L)
+        .as("completeness_score"))
+    val anon = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", date_trunc("month", $"o_orderdate")
+        .cast("date").as("om"), $"o_orderstatus")
+      .agg(count(lit(1)).as("sz"))
+      .agg(min($"sz").as("k"))
+      .select(least(lit(100L), $"k" * 20).as("anonymity_score"))
+    val bal = Tables.lineitem(spark, dir)
+      .groupBy(pmod($"l_orderkey", lit(32)).as("pid"))
+      .agg(count(lit(1)).as("rows_p"))
+      .agg(sum($"rows_p").as("n"), max($"rows_p").as("mx"))
+      .select(when($"mx" * 32 > 0,
+        least(lit(100L), expr("(100 * n) div (mx * 32)"))).otherwise(0L)
+        .as("balance_score"))
+    dup.crossJoin(fresh).crossJoin(complete).crossJoin(anon).crossJoin(bal)
+      .withColumn("health_score",
+        expr("(dup_score + freshness_score + completeness_score + " +
+          "anonymity_score + balance_score) div 5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_stratified_quota_sample" -> (stratifiedQuotaSample _),
+    "q300_health_scorecard" -> (healthScorecard _),
     "q285_k_anonymity" -> (kAnonymityAudit _),
     "q270_quota_apportionment" -> (quotaApportionment _),
     "q222_pit_join" -> (pitJoin _),
@@ -1262,6 +1363,92 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q298: same Hamilton split of N div 10, same salted-md5 rank
+    // order, same Σ-id checksum of the selected set.
+    "q298_stratified_quota_sample" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+        |), t AS (SELECT sum(n_events) AS n_total FROM c),
+        |b AS (
+        |  SELECT event_type, n_events,
+        |    (SELECT n_total FROM t) // 10 AS budget,
+        |    (((SELECT n_total FROM t) // 10) * n_events)
+        |      // (SELECT n_total FROM t) AS base_quota,
+        |    (((SELECT n_total FROM t) // 10) * n_events)
+        |      % (SELECT n_total FROM t) AS remainder
+        |  FROM c
+        |), q AS (
+        |  SELECT event_type, n_events,
+        |    base_quota + CASE WHEN row_number() OVER
+        |        (ORDER BY remainder DESC, event_type)
+        |      <= budget - sum(base_quota) OVER () THEN 1 ELSE 0 END
+        |      AS final_quota
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5('sq:' || CAST(event_id AS VARCHAR)), event_id)
+        |      AS rn
+        |  FROM events
+        |), s AS (
+        |  SELECT r.event_type, count(*) AS n_taken,
+        |    CAST(sum(r.event_id) AS BIGINT) AS sum_taken_ids
+        |  FROM r JOIN q ON r.event_type = q.event_type
+        |  WHERE r.rn <= q.final_quota
+        |  GROUP BY 1
+        |)
+        |SELECT q.event_type, CAST(q.n_events AS BIGINT) AS n_events,
+        |  CAST(q.final_quota AS BIGINT) AS final_quota,
+        |  s.n_taken, s.sum_taken_ids
+        |FROM q JOIN s ON q.event_type = s.event_type""".stripMargin,
+    // q300: every subscore replayed from the same rule as its source
+    // gate, composed by scalar subqueries.
+    "q300_health_scorecard" ->
+      """WITH dup AS (
+        |  SELECT CASE WHEN count(*) > 0
+        |    THEN (100 * count(DISTINCT md5(substr(text, 1, 32))))
+        |      // count(*)
+        |    ELSE 100 END AS dup_score
+        |  FROM documents
+        |), fr AS (
+        |  SELECT CASE WHEN count(*) > 0
+        |    THEN (100 * sum(CASE WHEN ((SELECT max(epoch_us(ts))
+        |        FROM events) - mx) // 3600000000 < 24 THEN 1 ELSE 0 END))
+        |      // count(*)
+        |    ELSE 100 END AS freshness_score
+        |  FROM (SELECT event_type, max(epoch_us(ts)) AS mx
+        |    FROM events GROUP BY 1)
+        |), cp AS (
+        |  SELECT CASE WHEN count(*) > 0
+        |    THEN (100 * sum(CASE WHEN n_types = (SELECT
+        |        count(DISTINCT event_type) FROM events) THEN 1 ELSE 0
+        |      END)) // count(*)
+        |    ELSE 100 END AS completeness_score
+        |  FROM (SELECT CAST(ts AS DATE) AS d,
+        |      count(DISTINCT event_type) AS n_types
+        |    FROM events GROUP BY 1)
+        |), an AS (
+        |  SELECT least(100, min(sz) * 20) AS anonymity_score FROM (
+        |    SELECT o_orderpriority,
+        |      CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+        |      o_orderstatus, count(*) AS sz
+        |    FROM orders GROUP BY 1, 2, 3)
+        |), ba AS (
+        |  SELECT CASE WHEN max(rows_p) * 32 > 0
+        |    THEN least(100, (100 * sum(rows_p)) // (max(rows_p) * 32))
+        |    ELSE 0 END AS balance_score
+        |  FROM (SELECT l_orderkey % 32 AS pid, count(*) AS rows_p
+        |    FROM lineitem GROUP BY 1)
+        |)
+        |SELECT CAST(dup_score AS BIGINT) AS dup_score,
+        |  CAST(freshness_score AS BIGINT) AS freshness_score,
+        |  CAST(completeness_score AS BIGINT) AS completeness_score,
+        |  CAST(anonymity_score AS BIGINT) AS anonymity_score,
+        |  CAST(balance_score AS BIGINT) AS balance_score,
+        |  CAST((dup_score + freshness_score + completeness_score +
+        |    anonymity_score + balance_score) // 5 AS BIGINT)
+        |    AS health_score
+        |FROM dup, fr, cp, an, ba""".stripMargin,
     // q285: same quasi-identifier tuple (month via date_trunc), same
     // k=5 rule and guarded share.
     "q285_k_anonymity" ->

@@ -1490,7 +1490,47 @@ object SourceQueries {
         when($"run_share_bp" <= 2000, "rle").otherwise("plain"))
   }
 
+  /** FUNCTIONAL-DEPENDENCY DISCOVERY (q296) — the schema-profiling
+    * probe behind key inference and normalization advice: a candidate
+    * FD `det → dep` holds iff `ndv(det) = ndv(det, dep)` (adding the
+    * dependent creates no new groups). Five candidates spanning true
+    * (the PK, a derived column) and false (attribute pairs) verdicts;
+    * each NDV is its own column-pruned distinct agg (the q260 lesson —
+    * never one giant multi-distinct expand), assembled by crossJoin and
+    * unpivoted. `n_violating_groups = ndv_combo − ndv_det` quantifies
+    * HOW broken a failed FD is. */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("l_orderbucket", expr("l_orderkey div 1000"))
+    val cands = Seq(
+      ("l_orderkey", "l_returnflag",
+        Seq("l_orderkey"), Seq("l_orderkey", "l_returnflag")),
+      ("l_orderkey", "l_shipdate",
+        Seq("l_orderkey"), Seq("l_orderkey", "l_shipdate")),
+      ("l_partkey", "l_suppkey",
+        Seq("l_partkey"), Seq("l_partkey", "l_suppkey")),
+      ("l_orderkey,l_linenumber", "l_partkey",
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey")),
+      ("l_orderkey", "l_orderbucket",
+        Seq("l_orderkey"), Seq("l_orderkey", "l_orderbucket")))
+    val wide = cands.zipWithIndex.map { case ((_, _, det, combo), i) =>
+      li.agg(countDistinct(struct(det.map(col): _*)).as(s"d_$i"))
+        .crossJoin(li.agg(
+          countDistinct(struct(combo.map(col): _*)).as(s"c_$i")))
+    }.reduce(_ crossJoin _)
+    val rows = cands.zipWithIndex.map { case ((d, dep, _, _), i) =>
+      s"'$d', '$dep', d_$i, c_$i"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${cands.length}, $rows) AS " +
+      "(determinant, dependent, ndv_det, ndv_combo)")
+      .withColumn("holds", $"ndv_det" === $"ndv_combo")
+      .withColumn("n_violating_groups", $"ndv_combo" - $"ndv_det")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_fd_discovery" -> (fdDiscovery _),
     "q289_working_set_coverage" -> (workingSetCoverage _),
     "q290_hash_partition_balance" -> (hashPartitionBalance _),
     "q294_rle_advisor" -> (rleAdvisor _),
@@ -1597,6 +1637,40 @@ object SourceQueries {
           |      ELSE length(bin(ndv - 1)) END))) // plain_bits
           |    ELSE 0 END AS BIGINT) AS savings_bp
           |FROM w""".stripMargin
+    },
+    // q296: same ndv(det) = ndv(det∪dep) rule via scalar subqueries.
+    "q296_fd_discovery" -> {
+      def row(d: String, dep: String, det: String, combo: String) =
+        s"""SELECT '$d' AS determinant, '$dep' AS dependent,
+           |  CAST((SELECT count(*) FROM (SELECT DISTINCT $det FROM li))
+           |    AS BIGINT) AS ndv_det,
+           |  CAST((SELECT count(*) FROM (SELECT DISTINCT $combo FROM li))
+           |    AS BIGINT) AS ndv_combo""".stripMargin
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    l_returnflag, l_shipdate, l_orderkey // 1000 AS l_orderbucket
+        |  FROM lineitem
+        |), u AS (
+        |""".stripMargin +
+        Seq(
+          ("l_orderkey", "l_returnflag", "l_orderkey",
+            "l_orderkey, l_returnflag"),
+          ("l_orderkey", "l_shipdate", "l_orderkey",
+            "l_orderkey, l_shipdate"),
+          ("l_partkey", "l_suppkey", "l_partkey", "l_partkey, l_suppkey"),
+          ("l_orderkey,l_linenumber", "l_partkey",
+            "l_orderkey, l_linenumber",
+            "l_orderkey, l_linenumber, l_partkey"),
+          ("l_orderkey", "l_orderbucket", "l_orderkey",
+            "l_orderkey, l_orderbucket"))
+          .map { case (d, dep, det, combo) => row(d, dep, det, combo) }
+          .mkString("\nUNION ALL\n") +
+        """
+          |)
+          |SELECT determinant, dependent, ndv_det, ndv_combo,
+          |  ndv_det = ndv_combo AS holds,
+          |  ndv_combo - ndv_det AS n_violating_groups
+          |FROM u""".stripMargin
     },
     // q289: same (freq desc, key) ranks, same 2·cum ≥ n crossing.
     "q289_working_set_coverage" ->
