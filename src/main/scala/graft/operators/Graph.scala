@@ -183,4 +183,57 @@ object Graph {
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
   }
+
+  /** Mean-core peeling census: `rounds` synchronous rounds of k-core
+    * peeling with k fixed to the ORIGINAL graph's floor-mean degree
+    * (`sum(deg) div n_vertices` — data-dependent but integer-exact, so
+    * both engines derive the identical k; a literal k would be degenerate
+    * across scale factors because co-occurrence degree grows with SF).
+    *
+    * Round r drops every vertex whose degree in the round-(r−1) graph is
+    * below k, then keeps only edges with both endpoints surviving — the
+    * standard iterated subgraph of the k-core computation, stopped after
+    * a FIXED round count (like [[labelPropagation]]'s fixed trajectory)
+    * so the whole path is oracle-replayable as chained CTEs. Returns one
+    * row per round: (round, n_removed, n_kept, n_edges).
+    *
+    * Scale shape: each round is one degree hash-agg + two vertex-keyed
+    * semi-joins; the surviving edge set is CHECKPOINTED per round (tiny
+    * parquet hop, same rationale as the q125 edge checkpoint — the census
+    * row AND the next round both re-read it, and the census frame is
+    * consumed lazily long after this method returns). Driver state is
+    * nil: k travels as a broadcast 1-row cross join, never a collect. */
+  def kCorePeelCensus(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, rounds: Int = 3): DataFrame = {
+    def ckpt(df: DataFrame, tag: String): DataFrame = {
+      val p = graft.Scratch.fresh("graft_kcore_").resolve(tag).toString
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("vtx")).unionAll(e.select(col("v").as("vtx")))
+        .groupBy(col("vtx")).agg(count(lit(1)).as("deg"))
+    val k0 = degrees(edges)
+      .agg(expr("sum(deg) div count(*)").as("k"))
+    var cur = edges.select(col("u"), col("v"))
+    val census = (1 to rounds).map { r =>
+      val deg = degrees(cur)
+      val keep = ckpt(
+        deg.crossJoin(broadcast(k0)).filter(col("deg") >= col("k"))
+          .select(col("vtx")), s"keep$r")
+      val next = ckpt(
+        cur.join(keep.select(col("vtx").as("u")), Seq("u"))
+          .join(keep.select(col("vtx").as("v")), Seq("v"))
+          .select(col("u"), col("v")), s"e$r")
+      val row = deg.agg(count(lit(1)).as("n_before"))
+        .crossJoin(keep.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(next.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r).as("round"),
+          (col("n_before") - col("n_kept")).as("n_removed"),
+          col("n_kept"), col("n_edges"))
+      cur = next
+      row
+    }
+    census.reduce(_ unionAll _)
+  }
 }

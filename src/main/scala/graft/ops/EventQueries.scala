@@ -2224,7 +2224,51 @@ object EventQueries {
         (lit(1) + above($"monetary_cents", "mc")).cast("int").as("m_score"))
   }
 
+  /** Additive seasonal decomposition of the daily event count — the
+    * transcendental-free cousin of STL that a traffic dashboard ships:
+    * trend = centered 7-day floor-mean (only days with a FULL window, so
+    * the series edges never carry a partial-window artifact), weekday
+    * seasonal = per-day-of-week floor-mean of the detrended series,
+    * remainder = what neither explains. The day grid is built from a
+    * min/max date spine (missing days count 0), so row adjacency in the
+    * trend window is CALENDAR adjacency, not data adjacency.
+    *
+    * Exactness: counts and all three components are BIGINT; the seasonal
+    * mean can be negative, and Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors — the +1e9·n bias keeps every division's
+    * numerator positive, where the two semantics coincide (same trick as
+    * the growth-accounting gates). Scale: the daily frame is
+    * date-cardinality bounded (365·years rows), so its unpartitioned
+    * 7-row window and the 7-row seasonal broadcast are driver-safe by
+    * construction; the only data-sized work is the first groupBy(day). */
+  def seasonalDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily0 = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = daily0.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val daily = spine.join(daily0, Seq("day"), "left")
+      .select($"day", coalesce($"cnt", lit(0L)).as("cnt"))
+    val w = Window.orderBy($"day").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sum", sum($"cnt").over(w))
+      .filter($"w_n" === 7)
+      .withColumn("trend", expr("w_sum div 7"))
+      .withColumn("detrended", $"cnt" - $"trend")
+      .withColumn("dow", dayofweek($"day"))
+    val seas = t.groupBy($"dow").agg(
+      expr("((sum(detrended) + 1000000000 * count(*)) div count(*)) - 1000000000")
+        .as("seasonal"))
+    t.join(broadcast(seas), "dow")
+      .select($"day", $"cnt", $"trend", $"seasonal",
+        ($"detrended" - $"seasonal").as("remainder"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_seasonal_decomposition" -> (seasonalDecomposition _),
     "q147_rfm_segmentation" -> (rfmSegmentation _),
     "q145_sequence_audit" -> (sequenceAudit _),
     "q146_typed_json" -> (typedJson _),
@@ -2291,6 +2335,38 @@ object EventQueries {
     "q227_streaming_full_outer" -> (streamingFullOuterJoin _))
 
   val oracle: Map[String, String] = Map(
+    // q304: same spine/window/bias-div trajectory; DuckDB dayofweek is
+    // 0-based (+1 aligns with Spark); `//` floors vs Spark's truncating
+    // `div` — coincident because the bias keeps numerators positive.
+    "q304_seasonal_decomposition" ->
+      """WITH daily0 AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b
+        |), daily AS (
+        |  SELECT s.day, coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+        |  FROM spine s LEFT JOIN daily0 USING (day)
+        |), win AS (
+        |  SELECT day, cnt, count(*) OVER w AS w_n, sum(cnt) OVER w AS w_sum
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), t AS (
+        |  SELECT day, cnt, CAST(w_sum // 7 AS BIGINT) AS trend,
+        |    CAST(cnt - (w_sum // 7) AS BIGINT) AS detrended,
+        |    dayofweek(day) + 1 AS dow
+        |  FROM win WHERE w_n = 7
+        |), seas AS (
+        |  SELECT dow,
+        |    CAST(((sum(detrended) + 1000000000 * count(*)) // count(*))
+        |      - 1000000000 AS BIGINT) AS seasonal
+        |  FROM t GROUP BY dow
+        |)
+        |SELECT t.day, t.cnt, t.trend, seas.seasonal,
+        |  CAST(t.detrended - seas.seasonal AS BIGINT) AS remainder
+        |FROM t JOIN seas USING (dow)""".stripMargin,
     // q182: the TWS processor's count + integer-cent sum per user is the
     // plain batch aggregate (sentinels are flush signals, never data; the
     // coalesce mirrors the engine's null-value-adds-0 rule).

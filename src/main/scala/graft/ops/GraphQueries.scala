@@ -96,12 +96,22 @@ object GraphQueries {
   def lpaCensus(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.labelPropagation(coPurchaseEdges(spark, dir))
 
+  /** Mean-core peeling trajectory
+    * ([[graft.operators.Graph.kCorePeelCensus]] — 3 synchronous rounds at
+    * k = the original graph's floor-mean degree). The oracle derives the
+    * identical integer k and unrolls the same three
+    * degree→filter→subgraph rounds as chained CTEs, so every per-round
+    * removal count is checked, not just the final core size. */
+  def kcoreCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCorePeelCensus(spark, coPurchaseEdges(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_triangle_count" -> (triangles _),
     "q126_degree_histogram" -> (degreeHist _),
     "q130_pagerank" -> (pagerank _),
     "q219_bfs_frontiers" -> (bfsCensus _),
-    "q224_label_propagation" -> (lpaCensus _))
+    "q224_label_propagation" -> (lpaCensus _),
+    "q301_kcore_peeling" -> (kcoreCensus _))
 
   private val edgesSql =
     """i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -245,5 +255,46 @@ object GraphQueries {
          |    FROM c3) WHERE rn = 1
          |)
          |SELECT lbl AS community, count(*) AS n_members
-         |FROM l3 GROUP BY 1""".stripMargin)
+         |FROM l3 GROUP BY 1""".stripMargin,
+    // q301: identical integer k (floor-mean degree of the ORIGINAL graph)
+    // and the same three degree→filter→subgraph rounds, unrolled.
+    "q301_kcore_peeling" ->
+      s"""WITH $edgesSql,
+         |d0 AS (
+         |  SELECT vtx, count(*) AS deg
+         |  FROM (SELECT u AS vtx FROM e UNION ALL SELECT v AS vtx FROM e)
+         |  GROUP BY vtx
+         |),
+         |kk AS (SELECT CAST(sum(deg) // count(*) AS BIGINT) AS k FROM d0),
+         |k1 AS (SELECT vtx FROM d0, kk WHERE deg >= k),
+         |e1 AS (SELECT u, v FROM e
+         |       JOIN k1 a ON a.vtx = e.u JOIN k1 b ON b.vtx = e.v),
+         |d1 AS (
+         |  SELECT vtx, count(*) AS deg
+         |  FROM (SELECT u AS vtx FROM e1 UNION ALL SELECT v AS vtx FROM e1)
+         |  GROUP BY vtx
+         |),
+         |k2 AS (SELECT vtx FROM d1, kk WHERE deg >= k),
+         |e2 AS (SELECT e1.u, e1.v FROM e1
+         |       JOIN k2 a ON a.vtx = e1.u JOIN k2 b ON b.vtx = e1.v),
+         |d2 AS (
+         |  SELECT vtx, count(*) AS deg
+         |  FROM (SELECT u AS vtx FROM e2 UNION ALL SELECT v AS vtx FROM e2)
+         |  GROUP BY vtx
+         |),
+         |k3 AS (SELECT vtx FROM d2, kk WHERE deg >= k),
+         |e3 AS (SELECT e2.u, e2.v FROM e2
+         |       JOIN k3 a ON a.vtx = e2.u JOIN k3 b ON b.vtx = e2.v)
+         |SELECT CAST(1 AS INTEGER) AS round,
+         |  CAST((SELECT count(*) FROM d0) - (SELECT count(*) FROM k1) AS BIGINT) AS n_removed,
+         |  CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_kept,
+         |  CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges
+         |UNION ALL SELECT CAST(2 AS INTEGER),
+         |  CAST((SELECT count(*) FROM d1) - (SELECT count(*) FROM k2) AS BIGINT),
+         |  CAST((SELECT count(*) FROM k2) AS BIGINT),
+         |  CAST((SELECT count(*) FROM e2) AS BIGINT)
+         |UNION ALL SELECT CAST(3 AS INTEGER),
+         |  CAST((SELECT count(*) FROM d2) - (SELECT count(*) FROM k3) AS BIGINT),
+         |  CAST((SELECT count(*) FROM k3) AS BIGINT),
+         |  CAST((SELECT count(*) FROM e3) AS BIGINT)""".stripMargin)
 }

@@ -274,6 +274,120 @@ object PipelineQueries {
       .filter($"edit_distance" <= lit(20))
   }
 
+  /** SymSpell deletion-neighborhood linkage: every customer-name pair at
+    * edit distance ≤ 1, found via the 1-deletion key trick — two strings
+    * are within one edit iff they share a key in {s} ∪ {s minus one char}
+    * (complete for distance 1, unlike q89's min-shingle blocking which is
+    * recall-best-effort). Candidates are verified with `levenshtein` and
+    * reported as a neighbor-count census.
+    *
+    * Scale shape: key generation is a per-row array fan-out (length+1 keys
+    * per name — linear in total characters), candidates come from ONE
+    * equi-join on the deletion key, never an all-pairs compare; key-group
+    * sizes are bounded by the alphabet (only substitutions at one position
+    * share a key), so the join has no skew cliff. At 100 TB this is the
+    * standard spell-correction / entity-resolution blocking layout:
+    * dictionary keys partition by hash, probes stream against them. */
+  def symspellLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.customer(spark, dir).select($"c_name".as("name"))
+    // key set = {name} ∪ 1-deletions(name): the identity key catches
+    // insert/delete pairs (lengths differ by 1), the deletions catch
+    // substitutions — together complete for distance ≤ 1.
+    val dels = names
+      .select($"name", explode(expr(
+        """concat(array(name), transform(sequence(1, length(name)),
+          |  i -> concat(substr(name, 1, i-1), substr(name, i+1))))""".stripMargin))
+        .as("k"))
+      .distinct()
+    val cand = dels.as("a")
+      .join(dels.as("b"), $"a.k" === $"b.k" && $"a.name" < $"b.name")
+      .select($"a.name".as("na"), $"b.name".as("nb"))
+      .distinct()
+    val verified = cand.filter(levenshtein($"na", $"nb") <= 1)
+    verified.select($"na".as("vtx")).unionAll(verified.select($"nb".as("vtx")))
+      .groupBy($"vtx").agg(count(lit(1)).as("n_neighbors"))
+      .groupBy($"n_neighbors").agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Systematic probability-proportional-to-size sampling: walk the
+    * key-ordered weight axis (exact retail-price cents) and take every item
+    * whose cumulative weight crosses a multiple of step = total/100 — the
+    * deterministic, transcendental-free PPS design (complements q298's
+    * quota sampler and q174's priority sampler: this one is
+    * weight-proportional AND spacing-guaranteed).
+    *
+    * The cumulative sum is the scale problem: a single
+    * `sum() OVER (ORDER BY key)` serializes the table through one task.
+    * Here it is the classic TWO-PHASE distributed prefix sum — fixed key
+    * blocks (`p_partkey div 1000`) cumsum WITHIN blocks (partitioned
+    * window, parallel), block totals get their running offsets on a frame
+    * 1000× smaller than the data (recurse the same trick for another
+    * 1000× if that frame ever matters), and a broadcast join stitches the
+    * two. Because blocks are key-monotone, block-offset + in-block cumsum
+    * equals the global key-ordered cumsum exactly — which is what the
+    * oracle computes with the plain single-node window. Every crossing
+    * test is integer floor-div on both engines; step > 0 guards the
+    * degenerate empty-table case. */
+  def ppsSystematicSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_brand",
+      ($"p_retailprice".cast("decimal(14,2)") * 100).cast("long").as("w"))
+    val blocked = p.withColumn("blk", expr("p_partkey div 1000"))
+    val blkSums = blocked.groupBy($"blk").agg(sum($"w").as("bw"))
+    val wBlk = Window.orderBy($"blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blkSums
+      .withColumn("off", coalesce(sum($"bw").over(wBlk), lit(0L)))
+      .select($"blk", $"off")
+    val wIn = Window.partitionBy($"blk").orderBy($"p_partkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = blocked.join(broadcast(offsets), "blk")
+      .withColumn("cw", $"off" + sum($"w").over(wIn))
+    val tot = p.agg(sum($"w").as("tw"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("step", expr("tw div 100"))
+      .filter($"step" > 0 &&
+        expr("(cw - w) div step") < expr("cw div step"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_selected"), sum($"w").as("sel_weight_cents"))
+  }
+
+  /** Leakage-free (out-of-fold) target encoding — the feature-engineering
+    * staple for categorical columns: each (category, fold) cell's encoding
+    * is the target mean computed from every OTHER fold, so a training row
+    * never sees its own label. Folds are a salted-md5 hash of the order
+    * key (deterministic, engine-exact); the target is exact order-total
+    * cents; the mean is a guarded BIGINT floor-div.
+    *
+    * Scale shape: two hash-aggs over the same fact scan (per-cell and
+    * per-category) + one broadcast join of the tiny per-category totals
+    * back onto the cells — the encoding never shuffles the fact table
+    * twice and never windows. The classic trap this formulation avoids:
+    * computing each fold's complement with an anti-join per fold (k scans)
+    * instead of complement-by-subtraction (one scan). */
+  def oofTargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select(
+      $"o_custkey",
+      ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("cents"),
+      (conv(substring(md5(concat(lit("oof:"), $"o_orderkey".cast("string"))),
+        1, 8), 16, 10).cast("long") % 5).as("fold"))
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment".as("segment"))
+    val j = o.join(c, $"o_custkey" === $"c_custkey")
+      .select($"segment", $"fold", $"cents")
+    val byCell = j.groupBy($"segment", $"fold")
+      .agg(count(lit(1)).as("n_fold"), sum($"cents").as("sum_fold"))
+    val bySeg = j.groupBy($"segment")
+      .agg(count(lit(1)).as("n_seg"), sum($"cents").as("sum_seg"))
+    byCell.join(broadcast(bySeg), "segment")
+      .select($"segment", $"fold", $"n_fold",
+        when($"n_seg" > $"n_fold",
+          expr("(sum_seg - sum_fold) div (n_seg - n_fold)"))
+          .otherwise(lit(0L)).as("oof_enc_cents"))
+  }
+
   /** Temperature-based corpus mixing (α = 0.5): down-sample every source so
     * kept counts are proportional to n_i^α — the standard multi-corpus
     * rebalance that keeps big crawls from drowning small curated sets.
@@ -1315,6 +1429,9 @@ object PipelineQueries {
     "q85_sequence_packing" -> (sequencePacking _),
     "q88_decontamination" -> (decontamination _),
     "q89_edit_distance_pairs" -> (editDistancePairs _),
+    "q302_symspell_linkage" -> (symspellLinkage _),
+    "q303_oof_target_encoding" -> (oofTargetEncoding _),
+    "q306_pps_systematic_sample" -> (ppsSystematicSample _),
     "q91_temperature_mix" -> (temperatureMix _),
     "q102_temperature_mix_alpha34" -> (temperatureMixAlpha34 _),
     "q94_shard_assignment" -> (shardAssignment _),
@@ -1693,6 +1810,81 @@ object PipelineQueries {
       """SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT) AS copy_id
         |FROM (SELECT doc_id, source, least(3, 1 + n_chars // 100) AS n_rep
         |      FROM documents)""".stripMargin,
+    // q306: the oracle's single-node global cumsum equals the engine's
+    // two-phase blocked prefix sum exactly (blocks are key-monotone).
+    "q306_pps_systematic_sample" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand,
+        |    CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS w
+        |  FROM part
+        |), c AS (
+        |  SELECT p_partkey, p_brand, w,
+        |    CAST(sum(w) OVER (ORDER BY p_partkey ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cw
+        |  FROM p
+        |), t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM p),
+        |sel AS (
+        |  SELECT p_brand, w FROM c, t
+        |  WHERE (tw // 100) > 0
+        |    AND ((cw - w) // (tw // 100)) < (cw // (tw // 100))
+        |)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_selected,
+        |  CAST(sum(w) AS BIGINT) AS sel_weight_cents
+        |FROM sel GROUP BY p_brand""".stripMargin,
+    // q303: identical salted-md5 fold, exact cents, complement-by-
+    // subtraction with the same guarded floor-div.
+    "q303_oof_target_encoding" -> {
+      val msum = (0 until 8).map { i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+      }.mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_custkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+         |    substr(md5('oof:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hx
+         |  FROM orders
+         |), j AS (
+         |  SELECT c.c_mktsegment AS segment,
+         |    CAST(($msum) % 5 AS BIGINT) AS fold, cents
+         |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+         |), cell AS (
+         |  SELECT segment, fold, CAST(count(*) AS BIGINT) AS n_fold,
+         |    CAST(sum(cents) AS BIGINT) AS sum_fold
+         |  FROM j GROUP BY segment, fold
+         |), seg AS (
+         |  SELECT segment, CAST(count(*) AS BIGINT) AS n_seg,
+         |    CAST(sum(cents) AS BIGINT) AS sum_seg
+         |  FROM j GROUP BY segment
+         |)
+         |SELECT cell.segment, fold, n_fold,
+         |  CAST(CASE WHEN n_seg > n_fold
+         |    THEN (sum_seg - sum_fold) // (n_seg - n_fold)
+         |    ELSE 0 END AS BIGINT) AS oof_enc_cents
+         |FROM cell JOIN seg ON cell.segment = seg.segment""".stripMargin
+    },
+    // q302: identical key set ({name} ∪ 1-deletions) via unnest(range),
+    // same candidate equi-join + levenshtein verify, same census.
+    "q302_symspell_linkage" ->
+      """WITH nm AS (SELECT c_name AS name FROM customer),
+        |del0 AS (SELECT name, unnest(range(1, length(name)+1)) AS i FROM nm),
+        |del AS (
+        |  SELECT DISTINCT name, name AS k FROM nm
+        |  UNION
+        |  SELECT DISTINCT name, substr(name, 1, i-1) || substr(name, i+1)
+        |  FROM del0
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS na, b.name AS nb
+        |  FROM del a JOIN del b ON a.k = b.k AND a.name < b.name
+        |),
+        |ver AS (SELECT na, nb FROM cand WHERE levenshtein(na, nb) <= 1),
+        |nbr AS (
+        |  SELECT vtx, count(*) AS n_neighbors
+        |  FROM (SELECT na AS vtx FROM ver UNION ALL SELECT nb AS vtx FROM ver)
+        |  GROUP BY vtx
+        |)
+        |SELECT CAST(n_neighbors AS BIGINT) AS n_neighbors,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM nbr GROUP BY n_neighbors""".stripMargin,
     "q89_edit_distance_pairs" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents

@@ -1233,6 +1233,57 @@ object SourceQueries {
     morLayout(spark, dir): Unit
     ivmBasePath(spark, dir): Unit
     hiddenLayout(spark, dir): Unit
+    blobDir(spark, dir): Unit
+  }
+
+  /** One blob file per document (`doc_<id>.txt`, UTF-8 of `text`), written
+    * from the EXECUTORS (foreachPartition + java.nio — a distributed
+    * object-store export, no driver collect), built once per (JVM, dir):
+    * the q305 gate times the binaryFile SCAN it claims, not this export. */
+  private val blobBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def blobDir(spark: SparkSession, dir: String): String =
+    blobBuilt.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val out = graft.Scratch.named(s"q305_${graft.Scratch.dirKey(dir)}")
+        .resolve("blobs")
+      java.nio.file.Files.createDirectories(out)
+      val outS = out.toString
+      Tables.documents(spark, dir).select($"doc_id", $"text")
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outS, s"doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          }
+        }
+      outS
+    })
+
+  /** MULTIMODAL BLOB SOURCE (q305): scan a directory of opaque per-document
+    * files with Spark's `binaryFile` source — the ingestion shape every
+    * image/audio corpus starts from (one object per sample, metadata in the
+    * path) — and reconcile it against the tabular twin: doc id parsed from
+    * the filename, byte length from the source's `length` column (never a
+    * content read for sizing), and an order-independent Σ of per-file
+    * 48-bit md5 digests per bucket (q200's manifest rule applied to a file
+    * store). The oracle computes the identical census from the documents
+    * table, so a lost, duplicated, or bit-flipped blob breaks the hash.
+    *
+    * Scale: binaryFile lists + reads files in parallel tasks (maxPartitionBytes
+    * batching); the census is one hash-agg on an 8-value key. */
+  def binaryFileCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(blobDir(spark, dir))
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+        $"length",
+        conv(substring(md5($"content"), 1, 12), 16, 10).cast("long").as("digest48"))
+      .groupBy(($"doc_id" % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_files"), sum($"length").as("total_bytes"),
+        sum($"digest48").as("content_sum48"))
   }
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1548,6 +1599,7 @@ object SourceQueries {
     "q189_schema_evolution" -> (schemaEvolutionRead _),
     "q191_orc_roundtrip" -> (orcRoundtrip _),
     "q202_rowgroup_skipping" -> (rowGroupSkipping _),
+    "q305_binaryfile_source" -> (binaryFileCensus _),
     "q229_zone_map_pruning" -> (zoneMapPrunedScan _),
     "q230_mor_positional_deletes" -> (morPositionalDeletes _),
     "q231_branch_merge" -> (branchMerge _),
@@ -1594,6 +1646,24 @@ object SourceQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q305: identical census from the tabular twin — strlen (DuckDB's
+    // byte length; octet_length only binds BLOB) for the blob's byte size
+    // (text is written as UTF-8), the same 48-bit md5 prefix per bucket.
+    "q305_binaryfile_source" -> {
+      val dsum = (0 until 12).map { i =>
+        s"(strpos('0123456789abcdef', substr(dh, ${i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, strlen(text) AS blen,
+         |    substr(md5(text), 1, 12) AS dh
+         |  FROM documents
+         |)
+         |SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(blen) AS BIGINT) AS total_bytes,
+         |  CAST(sum($dsum) AS BIGINT) AS content_sum48
+         |FROM d GROUP BY 1""".stripMargin
+    },
     // q260: one union-per-column census; every min/max rendering rule is
     // engine-identical (BIGINT/INT/VARCHAR/DATE/cents — no floats).
     "q260_analyze_stats" -> {

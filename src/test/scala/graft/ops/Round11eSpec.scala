@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the q301-q306 batch: peeling monotonicity, the SymSpell
+  * completeness theorem checked against brute force, leakage-free encoding
+  * re-derived by per-fold anti-join, the additive decomposition identity,
+  * blob-store/tabular reconciliation, and the PPS boundary-count bound. */
+class Round11eSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q301: peeling is monotone and each round's census is conserved") {
+    val rows = GraphQueries.kcoreCensus(spark, sf0001)
+      .orderBy($"round").collect()
+    assert(rows.length == 3)
+    val kept = rows.map(_.getAs[Long]("n_kept"))
+    val edges = rows.map(_.getAs[Long]("n_edges"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => b <= a },
+      "survivor count never grows")
+    assert(edges.zip(edges.tail).forall { case (a, b) => b <= a },
+      "edge count never grows")
+    // round r's (kept + removed) = vertices entering round r; for r ≥ 2
+    // that is at most the previous round's survivor count (isolated
+    // survivors vanish from the edge list between rounds)
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      val entering = cur.getAs[Long]("n_kept") + cur.getAs[Long]("n_removed")
+      assert(entering <= prev.getAs[Long]("n_kept"))
+    }
+  }
+
+  test("q302: deletion-neighborhood blocking is COMPLETE for distance 1") {
+    // brute force: all customer-name pairs within levenshtein 1
+    val names = graft.Tables.customer(spark, sf0001)
+      .select($"c_name".as("name"))
+    val brute = names.as("a").crossJoin(names.as("b"))
+      .filter($"a.name" < $"b.name" &&
+        levenshtein($"a.name", $"b.name") <= 1)
+      .count()
+    // census side: Σ n_neighbors · n_customers counts each pair twice
+    val census = PipelineQueries.symspellLinkage(spark, sf0001).collect()
+    val endpointSum = census
+      .map(r => r.getAs[Long]("n_neighbors") * r.getAs[Long]("n_customers"))
+      .sum
+    assert(endpointSum == 2 * brute,
+      s"blocking missed pairs: endpoints $endpointSum vs brute $brute")
+    assert(brute > 0, "corpus has distance-1 pairs (else the gate is vacuous)")
+  }
+
+  test("q303: encoding equals the brute-force complement mean per cell") {
+    val enc = PipelineQueries.oofTargetEncoding(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("fold")) ->
+        r.getAs[Long]("oof_enc_cents")).toMap
+    val o = graft.Tables.orders(spark, sf0001).select(
+      $"o_custkey",
+      ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("cents"),
+      (conv(substring(md5(concat(lit("oof:"), $"o_orderkey".cast("string"))),
+        1, 8), 16, 10).cast("long") % 5).as("fold"))
+    val c = graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_mktsegment".as("segment"))
+    val j = o.join(c, $"o_custkey" === $"c_custkey")
+      .select($"segment", $"fold", $"cents").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("fold"), r.getAs[Long]("cents")))
+    enc.foreach { case ((seg, fold), e) =>
+      val others = j.filter(t => t._1 == seg && t._2 != fold)
+      val expected =
+        if (others.isEmpty) 0L else others.map(_._3).sum / others.length
+      assert(e == expected, s"($seg, $fold): $e != $expected")
+    }
+  }
+
+  test("q304: cnt = trend + seasonal + remainder, exactly, on every row") {
+    val rows = EventQueries.seasonalDecomposition(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt") == r.getAs[Long]("trend") +
+        r.getAs[Long]("seasonal") + r.getAs[Long]("remainder"))
+    }
+  }
+
+  test("q305: blob census reconciles with the tabular twin's totals") {
+    val census = SourceQueries.binaryFileCensus(spark, sf0001).collect()
+    val docs = graft.Tables.documents(spark, sf0001)
+    assert(census.map(_.getAs[Long]("n_files")).sum == docs.count())
+    val expectedBytes = docs
+      .agg(sum(octet_length($"text"))).as[Long].head()
+    assert(census.map(_.getAs[Long]("total_bytes")).sum == expectedBytes)
+  }
+
+  test("q306: boundary-crossing count matches floor(total/step) exactly") {
+    val rows = PipelineQueries.ppsSystematicSample(spark, sf0001).collect()
+    val selected = rows.map(_.getAs[Long]("n_selected")).sum
+    val p = graft.Tables.part(spark, sf0001)
+      .select(($"p_retailprice".cast("decimal(14,2)") * 100).cast("long")
+        .as("w"))
+    val (total, maxW) = p.agg(sum($"w"), max($"w")).as[(Long, Long)].head()
+    val step = total / 100
+    assert(maxW < step,
+      "no item spans a full step at this SF, so crossings are 1:1 with items")
+    // cw runs over (0, total]; multiples of step in that range = total/step
+    assert(selected == total / step, s"$selected != ${total / step}")
+  }
+}
