@@ -2095,6 +2095,129 @@ object EventQueries {
         $"w.end".as("session_end_gap"), $"n_events", $"total_value")
   }
 
+  /** STREAMING session windows (q308): the identical
+    * `session_window(ts, gap)` expression as q138, executed under
+    * `readStream` with MERGING session state — the state-store class q92's
+    * flatMapGroupsWithState builds by hand, exercised through the
+    * declarative API (SessionWindowStateStore save/restore/merge exec
+    * nodes, not a user state function). The q92 two-batch drive
+    * (corpus file, then +100-day sentinels under maxFilesPerTrigger=1)
+    * advances the watermark past every real session so Append mode must
+    * flush them all; sentinels are filtered AFTER the watermark node, so
+    * they move event time without polluting any session. Equality with
+    * the q138 batch oracle proves merge-on-late-arrival state semantics
+    * land exactly the batch answer. */
+  /** Three-batch drive for watermark-APPEND flushes (q308): corpus, the
+    * q92 sentinel file, then the SAME sentinel again under a second path.
+    * Watermarks lag one batch (batch N emits with the watermark computed
+    * from batch N−1's data), and `processAllAvailable` only waits for
+    * DATA batches — a flush that relies on the engine's trailing no-data
+    * micro-batch races `stop()`. The third (data) batch runs with the
+    * sentinel-advanced watermark, so every real session MUST emit before
+    * the drive returns. Pure symlinks; nothing new is written. */
+  private val q308Drive =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q308DriveFor(spark: SparkSession, dir: String): String =
+    q308Drive.computeIfAbsent(dir, _ => {
+      import java.nio.file.{Files, Paths}
+      val (q92drive, _) = q92DriveFor(spark, dir)
+      val drive = graft.Scratch.named(s"q308_drive_${graft.Scratch.dirKey(dir)}")
+      Files.createSymbolicLink(drive.resolve("aa_events.parquet"),
+        Paths.get(s"$dir/events.parquet"))
+      Files.createSymbolicLink(drive.resolve("ww_sentinel.parquet"),
+        Paths.get(s"$q92drive/zz_sentinel.parquet"))
+      Files.createSymbolicLink(drive.resolve("zz_sentinel2.parquet"),
+        Paths.get(s"$q92drive/zz_sentinel.parquet"))
+      drive.toString
+    })
+
+  def streamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, sentinelUs) = q92DriveFor(spark, dir)
+    val drivePath = q308DriveFor(spark, dir)
+    // Sentinel rows flow INTO the aggregation: a pre-agg filter on
+    // event_type would be predicate-pushed BELOW the EventTimeWatermark
+    // node (it doesn't reference ts), silencing the very rows that must
+    // advance the watermark — measured as the last ~1 minute of sessions
+    // never flushing. Sentinel sessions sit +100 days out, are never
+    // passed by the watermark, never emit, and the post-agg start-time
+    // filter (q92's pattern) is belt-and-braces.
+    graft.streaming.Streaming.runOnce(spark, drivePath,
+      ev => {
+        Tables.rebuildNanosTs(ev)
+          .withWatermark("ts", "1 minute")
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(14,2)")).cast("double")
+              .as("total_value"))
+          .select($"user_id", $"w.start".as("session_start"),
+            $"w.end".as("session_end_gap"), $"n_events", $"total_value")
+      },
+      name = "q308_session_window_sink",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      .filter($"session_start" < timestamp_micros(lit(sentinelUs)))
+  }
+
+  /** TIME-GRID RESAMPLE + LINEAR INTERPOLATION (q307) — q198's forward
+    * fill answers "what was the last known value"; this answers the other
+    * resampling question, "what's the straight-line estimate between the
+    * two known neighbors" (the standard gap treatment for slowly-moving
+    * numeric series). One observation per (user, day) — the day's LAST
+    * event by (ts, event_id), exactly the oracle's row_number(DESC) —
+    * then a per-user calendar spine (each user's OWN first..last observed
+    * day, never a global span), prev/next known neighbors via
+    * ignore-nulls window functions, and exact-cents interpolation
+    * v = pv + (nv−pv)·(d−pd)/(nd−pd) in floor BIGINT with the +1e9·span
+    * bias (nv−pv can be negative; the bias keeps the numerator positive,
+    * where Spark's truncating `div` and DuckDB's flooring `//` agree).
+    *
+    * Scale: one (user, day) hash-agg, one per-user spine explode (bounded
+    * by span days), two windows over the SAME (user, day) partitioning —
+    * one sort serves both directions. */
+  def linearInterpolationResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id",
+        ($"value".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    val obs = ev
+      .groupBy($"user_id", $"day")
+      .agg(max(struct(unix_micros($"ts").as("us"), $"event_id", $"cents"))
+        .getField("cents").as("obs_cents"))
+    val grid = obs.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wPrev = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("pv", last($"obs_cents", ignoreNulls = true).over(wPrev))
+      .withColumn("pd",
+        last(when($"obs_cents".isNotNull, $"day"), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("nv", first($"obs_cents", ignoreNulls = true).over(wNext))
+      .withColumn("nd",
+        first(when($"obs_cents".isNotNull, $"day"), ignoreNulls = true)
+          .over(wNext))
+      .withColumn("v", when($"obs_cents".isNotNull, $"obs_cents")
+        // datediff yields INT — the 1e9 bias product must widen to BIGINT
+        // BEFORE multiplying or ANSI mode throws ARITHMETIC_OVERFLOW
+        .otherwise($"pv" + expr(
+          """((nv - pv) * CAST(datediff(day, pd) AS BIGINT)
+            |  + 1000000000 * CAST(datediff(nd, pd) AS BIGINT))
+            | div CAST(datediff(nd, pd) AS BIGINT)""".stripMargin)
+          - lit(1000000000L)))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        count($"obs_cents").as("n_observed"),
+        (count(lit(1)) - count($"obs_cents")).as("n_interpolated"),
+        sum($"v").as("series_sum_cents"))
+  }
+
   /** Streaming foreachBatch sink gate: the stream lands as per-micro-batch
     * parquet subdirectories (`batch_id=N`, the idempotent exactly-once-to-
     * storage layout — a replayed batch overwrites itself), then the landed
@@ -2269,6 +2392,8 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q304_seasonal_decomposition" -> (seasonalDecomposition _),
+    "q307_linear_interpolation" -> (linearInterpolationResample _),
+    "q308_streaming_session_window" -> (streamingSessionWindow _),
     "q147_rfm_segmentation" -> (rfmSegmentation _),
     "q145_sequence_audit" -> (sequenceAudit _),
     "q146_typed_json" -> (typedJson _),
@@ -2334,7 +2459,74 @@ object EventQueries {
     "q216_streaming_outer_join" -> (streamingOuterJoin _),
     "q227_streaming_full_outer" -> (streamingFullOuterJoin _))
 
+  /** The gap-flag + cumsum sessionizer (window.end = last event + gap) —
+    * ONE definition gates both the batch `session_window` expression
+    * (q138) and its streaming merging-state execution (q308). */
+  private val sessionWindowOracleSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q307: identical last-of-day pick (row_number ts DESC, event_id
+    // DESC), per-user spine, ignore-nulls neighbor windows, and the same
+    // bias-guarded integer lerp; DATE − DATE is already integer days.
+    "q307_linear_interpolation" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), obs AS (
+        |  SELECT user_id, day, cents AS obs_cents FROM (
+        |    SELECT user_id, day, cents, row_number() OVER (
+        |      PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1
+        |), b AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b
+        |), f AS (
+        |  SELECT g.user_id, g.day, o.obs_cents,
+        |    last_value(o.obs_cents IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN o.obs_cents IS NOT NULL THEN g.day END
+        |      IGNORE NULLS) OVER wp AS pd,
+        |    first_value(o.obs_cents IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN o.obs_cents IS NOT NULL THEN g.day END
+        |      IGNORE NULLS) OVER wn AS nd
+        |  FROM grid g LEFT JOIN obs o USING (user_id, day)
+        |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |), v AS (
+        |  SELECT user_id, day, obs_cents,
+        |    CASE WHEN obs_cents IS NOT NULL THEN obs_cents
+        |         ELSE pv + ((nv - pv) * (day - pd)
+        |           + 1000000000 * (nd - pd)) // (nd - pd) - 1000000000
+        |    END AS v
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(count(obs_cents) AS BIGINT) AS n_observed,
+        |  CAST(count(*) - count(obs_cents) AS BIGINT) AS n_interpolated,
+        |  CAST(sum(v) AS BIGINT) AS series_sum_cents
+        |FROM v GROUP BY user_id""".stripMargin,
     // q304: same spine/window/bias-div trajectory; DuckDB dayofweek is
     // 0-based (+1 aligns with Spark); `//` floors vs Spark's truncating
     // `div` — coincident because the bias keeps numerators positive.
@@ -2491,26 +2683,11 @@ object EventQueries {
         |FROM spine sp LEFT JOIN net n
         |  ON n.event_type = sp.event_type AND n.d = sp.d""".stripMargin,
     // the CTE sessionizer with window.end = last event + 30 min — the
-    // session_window() contract
-    "q138_session_window_fn" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), sess AS (
-        |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM flagged
-        |)
-        |SELECT user_id, min(ts) AS session_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
-        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // session_window() contract (shared: q138 batch, q308 streaming)
+    "q138_session_window_fn" -> sessionWindowOracleSql,
+    // q308: the STREAMING session_window must land exactly the batch
+    // answer — one oracle definition serves both gates.
+    "q308_streaming_session_window" -> sessionWindowOracleSql,
     // equality with the direct batch rollup proves the foreachBatch sink
     // landed exactly the stream (no dup, no loss)
     "q140_streaming_foreach_sink" ->

@@ -1790,7 +1790,55 @@ object ExtendedQueries {
         percentile($"m", lit(0.75)).as("mean_cents_p75"))
   }
 
+  /** SIMPSON-REVERSAL CENSUS (q310) — the aggregation-trap audit: for
+    * each consecutive order-year pair, does the per-nation return-rate
+    * trend agree with the GLOBAL trend, or does disaggregation reverse
+    * it (Simpson's paradox)? Every direction is an integer cross-
+    * multiplication sign — rate₂ vs rate₁ compared as nr₂·n₁ vs nr₁·n₂ —
+    * so no ratio is ever materialized (the CLAUDE threshold rule) and
+    * both engines branch identically. Products are bounded by
+    * (rows·rows) per (year, nation) cell, far under 2⁶³ at any SF.
+    *
+    * Scale: one fact-fact equi-join (lineitem→orders on the order key),
+    * one dimension join, two tiny grouped frames ((year, nation) and
+    * year), and self-joins on year+1 over those frames — the expensive
+    * part is the join the question requires, everything after is
+    * cell-count-sized. */
+  def simpsonReversal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", ($"l_returnflag" === "R").cast("long").as("ret"))
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("yr"))
+    val c = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .select($"yr", $"c_nationkey".as("nation"), $"ret")
+    def dir3(x: Column): Column =
+      when(x > 0, lit(1)).when(x < 0, lit(-1)).otherwise(lit(0))
+    val byNation = j.groupBy($"yr", $"nation")
+      .agg(count(lit(1)).as("n"), sum($"ret").as("nr"))
+    val global = j.groupBy($"yr")
+      .agg(count(lit(1)).as("gn"), sum($"ret").as("gnr"))
+    val nDir = byNation.as("a")
+      .join(byNation.as("b"),
+        $"a.nation" === $"b.nation" && $"b.yr" === $"a.yr" + 1)
+      .select($"a.yr".as("yr"), $"a.nation".as("nation"),
+        dir3($"b.nr" * $"a.n" - $"a.nr" * $"b.n").as("ndir"))
+    val gDir = global.as("a")
+      .join(global.as("b"), $"b.yr" === $"a.yr" + 1)
+      .select($"a.yr".as("yr"),
+        dir3($"b.gnr" * $"a.gn" - $"a.gnr" * $"b.gn").as("gdir"))
+    nDir.join(broadcast(gDir), "yr")
+      .groupBy($"yr", $"gdir")
+      .agg(count(lit(1)).as("n_nations"),
+        sum(when($"ndir" * $"gdir" > 0, 1L).otherwise(0L)).as("n_aligned"),
+        sum(when($"ndir" * $"gdir" < 0, 1L).otherwise(0L)).as("n_reversed"),
+        sum(when($"ndir" * $"gdir" === 0, 1L).otherwise(0L)).as("n_flat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_simpson_reversal" -> (simpsonReversal _),
     "q250_bootstrap_ci" -> (bootstrapCi _),
     "q249_hierarchy_rollup" -> (hierarchyRollup _),
     "q248_grid_spatial_join" -> (gridSpatialJoin _),
@@ -1912,6 +1960,43 @@ object ExtendedQueries {
     }.mkString("(", "\n     + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // q310: identical cross-multiplied directions and census.
+    "q310_simpson_reversal" ->
+      """WITH j AS (
+        |  SELECT year(o.o_orderdate) AS yr, c.c_nationkey AS nation,
+        |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |), bn AS (
+        |  SELECT yr, nation, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ret) AS BIGINT) AS nr
+        |  FROM j GROUP BY yr, nation
+        |), g AS (
+        |  SELECT yr, CAST(count(*) AS BIGINT) AS gn,
+        |    CAST(sum(ret) AS BIGINT) AS gnr
+        |  FROM j GROUP BY yr
+        |), nd AS (
+        |  SELECT a.yr, a.nation,
+        |    CASE WHEN b.nr * a.n - a.nr * b.n > 0 THEN 1
+        |         WHEN b.nr * a.n - a.nr * b.n < 0 THEN -1 ELSE 0 END AS ndir
+        |  FROM bn a JOIN bn b ON a.nation = b.nation AND b.yr = a.yr + 1
+        |), gd AS (
+        |  SELECT a.yr,
+        |    CASE WHEN b.gnr * a.gn - a.gnr * b.gn > 0 THEN 1
+        |         WHEN b.gnr * a.gn - a.gnr * b.gn < 0 THEN -1 ELSE 0 END AS gdir
+        |  FROM g a JOIN g b ON b.yr = a.yr + 1
+        |)
+        |SELECT CAST(nd.yr AS INTEGER) AS yr, CAST(gd.gdir AS INTEGER) AS gdir,
+        |  CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(CASE WHEN nd.ndir * gd.gdir > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_aligned,
+        |  CAST(sum(CASE WHEN nd.ndir * gd.gdir < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_reversed,
+        |  CAST(sum(CASE WHEN nd.ndir * gd.gdir = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flat
+        |FROM nd JOIN gd ON nd.yr = gd.yr
+        |GROUP BY nd.yr, gd.gdir""".stripMargin,
     // q250: identical 16-bit hash draws and integer replica means; the
     // dyadic p25/p50/p75 are the interpolation points both engines share.
     "q250_bootstrap_ci" -> {

@@ -518,7 +518,43 @@ object TextQueries {
     graft.operators.HeavyHitters.heavyHitters(terms, "term", k = 128, m = 512)
   }
 
+  /** ZIPF RANK-FREQUENCY AUDIT (q309) — does the corpus vocabulary follow
+    * a power law, and how steep? Tokens are ranked by (freq DESC, token
+    * ASC); ranks bucket into OCTAVES via the log-free integer log2
+    * (`length(bin(rank)) − 1`, the CLAUDE rule for transcendental-free
+    * logs), and each octave reports its floor-mean frequency plus the
+    * decay ratio to the next octave in basis points (ideal Zipf halves
+    * per octave → ~5000 bp; a flat head or heavy tail shows up as the
+    * ratio drifting). The last octave's ratio is pinned to −1 (no next).
+    *
+    * Scale: the token count is corpus-sized but the RANKED frame is
+    * vocabulary-sized (the groupBy collapses first), so the global
+    * row_number window sorts the vocab, not the corpus — the same
+    * bounded-window argument as q282's growth curve. */
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val byOct = freq
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"freq".desc, $"tok".asc)))
+      .withColumn("octave", expr("length(bin(rank)) - 1"))
+      .groupBy($"octave")
+      .agg(count(lit(1)).as("n_tokens"), sum($"freq").as("sum_freq"))
+      .withColumn("mean_freq", expr("sum_freq div n_tokens"))
+    val nxt = byOct.select(($"octave" - 1).as("octave"),
+      $"mean_freq".as("next_mean"))
+    byOct.join(nxt, Seq("octave"), "left")
+      .select($"octave", $"n_tokens", $"sum_freq", $"mean_freq",
+        when($"next_mean".isNotNull && $"mean_freq" > 0,
+          expr("(10000 * next_mean) div mean_freq"))
+          .otherwise(lit(-1L)).as("decay_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_zipf_audit" -> (zipfAudit _),
     "q208_vocab_heavy_hitters" -> (vocabHeavyHitters _),
     "q178_boilerplate_spans" -> (boilerplateSpans _),
     "q172_quality_funnel" -> (qualityFunnel _),
@@ -570,6 +606,31 @@ object TextQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q309: same rank (freq DESC, tok ASC), same integer-log2 octaves,
+    // same guarded floor-bp decay with −1 at the tail octave.
+    "q309_zipf_audit" ->
+      s"""WITH f AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(${DedupQueries.toksSql}) AS tok FROM documents)
+         |  GROUP BY tok
+         |), r AS (
+         |  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+         |  FROM f
+         |), o AS (
+         |  SELECT CAST(length(bin(rank)) - 1 AS INTEGER) AS octave,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(freq) AS BIGINT) AS sum_freq
+         |  FROM r GROUP BY 1
+         |), w AS (
+         |  SELECT octave, n_tokens, sum_freq,
+         |    CAST(sum_freq // n_tokens AS BIGINT) AS mean_freq
+         |  FROM o
+         |)
+         |SELECT w.octave, w.n_tokens, w.sum_freq, w.mean_freq,
+         |  CAST(CASE WHEN n.mean_freq IS NOT NULL AND w.mean_freq > 0
+         |    THEN (10000 * n.mean_freq) // w.mean_freq ELSE -1 END AS BIGINT)
+         |    AS decay_bp
+         |FROM w LEFT JOIN w n ON n.octave = w.octave + 1""".stripMargin,
     // q282: same shared tokenization, same (i·n) div 10 checkpoint
     // ranks, same first-doc vocabulary accounting.
     "q282_vocab_growth" ->

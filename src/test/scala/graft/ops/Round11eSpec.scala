@@ -88,6 +88,81 @@ class Round11eSpec extends SparkSpec {
     assert(census.map(_.getAs[Long]("total_bytes")).sum == expectedBytes)
   }
 
+  test("q307: census matches an independent driver-side lerp replay") {
+    val census = EventQueries.linearInterpolationResample(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_observed"),
+          r.getAs[Long]("series_sum_cents"))).toMap
+    // independent replay: last-of-day obs per user, exact Long lerp
+    val obs = graft.Tables.events(spark, sf0001)
+      .filter($"value".isNotNull)
+      .select($"user_id", to_date($"ts").as("day"), unix_micros($"ts").as("us"),
+        $"event_id",
+        ($"value".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toLocalDate))
+      .map { case ((u, d), rs) =>
+        val best = rs.maxBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+        (u, d) -> best.getAs[Long]("cents")
+      }
+    val B = 1000000000L
+    obs.keys.map(_._1).toSeq.distinct.foreach { u =>
+      val days = obs.keys.filter(_._1 == u).map(_._2).toSeq.sortBy(_.toEpochDay)
+      val (d0, d1) = (days.head, days.last)
+      var sum = 0L; var nDays = 0L; var nObs = 0L
+      var d = d0
+      while (!d.isAfter(d1)) {
+        nDays += 1
+        obs.get((u, d)) match {
+          case Some(v) => nObs += 1; sum += v
+          case None =>
+            val pd = days.filter(!_.isAfter(d)).last
+            val nd = days.filter(_.isAfter(d)).head
+            val (pv, nv) = (obs((u, pd)), obs((u, nd)))
+            val span = nd.toEpochDay - pd.toEpochDay
+            sum += pv + ((nv - pv) * (d.toEpochDay - pd.toEpochDay) +
+              B * span) / span - B
+        }
+        d = d.plusDays(1)
+      }
+      assert(census(u) == ((nDays, nObs, sum)), s"user $u diverged")
+    }
+  }
+
+  test("q308: streaming session_window equals the q138 batch expression") {
+    val streamed = EventQueries.streamingSessionWindow(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val batch = EventQueries.sessionWindowFn(spark, sf0001)
+      .select($"user_id", $"session_start", $"session_end_gap",
+        $"n_events", $"total_value")
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
+  test("q309: octaves partition the vocabulary and the head is rank 1") {
+    val rows = TextQueries.zipfAudit(spark, sf0001).collect()
+    val vocab = graft.Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .select($"t").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == vocab)
+    val oct0 = rows.find(_.getAs[Int]("octave") == 0).get
+    assert(oct0.getAs[Long]("n_tokens") == 1, "octave 0 is exactly rank 1")
+    // mean frequencies never increase with rank octave
+    val means = rows.sortBy(_.getAs[Int]("octave")).map(_.getAs[Long]("mean_freq"))
+    assert(means.zip(means.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("q310: per-pair counts partition the nations present in both years") {
+    val rows = ExtendedQueries.simpsonReversal(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_aligned") + r.getAs[Long]("n_reversed") +
+        r.getAs[Long]("n_flat") == r.getAs[Long]("n_nations"))
+      assert(Set(-1, 0, 1).contains(r.getAs[Int]("gdir")))
+    }
+  }
+
   test("q306: boundary-crossing count matches floor(total/step) exactly") {
     val rows = PipelineQueries.ppsSystematicSample(spark, sf0001).collect()
     val selected = rows.map(_.getAs[Long]("n_selected")).sum
