@@ -289,6 +289,46 @@ object Multimodal {
     }
   }
 
+  case class PatchSums(media_id: Long, format: String, width: Int,
+      height: Int, n_patches: Long, wsum_r: Long, wsum_g: Long, wsum_b: Long)
+
+  /** ViT-style PATCHIFICATION over the decoded raster: tile the image into
+    * a `patch`×`patch` grid (row-major patch index, partial right/bottom
+    * edges TRUNCATED — the standard resize-free crop rule), and emit
+    * position-weighted channel sums Σ_pixels (patch_index + 1) · value.
+    * The position weight is the point: an unweighted sum collapses to the
+    * whole-image sum and would pass even if the tiling were wrong, while
+    * any mis-assignment of a single pixel to the wrong patch shifts the
+    * weighted sum. Same `mapPartitions` codec shape and poison-row drop
+    * contract as [[decodeChannelSums]] — zero shuffle. */
+  def patchWeightedSums(media: Dataset[MediaRow], patch: Int): Dataset[PatchSums] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        sniffDecode(r.payload).map { img =>
+          val (w, h) = (img.width, img.height)
+          val (gx, gy) = (w / patch, h / patch)
+          var wr = 0L; var wg = 0L; var wb = 0L
+          var y = 0
+          while (y < gy * patch) {
+            var x = 0
+            while (x < gx * patch) {
+              val weight = ((y / patch) * gx + (x / patch) + 1).toLong
+              val i = (y * w + x) * 3
+              wr += weight * (img.rgb(i) & 0xff)
+              wg += weight * (img.rgb(i + 1) & 0xff)
+              wb += weight * (img.rgb(i + 2) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          PatchSums(r.media_id, img.format, w, h, gx.toLong * gy, wr, wg, wb)
+        }
+      }
+    }
+  }
+
   /** Encode a top-down RGB raster as a bottom-up 24-bit BI_RGB BMP — the
     * sink-side twin of [[decodeBmp]] (and the round-trip fixture source). */
   def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {

@@ -2390,7 +2390,42 @@ object EventQueries {
         ($"detrended" - $"seasonal").as("remainder"))
   }
 
+  /** GROUPED 7-DAY MOVING MEDIAN (q313) — the robust smoother a noisy
+    * daily-count dashboard uses where q304's moving MEAN would chase
+    * spikes: per event type, the exact median of each full 7-day calendar
+    * window (spine-filled with zeros, so row adjacency is calendar
+    * adjacency — q304's rule). The window median is
+    * `array_sort(collect_list)[4]`: collect order is scheduling-
+    * dependent, the sort pins it, and 7 integer values make the median
+    * exact on both engines. Edge days (partial windows) are excluded by
+    * the same count==7 guard as q304.
+    *
+    * Scale: the grouped-daily frame is (types × days)-bounded, so the
+    * per-type windows and their 7-element lists are metadata-sized; the
+    * only data-sized work is the first groupBy. */
+  def movingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily0 = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = daily0.groupBy($"event_type")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = bounds.select($"event_type",
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val daily = spine.join(daily0, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"cnt", lit(0L)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("med7",
+        element_at(array_sort(collect_list($"cnt").over(w)), 4))
+      .filter($"w_n" === 7)
+      .select($"event_type", $"day", $"cnt", $"med7")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_moving_median" -> (movingMedian _),
     "q304_seasonal_decomposition" -> (seasonalDecomposition _),
     "q307_linear_interpolation" -> (linearInterpolationResample _),
     "q308_streaming_session_window" -> (streamingSessionWindow _),
@@ -2483,6 +2518,31 @@ object EventQueries {
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q313: same spine, same full-window guard, same sorted-list median
+    // (list_sort pins DuckDB's collect order exactly as array_sort does).
+    "q313_moving_median" ->
+      """WITH daily0 AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily0 GROUP BY 1
+        |), spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b
+        |), daily AS (
+        |  SELECT s.event_type, s.day, coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+        |  FROM spine s LEFT JOIN daily0 USING (event_type, day)
+        |), win AS (
+        |  SELECT event_type, day, cnt, count(*) OVER w AS w_n,
+        |    list_sort(list(cnt) OVER w)[4] AS med7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |)
+        |SELECT event_type, day, cnt, CAST(med7 AS BIGINT) AS med7
+        |FROM win WHERE w_n = 7""".stripMargin,
     // q307: identical last-of-day pick (row_number ts DESC, event_id
     // DESC), per-user spine, ignore-nulls neighbor windows, and the same
     // bias-guarded integer lerp; DATE − DATE is already integer days.

@@ -88,6 +88,31 @@ object MultimodalQueries {
       .withColumnRenamed("media_id", "doc_id")
   }
 
+  /** PATCH-EXTRACTION gate (q311) — q167's encode→decode chain extended by
+    * the step every vision-training pipeline runs next: ViT-style 8×8
+    * patchification ([[graft.multimodal.Multimodal.patchWeightedSums]]).
+    * Images are bigger than q167's (17-32 × 17-24, so the grid is a real
+    * 2-4 × 2-3 with truncated right/bottom edges exercising the crop
+    * rule), same closed-form pixels, both container formats. The oracle
+    * replays pixel → (x, y) → patch-index assignment arithmetically —
+    * hash equality proves the tiling geometry, not just the decode (an
+    * unweighted sum would collapse to q167's whole-image census). */
+  def patchExtraction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val w = (id % 16 + 17).toInt
+      val h = (id % 8 + 17).toInt
+      val rgb = Array.tabulate(w * h * 3)(k => ((id % 251 + k) % 256).toByte)
+      val payload = if (id % 2 == 0) Multimodal.encodeBmp(w, h, rgb)
+                    else Multimodal.encodePpm(w, h, rgb)
+      Multimodal.MediaRow(id, payload, "image", payload.length.toLong,
+        payload.take(8).map(b => f"${b & 0xff}%02x").mkString)
+    }
+    Multimodal.patchWeightedSums(media, patch = 8).toDF()
+      .withColumnRenamed("media_id", "doc_id")
+  }
+
   /** MODALITY-COVERAGE CENSUS (q179): the join-health report a multimodal
     * pipeline runs before training — per source, how many documents have a
     * paired embedding, how many are missing one, and how many embeddings
@@ -116,6 +141,7 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_modality_coverage" -> (modalityCoverage _),
+    "q311_patch_extraction" -> (patchExtraction _),
     "q32_multimodal_binary_stats" -> (binaryStats _),
     "q167_multimodal_decode" -> (decodeRoundtrip _),
     "q187_audio_decode" -> (audioDecodeRoundtrip _))
@@ -133,6 +159,34 @@ object MultimodalQueries {
         |    AS n_orphan_embeddings
         |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY coalesce(d.source, '__orphan_embeddings__')""".stripMargin,
+    // q311: closed-form patch replay — pixel p → (x, y) → row-major patch
+    // index, partial edges truncated, weight = index + 1; no image bytes.
+    "q311_patch_extraction" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 17 AS INTEGER) AS width,
+        |    CAST(doc_id % 8 + 17 AS INTEGER) AS height,
+        |    doc_id % 251 AS seed,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, unnest(generate_series(0, width * height - 1)) AS p
+        |  FROM d
+        |), wpx AS (
+        |  SELECT d.doc_id, d.seed, px.p,
+        |    (((px.p // d.width) // 8) * (d.width // 8)
+        |      + ((px.p % d.width) // 8) + 1) AS wt
+        |  FROM d JOIN px USING (doc_id)
+        |  WHERE px.p % d.width < (d.width // 8) * 8
+        |    AND px.p // d.width < (d.height // 8) * 8
+        |)
+        |SELECT d.doc_id, d.format, d.width, d.height,
+        |  CAST((d.width // 8) * (d.height // 8) AS BIGINT) AS n_patches,
+        |  CAST(sum(wt * ((wpx.seed + 3 * p + 0) % 256)) AS BIGINT) AS wsum_r,
+        |  CAST(sum(wt * ((wpx.seed + 3 * p + 1) % 256)) AS BIGINT) AS wsum_g,
+        |  CAST(sum(wt * ((wpx.seed + 3 * p + 2) % 256)) AS BIGINT) AS wsum_b
+        |FROM d JOIN wpx USING (doc_id)
+        |GROUP BY d.doc_id, d.format, d.width, d.height""".stripMargin,
     // q167: pure closed-form replay — sum over pixels p of
     // (seed + 3p + channel) % 256 per channel; no image bytes involved.
     "q167_multimodal_decode" ->

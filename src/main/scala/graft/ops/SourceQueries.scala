@@ -60,6 +60,36 @@ object SourceQueries {
         countDistinct(md5($"text")).as("n_uniq_texts"))
   }
 
+  /** MULTILINE-CSV round trip (q312) — the CSV edge every real crawl
+    * export hits: fields with embedded NEWLINES, QUOTES, and the
+    * delimiter itself. A deterministic "tricky" derivation (spaces in the
+    * first 100 chars become newlines, then a trailing `,"x` forces a
+    * quote + comma) is written through Spark's quoting CSV writer and
+    * read back with `multiLine=true`; the census digests the strings, so
+    * a mis-split record, a lost quote, or an escape asymmetry breaks the
+    * hash. The oracle derives the identical strings straight from the
+    * table — no file I/O — which isolates the sink/source as the system
+    * under test. Scale note: `multiLine` makes a CSV file non-splittable
+    * (a record can straddle any offset), so the writer's task-per-
+    * partition file layout IS the read parallelism — exactly how a
+    * production pipeline keeps multiline CSV scans parallel. */
+  def csvMultilineRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tricky = Tables.documents(spark, dir).select($"doc_id",
+      concat(regexp_replace(substring($"text", 1, 100), " ", "\n"),
+        lit(",\"x")).as("tricky"))
+    val out = graft.Scratch.named(s"q312_${graft.Scratch.dirKey(dir)}")
+      .resolve("csv").toString
+    tricky.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.option("header", "true").option("multiLine", "true")
+      .schema(tricky.schema).csv(out)
+      .groupBy(($"doc_id" % 4).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"tricky")).cast("long").as("total_len"),
+        sum(conv(substring(md5($"tricky"), 1, 12), 16, 10).cast("long"))
+          .as("content_sum48"))
+  }
+
   /** Hive-partitioned parquet sink → PRUNED source round trip: documents
     * land partitioned by `lang` (writePartitionedParquet: one directory
     * per value, the lakehouse layout), and the read-back filters two
@@ -1600,6 +1630,7 @@ object SourceQueries {
     "q191_orc_roundtrip" -> (orcRoundtrip _),
     "q202_rowgroup_skipping" -> (rowGroupSkipping _),
     "q305_binaryfile_source" -> (binaryFileCensus _),
+    "q312_csv_multiline" -> (csvMultilineRoundtrip _),
     "q229_zone_map_pruning" -> (zoneMapPrunedScan _),
     "q230_mor_positional_deletes" -> (morPositionalDeletes _),
     "q231_branch_merge" -> (branchMerge _),
@@ -1646,6 +1677,28 @@ object SourceQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q312: the identical tricky-string derivation straight from the
+    // table (regexp_replace needs 'g' to match Spark's replace-all).
+    "q312_csv_multiline" -> {
+      val dsum = (0 until 12).map { i =>
+        s"(strpos('0123456789abcdef', substr(dh, ${i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    regexp_replace(substr(text, 1, 100), ' ', chr(10), 'g')
+         |      || ',"x' AS tricky
+         |  FROM documents
+         |), d AS (
+         |  SELECT doc_id, length(tricky) AS tlen,
+         |    substr(md5(tricky), 1, 12) AS dh
+         |  FROM t
+         |)
+         |SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tlen) AS BIGINT) AS total_len,
+         |  CAST(sum($dsum) AS BIGINT) AS content_sum48
+         |FROM d GROUP BY 1""".stripMargin
+    },
     // q305: identical census from the tabular twin — strlen (DuckDB's
     // byte length; octet_length only binds BLOB) for the blob's byte size
     // (text is written as UTF-8), the same 48-bit md5 prefix per bucket.

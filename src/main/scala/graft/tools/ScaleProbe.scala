@@ -55,8 +55,15 @@ object ScaleProbe {
     * PQ search (q234 — the ADC join is codes×queries, the exact re-rank
     * 50/query; the baseline brute-force pass is the designed linear term)
     * and the Allen pair join (q235 — per-user quadratic, bounded by
-    * per-user session counts, which the salted union holds constant). */
+    * per-user session counts, which the salted union holds constant).
+    * The q301+ batch adds the iterated k-core peel (q301 — per-round
+    * subgraph checkpoints; the risk is round-cost growth, not round
+    * count) and the deletion-neighborhood linkage (q302 — candidate
+    * pairs are the hidden-quadratic risk; per-copy distinct names keep
+    * the 10× corpus entity-realistic). */
   val DefaultGates: Seq[String] = Seq(
+    "q301_kcore_peeling",
+    "q302_symspell_linkage",
     "q101_grouped_quantile_pruned",
     "q112_similarity_join_prefix",
     "q125_triangle_count",
@@ -104,8 +111,15 @@ object ScaleProbe {
     salted("orders")(_.select(off("o_orderkey"), off("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")))
+    // customer: distinct KEYS and distinct NAMES per copy (the copy letter
+    // prefixes c_name) — q302's deletion-neighborhood linkage must see a
+    // 10× corpus of mostly-distinct entities (names identical across
+    // copies would square its candidate pairs, which no real 10× corpus
+    // does; cross-copy pairs sit at edit distance ≥ 2 and stay excluded)
     salted("customer")(df => df.select(off("c_custkey") +:
-      df.columns.filter(c => c != "c_custkey" && c != "copy").map(col): _*))
+      concat(expr("char(97 + copy)"), col("c_name")).as("c_name") +:
+      df.columns.filter(c => c != "c_custkey" && c != "c_name" && c != "copy")
+        .map(col): _*))
     salted("supplier")(df => df.select(off("s_suppkey") +:
       df.columns.filter(c => c != "s_suppkey" && c != "copy").map(col): _*))
     salted("part")(df => df.select(off("p_partkey") +:

@@ -163,6 +163,61 @@ class Round11eSpec extends SparkSpec {
     }
   }
 
+  test("q311: weighted patch sums match a scalar replay of the geometry") {
+    val rows = MultimodalQueries.patchExtraction(spark, sf0001).collect()
+    assert(rows.length ==
+      graft.Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((id % 16 + 17).toInt, (id % 8 + 17).toInt)
+      val (gx, gy) = (w / 8, h / 8)
+      var wr = 0L; var wg = 0L; var wb = 0L
+      for (y <- 0 until gy * 8; x <- 0 until gx * 8) {
+        val weight = (y / 8) * gx + (x / 8) + 1
+        val p = y * w + x
+        wr += weight * ((id % 251 + 3 * p) % 256)
+        wg += weight * ((id % 251 + 3 * p + 1) % 256)
+        wb += weight * ((id % 251 + 3 * p + 2) % 256)
+      }
+      assert(r.getAs[Long]("n_patches") == gx.toLong * gy)
+      assert(r.getAs[Long]("wsum_r") == wr && r.getAs[Long]("wsum_g") == wg &&
+        r.getAs[Long]("wsum_b") == wb, s"doc $id patch sums diverged")
+    }
+  }
+
+  test("q312: multiline CSV census reconciles with the in-memory strings") {
+    val census = SourceQueries.csvMultilineRoundtrip(spark, sf0001).collect()
+    assert(census.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, sf0001).count())
+    val expected = graft.Tables.documents(spark, sf0001)
+      .select(concat(regexp_replace(substring($"text", 1, 100), " ", "\n"),
+        lit(",\"x")).as("t"))
+      .agg(sum(length($"t"))).as[Long].head()
+    assert(census.map(_.getAs[Long]("total_len")).sum == expected)
+  }
+
+  test("q313: moving median matches a driver replay per type") {
+    val got = EventQueries.movingMedian(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toLocalDate) ->
+        r.getAs[Long]("med7")).toMap
+    assert(got.nonEmpty)
+    val daily = graft.Tables.events(spark, sf0001)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toLocalDate) ->
+        r.getAs[Long]("cnt")).toMap
+    val types = daily.keys.map(_._1).toSeq.distinct
+    types.foreach { t =>
+      val days = daily.keys.filter(_._1 == t).map(_._2).toSeq.sortBy(_.toEpochDay)
+      val (d0, d1) = (days.head, days.last)
+      val span = (d0.toEpochDay to d1.toEpochDay).map(java.time.LocalDate.ofEpochDay)
+      span.drop(3).dropRight(3).foreach { d =>
+        val window = (-3 to 3).map(o => daily.getOrElse((t, d.plusDays(o)), 0L))
+        assert(got((t, d)) == window.sorted.apply(3), s"($t, $d) median diverged")
+      }
+    }
+  }
+
   test("q306: boundary-crossing count matches floor(total/step) exactly") {
     val rows = PipelineQueries.ppsSystematicSample(spark, sf0001).collect()
     val selected = rows.map(_.getAs[Long]("n_selected")).sum
