@@ -886,6 +886,7 @@ object AnnQueries {
     "q30_ann_ivf" -> (ivf _),
     "q31_embedding_near_dup" -> (embeddingNearDup _),
     "q77_ann_ivf_trained" -> (ivfTrained _),
+    "q314_ivf_cell_split" -> (ivfCellSplit _),
     "q186_ann_ivf_recall" -> (ivfRecall _),
     "q190_ann_ivf_elbow" -> (ivfElbow _),
     "q193_sql_extension_funcs" -> (sqlExtensionFunctions _),
@@ -903,6 +904,64 @@ object AnnQueries {
     * DuckDB `//` floors; this formulation is floor in both). */
   private def floorDivSql(s: String, n: String): String =
     s"CAST(($s - (($s % $n) + $n) % $n) // $n AS DOUBLE)"
+
+  /** IVF HOT-CELL SPLIT (q314) — the index-maintenance op the lifecycle
+    * gates (upsert q153, compact q154) still lacked: after enough
+    * appends, a cell outgrows its neighbors and every probe that touches
+    * it scans too much; the fix is a LOCAL 2-means split of just the hot
+    * cells, leaving cold cells untouched (FAISS's classic rebalance).
+    *
+    * The quantizer here is deliberately degenerate — seed cell
+    * `least(vec_id % 8, 3)` gives three 1/8-occupancy cells and one
+    * 5/8-occupancy hot cell — so the hotness rule (occupancy × ncells >
+    * 2 × total, integer cross-multiplication, never a mean ratio) has
+    * something real to fire on. Each hot cell splits by one E/M round on
+    * the 1e-6 integer lattice: sub-seed `vec_id % 2`, per-(cell, sub)
+    * floor-mean centroids ([[Ann.gridCellCentroids]]), then every row of
+    * the hot cell reassigns to the nearer CHILD of its OWN parent
+    * (cosine, lower-child tie-break) — the restriction is the point: a
+    * split never moves a vector across parents, so all untouched cells'
+    * postings stay valid. The census reports, per final cell, its
+    * occupancy and the floor-mean of lattice dim 1 — the oracle replays
+    * seed → hotness → sub-M → restricted-E → census, so a vector landing
+    * in the wrong child (or a cold cell being touched) breaks the hash.
+    *
+    * Scale: hotness is one tiny census; the split work is proportional to
+    * the HOT cells only (one keyed M-step shuffle + a broadcast-children
+    * E-step scan), exactly how a 100 TB index is rebalanced in place. */
+  def ivfCellSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.embeddings(spark, dir)
+      .select($"vec_id", Ann.gridQuantize($"embedding").as("v"))
+      .withColumn("cell", least(pmod($"vec_id", lit(8L)), lit(3L)))
+    val occ = g.groupBy($"cell").agg(count(lit(1)).as("n"))
+    val tot = occ.agg(sum($"n").as("total"), count(lit(1)).as("ncells"))
+    val hot = occ.crossJoin(broadcast(tot))
+      .select($"cell", ($"n" * $"ncells" > lit(2) * $"total").as("is_hot"))
+    val withHot = g.join(broadcast(hot), "cell")
+    val hotRows = withHot.filter($"is_hot")
+      .withColumn("cell2", $"cell" * 2 + pmod($"vec_id", lit(2L)))
+    val subCents = Ann.gridCellCentroids(
+      hotRows.select($"cell2".as("cell"), $"vec_id", $"v"), "cell", "v")
+      .select($"cell".as("cell2"), $"centroid")
+    val reassigned = hotRows.select($"vec_id", $"v", $"cell")
+      .join(broadcast(subCents.withColumn("parent", expr("cell2 div 2"))),
+        $"cell" === $"parent")
+      .select($"vec_id",
+        struct(Ann.cosineFast($"v", $"centroid").as("cos"),
+          (-$"cell2").as("neg")).as("sc"), $"cell2")
+      .groupBy($"vec_id")
+      .agg(max_by($"cell2", $"sc").as("new_cell2"))
+    val fin = withHot.join(reassigned, Seq("vec_id"), "left")
+      .select($"cell".as("parent"),
+        coalesce(pmod($"new_cell2", lit(2L)), lit(-1L)).as("sub"),
+        element_at($"v", 1).cast("long").as("x0"))
+    val s = sum($"x0")
+    val n = count(lit(1))
+    fin.groupBy($"parent", $"sub")
+      .agg(n.as("n_vectors"),
+        (((s - pmod(s, n)) / n)).cast("long").as("c0"))
+  }
 
   /** SQL replay of the integer-grid Lloyd index build (q77/q149 — see
     * [[Ann.gridQuantize]] for why every step is engine-exact): grid
@@ -1138,6 +1197,53 @@ object AnnQueries {
     searchReplaySql(gridLloydSqlFor("vec_id % 5 <> 0"))
 
   val oracle: Map[String, String] = Map(
+    // q314: seed → cross-mult hotness → per-(cell,sub) lattice M-step →
+    // E-step restricted to the parent's own children (cos DESC, lower
+    // child) → occupancy + dim-1 floor-mean census.
+    "q314_ivf_cell_split" -> {
+      val fd = (s: String, n: String) => floorDivSql(s, n)
+      s"""WITH iv AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> floor(x * 1000000.0)) AS v,
+         |    least(vec_id % 8, 3) AS cell
+         |  FROM embeddings
+         |), occ AS (SELECT cell, count(*) AS n FROM iv GROUP BY cell),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS ncells
+         |  FROM occ
+         |), hot AS (
+         |  SELECT cell, (n * ncells > 2 * total) AS is_hot FROM occ, tot
+         |), ivd AS (
+         |  SELECT vec_id, cell, v[dim] AS x, dim
+         |  FROM iv, (SELECT unnest(generate_series(1, 64)) AS dim)
+         |), hr AS (
+         |  SELECT ivd.*, ivd.cell * 2 + ivd.vec_id % 2 AS cell2
+         |  FROM ivd JOIN hot USING (cell) WHERE is_hot
+         |), c2 AS (
+         |  SELECT cell2, dim,
+         |    ${fd("sum(CAST(x AS BIGINT))", "count(*)")} AS cx
+         |  FROM hr GROUP BY cell2, dim
+         |), s AS (
+         |  SELECT h.vec_id, c2.cell2,
+         |    sum(h.x * c2.cx)
+         |      / (sqrt(sum(h.x * h.x)) * sqrt(sum(c2.cx * c2.cx))) AS cos
+         |  FROM hr h JOIN c2 ON h.dim = c2.dim AND c2.cell2 // 2 = h.cell
+         |  GROUP BY h.vec_id, c2.cell2
+         |), a AS (
+         |  SELECT vec_id, cell2 FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cell2 ASC) = 1
+         |), fin AS (
+         |  SELECT CAST(iv.cell AS BIGINT) AS parent,
+         |    CAST(coalesce(a.cell2 % 2, -1) AS BIGINT) AS sub,
+         |    CAST(iv.v[1] AS BIGINT) AS x0
+         |  FROM iv LEFT JOIN a USING (vec_id)
+         |)
+         |SELECT parent, sub, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(${fd("sum(x0)", "count(*)")} AS BIGINT) AS c0
+         |FROM fin GROUP BY parent, sub""".stripMargin
+    },
     // q234: four per-subspace Lloyd replays + encoding + ADC vs the exact
     // full-vector L2² top-10 — every distance an exact BIGINT.
     "q234_pq_ann" -> pqAnnSql,

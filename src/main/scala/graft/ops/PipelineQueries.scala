@@ -1283,6 +1283,46 @@ object PipelineQueries {
         $"extra", $"final_quota")
   }
 
+  /** NEYMAN ALLOCATION (q315) — q270 splits a budget by POPULATION share;
+    * the survey-sampling optimum splits it by N_h·σ_h, so high-variance
+    * strata get proportionally more of the sample. Engine-exactness: the
+    * per-stratum variance NUMERATOR V_h = n·Σx² − (Σx)² is exact BIGINT
+    * (quantity is integral; magnitudes stay < 2⁶³ at gate scale —
+    * production sums would ride DECIMAL(38)), and the weight is
+    * floor(sqrt(V_h)): sqrt is one of the two IEEE ops with REQUIRED
+    * correct rounding (the q91 rule), so both engines floor the identical
+    * double to the identical integer — note N_h·σ_h = n·√V/n = √V, which
+    * is why V alone suffices. The integer weights then ride q270's
+    * largest-remainder machinery verbatim: Σalloc == budget EXACTLY, no
+    * float shares anywhere. Guarded for the all-constant corpus (Σw = 0).
+    * One grouped scan + stratum-count-sized window work. */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 10000L
+    val st = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("long").as("q"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum($"q").as("sx"),
+        sum($"q" * $"q").as("sx2"))
+      .withColumn("var_num", $"n_rows" * $"sx2" - $"sx" * $"sx")
+      .withColumn("w", floor(sqrt($"var_num".cast("double"))).cast("long"))
+    val tot = st.agg(sum($"w").as("wtot"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("base_alloc",
+        expr(s"CASE WHEN wtot > 0 THEN ($budget * w) div wtot ELSE 0 END"))
+      .withColumn("remainder",
+        expr(s"CASE WHEN wtot > 0 THEN ($budget * w) % wtot ELSE 0 END"))
+      .withColumn("leftover",
+        lit(budget) - sum($"base_alloc").over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"remainder".desc, $"l_returnflag", $"l_linestatus")))
+      .withColumn("alloc",
+        $"base_alloc" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+      .select($"l_returnflag", $"l_linestatus", $"n_rows", $"var_num",
+        $"w", $"alloc")
+  }
+
   /** K-ANONYMITY AUDIT (q285) — q251's erasure proves deletion; this
     * measures RE-IDENTIFIABILITY before release: group the fact table
     * by a quasi-identifier tuple (priority, order month, status —
@@ -1432,6 +1472,7 @@ object PipelineQueries {
     "q302_symspell_linkage" -> (symspellLinkage _),
     "q303_oof_target_encoding" -> (oofTargetEncoding _),
     "q306_pps_systematic_sample" -> (ppsSystematicSample _),
+    "q315_neyman_allocation" -> (neymanAllocation _),
     "q91_temperature_mix" -> (temperatureMix _),
     "q102_temperature_mix_alpha34" -> (temperatureMixAlpha34 _),
     "q94_shard_assignment" -> (shardAssignment _),
@@ -1810,6 +1851,41 @@ object PipelineQueries {
       """SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT) AS copy_id
         |FROM (SELECT doc_id, source, least(3, 1 + n_chars // 100) AS n_rep
         |      FROM documents)""".stripMargin,
+    // q315: same exact variance numerator, same floor(sqrt) weight
+    // (correctly-rounded IEEE sqrt of an exact integer double), same
+    // largest-remainder integer apportionment as q270.
+    "q315_neyman_allocation" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS sx2
+        |  FROM lineitem GROUP BY 1, 2
+        |), w AS (
+        |  SELECT l_returnflag, l_linestatus, n_rows,
+        |    n_rows * sx2 - sx * sx AS var_num,
+        |    CAST(floor(sqrt(CAST(n_rows * sx2 - sx * sx AS DOUBLE)))
+        |      AS BIGINT) AS w
+        |  FROM st
+        |), t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM w),
+        |b AS (
+        |  SELECT w.*,
+        |    CAST(CASE WHEN wtot > 0 THEN (10000 * w) // wtot ELSE 0 END
+        |      AS BIGINT) AS base_alloc,
+        |    CAST(CASE WHEN wtot > 0 THEN (10000 * w) % wtot ELSE 0 END
+        |      AS BIGINT) AS remainder
+        |  FROM w, t
+        |), lo AS (
+        |  SELECT *, 10000 - sum(base_alloc) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, l_returnflag,
+        |      l_linestatus) AS rk
+        |  FROM b
+        |)
+        |SELECT l_returnflag, l_linestatus, n_rows,
+        |  CAST(var_num AS BIGINT) AS var_num, w,
+        |  CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM lo""".stripMargin,
     // q306: the oracle's single-node global cumsum equals the engine's
     // two-phase blocked prefix sum exactly (blocks are key-monotone).
     "q306_pps_systematic_sample" ->

@@ -690,6 +690,60 @@ object SourceQueries {
       .unionByName(describe("current", current))
   }
 
+  /** q316 fixture: a generation root with one PUBLISHED generation (the
+    * customer table, `_CURRENT` → gen-000001), one STAGED-never-published
+    * generation (the `c_custkey % 10 = 0` slice — a writer that died
+    * before publish), and one STRAY temp file at the root (an aborted
+    * task's leftover, 25 nation rows). Built once per (JVM, dir). */
+  private val orphanRootBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orphanRoot(spark: SparkSession, dir: String): String =
+    orphanRootBuilt.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.named(s"q316_${graft.Scratch.dirKey(dir)}").toString
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cust.write.mode("overwrite").parquet(s"$root/gen-000001")
+      graft.operators.Ann.publishGeneration(spark, root, "gen-000001")
+      cust.filter(col("c_custkey") % 10 === 0)
+        .write.mode("overwrite").parquet(s"$root/gen-000002")
+      Tables.nation(spark, dir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/_tmp_orphan.parquet")
+      root
+    })
+
+  /** ORPHAN-FILE AUDIT (q316) — the reconciliation pass that must run
+    * BEFORE any vacuum deletes (q213 reclaims what this report flags):
+    * walk the table root and classify every entry against the snapshot
+    * pointer — `published` (reachable from `_CURRENT`), `staged` (a
+    * gen-* directory no pointer ever blessed: a crashed writer or a
+    * failed q242 audit candidate), `stray` (anything else: aborted-task
+    * temp files). Each class reports entry and row counts — the row
+    * counts come from READING the orphaned files, so the oracle (which
+    * recomputes them from the source tables) proves the audit looked at
+    * the right bytes, not just the right names. The listing is
+    * O(entries-at-root) driver metadata — the same cost class as the
+    * pointer reads every generation op already does. */
+  def orphanFileAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = orphanRoot(spark, dir)
+    val current = graft.operators.Ann.currentGeneration(spark, root)
+    val entries = new java.io.File(root).listFiles().toSeq
+      .filter(_.getName != "_CURRENT")
+    val rows = entries.map { f =>
+      val cls =
+        if (f.getName.startsWith("gen-") && current.contains(f.getName))
+          "published"
+        else if (f.getName.startsWith("gen-")) "staged"
+        else "stray"
+      (cls, spark.read.parquet(f.getPath).count())
+    }
+    rows.toDF("entry_class", "n_rows")
+      .groupBy($"entry_class")
+      .agg(count(lit(1)).as("n_entries"), sum($"n_rows").as("n_rows"))
+  }
+
   private val wapRootBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1631,6 +1685,7 @@ object SourceQueries {
     "q202_rowgroup_skipping" -> (rowGroupSkipping _),
     "q305_binaryfile_source" -> (binaryFileCensus _),
     "q312_csv_multiline" -> (csvMultilineRoundtrip _),
+    "q316_orphan_file_audit" -> (orphanFileAudit _),
     "q229_zone_map_pruning" -> (zoneMapPrunedScan _),
     "q230_mor_positional_deletes" -> (morPositionalDeletes _),
     "q231_branch_merge" -> (branchMerge _),
@@ -1677,6 +1732,18 @@ object SourceQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q316: the classes' row counts recomputed from the source tables —
+    // equality proves the audit read the orphans' actual bytes.
+    "q316_orphan_file_audit" ->
+      """SELECT 'published' AS entry_class, CAST(1 AS BIGINT) AS n_entries,
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT 'staged', CAST(1 AS BIGINT),
+        |  CAST((SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+        |    AS BIGINT)
+        |UNION ALL
+        |SELECT 'stray', CAST(1 AS BIGINT),
+        |  CAST((SELECT count(*) FROM nation) AS BIGINT)""".stripMargin,
     // q312: the identical tricky-string derivation straight from the
     // table (regexp_replace needs 'g' to match Spark's replace-all).
     "q312_csv_multiline" -> {

@@ -218,6 +218,43 @@ class Round11eSpec extends SparkSpec {
     }
   }
 
+  test("q314: the split touches only the hot cell and conserves vectors") {
+    val rows = AnnQueries.ivfCellSplit(spark, sf0001).collect()
+    val total = graft.Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total)
+    val (children, cold) = rows.partition(_.getAs[Long]("sub") >= 0)
+    // seed least(id % 8, 3): cells 0-2 cold, cell 3 hot (5/8 occupancy)
+    assert(cold.map(_.getAs[Long]("parent")).toSet == Set(0L, 1L, 2L))
+    assert(children.map(_.getAs[Long]("parent")).toSet == Set(3L))
+    assert(children.map(_.getAs[Long]("sub")).toSet == Set(0L, 1L))
+    children.foreach(r => assert(r.getAs[Long]("n_vectors") > 0,
+      "a split child must not be empty"))
+  }
+
+  test("q315: allocations sum to the budget and track the weights") {
+    val rows = PipelineQueries.neymanAllocation(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 10000L)
+    val wtot = rows.map(_.getAs[Long]("w")).sum
+    rows.foreach { r =>
+      val exact = 10000.0 * r.getAs[Long]("w") / wtot
+      val alloc = r.getAs[Long]("alloc")
+      assert(math.abs(alloc - exact) < 1.0 + 1e-9,
+        s"largest-remainder allocation off by >1: $alloc vs $exact")
+    }
+  }
+
+  test("q316: the audit sees exactly the planted reachability classes") {
+    val rows = SourceQueries.orphanFileAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_entries"), r.getAs[Long]("n_rows"))).toMap
+    assert(rows.keySet == Set("published", "staged", "stray"))
+    val cust = graft.Tables.customer(spark, sf0001)
+    assert(rows("published") == ((1L, cust.count())))
+    assert(rows("staged") ==
+      ((1L, cust.filter($"c_custkey" % 10 === 0).count())))
+    assert(rows("stray")._1 == 1L)
+  }
+
   test("q306: boundary-crossing count matches floor(total/step) exactly") {
     val rows = PipelineQueries.ppsSystematicSample(spark, sf0001).collect()
     val selected = rows.map(_.getAs[Long]("n_selected")).sum
