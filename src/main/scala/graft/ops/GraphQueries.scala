@@ -105,7 +105,46 @@ object GraphQueries {
   def kcoreCensus(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.kCorePeelCensus(spark, coPurchaseEdges(spark, dir))
 
+  /** DEGREE ASSORTATIVITY (q317) — do hubs connect to hubs (r > 0) or to
+    * spokes (r < 0)? Pearson correlation of endpoint degrees over every
+    * directed edge (each undirected edge contributes both orientations,
+    * the standard Newman definition). Exactness is the q143 bridge:
+    * BIGINT moments (degrees are integers; every Σ stays < 2⁵³, so each
+    * CAST to DOUBLE is exact) combined by ONE fixed IEEE op sequence —
+    * each n·Σ product is a single correctly-rounded multiply of exactly
+    * representable doubles, so both engines produce the identical bits.
+    * Degenerate (regular) graphs pin r to NULL via the exact integer
+    * zero-variance test. One degree agg + two broadcast-degree joins +
+    * one global moment agg. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = coPurchaseEdges(spark, dir)
+    val adj = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+    val deg = adj.groupBy($"src".as("vtx")).agg(count(lit(1)).as("deg"))
+    val pairs = adj
+      .join(broadcast(deg.select($"vtx".as("src"), $"deg".as("x"))), "src")
+      .join(broadcast(deg.select($"vtx".as("dst"), $"deg".as("y"))), "dst")
+      .select($"x", $"y")
+    val m = pairs.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"), sum($"x" * $"y").as("sxy"),
+      min($"x").as("min_degree"), max($"x").as("max_degree"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val num = d($"n") * d($"sxy") - d($"sx") * d($"sy")
+    val dx = d($"n") * d($"sxx") - d($"sx") * d($"sx")
+    val dy = d($"n") * d($"syy") - d($"sy") * d($"sy")
+    // zero variance ⇔ the graph is regular — tested on min/max degree,
+    // never on n·Σx² − (Σx)² in LONG (that product overflows 2⁶³ on a
+    // few-million-edge graph and ANSI mode would throw)
+    m.select($"n".as("n_endpoints"), expr("n div 2").as("n_edges"),
+      $"max_degree",
+      when($"min_degree" === $"max_degree", lit(null).cast("double"))
+        .otherwise(num / sqrt(dx * dy)).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_assortativity" -> (assortativity _),
     "q125_triangle_count" -> (triangles _),
     "q126_degree_histogram" -> (degreeHist _),
     "q130_pagerank" -> (pagerank _),
@@ -256,6 +295,40 @@ object GraphQueries {
          |)
          |SELECT lbl AS community, count(*) AS n_members
          |FROM l3 GROUP BY 1""".stripMargin,
+    // q317: identical BIGINT moments, identical CAST-then-multiply double
+    // tree (every moment < 2⁵³ so the casts are exact), min==max
+    // zero-variance pin.
+    "q317_assortativity" ->
+      s"""WITH $edgesSql,
+         |adj AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v AS src, u AS dst FROM e
+         |),
+         |d AS (SELECT src AS vtx, count(*) AS deg FROM adj GROUP BY src),
+         |p AS (
+         |  SELECT dx.deg AS x, dy.deg AS y
+         |  FROM adj JOIN d dx ON dx.vtx = adj.src JOIN d dy ON dy.vtx = adj.dst
+         |),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(min(x) AS BIGINT) AS min_degree,
+         |    CAST(max(x) AS BIGINT) AS max_degree
+         |  FROM p
+         |)
+         |SELECT n AS n_endpoints, CAST(n // 2 AS BIGINT) AS n_edges,
+         |  max_degree,
+         |  CASE WHEN min_degree = max_degree THEN NULL
+         |       ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |  END AS assortativity
+         |FROM m""".stripMargin,
     // q301: identical integer k (floor-mean degree of the ORIGINAL graph)
     // and the same three degree→filter→subgraph rounds, unrolled.
     "q301_kcore_peeling" ->

@@ -553,7 +553,42 @@ object TextQueries {
           .otherwise(lit(-1L)).as("decay_bp"))
   }
 
+  /** TOKEN BURSTINESS (q318) — the corpus statistic that separates
+    * topical words from function words: a token whose occurrences CLUMP
+    * into few documents (bursty) has variance ≫ mean across per-doc
+    * counts, while a uniformly sprinkled token sits near Fano factor 1.
+    * Computed exactly: per token, k = Σ per-doc count and k2 = Σ count²
+    * (zero-count docs contribute nothing to either, so only the posting
+    * rows are touched); the Fano numerator over ALL n docs is
+    * n·k2 − k², and the report carries fano_bp = (10000·(n·k2 − k²))
+    * div (n·k) — integer-exact, guarded, never a float ratio. Output is
+    * the top 20 by (fano_bp DESC, token ASC) with ≥ 20 occurrences (rare
+    * tokens trivially max the ratio), rank-pinned per the unique-key
+    * rule. One token-keyed hash-agg; the n-docs scalar rides a broadcast
+    * 1-row cross join. */
+  def tokenBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy($"tok")
+      .agg(count(lit(1)).as("n_docs_present"), sum($"c").as("k"),
+        sum($"c" * $"c").as("k2"))
+      .crossJoin(broadcast(nd))
+      .filter($"k" >= 20)
+      .withColumn("fano_bp",
+        expr("CASE WHEN n_docs * k > 0 THEN " +
+          "(10000 * (n_docs * k2 - k * k)) div (n_docs * k) ELSE 0 END"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"fano_bp".desc, $"tok".asc)))
+      .filter($"rk" <= 20)
+      .select($"rk", $"tok", $"n_docs_present", $"k", $"fano_bp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_token_burstiness" -> (tokenBurstiness _),
     "q309_zipf_audit" -> (zipfAudit _),
     "q208_vocab_heavy_hitters" -> (vocabHeavyHitters _),
     "q178_boilerplate_spans" -> (boilerplateSpans _),
@@ -606,6 +641,32 @@ object TextQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q318: same exact Fano numerator over all docs, same guarded integer
+    // basis points, same (fano_bp DESC, tok ASC) rank pin.
+    "q318_token_burstiness" ->
+      s"""WITH nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+         |), pd AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(${DedupQueries.toksSql}) AS tok
+         |        FROM documents)
+         |  GROUP BY doc_id, tok
+         |), t AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n_docs_present,
+         |    CAST(sum(c) AS BIGINT) AS k, CAST(sum(c * c) AS BIGINT) AS k2
+         |  FROM pd GROUP BY tok
+         |), f AS (
+         |  SELECT tok, n_docs_present, k,
+         |    CAST(CASE WHEN n_docs * k > 0
+         |      THEN (10000 * (n_docs * k2 - k * k)) // (n_docs * k)
+         |      ELSE 0 END AS BIGINT) AS fano_bp
+         |  FROM t, nd WHERE k >= 20
+         |), r AS (
+         |  SELECT *, row_number() OVER (ORDER BY fano_bp DESC, tok ASC) AS rk
+         |  FROM f
+         |)
+         |SELECT CAST(rk AS INTEGER) AS rk, tok, n_docs_present, k, fano_bp
+         |FROM r WHERE rk <= 20""".stripMargin,
     // q309: same rank (freq DESC, tok ASC), same integer-log2 octaves,
     // same guarded floor-bp decay with −1 at the tail octave.
     "q309_zipf_audit" ->

@@ -255,6 +255,41 @@ class Round11eSpec extends SparkSpec {
     assert(rows("stray")._1 == 1L)
   }
 
+  test("q317: assortativity is a valid correlation and matches corr()") {
+    val r = GraphQueries.assortativity(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_endpoints") == 2 * r.getAs[Long]("n_edges"))
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+    // independent replay: Spark's streaming-float corr() over the same
+    // degree pairs must land within float noise of the exact-moments value
+    val items = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = items.select($"o", $"p".as("u"))
+      .join(items.select($"o", $"p".as("v")), "o")
+      .filter($"u" < $"v").select($"u", $"v").distinct()
+    val adj = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+    val deg = adj.groupBy($"src".as("vtx")).agg(count(lit(1)).as("deg"))
+    val ref = adj
+      .join(deg.select($"vtx".as("src"), $"deg".as("x")), "src")
+      .join(deg.select($"vtx".as("dst"), $"deg".as("y")), "dst")
+      .agg(corr($"x".cast("double"), $"y".cast("double"))).as[Double].head()
+    assert(math.abs(a - ref) < 1e-6, s"exact $a vs corr() $ref")
+  }
+
+  test("q318: burstiness report is rank-pinned, guarded, and non-negative") {
+    val rows = TextQueries.tokenBurstiness(spark, sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 20))
+    val byRank = rows.sortBy(_.getAs[Int]("rk"))
+    val fanos = byRank.map(_.getAs[Long]("fano_bp"))
+    assert(fanos.zip(fanos.tail).forall { case (a, b) => b <= a })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fano_bp") >= 0)
+      assert(r.getAs[Long]("k") >= 20)
+    }
+  }
+
   test("q306: boundary-crossing count matches floor(total/step) exactly") {
     val rows = PipelineQueries.ppsSystematicSample(spark, sf0001).collect()
     val selected = rows.map(_.getAs[Long]("n_selected")).sum
