@@ -587,7 +587,33 @@ object TextQueries {
       .select($"rk", $"tok", $"n_docs_present", $"k", $"fano_bp")
   }
 
+  /** PER-SOURCE OOV RATE (q319) — the tokenizer-coverage planning report:
+    * freeze a reference vocabulary (every token with corpus frequency
+    * ≥ 20 — a deterministic frequency floor, not a top-N whose boundary
+    * ties would need a rank pin) and measure, per source, how much of its
+    * token MASS falls outside it. A source with high OOV bp either needs
+    * vocab budget or flags crawl noise. The vocabulary is a broadcast
+    * frame (frequency-floored vocab is tiny relative to the corpus); the
+    * measure pass is one token-keyed agg + a broadcast left join —
+    * embarrassingly parallel at any scale. Ratios are guarded integer
+    * floor basis points. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .filter($"freq" >= 20).select($"tok", lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"source", $"n_tokens", $"n_oov",
+        when($"n_tokens" > 0, expr("(10000 * n_oov) div n_tokens"))
+          .otherwise(0L).as("oov_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_oov_rate" -> (oovRate _),
     "q318_token_burstiness" -> (tokenBurstiness _),
     "q309_zipf_audit" -> (zipfAudit _),
     "q208_vocab_heavy_hitters" -> (vocabHeavyHitters _),
@@ -641,6 +667,23 @@ object TextQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q319: same frequency-floored vocabulary, same guarded floor bp.
+    "q319_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(${DedupQueries.toksSql}) AS tok
+         |  FROM documents
+         |), vocab AS (
+         |  SELECT tok FROM toks GROUP BY tok HAVING count(*) >= 20
+         |), j AS (
+         |  SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST(CASE WHEN count(*) > 0
+         |    THEN (10000 * sum(oov)) // count(*) ELSE 0 END AS BIGINT)
+         |    AS oov_bp
+         |FROM j GROUP BY source""".stripMargin,
     // q318: same exact Fano numerator over all docs, same guarded integer
     // basis points, same (fano_bp DESC, tok ASC) rank pin.
     "q318_token_burstiness" ->

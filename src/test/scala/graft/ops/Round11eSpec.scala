@@ -290,6 +290,18 @@ class Round11eSpec extends SparkSpec {
     }
   }
 
+  test("q319: OOV mass reconciles with the corpus token total") {
+    val rows = TextQueries.oovRate(spark, sf0001).collect()
+    val total = graft.Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("oov_bp") <= 10000)
+    }
+  }
+
   test("q306: boundary-crossing count matches floor(total/step) exactly") {
     val rows = PipelineQueries.ppsSystematicSample(spark, sf0001).collect()
     val selected = rows.map(_.getAs[Long]("n_selected")).sum
