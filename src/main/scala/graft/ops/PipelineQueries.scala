@@ -290,7 +290,18 @@ object PipelineQueries {
     * dictionary keys partition by hash, probes stream against them. */
   def symspellLinkage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val names = Tables.customer(spark, dir).select($"c_name".as("name"))
+    symspellCensus(Tables.customer(spark, dir).select($"c_name".as("name")))
+  }
+
+  /** The blocking+verify core of q302, factored so the completeness
+    * theorem is testable on crafted vocabularies (the gate's fixed-length
+    * customer names only ever exercise SUBSTITUTION pairs; insert/delete
+    * pairs — lengths differing by 1, caught by the identity key — are
+    * covered by Round11eSpec's brute-force equivalence on mixed-length
+    * strings). Input: one `name` column, distinct or not. */
+  private[ops] def symspellCensus(names: DataFrame): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
     // key set = {name} ∪ 1-deletions(name): the identity key catches
     // insert/delete pairs (lengths differ by 1), the deletions catch
     // substitutions — together complete for distance ≤ 1.

@@ -48,6 +48,42 @@ class Round11eSpec extends SparkSpec {
     assert(brute > 0, "corpus has distance-1 pairs (else the gate is vacuous)")
   }
 
+  test("q302 core: blocking finds insert/delete pairs too, on a seeded " +
+      "mixed-length vocabulary (brute-force equivalence)") {
+    // seeded pseudo-random short strings over a 4-letter alphabet: dense
+    // enough that all three edit kinds (substitution, insert, delete)
+    // occur between vocabulary members
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 120).map { _ =>
+      val len = 3 + rnd.nextInt(4)
+      (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }.distinct
+    val names = vocab.toDF("name")
+    val census = PipelineQueries.symspellCensus(names).collect()
+      .map(r => r.getAs[Long]("n_neighbors") -> r.getAs[Long]("n_customers"))
+      .toMap
+    // brute force, including cross-length (insert/delete) pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val pairs = for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 1
+    } yield (a, b)
+    assert(pairs.nonEmpty, "the seeded vocab must contain distance-1 pairs")
+    assert(pairs.exists { case (a, b) => a.length != b.length },
+      "the seeded vocab must contain CROSS-LENGTH (insert/delete) pairs")
+    val expected = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(census == expected,
+      s"census $census != brute-force $expected")
+  }
+
   test("q303: encoding equals the brute-force complement mean per cell") {
     val enc = PipelineQueries.oofTargetEncoding(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getAs[Long]("fold")) ->
