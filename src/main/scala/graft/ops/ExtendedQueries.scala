@@ -1837,7 +1837,33 @@ object ExtendedQueries {
         sum(when($"ndir" * $"gdir" === 0, 1L).otherwise(0L)).as("n_flat"))
   }
 
+  /** CUBE CELL SUPPRESSION (q320) — the privacy gate on AGGREGATE
+    * release: before publishing a 3-dimensional rollup (priority × order
+    * month × status, q285's quasi-identifier trio), every cube cell with
+    * fewer than k=5 rows is withheld — small subtotals re-identify the
+    * rows q285's row-level audit flagged. One Expand pass computes all 8
+    * grouping levels; the census reports, per grouping level, how many
+    * cells exist, how many are suppressed, and the row mass withheld vs
+    * released — the release-review summary a data-governance board
+    * signs. Everything is counts; the oracle replays CUBE + grouping_id
+    * (bit-identical across engines, the q56 precedent). */
+  def cubeSuppression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("priority"),
+        date_format($"o_orderdate", "yyyy-MM").as("om"),
+        $"o_orderstatus".as("status"))
+      .cube($"priority", $"om", $"status")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .groupBy($"gid")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when($"n" < 5, 1L).otherwise(0L)).as("n_suppressed"),
+        sum(when($"n" < 5, $"n").otherwise(0L)).as("rows_withheld"),
+        sum(when($"n" >= 5, $"n").otherwise(0L)).as("rows_released"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_cube_suppression" -> (cubeSuppression _),
     "q310_simpson_reversal" -> (simpsonReversal _),
     "q250_bootstrap_ci" -> (bootstrapCi _),
     "q249_hierarchy_rollup" -> (hierarchyRollup _),
@@ -1960,6 +1986,24 @@ object ExtendedQueries {
     }.mkString("(", "\n     + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // q320: same CUBE + grouping_id (the q56 precedent), same k=5 rule.
+    "q320_cube_suppression" ->
+      """WITH cells AS (
+        |  SELECT grouping_id(priority, om, status) AS gid, count(*) AS n
+        |  FROM (SELECT o_orderpriority AS priority,
+        |          strftime(o_orderdate, '%Y-%m') AS om,
+        |          o_orderstatus AS status
+        |        FROM orders)
+        |  GROUP BY CUBE (priority, om, status)
+        |)
+        |SELECT gid, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suppressed,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_withheld,
+        |  CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_released
+        |FROM cells GROUP BY gid""".stripMargin,
     // q310: identical cross-multiplied directions and census.
     "q310_simpson_reversal" ->
       """WITH j AS (

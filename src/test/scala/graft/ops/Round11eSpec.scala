@@ -338,6 +338,21 @@ class Round11eSpec extends SparkSpec {
     }
   }
 
+  test("q320: every grouping level conserves the full row mass") {
+    val rows = ExtendedQueries.cubeSuppression(spark, sf0001).collect()
+    assert(rows.length == 8, "3-column cube has exactly 8 grouping levels")
+    val total = graft.Tables.orders(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_withheld") + r.getAs[Long]("rows_released")
+        == total, s"gid ${r.get(0)}: suppressed + released != all rows")
+      assert(r.getAs[Long]("n_suppressed") <= r.getAs[Long]("n_cells"))
+    }
+    // the grand total (all columns aggregated) is a single unsuppressable cell
+    val grand = rows.maxBy(_.getAs[Long]("gid"))
+    assert(grand.getAs[Long]("n_cells") == 1 &&
+      grand.getAs[Long]("rows_released") == total)
+  }
+
   test("q306: boundary-crossing count matches floor(total/step) exactly") {
     val rows = PipelineQueries.ppsSystematicSample(spark, sf0001).collect()
     val selected = rows.map(_.getAs[Long]("n_selected")).sum
