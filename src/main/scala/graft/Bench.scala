@@ -77,7 +77,27 @@ object Bench {
     // again: streaming (state-store provider load + micro-batch engine),
     // ANN (index probe paths), graph (iterative frames). Default warms
     // exactly those; SPARK_GRAFT_BENCH_WARMUP=all|none|families overrides.
+    // SUBSET RUNS (VERDICT r11 #1 — cross-round A/B adjudication): the
+    // shared-query comparison against a prior round's artifact needs a run
+    // of EXACTLY that round's query set, alone, on a quiet host.
+    // SPARK_GRAFT_BENCH_ONLY = a file of query names (one per line) or a
+    // comma-separated list filters the suite; a subset artifact can never
+    // replace the committed full artifact (enforced in persist below).
+    val onlySet: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map { v =>
+        val p = java.nio.file.Paths.get(v)
+        if (java.nio.file.Files.isRegularFile(p))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala
+            .map(_.trim).filter(_.nonEmpty).toSet
+        else v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlySet.forall(_.contains(n)) }
+    onlySet.foreach { s =>
+      System.err.println(s"[bench] SUBSET run: ${ordered.size}/" +
+        s"${SparkEntry.queries.size} queries (${s.size} requested)")
+    }
     val warmFamilies: Set[String] =
       ops.EventQueries.queries.keySet ++ ops.AnnQueries.queries.keySet ++
         ops.GraphQueries.queries.keySet
@@ -134,6 +154,22 @@ object Bench {
       name -> (if (ok) dt else -1.0)
     }.toMap
 
+    // CANARY ANCHOR (VERDICT r11 #2): the intra-run spread rule (≤1.3×)
+    // cannot catch a UNIFORMLY slow host — r11's two committed artifacts,
+    // one commit apart, disagreed 11% on identical queries. These four
+    // sub-0.3 s pure-compute queries (no fixtures, no streaming, no
+    // caches) form an absolute cross-round anchor: their subtotal is
+    // plan-stable across rounds, so a >15% canary deviation from the
+    // committed artifact means the HOST is not comparable and the run
+    // must not replace bench.json (enforced in persist).
+    val CanaryQueries = Seq("q02_filter_project", "q36_date_features",
+      "q41_string_funcs", "q73_date_arithmetic")
+    def canaryOf(results: Seq[(String, Double)]): Double = {
+      val m = results.toMap
+      val ts = CanaryQueries.flatMap(m.get).filter(_ >= 0)
+      if (ts.size == CanaryQueries.size) ts.sum else -1.0
+    }
+
     def artifactLine(passes: Seq[Map[String, Double]]): String = {
       val results = ordered.map { case (name, _) =>
         val ts = passes.map(_(name)).filter(_ >= 0)
@@ -157,8 +193,23 @@ object Bench {
       val fx = fixtures.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trials_completed":${passes.size},"trial_totals":$totals,"queries_max":$qsMax,"fixture_secs":${r3d(fixtureSecs)},"fixtures":$fx,"warmup_secs":${r3d(warmupSecs)},"warmup_queries":$warmed,"warmup_mode":"$warmupMode"}"""
+      s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trials_completed":${passes.size},"trial_totals":$totals,"queries_max":$qsMax,"fixture_secs":${r3d(fixtureSecs)},"fixtures":$fx,"warmup_secs":${r3d(warmupSecs)},"warmup_queries":$warmed,"warmup_mode":"$warmupMode","canary_queries":${CanaryQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_secs":${r3d(canaryOf(results))}}"""
     }
+
+    // Canary of the artifact line being persisted, re-derived the same way
+    def canaryOfLine(passes: Seq[Map[String, Double]]): Double =
+      canaryOf(ordered.map { case (name, _) =>
+        val ts = passes.map(_(name)).filter(_ >= 0)
+        name -> (if (ts.nonEmpty) ts.min else -1.0)
+      })
+    // The committed artifact's canary, if it records one
+    val committedCanary: Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench.json")), "UTF-8")
+        """"canary_secs":([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).filter(_ > 0)
+      } catch { case _: Throwable => None }
 
     // ARTIFACT DECOUPLING (VERDICT r9 #1): the repo-root `bench.json` is a
     // COMMITTED adjudication artifact — DocsConsistencySpec pins
@@ -171,14 +222,41 @@ object Bench {
     // passes the ≤1.3× adjudication rule). /tmp/bench.json is always
     // written as the machine-readable copy for harnesses that read a
     // fixed path.
-    def persist(line: String): Unit = {
+    // CANARY ENFORCEMENT (VERDICT r11 #2): an explicit
+    // SPARK_GRAFT_BENCH_OUT=bench.json refresh is REFUSED — redirected to
+    // bench.out.json with a loud message — when (a) this is a subset run
+    // (a partial artifact must never replace the full committed one), or
+    // (b) the committed artifact records a canary and this run's canary
+    // subtotal deviates from it by >15% (uniformly-slow-host guard that
+    // the intra-run ≤1.3× spread rule cannot provide). First-ever commit
+    // (no canary in bench.json yet) is allowed.
+    def persist(line: String, canary: Double): Unit = {
       def write(path: String): Unit =
         try java.nio.file.Files.write(java.nio.file.Paths.get(path),
           (line + "\n").getBytes("UTF-8"))
         catch { case e: Throwable =>
           System.err.println(s"[bench] write $path failed: ${e.getMessage}") }
       write("/tmp/bench.json")
-      write(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.out.json"))
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.out.json")
+      val refuse: Option[String] =
+        if (out != "bench.json") None
+        else if (onlySet.nonEmpty)
+          Some("subset run (SPARK_GRAFT_BENCH_ONLY) cannot replace the " +
+            "full committed artifact")
+        else committedCanary match {
+          case Some(c) if canary > 0 && math.abs(canary / c - 1) > 0.15 =>
+            Some(f"canary ${r3d(canary)} s deviates >15%% from the " +
+              f"committed artifact's ${r3d(c)} s — host not comparable " +
+              "(CLAUDE.md canary rule); re-run on a quiet host")
+          case _ => None
+        }
+      refuse match {
+        case Some(why) =>
+          System.err.println(s"[bench] REFUSING bench.json refresh: $why; " +
+            "wrote bench.out.json instead")
+          write("bench.out.json")
+        case None => write(out)
+      }
     }
 
     var passes = Vector.empty[Map[String, Double]]
@@ -188,7 +266,7 @@ object Bench {
       t += 1
       // persist + short line after EVERY trial: a kill from here on still
       // leaves a valid artifact with `trials_completed` = what actually ran
-      persist(artifactLine(passes))
+      persist(artifactLine(passes), canaryOfLine(passes))
       val tot = passes.last.values.filter(_ >= 0).sum
       println(s"""{"metric":"trial","trial":$t,"of":$trials,"total":${r3d(tot)},"unit":"sec","sf":"$sfDir"}""")
       System.out.flush()

@@ -29,7 +29,8 @@ object Experiment {
   }
 
   case class Opts(events: String, results: String,
-      models: Seq[String] = Seq("rf", "lr", "gbt", "mlp"), fast: Boolean = false)
+      models: Seq[String] = Seq("rf", "lr", "gbt", "mlp"), fast: Boolean = false,
+      json: Option[String] = None)
 
   def parseArgs(args: Array[String]): Opts = {
     def loop(rest: List[String], acc: Opts): Opts = rest match {
@@ -37,16 +38,44 @@ object Experiment {
       case "--results" :: v :: t => loop(t, acc.copy(results = v))
       case "--models" :: v :: t => loop(t, acc.copy(models = v.split(",").toSeq))
       case "--fast" :: t => loop(t, acc.copy(fast = true))
+      case "--json" :: v :: t => loop(t, acc.copy(json = Some(v)))
       case Nil => acc
       case other :: _ => sys.error(s"unknown argument: $other")
     }
     val o = loop(args.toList, Opts(null, null))
     require(o.events != null && o.results != null,
-      "usage: --events <csv> --results <csv> [--models rf,lr,gbt,mlp] [--fast]")
+      "usage: --events <csv> --results <csv> [--models rf,lr,gbt,mlp] " +
+        "[--fast] [--json <path>]")
     o
   }
 
-  def run(spark: SparkSession, opts: Opts): Map[String, Evaluation.Metrics] = {
+  /** End-to-end run summary — the machine-checkable counterpart of the
+    * reference's golden log (`output.txt`'s "Total matchups / Train /
+    * Test" lines, ref README.md:153-253). `--json` persists it; the
+    * committed `hockey_run.json` + HockeyRunArtifactSpec re-derive every
+    * field (VERDICT r11 #6). */
+  case class RunReport(gameTeamRows: Long, matchups: Long, trainRows: Long,
+      testRows: Long, testSeason: Int,
+      metrics: Map[String, Evaluation.Metrics], baselines: Evaluation.Baselines)
+
+  def reportJson(r: RunReport, fast: Boolean): String = {
+    def d(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    val models = r.metrics.toSeq.sortBy(_._1).map { case (name, m) =>
+      s""""$name":{"accuracy":${d(m.accuracy)},"auc":${d(m.auc)},""" +
+        s""""precision":${d(m.precision)},"recall":${d(m.recall)},""" +
+        s""""f1":${d(m.f1)},"n_test":${m.confusion.values.sum}}"""
+    }.mkString("{", ",", "}")
+    s"""{"game_team_rows":${r.gameTeamRows},"rows_per_game":2,""" +
+      s""""matchups":${r.matchups},"train_rows":${r.trainRows},""" +
+      s""""test_rows":${r.testRows},"test_season":${r.testSeason},""" +
+      s""""fast":$fast,"models":$models,""" +
+      s""""baselines":{"majority_class":${d(r.baselines.majorityClass)},""" +
+      s""""weighted_random":${d(r.baselines.weightedRandom)},""" +
+      s""""coin_flip":${d(r.baselines.coinFlip)}}}"""
+  }
+
+  def run(spark: SparkSession, opts: Opts): RunReport = {
     val cfg =
       if (opts.fast)
         Models.ModelConfig(rfNumTrees = 10, rfMaxDepth = 4, lrMaxIter = 20,
@@ -89,6 +118,18 @@ object Experiment {
     println(f"""|
                 |Baselines: majority-class ${base.majorityClass}%.4f,
                 | weighted-random ${base.weightedRandom}%.4f, coin-flip ${base.coinFlip}%.4f""".stripMargin)
-    results
+    // game-team row count re-derived from the results CSV (gameData emits
+    // one row per (game, team) — the "2 rows per game" invariant the
+    // artifact spec pins); one extra count on a header CSV, trivial next
+    // to the fits
+    val gameTeamRows = Pipeline.loadResults(spark, opts.results).count()
+    val report = RunReport(gameTeamRows, matchups.count(),
+      train.count(), test.count(), testSeason, results, base)
+    opts.json.foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (reportJson(report, opts.fast) + "\n").getBytes("UTF-8"))
+      println(s"Run report written to $path")
+    }
+    report
   }
 }

@@ -115,32 +115,45 @@ object Graph {
   /** k-hop BFS frontier census from a DETERMINISTIC seed — the minimum-
     * degree vertex, ties to the smallest id (the hardest seed on a
     * near-clique co-purchase graph: a hub would reach everything in one
-    * hop). Levels are UNROLLED like [[integerPageRank]]: level k is one
-    * adjacency equi-join on the previous frontier + distinct + anti-join
-    * against the reached set — the Pregel superstep as relational
-    * algebra, shuffle-bounded by frontier × degree, never all-pairs.
-    * Output is one row per hop (frontier size, cumulative reached); the
-    * running sum is a window over those k+1 rows — a single implicit
-    * partition, fine because the frame is the hop census, not data.
-    * Plan depth grows linearly in k, so a production deep BFS would
-    * checkpoint each frontier the way the co-purchase edge fixture is
-    * checkpointed; 3 unrolled levels keep the one-plan formulation
-    * honest and AQE-visible. */
-  def bfsFrontiers(edges: DataFrame, hops: Int = 3): DataFrame = {
+    * hop). Level k is one adjacency equi-join on the previous frontier +
+    * distinct + anti-join against the reached set — the Pregel superstep
+    * as relational algebra, shuffle-bounded by frontier × degree, never
+    * all-pairs. Output is one row per hop (frontier size, cumulative
+    * reached); the running sum is a window over those k+1 rows — a
+    * single implicit partition, fine because the frame is the hop
+    * census, not data.
+    *
+    * Every hop's `next` frontier (and the seed) is CHECKPOINTED as a
+    * tiny parquet hop, exactly like [[kCorePeelCensus]]: without it the
+    * lazy `frontier`/`reached` lineages compound — hop k's join,
+    * anti-join, AND census count each re-derive every earlier hop (the
+    * unrolled plan had 152 scans / 79 shuffles at hops=3, and grows
+    * exponentially in `hops`). With the checkpoint each hop is a
+    * constant-size plan over two parquet frames; the cumulative reached
+    * set is the union of the (disjoint) frontier files. */
+  def bfsFrontiers(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, hops: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val run = graft.Scratch.fresh("graft_bfs_")
+    def hop(df: DataFrame, tag: String): DataFrame = {
+      val p = run.resolve(tag).toString
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
     val adj = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     val deg = adj.groupBy(col("src").as("vtx")).agg(count(lit(1)).as("deg"))
-    val seed = deg.orderBy(col("deg").asc, col("vtx").asc)
-      .limit(1).select(col("vtx"))
+    val seed = hop(deg.orderBy(col("deg").asc, col("vtx").asc)
+      .limit(1).select(col("vtx")), "seed")
     var frontier = seed
-    var reached = seed
+    var reached = seed // union of disjoint per-hop frontier files
     var counts = seed.agg(count(lit(1)).as("n_frontier"))
       .select(lit(0).as("hop"), col("n_frontier"))
     (1 to hops).foreach { k =>
-      val next = adj.join(frontier, adj("src") === frontier("vtx"))
-        .select(col("dst").as("vtx")).distinct()
-        .join(reached, Seq("vtx"), "left_anti")
+      val next = hop(
+        adj.join(frontier, adj("src") === frontier("vtx"))
+          .select(col("dst").as("vtx")).distinct()
+          .join(reached, Seq("vtx"), "left_anti"), s"f$k")
       counts = counts.unionAll(next.agg(count(lit(1)).as("n_frontier"))
         .select(lit(k).as("hop"), col("n_frontier")))
       reached = reached.unionAll(next) // disjoint by the anti-join
@@ -163,22 +176,36 @@ object Graph {
     * count + a per-vertex arg-max window (state per vertex = its degree,
     * never the graph); labels are integers throughout, so both engines
     * replay the same fixed-iteration trajectory exactly. Returns the
-    * community census after `iters` rounds. */
-  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    * community census after `iters` rounds.
+    *
+    * Each round's label frame is CHECKPOINTED as a parquet hop (same
+    * rationale as [[bfsFrontiers]]/[[kCorePeelCensus]]): round r's join
+    * would otherwise re-derive rounds 1..r−1's join+window lineage, so
+    * plan size grows with iters² while the checkpointed plan stays one
+    * join + one window per round. */
+  def labelPropagation(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val run = graft.Scratch.fresh("graft_lpa_")
+    def hop(df: DataFrame, tag: String): DataFrame = {
+      val p = run.resolve(tag).toString
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
     val adj = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     var labels = adj.select(col("src").as("vtx")).distinct()
       .select(col("vtx"), col("vtx").as("lbl"))
     val byVtx = Window.partitionBy(col("vtx"))
       .orderBy(col("c").desc, col("lbl").asc)
-    (1 to iters).foreach { _ =>
-      labels = adj.join(labels, adj("src") === labels("vtx"))
-        .groupBy(col("dst").as("vtx"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byVtx))
-        .filter(col("rn") === 1)
-        .select(col("vtx"), col("lbl"))
+    (1 to iters).foreach { i =>
+      labels = hop(
+        adj.join(labels, adj("src") === labels("vtx"))
+          .groupBy(col("dst").as("vtx"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(byVtx))
+          .filter(col("rn") === 1)
+          .select(col("vtx"), col("lbl")), s"l$i")
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))

@@ -78,14 +78,14 @@ object GraphQueries {
     graft.operators.Graph.integerPageRank(coPurchaseEdges(spark, dir))
 
   /** 3-hop BFS reachability census
-    * ([[graft.operators.Graph.bfsFrontiers]] — unrolled Pregel supersteps
-    * from the min-degree seed). The oracle replays the same level
+    * ([[graft.operators.Graph.bfsFrontiers]] — per-hop checkpointed
+    * Pregel supersteps from the min-degree seed). The oracle replays the same level
     * structure as chained CTEs (fᵢ = neighbors of fᵢ₋₁ minus everything
     * reached), so every per-hop frontier size is checked, not just the
     * final reachable count. At sf0.01 the census is 1 / 42 / 1814 / 143 —
     * the periphery-seeded traversal genuinely needs all three hops. */
   def bfsCensus(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.bfsFrontiers(coPurchaseEdges(spark, dir))
+    graft.operators.Graph.bfsFrontiers(spark, coPurchaseEdges(spark, dir))
 
   /** Deterministic label-propagation communities
     * ([[graft.operators.Graph.labelPropagation]] — 3 synchronous
@@ -94,7 +94,7 @@ object GraphQueries {
     * (count DESC, label ASC) arg-max, so the whole trajectory is checked,
     * not just the final census. */
   def lpaCensus(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.labelPropagation(coPurchaseEdges(spark, dir))
+    graft.operators.Graph.labelPropagation(spark, coPurchaseEdges(spark, dir))
 
   /** Mean-core peeling trajectory
     * ([[graft.operators.Graph.kCorePeelCensus]] — 3 synchronous rounds at

@@ -60,10 +60,27 @@ object ScaleProbe {
     * subgraph checkpoints; the risk is round-cost growth, not round
     * count) and the deletion-neighborhood linkage (q302 — candidate
     * pairs are the hidden-quadratic risk; per-copy distinct names keep
-    * the 10× corpus entity-realistic). */
+    * the 10× corpus entity-realistic).
+    *
+    * Round 12 (VERDICT r11 #4) adds the remaining heavy classes the probe
+    * had skipped — exactly where q149's quadratic was found: the
+    * checkpointed BFS (q219) and synchronous LPA (q224 — per-round
+    * frontier/label cost growth), the two streaming outer joins
+    * (q216/q227 — join-state growth under per-side watermarks), the
+    * lakehouse branch merge (q231) and changelog compaction input (q244
+    * frequent pairs — per-basket quadratic bounded by basket size, which
+    * the salted union holds constant), and the 29-shuffle hierarchy
+    * rollup (q249). */
   val DefaultGates: Seq[String] = Seq(
     "q301_kcore_peeling",
     "q302_symspell_linkage",
+    "q216_streaming_outer_join",
+    "q219_bfs_frontiers",
+    "q224_label_propagation",
+    "q227_streaming_full_outer",
+    "q231_branch_merge",
+    "q244_frequent_pairs",
+    "q249_hierarchy_rollup",
     "q101_grouped_quantile_pruned",
     "q112_similarity_join_prefix",
     "q125_triangle_count",
@@ -111,13 +128,19 @@ object ScaleProbe {
     salted("orders")(_.select(off("o_orderkey"), off("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")))
-    // customer: distinct KEYS and distinct NAMES per copy (the copy letter
-    // prefixes c_name) — q302's deletion-neighborhood linkage must see a
-    // 10× corpus of mostly-distinct entities (names identical across
+    // customer: distinct KEYS and distinct NAMES per copy (a DOUBLED copy
+    // letter prefixes c_name) — q302's deletion-neighborhood linkage must
+    // see a 10× corpus of mostly-distinct entities (names identical across
     // copies would square its candidate pairs, which no real 10× corpus
-    // does; cross-copy pairs sit at edit distance ≥ 2 and stay excluded)
+    // does). The prefix must be TWO characters: a single-char prefix puts
+    // copies of one base name at edit distance exactly 1 (one
+    // substitution), which q302's d≤1 linkage matches — linking all
+    // copies pairwise and inflating the probe's verify workload ~copy²
+    // beyond any real 10× corpus (ADVICE r11). "aa…" vs "bb…" is distance
+    // 2 and stays excluded.
     salted("customer")(df => df.select(off("c_custkey") +:
-      concat(expr("char(97 + copy)"), col("c_name")).as("c_name") +:
+      concat(expr("char(97 + copy)"), expr("char(97 + copy)"),
+        col("c_name")).as("c_name") +:
       df.columns.filter(c => c != "c_custkey" && c != "c_name" && c != "copy")
         .map(col): _*))
     salted("supplier")(df => df.select(off("s_suppkey") +:
@@ -239,6 +262,18 @@ object ScaleProbe {
       |  re-measured ratio **1.72**. At every shipped sf the formula lands
       |  on the shared 8-cell index, so gate results and oracles were
       |  bit-identical before/after.
+      |- **r12: the probe corpus itself had a super-linear term** (ADVICE
+      |  r11): single-letter per-copy name prefixes put copies of one
+      |  base customer name at edit distance exactly 1, so q302's d≤1
+      |  linkage linked all 10 copies pairwise (~45 phantom verified
+      |  pairs per base name) — measuring corpus artifact, not algorithm.
+      |  Fixed with doubled prefixes (cross-copy distance 2); q302's
+      |  committed ratio is now measured on an entity-realistic 10×.
+      |- **r12: q219_bfs_frontiers re-measured at ratio 1.28** after the
+      |  per-hop frontier checkpoint fix (VERDICT r11 #3 — the unrolled
+      |  plan re-derived every hop's lineage: 152 scans/79 shuffles at
+      |  3 hops, exponential in depth; now 4 scans/4 shuffles, linear).
+      |  q224 got the same per-round label checkpoint (ratio 1.24).
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -71,14 +71,14 @@ class GraphSpec extends SparkSpec {
     // path 1-2-3-4-5: min degree 1 is shared by vertices 1 and 5; the id
     // tie-break picks 1, so hops are 1 -> {2} -> {3} -> {4}
     val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
-    val rows = Graph.bfsFrontiers(path, hops = 3)
+    val rows = Graph.bfsFrontiers(spark, path, hops = 3)
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     assert(rows.toSeq == Seq((0, 1L, 1L), (1, 1L, 2L), (2, 1L, 3L), (3, 1L, 4L)))
   }
 
   test("BFS frontiers: star seeds at a leaf, hop 2 floods the other leaves") {
     val star = edges((1 to 10).map(i => (100L, i.toLong)): _*)
-    val rows = Graph.bfsFrontiers(star, hops = 3)
+    val rows = Graph.bfsFrontiers(spark, star, hops = 3)
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     // seed = leaf 1; hop1 = hub; hop2 = the 9 other leaves; hop3 empty
     assert(rows.toSeq == Seq((0, 1L, 1L), (1, 1L, 2L), (2, 9L, 11L), (3, 0L, 11L)))
@@ -91,14 +91,14 @@ class GraphSpec extends SparkSpec {
     // does NOT merge them, because frequency beats reachability
     val barbell = edges((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
-    val census = Graph.labelPropagation(barbell, iters = 3)
+    val census = Graph.labelPropagation(spark, barbell, iters = 3)
       .as[(Long, Long)].collect().toMap
     assert(census == Map(1L -> 3L, 3L -> 3L), s"census drifted: $census")
   }
 
   test("label propagation on a clique converges to the min label") {
     val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
-    val census = Graph.labelPropagation(k4, iters = 3)
+    val census = Graph.labelPropagation(spark, k4, iters = 3)
       .as[(Long, Long)].collect().toMap
     assert(census == Map(1L -> 4L), s"census drifted: $census")
   }
@@ -107,7 +107,7 @@ class GraphSpec extends SparkSpec {
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L))
     // min-degree tie at deg 1 between 1 and 3 -> seed 1; the 10-11-12
     // triangle stays unreached at every hop
-    val rows = Graph.bfsFrontiers(g, hops = 3)
+    val rows = Graph.bfsFrontiers(spark, g, hops = 3)
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     assert(rows.toSeq == Seq((0, 1L, 1L), (1, 1L, 2L), (2, 1L, 3L), (3, 0L, 3L)))
   }
