@@ -102,11 +102,13 @@ object Bench {
       ops.EventQueries.queries.keySet ++ ops.AnnQueries.queries.keySet ++
         ops.GraphQueries.queries.keySet
     val warmupMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "families")
-    val warmupSet: Set[String] = warmupMode match {
+    // intersect with the (possibly subset) suite so the warmed/size
+    // accounting and the budget message stay truthful under BENCH_ONLY
+    val warmupSet: Set[String] = (warmupMode match {
       case "all" => ordered.map(_._1).toSet
-      case "none" => Set.empty
+      case "none" => Set.empty[String]
       case _ => warmFamilies
-    }
+    }).intersect(ordered.map(_._1).toSet)
     val warmupBudget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_SECS", "600").toDouble
     val tWarm = System.nanoTime()

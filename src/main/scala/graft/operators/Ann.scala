@@ -234,13 +234,16 @@ object Ann {
 
   /** Integer-LATTICE cell centroids: per (cell, dim), `floorDiv(Σx, n)`
     * over [[gridQuantize]]d vectors. Σ of integral doubles is exact in
-    * long; floor division is spelled `(s − pmod(s, n)) / n` because
-    * Spark's integral `div` truncates toward zero while DuckDB's `//`
-    * floors — they disagree on negative sums, and centroid sums go
-    * negative. The subtraction makes the dividend an exact multiple of n,
-    * so the final `/` (double division of two exactly-representable
-    * longs with an integral quotient) is exact too. Oracle replays the
-    * identical `(s - ((s % n) + n) % n) // n`. */
+    * long; floor division is spelled `(s − pmod(s, n)) / n` so the
+    * FLOOR is computed explicitly on BOTH engines — centroid sums go
+    * negative, where a native integer quotient would truncate instead
+    * (Spark's `div` truncates, and — verified r12, q327 — DuckDB's
+    * BIGINT `//` truncates identically; spelling the floor keeps the
+    * centroid the mathematical floor rather than whatever the native
+    * operator does). The subtraction makes the dividend an exact
+    * multiple of n, so the final `/` (double division of two
+    * exactly-representable longs with an integral quotient) is exact
+    * too. Oracle replays the identical `(s - ((s % n) + n) % n) // n`. */
   def gridCellCentroids(corpus: DataFrame, cellCol: String,
       vecCol: String = "embedding"): DataFrame = {
     val s = sum(col("x").cast("long"))

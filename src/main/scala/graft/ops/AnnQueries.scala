@@ -869,7 +869,124 @@ object AnnQueries {
           .otherwise(0L))
   }
 
+  /** GREEDY k-CENTER CORESET (q323) — Gonzalez's farthest-point
+    * selection, the classic diverse-subset primitive of embedding-space
+    * curation (pick k exemplars so every vector is within radius r of
+    * one; the greedy picks are a 2-approximation of the optimal cover).
+    * Seed = the min vec_id; each round adds the vector FARTHEST from the
+    * chosen set (squared L2, ties to the smallest id) and reports the
+    * covering radius with the set so far.
+    *
+    * Exactness: vectors ride the [[graft.operators.Ann.gridQuantize]]
+    * grid (floor(x·10⁶) — a fixed IEEE op sequence), cast to BIGINT, so
+    * every distance is an exact integer (≤ 64·(4·10⁵)² ≪ 2⁶³) and both
+    * engines replay the identical greedy trajectory — float k-center is
+    * never oracle-checkable (sum order).
+    *
+    * Scale shape: k passes over the corpus, each one scan computing
+    * min-distance to ≤ k BROADCAST-LITERAL centers + a single agg (max
+    * radius, arg-max row) — the canonical driver-coordinated iteration
+    * with O(k) driver state (the same documented-O(k)-collect contract
+    * as the Lloyd centroids). No joins, no shuffles beyond the agg. */
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 4
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding".cast("array<double>"),
+          x => floor(x * lit(1000000.0)).cast("long")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def d2To(center: Seq[Long]) =
+      aggregate(zip_with($"v", typedlit(center), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e)
+    val seed = q.orderBy($"vec_id".asc).limit(1).select($"vec_id", $"v").head()
+    var centers = Vector((seed.getLong(0), seed.getSeq[Long](1)))
+    val rows = Vector.newBuilder[(Int, Long, Long)]
+    (1 to k).foreach { round =>
+      val md = q.select($"vec_id", $"v",
+        centers.map(c => d2To(c._2)).reduce(least(_, _)).as("md"))
+      // one agg: covering radius + farthest row (ties to min vec_id via
+      // the negated-id struct field; vec_id is unique so the array field
+      // is never compared)
+      val r = md.agg(max($"md").as("radius"),
+        max(struct($"md", (-$"vec_id").as("ni"), $"v")).as("far")).head()
+      rows += ((round, centers(round - 1)._1, r.getLong(0)))
+      if (round < k) {
+        val far = r.getStruct(1)
+        centers :+= ((-far.getLong(1), far.getSeq[Long](2)))
+      }
+    }
+    q.unpersist()
+    spark.createDataFrame(rows.result())
+      .toDF("round", "center_id", "radius_sq")
+  }
+
+  /** RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL (q328) — the modern RAG
+    * retrieval stack in one gate: a LEXICAL ranking (shared distinct
+    * tokens with the query document) and a VECTOR ranking (integer-grid
+    * inner product against the query embedding — vec_id and doc_id share
+    * the corpus id space) are each cut to a bounded top-50 by the
+    * [[graft.functions.TopK]] aggregate, then fused per candidate with
+    * RRF: Σ 10⁶ div (60 + rank) over the lists the candidate appears in
+    * (Cormack's k=60, floor fixed point — never a float reciprocal).
+    * Top-10 fused per query, rank-pinned (rrf DESC, doc_id ASC).
+    *
+    * Scale shape: the lexical leg is one token-keyed join against the
+    * BROADCAST query token set + a grouped count; the vector leg is one
+    * corpus scan against broadcast query vectors; both rankings use the
+    * bounded-heap top-k aggregate (k·groups·partitions exchanged rows —
+    * never a corpus-wide sort, the q108 rule), and the fusion joins two
+    * ≤ 50·|queries|-row frames. */
+  def rrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = 50
+    val nq = 5
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text"))
+        .as("tok")).distinct()
+    val qToks = toks.filter($"doc_id" < nq)
+      .select($"doc_id".as("query_id"), $"tok")
+    val lexTop = toks.join(broadcast(qToks), Seq("tok"))
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("overlap"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.scoredTopK(
+        $"overlap".cast("double"), $"doc_id", K).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "s")))
+      .select($"query_id", $"s.cand_id".as("doc_id"),
+        ($"pos" + 1).cast("long").as("rank_lex"))
+    val grid = Tables.embeddings(spark, dir)
+      .select($"vec_id", Ann.gridQuantize($"embedding").as("v"))
+    val qv = grid.filter($"vec_id" < nq)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val vecTop = grid.join(broadcast(qv), $"vec_id" =!= $"query_id")
+      // integral-double grid products: exact, order-independent sums
+      .select($"query_id", $"vec_id",
+        aggregate(zip_with($"v", $"qv", (x, y) => x * y),
+          lit(0.0), (a, e) => a + e).as("dot"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.scoredTopK($"dot", $"vec_id", K).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "s")))
+      .select($"query_id", $"s.cand_id".as("doc_id"),
+        ($"pos" + 1).cast("long").as("rank_vec"))
+    val fused = lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        coalesce($"rank_lex", lit(0L)).as("rank_lex"),
+        coalesce($"rank_vec", lit(0L)).as("rank_vec"),
+        (coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L))).as("rrf_fp"))
+    fused
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"rrf_fp".desc, $"doc_id".asc)))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"rk".cast("int").as("rk"), $"doc_id",
+        $"rank_lex", $"rank_vec", $"rrf_fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_rrf_hybrid" -> (rrfHybrid _),
+    "q323_kcenter_coreset" -> (kcenterCoreset _),
     "q234_pq_ann" -> (pqAnn _),
     "q177_embedding_norm_qa" -> (embeddingNormQa _),
     "q284_quant_residual_audit" -> (quantResidualAudit _),
@@ -1196,7 +1313,99 @@ object AnnQueries {
   private lazy val ivfUpsertSql: String =
     searchReplaySql(gridLloydSqlFor("vec_id % 5 <> 0"))
 
+  /** q323's oracle: the same greedy trajectory as chained CTEs — cₖ is
+    * the (md DESC, vec_id ASC) head of the previous round's min-distance
+    * frame, pₖ folds the new center in with least(). All distances are
+    * integral doubles (exact — products < 2⁵³), cast to BIGINT at the
+    * output edge only. */
+  private def kcenterSql: String = {
+    def dist(av: String, cv: String) =
+      s"list_sum(list_transform(generate_series(1, 64), " +
+        s"d -> ($av[d] - $cv[d]) * ($av[d] - $cv[d])))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH iv AS (
+              |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+              |    x -> floor(x * 1000000.0)) AS v
+              |  FROM embeddings
+              |), c1 AS (
+              |  SELECT vec_id AS cid, v AS cv FROM iv ORDER BY vec_id LIMIT 1
+              |), p1 AS (
+              |  SELECT i.vec_id, i.v, ${dist("i.v", "c.cv")} AS md
+              |  FROM iv i, c1 c
+              |)""".stripMargin
+    for (k <- 2 to 4) {
+      sb ++= s""", c$k AS (
+                |  SELECT vec_id AS cid, v AS cv FROM p${k - 1}
+                |  ORDER BY md DESC, vec_id ASC LIMIT 1
+                |), p$k AS (
+                |  SELECT p.vec_id, p.v, least(p.md, ${dist("p.v", "c.cv")}) AS md
+                |  FROM p${k - 1} p, c$k c
+                |)""".stripMargin
+    }
+    sb ++= (1 to 4).map(k =>
+      s"""SELECT CAST($k AS INTEGER) AS round,
+         |  (SELECT cid FROM c$k) AS center_id,
+         |  CAST(max(md) AS BIGINT) AS radius_sq FROM p$k""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
+  /** q328's oracle: the bounded top-k aggregate's (score DESC, id ASC)
+    * order replayed as row_number windows; same grid products, same
+    * 10⁶ div (60+rank) floor RRF, same full-outer fusion. */
+  private def rrfSql: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(
+       |      list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+       |      AS tok
+       |    FROM documents)
+       |), q AS (SELECT doc_id AS query_id, tok FROM toks WHERE doc_id < 5),
+       |lex AS (
+       |  SELECT q.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS overlap
+       |  FROM toks t JOIN q ON t.tok = q.tok AND t.doc_id <> q.query_id
+       |  GROUP BY 1, 2
+       |), lexr AS (
+       |  SELECT query_id, doc_id, rank_lex FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY overlap DESC, doc_id ASC)
+       |      AS BIGINT) AS rank_lex
+       |    FROM lex) WHERE rank_lex <= 50
+       |), grid AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> floor(x * 1000000.0)) AS v
+       |  FROM embeddings
+       |), qv AS (SELECT vec_id AS query_id, v AS qv FROM grid WHERE vec_id < 5),
+       |dot AS (
+       |  SELECT q.query_id, g.vec_id AS doc_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      d -> g.v[d] * q.qv[d])) AS dot
+       |  FROM grid g, qv q WHERE g.vec_id <> q.query_id
+       |), vecr AS (
+       |  SELECT query_id, doc_id, rank_vec FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dot DESC, doc_id ASC)
+       |      AS BIGINT) AS rank_vec
+       |    FROM dot) WHERE rank_vec <= 50
+       |), fused AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    coalesce(rank_lex, CAST(0 AS BIGINT)) AS rank_lex,
+       |    coalesce(rank_vec, CAST(0 AS BIGINT)) AS rank_vec,
+       |    CAST(coalesce(1000000 // (60 + rank_lex), 0)
+       |      + coalesce(1000000 // (60 + rank_vec), 0) AS BIGINT) AS rrf_fp
+       |  FROM lexr l FULL JOIN vecr v
+       |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+       |)
+       |SELECT query_id, rk, doc_id, rank_lex, rank_vec, rrf_fp FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id ASC)
+       |    AS INTEGER) AS rk
+       |  FROM fused) WHERE rk <= 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q328_rrf_hybrid" -> rrfSql,
+    "q323_kcenter_coreset" -> kcenterSql,
     // q314: seed → cross-mult hotness → per-(cell,sub) lattice M-step →
     // E-step restricted to the parent's own children (cos DESC, lower
     // child) → occupancy + dim-1 floor-mean census.

@@ -575,7 +575,43 @@ object CoreQueries {
         $"s.sum".as("sum_cents"))
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT (q325) — the forensic data-quality check
+    * for any money/measurement column: the census of first significant
+    * digits of o_totalprice against Benford's law, with the per-digit
+    * deviation in basis points. Fabricated, truncated, or unit-mixed
+    * data shows up as a digit histogram far from the Benford curve.
+    * (TPC-H's synthetic prices are NOT Benford-distributed — the gate's
+    * value is the exact census + deviation machinery, and a large dev_bp
+    * here is the correct report.)
+    *
+    * Exactness: prices ride the decimal(14,2)→cents BIGINT bridge; the
+    * first digit is the first character of the integer's decimal string
+    * (string rendering of a BIGINT is engine-stable, unlike float
+    * formatting); Benford's log₁₀(1+1/d) reference masses are baked as
+    * integer-bp LITERALS (constants — no runtime transcendentals, per
+    * the CLAUDE.md rule). One grouped count over ≤ 9 keys; the total
+    * rides a broadcast 1-row cross join. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.orders(spark, dir)
+      .select(($"o_totalprice".cast("decimal(14,2)") * 100)
+        .cast("long").as("cents"))
+      .filter($"cents" > 0)
+      .select(substring($"cents".cast("string"), 1, 1).cast("int").as("digit"))
+    val tot = digits.agg(count(lit(1)).as("n_total"))
+    val benford = Seq(1 -> 3010L, 2 -> 1760L, 3 -> 1249L, 4 -> 969L,
+      5 -> 791L, 6 -> 669L, 7 -> 579L, 8 -> 511L, 9 -> 457L)
+      .toDF("digit", "benford_bp")
+    digits.groupBy($"digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_bp", expr("(10000 * n) div n_total"))
+      .join(broadcast(benford), Seq("digit"))
+      .select($"digit", $"n", $"obs_bp", $"benford_bp",
+        abs($"obs_bp" - $"benford_bp").as("dev_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_benford_digits" -> (benfordDigits _),
     "q199_typed_aggregator" -> (typedAggregator _),
     "q185_evaluation_metrics" -> (evaluationMetrics _),
     "q237_calibration_curve" -> (calibrationCurve _),
@@ -625,6 +661,33 @@ object CoreQueries {
       |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q325: same cents bridge, same first-character-of-BIGINT-string
+    // digit, same literal Benford bp table, same guarded positive floor
+    // division (n_total ≥ 1 whenever a digit row exists).
+    "q325_benford_digits" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM orders
+        |), d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit
+        |  FROM c WHERE cents > 0
+        |), g AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+        |b(digit, benford_bp) AS (VALUES
+        |  (1, CAST(3010 AS BIGINT)), (2, CAST(1760 AS BIGINT)),
+        |  (3, CAST(1249 AS BIGINT)), (4, CAST(969 AS BIGINT)),
+        |  (5, CAST(791 AS BIGINT)), (6, CAST(669 AS BIGINT)),
+        |  (7, CAST(579 AS BIGINT)), (8, CAST(511 AS BIGINT)),
+        |  (9, CAST(457 AS BIGINT)))
+        |SELECT g.digit, g.n,
+        |  CAST((10000 * g.n) // t.n_total AS BIGINT) AS obs_bp,
+        |  b.benford_bp,
+        |  abs(CAST((10000 * g.n) // t.n_total AS BIGINT) - b.benford_bp)
+        |    AS dev_bp
+        |FROM g CROSS JOIN t JOIN b ON b.digit = g.digit""".stripMargin,
     // q199: plain grouped integer stats — the typed Aggregator must feed
     // the same engine as a builtin aggregate.
     "q199_typed_aggregator" ->

@@ -531,7 +531,48 @@ object DedupQueries {
     cross.unionByName(internal)
   }
 
+  /** SOURCE-PAIR CONTAMINATION MATRIX (q322) — the n-gram-level overlap
+    * report behind train/eval decontamination decisions: for every source
+    * pair, how many distinct word 8-grams do the two sources SHARE, and
+    * what is the Jaccard of their 8-gram sets (integer floor bp)? q283
+    * answers "which sources carry byte-identical documents"; this answers
+    * the subtler "which sources carry the same CONTENT" (quotes,
+    * templates, syndicated spans) — 8-gram spans are the standard
+    * contamination unit (long enough that coincidence is negligible).
+    *
+    * Scale shape: one distinct pass over (source, shingle) — shingle-
+    * keyed, uniform — then a shingle-keyed self-join whose per-key fanout
+    * is bounded by sources-per-shingle (≤ S, so ≤ S²/2 pairs per key —
+    * never row-count-quadratic; a corpus-wide boilerplate shingle costs
+    * S²/2 rows, not n²). Set sizes ride a broadcast. At 100 TB you'd
+    * hash-sample the shingle space first; the pair algebra is unchanged. */
+  def contaminationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted: the set-size agg and BOTH self-join sides read the
+    // distinct (source, shingle) frame — uncached, the corpus would
+    // shingle + distinct-shuffle three times (the q195 persist rule);
+    // released by the harness's per-query clearCache (the result is
+    // lazy, an in-function unpersist would fire before execution)
+    val sh = Tables.documents(spark, dir)
+      .select($"source", explode(Dedup.wordShingles($"text", 8)).as("s"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n_sh".as("n_a"))),
+        "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n_sh".as("n_b"))),
+        "src_b")
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common",
+        expr("(10000 * n_common) div (n_a + n_b - n_common)").as("jaccard_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_contamination_matrix" -> (contaminationMatrix _),
     "q283_cross_source_dup" -> (crossSourceDupMatrix _),
     "q188_lsh_band_sweep" -> (lshBandSweep _),
     "q173_containment_join" -> (containmentJoin _),
@@ -938,6 +979,28 @@ object DedupQueries {
        |WHERE 10 * i.n_shared >= 6 * za.sz""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q322: same distinct (source, 8-gram) frame, same a<b pair keying,
+    // same guarded integer floor-bp Jaccard (denominator = |A∪B| ≥ 1
+    // whenever a pair row exists, so no zero guard is needed).
+    "q322_contamination_matrix" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, s FROM (
+         |    SELECT source, unnest(${shinglesSqlN(8)}) AS s FROM (
+         |      SELECT source, $toksSql AS tk FROM documents))
+         |), sizes AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT src_a, src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+         |  CAST((10000 * n_common) // (sa.n_sh + sb.n_sh - n_common)
+         |    AS BIGINT) AS jaccard_bp
+         |FROM inter
+         |JOIN sizes sa ON sa.source = inter.src_a
+         |JOIN sizes sb ON sb.source = inter.src_b""".stripMargin,
     // q283: same distinct (digest, source) frame, same a<b pair keying,
     // same >1-copy diagonal rule.
     "q283_cross_source_dup" ->

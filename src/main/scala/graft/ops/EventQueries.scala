@@ -2204,13 +2204,19 @@ object EventQueries {
         first(when($"obs_cents".isNotNull, $"day"), ignoreNulls = true)
           .over(wNext))
       .withColumn("v", when($"obs_cents".isNotNull, $"obs_cents")
-        // datediff yields INT — the 1e9 bias product must widen to BIGINT
-        // BEFORE multiplying or ANSI mode throws ARITHMETIC_OVERFLOW
+        // Bias = abs(nv-pv)+1 is PROVABLY sufficient at any magnitude:
+        // numerator = (nv-pv)*d + (|nv-pv|+1)*span ≥ span·1 > 0 (d ≤ span),
+        // so Spark's truncating `div` and DuckDB's flooring `//` agree,
+        // and (num div span) − (|nv-pv|+1) = floor((nv-pv)·d/span) — the
+        // floor-lerp. (A fixed 1e9 bias only held for |nv-pv| < $10M and
+        // would diverge SILENTLY past it — ADVICE r11.) Exact while
+        // |nv-pv|·span < 2^62. datediff yields INT — widen to BIGINT
+        // BEFORE multiplying or ANSI mode throws ARITHMETIC_OVERFLOW.
         .otherwise($"pv" + expr(
           """((nv - pv) * CAST(datediff(day, pd) AS BIGINT)
-            |  + 1000000000 * CAST(datediff(nd, pd) AS BIGINT))
+            |  + (abs(nv - pv) + 1) * CAST(datediff(nd, pd) AS BIGINT))
             | div CAST(datediff(nd, pd) AS BIGINT)""".stripMargin)
-          - lit(1000000000L)))
+          - (abs($"nv" - $"pv") + lit(1L))))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_days"),
         count($"obs_cents").as("n_observed"),
@@ -2419,12 +2425,112 @@ object EventQueries {
     daily
       .withColumn("w_n", count(lit(1)).over(w))
       .withColumn("med7",
-        element_at(array_sort(collect_list($"cnt").over(w)), 4))
+        // try_element_at (CLAUDE.md ANSI rule): edge days have <7-element
+        // windows, and only the w_n===7 filter removes them — if the
+        // optimizer ever evaluates this projection below the filter, a
+        // plain element_at would raise ARRAY_INDEX_OUT_OF_BOUNDS on a
+        // spine shorter than 4 days. try_element_at yields NULL there,
+        // matching DuckDB's list[4], and the filter drops the row either
+        // way.
+        try_element_at(array_sort(collect_list($"cnt").over(w)), lit(4)))
       .filter($"w_n" === 7)
       .select($"event_type", $"day", $"cnt", $"med7")
   }
 
+  /** CHANGEPOINT SCAN (q324) — the level-shift detector a pipeline-health
+    * monitor runs over its event streams: per event_type, the split day
+    * that maximizes the gap between the mean daily volume BEFORE and
+    * AFTER it (the single-changepoint least-squares scan, expressed via
+    * prefix sums). Means ride 10⁶-scaled integer floor fixed point
+    * (CLAUDE.md rule: never a float ratio), the winner is rank-pinned by
+    * (gap DESC, day ASC), and edge splits are excluded (t < n keeps both
+    * sides non-empty, which also guards both divisions).
+    *
+    * Scale shape: one data-sized grouped count; everything after runs on
+    * the (types × days)-bounded daily frame — two window passes and an
+    * arg-max, all metadata-sized. */
+  def changepointScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy($"event_type")
+    val scored = daily
+      .withColumn("t", row_number().over(byType.orderBy($"day")).cast("long"))
+      .withColumn("s", sum($"cnt").over(byType.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("tot", sum($"cnt").over(byType))
+      .filter($"t" < $"n")
+      .withColumn("left_mean_fp", expr("(1000000 * s) div t"))
+      .withColumn("right_mean_fp", expr("(1000000 * (tot - s)) div (n - t)"))
+      .withColumn("gap_fp", abs($"left_mean_fp" - $"right_mean_fp"))
+    scored
+      .withColumn("rk", row_number().over(
+        byType.orderBy($"gap_fp".desc, $"day".asc)))
+      .filter($"rk" === 1)
+      .select($"event_type", $"day".as("split_day"), $"t", $"n".as("n_days"),
+        $"left_mean_fp", $"right_mean_fp", $"gap_fp")
+  }
+
+  /** AUTOCORRELATION FUNCTION (q327) — the lag-structure report that
+    * picks seasonal-model windows (q304 assumes weekly; this MEASURES
+    * which lags carry signal): per event_type, the ACF at lags 1..7 over
+    * the zero-filled daily-count spine, statsmodels convention (global
+    * mean, global variance denominator).
+    *
+    * Exactness: r_L = Σ(x_t−x̄)(x_{t+L}−x̄) / Σ(x_t−x̄)² is computed with
+    * the mean cleared by n — num_L = Σ(n·x_t−S)(n·x_{t+L}−S), den =
+    * Σ(n·x_t−S)² — so every term is an exact BIGINT. num_L goes NEGATIVE
+    * at anti-correlated lags; that is safe here because BIGINT `//` in
+    * DuckDB TRUNCATES exactly like Spark's `div` (verified:
+    * -7//2 = -3 — the flooring `//` caveat in CLAUDE.md is about
+    * double operands), so the plain truncating quotient is identical on
+    * both engines. Magnitude bound (q318 convention): needs n·Σ(n·x)² ≲ 2⁶³ —
+    * n ~ 10² days and daily counts ≤ ~10⁶ hold at any shipped sf and
+    * ~100× beyond; past that both engines fail loudly on the BIGINT
+    * overflow, never silently.
+    *
+    * Scale shape: one data-sized grouped count; the spine, the lead
+    * windows, and the lag aggregates all run on the (types × days)
+    * frame — metadata-sized, like q304/q313. */
+  def autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily0 = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = daily0.groupBy($"event_type")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = bounds.select($"event_type",
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val daily = spine.join(daily0, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"cnt", lit(0L)).as("x"))
+    val tot = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val led = daily.join(broadcast(tot), "event_type")
+      .select(($"event_type" +: $"n" +: ($"n" * $"x" - $"s").as("c0") +:
+        (1 to 7).map(l => (lead($"x", l).over(w) * $"n" - $"s").as(s"c$l"))): _*)
+    val aggCols = sum($"c0" * $"c0").as("den") +:
+      (1 to 7).map(l =>
+        sum(when(col(s"c$l").isNotNull, $"c0" * col(s"c$l"))
+          .otherwise(0L)).as(s"num$l"))
+    val aggs = led.groupBy($"event_type", $"n")
+      .agg(aggCols.head, aggCols.tail: _*)
+    // ONE plan for all seven lags: stack unpivots the per-lag numerators
+    // (a per-lag unionAll would re-derive the whole spine+window+agg
+    // pipeline seven times — the q219 lineage-blowup lesson)
+    val longFmt = (1 to 7).map(l => s"$l, num$l").mkString(", ")
+    aggs.selectExpr("event_type", "n", "den",
+        s"stack(7, $longFmt) as (lag, num)")
+      .select($"event_type", $"lag".cast("int").as("lag"), $"n".as("n_days"),
+        when($"den" > 0, expr("(10000 * num) div den"))
+          .otherwise(0L).as("acf_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_autocorrelation" -> (autocorrelation _),
+    "q324_changepoint_scan" -> (changepointScan _),
     "q313_moving_median" -> (movingMedian _),
     "q304_seasonal_decomposition" -> (seasonalDecomposition _),
     "q307_linear_interpolation" -> (linearInterpolationResample _),
@@ -2517,7 +2623,83 @@ object EventQueries {
       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** q327's oracle: same spine, same n-cleared integer products; BIGINT
+    * `//` truncates exactly like Spark's `div`, including on the negative
+    * numerators of anti-correlated lags. */
+  private def autocorrSql: String = {
+    val cs = (1 to 7).map(l =>
+      s"lead(d.x, $l) OVER w * t.n - t.s AS c$l").mkString(",\n    |    ")
+    val nums = (1 to 7).map(l =>
+      s"CAST(sum(CASE WHEN c$l IS NOT NULL THEN c0 * c$l ELSE 0 END) " +
+        s"AS BIGINT) AS num$l").mkString(",\n    |    ")
+    val selects = (1 to 7).map(l =>
+      s"""SELECT event_type, CAST($l AS INTEGER) AS lag, n AS n_days,
+         |  CAST(CASE WHEN den > 0 THEN (10000 * num$l) // den ELSE 0 END
+         |    AS BIGINT) AS acf_bp FROM a""").mkString("\nUNION ALL\n")
+    s"""WITH daily0 AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), b AS (
+       |  SELECT event_type, min(day) AS d0, max(day) AS d1
+       |  FROM daily0 GROUP BY 1
+       |), spine AS (
+       |  SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b
+       |), daily AS (
+       |  SELECT s.event_type, s.day, coalesce(cnt, CAST(0 AS BIGINT)) AS x
+       |  FROM spine s LEFT JOIN daily0 USING (event_type, day)
+       |), tot AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS s
+       |  FROM daily GROUP BY 1
+       |), led AS (
+       |  SELECT d.event_type, t.n, t.n * d.x - t.s AS c0,
+       |    $cs
+       |  FROM daily d JOIN tot t USING (event_type)
+       |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)
+       |), a AS (
+       |  SELECT event_type, n, CAST(sum(c0 * c0) AS BIGINT) AS den,
+       |    $nums
+       |  FROM led GROUP BY 1, 2
+       |)
+       |$selects""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q327_autocorrelation" -> autocorrSql,
+    // q324: identical daily frame, prefix sums, 10⁶ fixed-point floor
+    // means (all dividends positive, so `//` == `div`), and the same
+    // (gap DESC, day ASC) rank pin.
+    "q324_changepoint_scan" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS t,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM daily
+        |), sc AS (
+        |  SELECT event_type, day, t, n,
+        |    CAST((1000000 * s) // t AS BIGINT) AS left_mean_fp,
+        |    CAST((1000000 * (tot - s)) // (n - t) AS BIGINT) AS right_mean_fp
+        |  FROM w WHERE t < n
+        |), r AS (
+        |  SELECT *, abs(left_mean_fp - right_mean_fp) AS gap_fp,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(left_mean_fp - right_mean_fp) DESC, day ASC) AS rk
+        |  FROM sc
+        |)
+        |SELECT event_type, day AS split_day, t, n AS n_days,
+        |  left_mean_fp, right_mean_fp, CAST(gap_fp AS BIGINT) AS gap_fp
+        |FROM r WHERE rk = 1""".stripMargin,
     // q313: same spine, same full-window guard, same sorted-list median
     // (list_sort pins DuckDB's collect order exactly as array_sort does).
     "q313_moving_median" ->
@@ -2545,7 +2727,9 @@ object EventQueries {
         |FROM win WHERE w_n = 7""".stripMargin,
     // q307: identical last-of-day pick (row_number ts DESC, event_id
     // DESC), per-user spine, ignore-nulls neighbor windows, and the same
-    // bias-guarded integer lerp; DATE − DATE is already integer days.
+    // abs(nv-pv)+1 bias-guarded integer lerp (numerator provably positive
+    // at any magnitude, so `//` == `div`); DATE − DATE is already integer
+    // days.
     "q307_linear_interpolation" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
@@ -2578,7 +2762,8 @@ object EventQueries {
         |  SELECT user_id, day, obs_cents,
         |    CASE WHEN obs_cents IS NOT NULL THEN obs_cents
         |         ELSE pv + ((nv - pv) * (day - pd)
-        |           + 1000000000 * (nd - pd)) // (nd - pd) - 1000000000
+        |           + (abs(nv - pv) + 1) * (nd - pd)) // (nd - pd)
+        |           - (abs(nv - pv) + 1)
         |    END AS v
         |  FROM f
         |)
@@ -2588,8 +2773,10 @@ object EventQueries {
         |  CAST(sum(v) AS BIGINT) AS series_sum_cents
         |FROM v GROUP BY user_id""".stripMargin,
     // q304: same spine/window/bias-div trajectory; DuckDB dayofweek is
-    // 0-based (+1 aligns with Spark); `//` floors vs Spark's truncating
-    // `div` — coincident because the bias keeps numerators positive.
+    // 0-based (+1 aligns with Spark). BIGINT `//` truncates exactly like
+    // Spark's `div` (verified r12, q327 — the flooring-`//` caveat is
+    // double-only); the positive-numerator bias keeps the trajectory
+    // identical under any integer-division semantics regardless.
     "q304_seasonal_decomposition" ->
       """WITH daily0 AS (
         |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt

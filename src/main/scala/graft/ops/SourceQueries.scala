@@ -1664,7 +1664,52 @@ object SourceQueries {
       .withColumn("n_violating_groups", $"ndv_combo" - $"ndv_det")
   }
 
+  /** MERKLE-STYLE REPLICA RECONCILIATION (q326) — how two copies of a
+    * 100 TB table are compared WITHOUT exchanging the table: each side
+    * reduces every bucket (o_orderkey % 64) to a commutative digest
+    * (count + bit_xor of per-row md5-derived BIGINTs — order-independent,
+    * so it needs no sort and distributes as a plain hash-agg), the
+    * 64-row digest frames are compared, and only the DIFFERING buckets'
+    * rows are re-read for the row-level diff. The drifted replica is
+    * derived deterministically in-query (status flipped where
+    * o_orderkey % 1000 == 7), so the oracle replays both sides exactly.
+    *
+    * Scale shape: two digest hash-aggs (bucket-keyed, map-side
+    * combinable, 64-row outputs), then the detail pass touches ONLY
+    * differing buckets (broadcast semi-join prune on both sides) —
+    * reconciliation cost scales with the DRIFT, not the table. The
+    * row-level diff joins on o_orderkey within those buckets. */
+  def merkleReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def digest(status: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("|",
+      lit("mr:"), $"o_orderkey".cast("string"), status, $"o_orderpriority",
+      $"o_orderdate".cast("date").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val base = Tables.orders(spark, dir).select($"o_orderkey",
+      ($"o_orderkey" % 64).as("bucket"), digest($"o_orderstatus").as("h"))
+    val drift = Tables.orders(spark, dir).select($"o_orderkey",
+      ($"o_orderkey" % 64).as("bucket"),
+      digest(when($"o_orderkey" % 1000 === 7, lit("X"))
+        .otherwise($"o_orderstatus")).as("h"))
+    val da = base.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_a"))
+    val db = drift.groupBy($"bucket").agg(expr("bit_xor(h)").as("xor_b"))
+    val diff = da.join(db, "bucket").filter($"xor_a" =!= $"xor_b")
+    val hot = diff.select($"bucket")
+    val aR = base.join(broadcast(hot), Seq("bucket"), "left_semi")
+      .select($"bucket", $"o_orderkey", $"h".as("h_a"))
+    val bR = drift.join(broadcast(hot), Seq("bucket"), "left_semi")
+      .select($"o_orderkey", $"h".as("h_b"))
+    val changed = aR.join(bR, "o_orderkey").filter($"h_a" =!= $"h_b")
+      .groupBy($"bucket").agg(count(lit(1)).as("n_changed"))
+    diff.join(changed, Seq("bucket"), "left")
+      .select($"bucket", $"n_rows", $"xor_a", $"xor_b",
+        coalesce($"n_changed", lit(0L)).as("n_changed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_merkle_reconcile" -> (merkleReconcile _),
     "q296_fd_discovery" -> (fdDiscovery _),
     "q289_working_set_coverage" -> (workingSetCoverage _),
     "q290_hash_partition_balance" -> (hashPartitionBalance _),
@@ -1732,6 +1777,46 @@ object SourceQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q326: same per-row digest ('0x'||hex)::BIGINT == Spark's
+    // conv(...,16,10) on 15 hex chars (positive, < 2^60), same bucket
+    // keying, same commutative bit_xor rollup, same drift rule.
+    "q326_merkle_reconcile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderkey % 64 AS bucket, o_orderstatus,
+        |    o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS ds
+        |  FROM orders
+        |), a AS (
+        |  SELECT o_orderkey, bucket,
+        |    ('0x' || substr(md5('mr:' || '|' || CAST(o_orderkey AS VARCHAR)
+        |      || '|' || o_orderstatus || '|' || o_orderpriority || '|' || ds),
+        |      1, 15))::BIGINT AS h
+        |  FROM o
+        |), b AS (
+        |  SELECT o_orderkey, bucket,
+        |    ('0x' || substr(md5('mr:' || '|' || CAST(o_orderkey AS VARCHAR)
+        |      || '|' ||
+        |      CASE WHEN o_orderkey % 1000 = 7 THEN 'X' ELSE o_orderstatus END
+        |      || '|' || o_orderpriority || '|' || ds), 1, 15))::BIGINT AS h
+        |  FROM o
+        |), da AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |    bit_xor(h) AS xor_a
+        |  FROM a GROUP BY 1
+        |), db AS (SELECT bucket, bit_xor(h) AS xor_b FROM b GROUP BY 1),
+        |diff AS (
+        |  SELECT da.bucket, n_rows, xor_a, xor_b
+        |  FROM da JOIN db USING (bucket) WHERE xor_a <> xor_b
+        |), ch AS (
+        |  SELECT a.bucket, CAST(count(*) AS BIGINT) AS n_changed
+        |  FROM a JOIN b USING (o_orderkey)
+        |  WHERE a.h <> b.h AND a.bucket IN (SELECT bucket FROM diff)
+        |  GROUP BY 1
+        |)
+        |SELECT diff.bucket, n_rows, CAST(xor_a AS BIGINT) AS xor_a,
+        |  CAST(xor_b AS BIGINT) AS xor_b,
+        |  coalesce(n_changed, CAST(0 AS BIGINT)) AS n_changed
+        |FROM diff LEFT JOIN ch USING (bucket)""".stripMargin,
     // q316: the classes' row counts recomputed from the source tables —
     // equality proves the audit read the orphans' actual bytes.
     "q316_orphan_file_audit" ->

@@ -565,7 +565,16 @@ object TextQueries {
     * the top 20 by (fano_bp DESC, token ASC) with ≥ 20 occurrences (rare
     * tokens trivially max the ratio), rank-pinned per the unique-key
     * rule. One token-keyed hash-agg; the n-docs scalar rides a broadcast
-    * 1-row cross join. */
+    * 1-row cross join.
+    *
+    * Magnitude bound (same convention as q310/q317): the numerator
+    * 10000·(n_docs·k2 − k²) is BIGINT throughout, so it needs
+    * n_docs·k2 < 2^63/10⁴ ≈ 9.2·10¹⁴ — comfortable at gate scale
+    * (sf0.1: n_docs ~6·10⁵, k2 bounded by k·max-per-doc-count), but a
+    * corpus ~100× larger crosses it and BOTH engines then fail LOUDLY
+    * with an overflow error (never a silent divergence — DuckDB's
+    * BIGINT casts overflow identically). At that scale fold the 10⁴
+    * factor in after the guarded division, or bucket-shard k2. */
   def tokenBurstiness(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -612,7 +621,52 @@ object TextQueries {
           .otherwise(0L).as("oov_bp"))
   }
 
+  /** GOPHER-STYLE REPETITION FILTERS (q321) — the Rae-et-al. quality
+    * signals every LLM curation pipeline computes before training: per
+    * document, (a) the token mass of the single most frequent word
+    * 3-gram (`top3_bp` — 10000·3·max-count/n_tokens; overlapping
+    * occurrences can push it past 10000, which is itself the signal),
+    * and (b) the share of word 5-gram INSTANCES that are repeats of an
+    * earlier 5-gram in the same document (`rep5_bp` —
+    * 10000·(n5−distinct5)/n5, the RefinedWeb "repeated n-gram" filter).
+    * Reported as a per-source census: floor-mean of both signals plus
+    * the count of documents over the 15% repetition threshold (an
+    * integer bp compare, never a float ratio).
+    *
+    * Scale shape: two doc_id-keyed hash-aggs over the exploded shingle
+    * streams (doc_id is unique → no skew; partial aggregation map-side)
+    * + one source-keyed rollup. The shingle explode is narrow — rows
+    * stay on their scan partition until the doc_id shuffle. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text",
+        size(tokens($"text")).cast("long").as("n_tokens"))
+    val top3 = base
+      .select($"doc_id",
+        explode(graft.operators.Dedup.wordShingles($"text", 3)).as("s"))
+      .groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top3"))
+    val rep5 = base
+      .select($"doc_id",
+        explode(graft.operators.Dedup.wordShingles($"text", 5)).as("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n5"), countDistinct($"s").as("d5"))
+    base.join(top3, "doc_id").join(rep5, "doc_id")
+      .select($"source",
+        when($"n_tokens" > 0, expr("(10000 * 3 * top3) div n_tokens"))
+          .otherwise(0L).as("top3_bp"),
+        when($"n5" > 0, expr("(10000 * (n5 - d5)) div n5"))
+          .otherwise(0L).as("rep5_bp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(top3_bp) div count(*)").as("avg_top3_bp"),
+        expr("sum(rep5_bp) div count(*)").as("avg_rep5_bp"),
+        sum(when($"rep5_bp" > 1500, 1L).otherwise(0L)).as("n_flagged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_gopher_repetition" -> (gopherRepetition _),
     "q319_oov_rate" -> (oovRate _),
     "q318_token_burstiness" -> (tokenBurstiness _),
     "q309_zipf_audit" -> (zipfAudit _),
@@ -667,6 +721,39 @@ object TextQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q321: same tokenization/shingle segmentation, same guarded integer
+    // floor bp per doc, same floor-mean + threshold census per source
+    // (all ratios positive, so `//` == Spark's `div`).
+    "q321_gopher_repetition" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, ${DedupQueries.toksSql} AS tk FROM documents
+         |), bt AS (
+         |  SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM b
+         |), g3 AS (
+         |  SELECT doc_id, max(c) AS top3 FROM (
+         |    SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c FROM (
+         |      SELECT doc_id, unnest(${DedupQueries.shinglesSqlN(3)}) AS s FROM bt)
+         |    GROUP BY doc_id, s)
+         |  GROUP BY doc_id
+         |), g5 AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n5,
+         |    CAST(count(DISTINCT s) AS BIGINT) AS d5
+         |  FROM (SELECT doc_id, unnest(${DedupQueries.shinglesSqlN(5)}) AS s FROM bt)
+         |  GROUP BY doc_id
+         |), per AS (
+         |  SELECT bt.source,
+         |    CASE WHEN n_tokens > 0
+         |      THEN (10000 * 3 * top3) // n_tokens ELSE 0 END AS top3_bp,
+         |    CASE WHEN n5 > 0
+         |      THEN (10000 * (n5 - d5)) // n5 ELSE 0 END AS rep5_bp
+         |  FROM bt JOIN g3 USING (doc_id) JOIN g5 USING (doc_id)
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(top3_bp) // count(*) AS BIGINT) AS avg_top3_bp,
+         |  CAST(sum(rep5_bp) // count(*) AS BIGINT) AS avg_rep5_bp,
+         |  CAST(sum(CASE WHEN rep5_bp > 1500 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged
+         |FROM per GROUP BY source""".stripMargin,
     // q319: same frequency-floored vocabulary, same guarded floor bp.
     "q319_oov_rate" ->
       s"""WITH toks AS (

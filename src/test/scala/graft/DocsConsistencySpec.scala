@@ -179,6 +179,24 @@ class DocsConsistencySpec extends AnyFunSuite {
       "SCALING.md lost its findings log")
   }
 
+  test("the committed bench.json carries the canary anchor") {
+    // VERDICT r11 #2: the intra-run spread rule cannot catch a uniformly
+    // slow host; Bench refuses a bench.json refresh whose canary subtotal
+    // deviates >15% from the committed one. That enforcement needs the
+    // committed artifact to actually CARRY the anchor.
+    val bench = read("bench.json")
+    val canary = """"canary_secs":([0-9.]+)""".r.findFirstMatchIn(bench)
+    assert(canary.nonEmpty,
+      "bench.json lacks canary_secs — refresh it with a canary-aware Bench")
+    assert(canary.get.group(1).toDouble > 0,
+      "canary_secs must be a positive subtotal (a -1 means a canary query failed)")
+    val listed = """"canary_queries":\[([^\]]*)\]""".r.findFirstMatchIn(bench)
+    assert(listed.nonEmpty, "bench.json lacks canary_queries")
+    val cq = """q\d+[a-z0-9_]*""".r.findAllIn(listed.get.group(1)).toSeq
+    assert(cq.nonEmpty && cq.forall(names.contains),
+      s"canary_queries must be real gate queries: $cq")
+  }
+
   test("ARCHITECTURE quotes the committed bench.json headline") {
     val total = """"metric":"total","value":([0-9.]+)""".r
       .findFirstMatchIn(read("bench.json"))

@@ -111,4 +111,24 @@ class GraphSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     assert(rows.toSeq == Seq((0, 1L, 1L), (1, 1L, 2L), (2, 1L, 3L), (3, 0L, 3L)))
   }
+
+  test("BFS/LPA plans stay flat in depth (per-round checkpoints hold)") {
+    // VERDICT r11 #3 regression guard: unrolled, the q219 plan compounded
+    // every hop's lineage (152 scans / 79 shuffles at 3 hops, exponential
+    // in depth). With per-hop parquet checkpoints the returned census
+    // frame reads ONLY the tiny frontier files — its plan must stay O(hops)
+    // regardless of graph size, and so must labelPropagation's census.
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L), (2L, 5L))
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "FileScan|BatchScan".r.findAllIn(
+        df.queryExecution.executedPlan.toString).size
+    val bfs = Graph.bfsFrontiers(spark, g, hops = 3)
+    assert(bfs.collect().nonEmpty)
+    val nBfs = scans(bfs)
+    assert(nBfs <= 8, s"BFS census plan re-derives hop lineage: $nBfs scans")
+    val lpa = Graph.labelPropagation(spark, g, iters = 3)
+    assert(lpa.collect().nonEmpty)
+    val nLpa = scans(lpa)
+    assert(nLpa <= 3, s"LPA census plan re-derives round lineage: $nLpa scans")
+  }
 }
