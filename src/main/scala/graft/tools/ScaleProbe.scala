@@ -70,7 +70,12 @@ object ScaleProbe {
     * lakehouse branch merge (q231) and changelog compaction input (q244
     * frequent pairs — per-basket quadratic bounded by basket size, which
     * the salted union holds constant), and the 29-shuffle hierarchy
-    * rollup (q249). */
+    * rollup (q249). The q321+ batch adds its own heavy mechanisms: the
+    * contamination matrix (q322 — the shingle self-join's per-key fanout
+    * is bounded by sources-per-shingle, the candidate-pair risk), the
+    * replica reconciliation (q326 — the detail pass must grow with the
+    * DRIFT, not the table), the hybrid-RRF legs (q328 — bounded top-k
+    * heaps), plus the cheap ones (q321/q323/q327) for coverage. */
   val DefaultGates: Seq[String] = Seq(
     "q301_kcore_peeling",
     "q302_symspell_linkage",
@@ -96,7 +101,13 @@ object ScaleProbe {
     "q208_vocab_heavy_hitters",
     "q210_decile_binning",
     "q234_pq_ann",
-    "q235_allen_census")
+    "q235_allen_census",
+    "q321_gopher_repetition",
+    "q322_contamination_matrix",
+    "q323_kcenter_coreset",
+    "q326_merkle_reconcile",
+    "q327_autocorrelation",
+    "q328_rrf_hybrid")
 
   private val KeyOff = 10_000_000_000L // per-copy key offset (all keys int64)
 
