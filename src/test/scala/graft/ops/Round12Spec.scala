@@ -203,6 +203,50 @@ class Round12Spec extends SparkSpec {
       "no candidate ranked by BOTH legs — fusion untested")
   }
 
+  test("q329: survivorship equals brute-force all-pairs linkage + union-find") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    val cust = graft.Tables.customer(spark, sf0001)
+      .select($"c_name", ($"c_acctbal".cast("decimal(14,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val names = cust.map(_._1).distinct.sorted
+    // brute-force all-pairs distance-1 graph — independent of the
+    // deletion-key blocking, so this ALSO re-proves blocking completeness
+    val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- names.indices; j <- (i + 1) until names.length
+         if lev(names(i), names(j)) <= 1) {
+      val (a, b) = (find(names(i)), find(names(j)))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    }
+    val comp = names.map(n => n -> find(n)).toMap
+    val linked = comp.groupBy(_._2).filter(_._2.size >= 2)
+    val expect = linked.map { case (entity, ms) =>
+      val members = ms.keys.toSeq
+      val golden = members.minBy(n => (-n.length, n))
+      val rows = cust.filter(r => members.contains(r._1))
+      entity -> ((golden, members.size.toLong, rows.length.toLong,
+        rows.map(_._2).sum))
+    }
+    val got = PipelineQueries.survivorship(spark, sf0001)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "no merged entity at sf0.001 — linkage untested")
+  }
+
   test("q326: differing buckets are exactly the drifted keys' buckets") {
     val keys = graft.Tables.orders(spark, sf0001)
       .select($"o_orderkey").as[Long].collect()
