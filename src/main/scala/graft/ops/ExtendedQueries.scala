@@ -1339,21 +1339,22 @@ object ExtendedQueries {
     * ranked by exact cents revenue (custkey tie-break), classed A while
     * the cumulative share is ≤80% (`10·cum ≤ 8·total` — integer
     * cross-multiplication, never a float share), B to 95%
-    * (`20·cum ≤ 19·total`), else C. The global ordered window runs over
-    * the AGGREGATED customer frame — orders of magnitude smaller than
-    * the fact table, the only place a total order is inherent to the
-    * semantics — and the output is the 3-row class census. */
+    * (`20·cum ≤ 19·total`), else C. The Pareto cumsum runs over the
+    * AGGREGATED customer frame — but customer cardinality GROWS with the
+    * data, so the total order is [[graft.operators.Sweep.prefixSum]]
+    * (two-phase distributed prefix sum; the r12 near-miss ran it as one
+    * single-partition window) and the grand total rides a broadcast
+    * 1-row cross join. Output is the 3-row class census. */
   def abcClassification(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rev = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
         .as("cents"))
-    val w = Window.orderBy($"cents".desc, $"o_custkey")
-    rev
-      .withColumn("cum_cents",
-        sum($"cents").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("total_cents", sum($"cents").over(Window.partitionBy()))
+    val tot = rev.agg(sum($"cents").as("total_cents"))
+    graft.operators.Sweep
+      .prefixSum(rev, Seq($"cents".desc, $"o_custkey"), "cents", "cum_cents")
+      .crossJoin(broadcast(tot))
       .withColumn("abc_class",
         when($"cum_cents" * 10 <= $"total_cents" * 8, "A")
           .when($"cum_cents" * 20 <= $"total_cents" * 19, "B")

@@ -1486,14 +1486,16 @@ object SourceQueries {
     * `10⁴·max_size·k div n` — 10000 = perfectly balanced. Production
     * range partitioners SAMPLE to get near these boundaries; this gate
     * pins what "ideal" means so the sampled version has a yardstick.
-    * The global rank is one sort of the key projection. */
+    * The global rank is [[graft.operators.Sweep.rowNumber]] — the
+    * two-phase distributed prefix count, never a single-partition sort
+    * of the key projection (the r12 `weak`: `row_number().over(
+    * Window.orderBy(key))` moved every orders key through one task). */
   def rangePartitionPlanner(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 8
     val keys = Tables.orders(spark, dir).select($"o_orderkey".as("key"))
     val n = keys.count()
-    val ranked = keys.withColumn("r", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy($"key")))
+    val ranked = graft.operators.Sweep.rowNumber(keys, Seq($"key"), "r")
       .withColumn("pid", expr(s"((r - 1) * $k) div $n"))
     ranked.groupBy($"pid")
       .agg(count(lit(1)).as("n_keys"),
@@ -1539,25 +1541,26 @@ object SourceQueries {
     * reports the share of fact rows covered by the top-100 keys and the
     * smallest k reaching 50% coverage (the `2·cum ≥ n` crossing — the
     * q264 rule applied to frequency mass). The cache-sizing readout
-    * behind every broadcast/hot-key decision; windows run over the
-    * key-frequency frame, never the facts. */
+    * behind every broadcast/hot-key decision. Rank + cumulative mass run
+    * over the key-frequency frame, never the facts — but key cardinality
+    * GROWS with the data, so both ride ONE
+    * [[graft.operators.Sweep.prefixSums]] pass (two-phase distributed
+    * prefix sum) instead of an unpartitioned window, and the grand
+    * totals ride a broadcast 1-row cross join. */
   def workingSetCoverage(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val freq = Tables.lineitem(spark, dir)
       .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy($"c".desc, $"l_partkey")
-    val ranked = freq
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cum", sum($"c").over(w.rowsBetween(
-        Window.unboundedPreceding, 0)))
-      .withColumn("n", sum($"c").over(Window.partitionBy()))
-      .withColumn("n_keys", count(lit(1)).over(Window.partitionBy()))
+    val tot = freq.agg(sum($"c").as("n"), count(lit(1)).as("n_keys"))
+    val ranked = graft.operators.Sweep.prefixSums(
+      freq.withColumn("one", lit(1L)),
+      Seq($"c".desc, $"l_partkey"), Seq("one" -> "rk", "c" -> "cum"))
+      .crossJoin(broadcast(tot))
     val top100 = ranked.filter($"rk" <= 100)
       .agg(max($"cum").as("top100_rows"))
     val k50 = ranked.filter($"cum" * 2 >= $"n")
       .agg(min($"rk").cast("long").as("k50"))
-    ranked.agg(max($"n").as("n_rows"), max($"n_keys").as("n_keys"))
+    tot.select($"n".as("n_rows"), $"n_keys")
       .crossJoin(top100).crossJoin(k50)
       .withColumn("top100_coverage_bp",
         when($"n_rows" > 0, expr("(10000 * top100_rows) div n_rows"))
@@ -1594,27 +1597,71 @@ object SourceQueries {
   /** RUN-LENGTH ENCODING ADVISOR (q294) — the layout half of q261's
     * dictionary advisor: under the table's natural (orderkey,
     * linenumber) sort order, how many value RUNS does each column have?
-    * `runs = 1 + Σ(col ≠ lag(col))` over one shared global-order
-    * window, run share in floor basis points, and an rle/plain verdict
-    * at a declared 2000 bp floor. Exact global runs are the yardstick a
-    * per-row-group production estimate is judged against (q271's
-    * framing); all five columns ride the SAME sort. */
+    * `runs = Σ(run starts)`, run share in floor basis points, and an
+    * rle/plain verdict at a declared 2000 bp floor. Exact global runs
+    * are the yardstick a per-row-group production estimate is judged
+    * against (q271's framing); all five columns ride the SAME sort.
+    *
+    * DISTRIBUTED run counting (the r12 `weak` ran one global-order lag
+    * window — every lineitem row through a single partition): range-
+    * partition on the sort key, count run starts per partition with a
+    * partition-local lag (the first row of each partition counted as a
+    * start), then STITCH at the O(partitions) boundaries — one run was
+    * double-counted wherever a partition's first value equals its
+    * predecessor partition's last value. For ANY contiguous split of
+    * the sorted axis, Σ in-segment runs − #equal-valued boundaries =
+    * the global run count exactly; the boundary frame (min_by/max_by
+    * value structs per partition) is 32 rows, stitched by a triangular
+    * broadcast join — driver-scale, never data. */
   def rleAdvisor(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val cols = Seq("l_orderkey", "l_partkey", "l_returnflag",
       "l_linestatus", "l_shipdate")
-    val w = Window.orderBy($"l_orderkey", $"l_linenumber")
+    // sort key = (orderkey, linenumber) EXTENDED by the five counted
+    // columns: the corpus ships duplicate (orderkey, linenumber) pairs
+    // with differing values, under which "the natural order" is
+    // tie-ambiguous (two engines can legally disagree by ±1 run per
+    // dup). With the counted columns as tie-breaks the order is total
+    // wherever it matters — any rows still tied are identical in every
+    // counted column, so the run counts are tie-invariant.
+    val sortKey = Seq($"l_orderkey", $"l_linenumber") ++
+      cols.filterNot(_ == "l_orderkey").map(col)
     val li = Tables.lineitem(spark, dir)
       .withColumn("l_shipdate", to_date($"l_shipdate"))
-    val flagged = cols.foldLeft(li) { (df, c) =>
+      .select(($"l_linenumber" +: cols.map(col)): _*)
+    val u = li.repartitionByRange(32, sortKey: _*)
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy($"pid").orderBy(sortKey: _*)
+    val flagged = cols.foldLeft(u) { (df, c) =>
       df.withColumn(s"chg_$c",
-        when(lag(col(c), 1).over(w).isNull ||
-          lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L))
+        when(lag(col(c), 1).over(wIn).isNull ||
+          lag(col(c), 1).over(wIn) =!= col(c), 1L).otherwise(0L))
     }
-    val aggs = count(lit(1)).as("n") +:
-      cols.map(c => sum(col(s"chg_$c")).as(s"runs_$c"))
-    val wide = flagged.agg(aggs.head, aggs.tail: _*)
+    val vals = struct(cols.map(col): _*)
+    val key = struct(sortKey: _*)
+    val perPidAggs = count(lit(1)).as("n") +:
+      (cols.map(c => sum(col(s"chg_$c")).as(s"runs_$c")) ++
+        Seq(min_by(vals, key).as("first_vals"),
+          max_by(vals, key).as("last_vals")))
+    val perPid = flagged.groupBy($"pid")
+      .agg(perPidAggs.head, perPidAggs.tail: _*)
+    // O(partitions) boundary stitch: pid order IS sort order (range
+    // partitioning), so each segment's predecessor is the largest
+    // smaller pid — a triangular broadcast join + max_by over the ≤ 32²
+    // pair frame (no unpartitioned window anywhere in this plan)
+    val prevLast = perPid.join(
+        broadcast(perPid.select($"pid".as("qid"), $"last_vals".as("q_last"))),
+        $"qid" < $"pid", "left")
+      .groupBy($"pid")
+      .agg(max_by($"q_last", $"qid").as("prev_last"))
+    val stitched = perPid.join(prevLast, "pid")
+    val totalAggs = sum($"n").as("n") +: cols.map(c =>
+      (sum(col(s"runs_$c")) -
+        sum(when($"prev_last".isNotNull &&
+          ($"prev_last".getField(c) <=> $"first_vals".getField(c)), 1L)
+          .otherwise(0L))).as(s"runs_$c"))
+    val wide = stitched.agg(totalAggs.head, totalAggs.tail: _*)
     val rows = cols.map(c => s"'$c', n, runs_$c").mkString(", ")
     wide.selectExpr(s"stack(${cols.length}, $rows) AS " +
       "(column_name, n_rows, n_runs)")
@@ -2009,7 +2056,8 @@ object SourceQueries {
         |    lag(l_returnflag) OVER w AS prev_l_returnflag,
         |    lag(l_linestatus) OVER w AS prev_l_linestatus,
         |    lag(l_shipdate) OVER w AS prev_l_shipdate
-        |  FROM li WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+        |  FROM li WINDOW w AS (ORDER BY l_orderkey, l_linenumber,
+        |    l_partkey, l_returnflag, l_linestatus, l_shipdate)
         |), u AS (
         |""".stripMargin +
         Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus",

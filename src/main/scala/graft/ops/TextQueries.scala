@@ -28,8 +28,11 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
     val cpRanks = (1 to 10).map(i => (i * n) / 10).distinct
-    val cps = docs.select($"doc_id")
-      .withColumn("r", row_number().over(Window.orderBy($"doc_id")))
+    // checkpoint doc_ids by DISTRIBUTED rank (Sweep.rowNumber — two-phase
+    // prefix count), not `row_number().over(Window.orderBy(doc_id))`,
+    // which funneled every doc_id through one partition (the r12 weak)
+    val cps = graft.operators.Sweep
+      .rowNumber(docs.select($"doc_id"), Seq($"doc_id"), "r")
       .filter($"r".isin(cpRanks: _*))
       .select($"r".as("cp_rank"), $"doc_id".as("cp_doc"))
     // cached: the first-seen agg and the per-doc token counts both read
@@ -527,19 +530,21 @@ object TextQueries {
     * per octave → ~5000 bp; a flat head or heavy tail shows up as the
     * ratio drifting). The last octave's ratio is pinned to −1 (no next).
     *
-    * Scale: the token count is corpus-sized but the RANKED frame is
-    * vocabulary-sized (the groupBy collapses first), so the global
-    * row_number window sorts the vocab, not the corpus — the same
-    * bounded-window argument as q282's growth curve. */
+    * Scale: the token count is corpus-sized and the RANKED frame is
+    * vocabulary-sized (the groupBy collapses first) — but vocabulary
+    * also grows with the corpus, so the octave rank is
+    * [[graft.operators.Sweep.rowNumber]] (two-phase distributed prefix
+    * count), never a vocab-wide single-partition sort. Every rank is
+    * needed (each token lands in an octave), so a bounded top-k cannot
+    * replace it — this is the rank-everything case the prefix count
+    * exists for. */
   def zipfAudit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val freq = Tables.documents(spark, dir)
       .select(explode(tokens($"text")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("freq"))
-    val byOct = freq
-      .withColumn("rank",
-        row_number().over(Window.orderBy($"freq".desc, $"tok".asc)))
+    val byOct = graft.operators.Sweep
+      .rowNumber(freq, Seq($"freq".desc, $"tok".asc), "rank")
       .withColumn("octave", expr("length(bin(rank)) - 1"))
       .groupBy($"octave")
       .agg(count(lit(1)).as("n_tokens"), sum($"freq").as("sum_freq"))
@@ -576,13 +581,17 @@ object TextQueries {
     * BIGINT casts overflow identically). At that scale fold the 10⁴
     * factor in after the guarded division, or bucket-shard k2. */
   def tokenBurstiness(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     val perDoc = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("c"))
-    perDoc.groupBy($"tok")
+    // top-20 via orderBy+limit — TakeOrderedAndProject keeps a 20-entry
+    // heap per partition and merges (k·partitions exchanged rows), where
+    // the previous `row_number().over(Window.orderBy(...))` sorted the
+    // WHOLE vocabulary in one partition to keep 20 rows (VERDICT r12 #5);
+    // the rank window then orders the 20 survivors only
+    val top = perDoc.groupBy($"tok")
       .agg(count(lit(1)).as("n_docs_present"), sum($"c").as("k"),
         sum($"c" * $"c").as("k2"))
       .crossJoin(broadcast(nd))
@@ -590,9 +599,18 @@ object TextQueries {
       .withColumn("fano_bp",
         expr("CASE WHEN n_docs * k > 0 THEN " +
           "(10000 * (n_docs * k2 - k * k)) div (n_docs * k) ELSE 0 END"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy($"fano_bp".desc, $"tok".asc)))
-      .filter($"rk" <= 20)
+      .orderBy($"fano_bp".desc, $"tok".asc).limit(20)
+      // 20 rows — materialized once so the rank self-join below does not
+      // re-run the corpus aggregation for its second side
+      .localCheckpoint()
+    // rank within the 20 survivors by triangular broadcast self-join
+    // (≤ 400 pairs; rank = #rows at-or-before in the same total order) —
+    // like Sweep's offset frames, no unpartitioned window anywhere
+    top
+      .join(broadcast(top.select($"fano_bp".as("qf"), $"tok".as("qt"))),
+        $"qf" > $"fano_bp" || ($"qf" === $"fano_bp" && $"qt" <= $"tok"))
+      .groupBy($"tok", $"n_docs_present", $"k", $"fano_bp")
+      .agg(count(lit(1)).cast("int").as("rk"))
       .select($"rk", $"tok", $"n_docs_present", $"k", $"fano_bp")
   }
 

@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tools.PlanChecks
+
+/** Executed-plan proof that the r12 single-partition-window family is
+  * gone (VERDICT r12 #1): q271, q278, q282, q294 (graded `weak`) and
+  * q257 (the near-miss) used to run a `Window.orderBy` with no partition
+  * key over a row-scale frame — Spark executes that as
+  * `Window ← Sort ← Exchange SinglePartition`, the whole frame through
+  * one task. Post-fix (Sweep.prefixSum / the boundary-stitched run
+  * count), these plans contain NO single-partition window exchange at
+  * all — even the O(partitions) control frames go through triangular
+  * broadcast joins — so the assertion is strict emptiness, on the
+  * EXECUTED plan (the detector sees through AQE query stages, reused
+  * exchanges, and the localCheckpoint lineage break).
+  *
+  * The detector itself is proven non-vacuous by the last test: a
+  * deliberately bad plan (global row_number over a 1000-row frame) must
+  * be flagged with its true row count.
+  */
+class WindowScaleSpec extends SparkSpec {
+
+  private val gates: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    "q271_range_partition_planner" -> (graft.ops.SourceQueries.rangePartitionPlanner _),
+    "q278_peak_concurrency" -> (graft.ops.EventQueries.peakConcurrency _),
+    "q282_vocab_growth" -> (graft.ops.TextQueries.vocabGrowth _),
+    "q294_rle_advisor" -> (graft.ops.SourceQueries.rleAdvisor _),
+    "q257_abc_classification" -> (graft.ops.ExtendedQueries.abcClassification _))
+
+  for ((name, fn) <- gates) {
+    test(s"$name: no single-partition window exchange in the executed plan") {
+      val df = fn(spark, sf0001)
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name returned no rows at sf0.001")
+      val spw = PlanChecks.singlePartitionWindowRows(
+        df.queryExecution.executedPlan)
+      assert(spw.isEmpty,
+        s"$name funnels rows through a single-partition window again " +
+          s"(window -> rows moved): $spw")
+      spark.catalog.clearCache() // q282 caches its token explode
+    }
+  }
+
+  test("the detector flags a genuine global-window funnel with its row count") {
+    import spark.implicits._
+    // no rank filter on top: Spark's WindowGroupLimit pushdown would
+    // legitimately cut the rows reaching the exchange
+    val df = spark.range(1000).select($"id")
+      .withColumn("r", row_number().over(Window.orderBy($"id")))
+    df.collect()
+    val spw = PlanChecks.singlePartitionWindowRows(
+      df.queryExecution.executedPlan)
+    assert(spw.nonEmpty, "detector missed a Window over Exchange " +
+      "SinglePartition — every gate assertion above is vacuous")
+    assert(spw.map(_._2).max == 1000L,
+      s"detector misread the exchange row metric: $spw")
+  }
+}
