@@ -130,11 +130,20 @@ object Graph {
     * unrolled plan had 152 scans / 79 shuffles at hops=3, and grows
     * exponentially in `hops`). With the checkpoint each hop is a
     * constant-size plan over two parquet frames; the cumulative reached
-    * set is the union of the (disjoint) frontier files. */
+    * set is the union of the (disjoint) frontier files.
+    *
+    * `scratchKey` (r12 ADVICE): repeated invocations with the same key
+    * (bench warm-up + N timed trials of one gate) reuse ONE per-JVM
+    * scratch dir, overwriting the same hop files instead of accumulating
+    * a fresh tmpfs dir per run — all hop files of one invocation stay
+    * live until its result frame is consumed (the census reads every
+    * hop lazily), so within-run deletion is NOT safe here; reuse is. */
   def bfsFrontiers(spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame, hops: Int = 3): DataFrame = {
+      edges: DataFrame, hops: Int = 3,
+      scratchKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val run = graft.Scratch.fresh("graft_bfs_")
+    val run = scratchKey.map(k => graft.Scratch.named(s"bfs_$k"))
+      .getOrElse(graft.Scratch.fresh("graft_bfs_"))
     def hop(df: DataFrame, tag: String): DataFrame = {
       val p = run.resolve(tag).toString
       df.write.mode("overwrite").parquet(p)
@@ -184,9 +193,11 @@ object Graph {
     * plan size grows with iters² while the checkpointed plan stays one
     * join + one window per round. */
   def labelPropagation(spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame, iters: Int = 3): DataFrame = {
+      edges: DataFrame, iters: Int = 3,
+      scratchKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val run = graft.Scratch.fresh("graft_lpa_")
+    val run = scratchKey.map(k => graft.Scratch.named(s"lpa_$k"))
+      .getOrElse(graft.Scratch.fresh("graft_lpa_"))
     def hop(df: DataFrame, tag: String): DataFrame = {
       val p = run.resolve(tag).toString
       df.write.mode("overwrite").parquet(p)
@@ -231,9 +242,14 @@ object Graph {
     * consumed lazily long after this method returns). Driver state is
     * nil: k travels as a broadcast 1-row cross join, never a collect. */
   def kCorePeelCensus(spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame, rounds: Int = 3): DataFrame = {
+      edges: DataFrame, rounds: Int = 3,
+      scratchKey: Option[String] = None): DataFrame = {
+    // one dir per INVOCATION (was: one per ckpt call — r12 ADVICE's tmpfs
+    // accumulation), and one per JVM when the caller passes a reuse key
+    val run = scratchKey.map(k => graft.Scratch.named(s"kcore_$k"))
+      .getOrElse(graft.Scratch.fresh("graft_kcore_"))
     def ckpt(df: DataFrame, tag: String): DataFrame = {
-      val p = graft.Scratch.fresh("graft_kcore_").resolve(tag).toString
+      val p = run.resolve(tag).toString
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }

@@ -85,7 +85,8 @@ object GraphQueries {
     * final reachable count. At sf0.01 the census is 1 / 42 / 1814 / 143 —
     * the periphery-seeded traversal genuinely needs all three hops. */
   def bfsCensus(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.bfsFrontiers(spark, coPurchaseEdges(spark, dir))
+    graft.operators.Graph.bfsFrontiers(spark, coPurchaseEdges(spark, dir),
+      scratchKey = Some(graft.Scratch.dirKey(dir)))
 
   /** Deterministic label-propagation communities
     * ([[graft.operators.Graph.labelPropagation]] — 3 synchronous
@@ -94,7 +95,8 @@ object GraphQueries {
     * (count DESC, label ASC) arg-max, so the whole trajectory is checked,
     * not just the final census. */
   def lpaCensus(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.labelPropagation(spark, coPurchaseEdges(spark, dir))
+    graft.operators.Graph.labelPropagation(spark, coPurchaseEdges(spark, dir),
+      scratchKey = Some(graft.Scratch.dirKey(dir)))
 
   /** Mean-core peeling trajectory
     * ([[graft.operators.Graph.kCorePeelCensus]] — 3 synchronous rounds at
@@ -103,7 +105,8 @@ object GraphQueries {
     * degree→filter→subgraph rounds as chained CTEs, so every per-round
     * removal count is checked, not just the final core size. */
   def kcoreCensus(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.kCorePeelCensus(spark, coPurchaseEdges(spark, dir))
+    graft.operators.Graph.kCorePeelCensus(spark, coPurchaseEdges(spark, dir),
+      scratchKey = Some(graft.Scratch.dirKey(dir)))
 
   /** DEGREE ASSORTATIVITY (q317) — do hubs connect to hubs (r > 0) or to
     * spokes (r < 0)? Pearson correlation of endpoint degrees over every

@@ -343,12 +343,12 @@ object PipelineQueries {
     * (Connect drops isolated nodes — production passes them through
     * unmerged; the gate reports exactly the MERGED entities).
     *
-    * Implemented, sf0.01 oracle-verified, and brute-force-proved
-    * (Round12Spec: independent all-pairs Levenshtein + union-find); it
-    * REGISTERS next round together with a canary-accepted bench.json
-    * refresh — the committed artifact must cover exactly the registered
-    * gate set, and the round-end host never offered a canary-comparable
-    * window (ARCHITECTURE's canary rule, enforced by Bench itself).
+    * Implemented and brute-force-proved in round 12 (Round12Spec:
+    * independent all-pairs Levenshtein + union-find); registered in round
+    * 13 together with the canary-accepted bench.json refresh the
+    * committed-artifact rule requires (registration was deferred one
+    * round because r12's round-end host never offered a canary-comparable
+    * window — ARCHITECTURE's canary rule, enforced by Bench itself).
     *
     * Scale shape: the linkage graph is pair-bounded (q302's blocking),
     * components iterate on the tiny edge set, and the only data-sized
@@ -381,9 +381,7 @@ object PipelineQueries {
   /** q329_survivorship's DuckDB oracle — same deletion-key linkage as
     * q302, components replayed by the recursive reachability walk
     * (entity = min member name, the Connect fixpoint), same (length
-    * DESC, name ASC) golden pin, same cents bridge. Held out of the
-    * [[oracle]] map until the gate registers (see [[survivorship]]);
-    * verified green at sf0.01 this round. */
+    * DESC, name ASC) golden pin, same cents bridge. */
   private[ops] val survivorshipOracle: String =
     """WITH RECURSIVE nm AS (SELECT DISTINCT c_name AS name FROM customer),
       |del0 AS (SELECT name, unnest(range(1, length(name)+1)) AS i FROM nm),
@@ -1585,6 +1583,7 @@ object PipelineQueries {
     "q88_decontamination" -> (decontamination _),
     "q89_edit_distance_pairs" -> (editDistancePairs _),
     "q302_symspell_linkage" -> (symspellLinkage _),
+    "q329_survivorship" -> (survivorship _),
     "q303_oof_target_encoding" -> (oofTargetEncoding _),
     "q306_pps_systematic_sample" -> (ppsSystematicSample _),
     "q315_neyman_allocation" -> (neymanAllocation _),
@@ -2076,6 +2075,10 @@ object PipelineQueries {
         |SELECT CAST(n_neighbors AS BIGINT) AS n_neighbors,
         |  CAST(count(*) AS BIGINT) AS n_customers
         |FROM nbr GROUP BY n_neighbors""".stripMargin,
+    // q329: q302's linkage replayed, components via the recursive
+    // reachability walk (entity = min member name — the Connect fixpoint),
+    // (length DESC, name ASC) golden pin, exact cents merge.
+    "q329_survivorship" -> survivorshipOracle,
     "q89_edit_distance_pairs" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents
