@@ -75,7 +75,12 @@ object ScaleProbe {
     * is bounded by sources-per-shingle, the candidate-pair risk), the
     * replica reconciliation (q326 — the detail pass must grow with the
     * DRIFT, not the table), the hybrid-RRF legs (q328 — bounded top-k
-    * heaps), plus the cheap ones (q321/q323/q327) for coverage. */
+    * heaps), plus the cheap ones (q321/q323/q327) for coverage.
+    *
+    * Round 13 (VERDICT r12 #4) adds the rewritten global-window family
+    * (q271/q278/q282/q294 plus the q257 near-miss) — exactly the class
+    * the wall-clock slope could never catch, now watched by the `spw`
+    * single-partition-window row metric those fixes introduced. */
   val DefaultGates: Seq[String] = Seq(
     "q301_kcore_peeling",
     "q302_symspell_linkage",
@@ -102,6 +107,11 @@ object ScaleProbe {
     "q210_decile_binning",
     "q234_pq_ann",
     "q235_allen_census",
+    "q257_abc_classification",
+    "q271_range_partition_planner",
+    "q278_peak_concurrency",
+    "q282_vocab_growth",
+    "q294_rle_advisor",
     "q321_gopher_repetition",
     "q322_contamination_matrix",
     "q323_kcenter_coreset",
@@ -193,21 +203,100 @@ object ScaleProbe {
     out.toString
   }
 
+  /** SKEWED 10× corpus (VERDICT r12 #6) — the uniform salted union above
+    * holds per-key fanout constant by CONSTRUCTION (per-copy word
+    * prefixes make cross-copy shingles disjoint; drift stays spread over
+    * all 64 buckets), so gates whose cost has a fanout term measure
+    * clean on it even when a skewed real corpus would stress them. This
+    * variant rebuilds ONLY the two tables those gates read, with the
+    * skew their fanout terms fear:
+    *
+    *  - `documents`: one source ("mega") carries HALF the corpus
+    *    (copies 0..factor/2−1), the other copies get per-copy source
+    *    labels — and 1-in-16 documents keep their ORIGINAL text in
+    *    every copy (cross-source boilerplate), so those shingles appear
+    *    in EVERY source and q322's per-shingle source fanout is maximal
+    *    instead of the uniform corpus's ~1.
+    *  - `orders`: keys are remapped (`8000·k + 7` on the drifted
+    *    residue, `8000·k + 8 + (k mod 56)` otherwise — distinct, and
+    *    mod-exact on both engines) so that EVERY drifted row lands in
+    *    Merkle bucket 7 while clean rows spread over buckets 8..63:
+    *    q326's detail pass faces one hot differing bucket holding 100%
+    *    of a 10× drift, not 8 cool ones.
+    *
+    * Skew-variant slopes are DIAGNOSTIC rows in SCALING.md (not fail-
+    * enforced): a steeper q322 slope on boilerplate-heavy data is the
+    * data genuinely containing more cross-source pairs to count — the
+    * check is that the slope tracks the PAIR growth, not rows². */
+  def skewedCorpus(spark: SparkSession, sfDir: String, factor: Int): String = {
+    require(factor >= 2 && factor <= 26, s"factor out of range: $factor")
+    val out = graft.Scratch.named(
+      s"skew${factor}x_${graft.Scratch.dirKey(sfDir)}")
+    val marker = out.resolve("_BUILT")
+    if (Files.exists(marker)) return out.toString
+    val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
+    def off(c: String) = (col(c) + col("copy").cast("long") * KeyOff).as(c)
+
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .crossJoin(broadcast(copies))
+      .select(off("doc_id"),
+        when(col("copy") === 0 || pmod(col("doc_id"), lit(16L)) === 0,
+          col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(expr("char(97 + copy)"), w)), " ")).as("text"),
+        col("lang"),
+        when(col("copy") < factor / 2, lit("mega"))
+          .otherwise(concat(col("source"), lit("_"),
+            col("copy").cast("string"))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite")
+      .parquet(out.resolve("documents.parquet").toString)
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .crossJoin(broadcast(copies))
+    val k = col("o_orderkey") + col("copy").cast("long") * KeyOff
+    orders.select(
+      (k * 8000L + when(pmod(k, lit(1000L)) === 7, lit(7L))
+        .otherwise(lit(8L) + pmod(k, lit(56L)))).as("o_orderkey") +:
+        orders.columns.filter(c => c != "o_orderkey" && c != "copy")
+          .map(col): _*)
+      .write.mode("overwrite")
+      .parquet(out.resolve("orders.parquet").toString)
+    Files.createFile(marker)
+    out.toString
+  }
+
+  /** The gates the skewed corpus exists for, probed whenever the main
+    * run covers them. */
+  val SkewGates: Seq[String] =
+    Seq("q322_contamination_matrix", "q326_merkle_reconcile")
+
   /** Run `fn` once untimed (fixtures + JIT), then once timed through the
-    * noop sink (full-plan execution, the Bench rule). */
+    * noop sink (full-plan execution, the Bench rule). The WARM pass
+    * executes the plan's own RDD (same full-plan work as the noop sink)
+    * so its executed exchange metrics are readable afterwards — that is
+    * where the single-partition-window row count (VERDICT r12 #4: the
+    * 10× wall-clock slope CANNOT see a single-partition sort, which is
+    * "linear"... on one core) comes from. Returns (seconds, spwRows). */
   private def timeGate(spark: SparkSession,
-      fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
     def once(): Unit = {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
     }
-    once() // warm: fixture builds land here, not in the measurement
+    // warm: fixture builds land here, not in the measurement
+    val warm = fn(spark, dir)
+    warm.queryExecution.executedPlan.execute().foreach(_ => ())
+    val spw = PlanChecks.maxSinglePartitionWindowRows(
+      warm.queryExecution.executedPlan)
+    spark.catalog.clearCache()
     val t0 = System.nanoTime()
     once()
-    (System.nanoTime() - t0) / 1e9
+    ((System.nanoTime() - t0) / 1e9, spw)
   }
 
-  case class Result(gate: String, t1: Double, tN: Double) {
+  case class Result(gate: String, t1: Double, tN: Double,
+      spw1: Long, spwN: Long) {
     def ratio: Double = tN / math.max(t1, 0.05) // floor: sub-50ms base noise
   }
 
@@ -222,38 +311,84 @@ object ScaleProbe {
     val results = gates.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown gate: $name"))
-      val t1 = timeGate(spark, fn, sfDir)
-      val tN = timeGate(spark, fn, scaled)
-      val r = Result(name, t1, tN)
+      val (t1, spw1) = timeGate(spark, fn, sfDir)
+      val (tN, spwN) = timeGate(spark, fn, scaled)
+      val r = Result(name, t1, tN, spw1, spwN)
       System.err.println(f"[scale] $name%-34s 1x=${r.t1}%7.2fs " +
-        f"${factor}x=${r.tN}%7.2fs ratio=${r.ratio}%6.2f")
+        f"${factor}x=${r.tN}%7.2fs ratio=${r.ratio}%6.2f " +
+        f"spw=${r.spw1}%d/${r.spwN}%d")
       r
     }
 
+    // skewed-variant diagnostics (see skewedCorpus): 1× side reuses the
+    // main run's measurement; the N× side runs against the skewed build
+    val skewResults: Seq[Result] = {
+      val covered = SkewGates.filter(gates.contains)
+      if (covered.isEmpty) Seq.empty
+      else {
+        val skewDir = skewedCorpus(spark, sfDir, factor)
+        System.err.println(s"[scale] skewed corpus ready: $skewDir")
+        covered.map { name =>
+          val fn = SparkEntry.queries(name)
+          val base = results.find(_.gate == name).get
+          val (tS, spwS) = timeGate(spark, fn, skewDir)
+          val r = Result(name, base.t1, tS, base.spw1, spwS)
+          System.err.println(f"[scale] $name%-34s (skew) 1x=${r.t1}%7.2fs " +
+            f"${factor}x=${r.tN}%7.2fs ratio=${r.ratio}%6.2f " +
+            f"spw=${r.spw1}%d/${r.spwN}%d")
+          r
+        }
+      }
+    }
+
     def f2(v: Double) = f"$v%.2f"
+    val spwCap =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_SPW_CAP", "50000").toLong
     val md = new StringBuilder
     md ++= s"# Scaling probe — measured two-point slope\n\n"
     md ++= s"`graft.tools.ScaleProbe` on `$sfDir` vs a salted ${factor}× union\n"
     md ++= s"(distinct keys/text/vectors per copy — see the ScaleProbe scaladoc),\n"
     md ++= s"local[32]; per gate: one warm pass (fixtures + JIT), one timed\n"
-    md ++= s"full-plan pass. Fail threshold: ratio ≥ $failAt.\n\n"
-    md ++= s"| gate | 1× s | ${factor}× s | ratio | verdict |\n"
-    md ++= s"|---|---:|---:|---:|---|\n"
+    md ++= s"full-plan pass. Fail thresholds: ratio ≥ $failAt, or\n"
+    md ++= s"1-part-window rows ≥ $spwCap at ${factor}× (`spw` columns: the\n"
+    md ++= s"largest EXECUTED row count any single-partition window exchange\n"
+    md ++= s"carried — the wall-clock slope cannot see a single-partition\n"
+    md ++= s"sort, which is \"linear\" on one core; bounded control frames\n"
+    md ++= s"show O(partitions) rows here, a row-scale frame shows the data).\n\n"
+    md ++= s"| gate | 1× s | ${factor}× s | ratio | spw 1× | spw ${factor}× | verdict |\n"
+    md ++= s"|---|---:|---:|---:|---:|---:|---|\n"
     results.foreach { r =>
       val verdict =
         if (r.ratio >= failAt) "**SUPER-LINEAR — FAIL**"
+        else if (r.spwN >= spwCap) "**1-PART WINDOW — FAIL**"
         else if (r.ratio <= factor * 1.2) "linear or better"
         else "linear + overhead"
-      md ++= s"| ${r.gate} | ${f2(r.t1)} | ${f2(r.tN)} | ${f2(r.ratio)} | $verdict |\n"
+      md ++= s"| ${r.gate} | ${f2(r.t1)} | ${f2(r.tN)} | ${f2(r.ratio)} | ${r.spw1} | ${r.spwN} | $verdict |\n"
     }
     md ++= s"\nA ratio near $factor is linear; well under $factor means fixed\n"
     md ++= s"per-run overhead still dominates at 1×; at or above $failAt the\n"
     md ++= s"gate has a term growing faster than the data and the probe exits\n"
     md ++= s"nonzero.\n"
+    if (skewResults.nonEmpty) {
+      md ++= s"\n## Skewed-variant probe (diagnostic — VERDICT r12 #6)\n\n"
+      md ++= s"${factor}× rebuilt with the skew each gate's fanout term fears\n"
+      md ++= s"(see `ScaleProbe.skewedCorpus`): q322 — one source = half the\n"
+      md ++= s"corpus AND 1-in-16 docs are cross-source boilerplate (maximal\n"
+      md ++= s"sources-per-shingle); q326 — 100% of a ${factor}× drift lands in ONE\n"
+      md ++= s"Merkle bucket. Not fail-enforced: a steeper slope here can be\n"
+      md ++= s"the data genuinely holding more pairs/drift to report.\n\n"
+      md ++= s"| gate | 1× s | skewed ${factor}× s | ratio | spw 1× | spw ${factor}× |\n"
+      md ++= s"|---|---:|---:|---:|---:|---:|\n"
+      skewResults.foreach { r =>
+        // " (skew)" suffix keeps these DIAGNOSTIC rows out of
+        // DocsConsistencySpec's gate-row parser (and its ≥15 fail rule)
+        md ++= s"| ${r.gate} (skew) | ${f2(r.t1)} | ${f2(r.tN)} | ${f2(r.ratio)} | ${r.spw1} | ${r.spwN} |\n"
+      }
+    }
     md ++= History
     Files.writeString(Paths.get(outMd), md.toString)
     val json = results.map(r =>
-      s""""${r.gate}":{"t1":${f2(r.t1)},"tN":${f2(r.tN)},"ratio":${f2(r.ratio)}}""")
+      s""""${r.gate}":{"t1":${f2(r.t1)},"tN":${f2(r.tN)},"ratio":${f2(r.ratio)},"spw1":${r.spw1},"spwN":${r.spwN}}""")
       .mkString("{\"factor\":" + factor + ",\"gates\":{", ",", "}}")
     println(json)
     results
@@ -285,6 +420,19 @@ object ScaleProbe {
       |  plan re-derived every hop's lineage: 152 scans/79 shuffles at
       |  3 hops, exponential in depth; now 4 scans/4 shuffles, linear).
       |  q224 got the same per-round label checkpoint (ratio 1.24).
+      |- **r13: the ratio alone had a blind spot the probe now closes**
+      |  (VERDICT r12 #4): q271/q278/q282/q294 were hash-correct and
+      |  wall-clock-"linear" while funneling their whole frame through a
+      |  `Window.orderBy` with no partition key — a ONE-TASK sort scales
+      |  linearly on one core until it falls over. All four (plus q257/
+      |  q289/q309's frames that grow with key cardinality) were rewritten
+      |  on `Sweep.prefixSum`'s two-phase distributed prefix sum, and the
+      |  probe now publishes the executed single-partition-window row
+      |  count per gate (`spw` columns, fail ≥50k). The rewrite also
+      |  surfaced a latent tie bug: (l_orderkey, l_linenumber) is NOT
+      |  unique in the corpus, and q294's old plan only matched DuckDB
+      |  because both engines read ties in file order — the sort key now
+      |  carries the counted columns as tie-breaks.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -298,10 +446,17 @@ object ScaleProbe {
     val spark = LocalSession.fromEnv(defaultCpus = "32")
     val results = run(spark, sfDir, outMd, factor, gates, failAt)
     spark.stop()
+    val spwCap =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_SPW_CAP", "50000").toLong
     val flagged = results.filter(_.ratio >= failAt)
-    if (flagged.nonEmpty) {
-      System.err.println(s"[scale] SUPER-LINEAR gates: " +
-        flagged.map(r => f"${r.gate} (${r.ratio}%.2f)").mkString(", "))
+    val funneled = results.filter(_.spwN >= spwCap)
+    if (flagged.nonEmpty || funneled.nonEmpty) {
+      if (flagged.nonEmpty)
+        System.err.println(s"[scale] SUPER-LINEAR gates: " +
+          flagged.map(r => f"${r.gate} (${r.ratio}%.2f)").mkString(", "))
+      if (funneled.nonEmpty)
+        System.err.println(s"[scale] SINGLE-PARTITION-WINDOW gates: " +
+          funneled.map(r => s"${r.gate} (${r.spwN} rows)").mkString(", "))
       sys.exit(1)
     }
   }
