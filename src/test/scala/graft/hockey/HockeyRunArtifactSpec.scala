@@ -8,24 +8,50 @@ import graft.SparkSpec
   * gates; this closes the loop on the reference's golden-log practice,
   * ref README.md:153-253 / output.txt).
   *
+  * Since r13 the artifact runs on the committed SYNTHETIC fixture
+  * (`fixtures/hockey/`, 3 seasons × 10 teams × 360 games from
+  * [[FixtureGen]] — VERDICT r12 #3): the reference's 5-game sample CSVs
+  * left a 2-row test set where every model scored 0.000 and the metric
+  * assertions were vacuous. On the fixture the temporal split is real
+  * (240 train / 120 test) and the latent team strengths make the rolling
+  * features genuinely predictive, so this spec pins the reference's
+  * BEHAVIORAL invariants (output.txt:23-30, ref README.md:159-165), not
+  * just counts: every model beats the majority baseline, majority ≥
+  * coin-flip.
+  *
   * The artifact is produced by the CLI itself:
   *   SPARK_GRAFT_CPUS=4 sbt "runMain graft.hockey.Experiment
-  *     --events /root/reference/data/Sample_NHL_EventData.csv
-  *     --results /root/reference/data/Sample_results.csv
+  *     --events fixtures/hockey/events.csv
+  *     --results fixtures/hockey/results.csv
   *     --fast --json hockey_run.json"
   * (cpus pinned to 4 = this suite's session, so the seeded fits see the
   * same partitioning and the whole report — counts AND metrics — is
-  * bit-reproducible, not range-checked).
+  * bit-reproducible, not range-checked.)
   */
 class HockeyRunArtifactSpec extends SparkSpec {
 
-  private val eventsCsv = "/root/reference/data/Sample_NHL_EventData.csv"
-  private val resultsCsv = "/root/reference/data/Sample_results.csv"
+  private val eventsCsv = "fixtures/hockey/events.csv"
+  private val resultsCsv = "fixtures/hockey/results.csv"
 
   private def field(json: String, key: String): String = {
     val m = ("\"" + key + "\":([0-9.eE+-]+)").r.findFirstMatchIn(json)
     assert(m.nonEmpty, s"hockey_run.json missing field $key")
     m.get.group(1)
+  }
+
+  test("the committed fixture CSVs regenerate byte-identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("hockeyfix").toString
+    FixtureGen.write(tmp)
+    for (f <- Seq("events.csv", "results.csv")) {
+      val committed = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"fixtures/hockey/$f"))
+      val fresh = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/$f"))
+      assert(java.util.Arrays.equals(committed, fresh),
+        s"fixtures/hockey/$f is not what FixtureGen.write produces — " +
+          "regenerate with: sbt \"runMain graft.hockey.FixtureGen " +
+          "fixtures/hockey\"")
+    }
   }
 
   test("the committed hockey_run.json is re-derived by a fresh Experiment.run") {
@@ -35,14 +61,20 @@ class HockeyRunArtifactSpec extends SparkSpec {
     val report = Experiment.run(spark,
       Experiment.Opts(eventsCsv, resultsCsv, fast = true))
 
-    // golden counts, exact: one row per (game, team), two per game
+    // golden counts, exact: one row per (game, team), two per game, a
+    // REAL temporal split (the sample CSVs used to degenerate to 3/2)
     assert(field(json, "game_team_rows").toLong == report.gameTeamRows)
     assert(field(json, "rows_per_game").toInt == 2)
     assert(report.gameTeamRows == 2 * report.matchups)
     assert(field(json, "matchups").toLong == report.matchups)
+    assert(report.matchups == 360L)
     assert(field(json, "train_rows").toLong == report.trainRows)
     assert(field(json, "test_rows").toLong == report.testRows)
+    assert(report.testRows >= 100,
+      s"test set degenerated to ${report.testRows} rows — metric " +
+        "assertions below would be vacuous again")
     assert(field(json, "test_season").toInt == report.testSeason)
+    assert(report.testSeason == 20132014)
     assert(report.trainRows + report.testRows == report.matchups)
 
     // the artifact covers all four model pipelines
@@ -68,10 +100,21 @@ class HockeyRunArtifactSpec extends SparkSpec {
       assert(m.confusion.values.sum == report.testRows,
         s"$name confusion matrix does not cover the test set")
 
+    // the reference's behavioral invariants (output.txt:23-30): the
+    // models LEARN — every one beats the majority baseline by a real
+    // margin on the 120-game held-out season, and majority ≥ coin-flip
     assert(math.abs(field(json, "majority_class").toDouble -
       report.baselines.majorityClass) <= 5e-7 + 1e-9)
     assert(math.abs(field(json, "weighted_random").toDouble -
       report.baselines.weightedRandom) <= 5e-7 + 1e-9)
     assert(field(json, "coin_flip").toDouble == 0.5)
+    assert(report.baselines.majorityClass >= 0.5,
+      s"majority baseline ${report.baselines.majorityClass} below coin-flip")
+    for ((name, m) <- report.metrics) {
+      assert(m.accuracy >= report.baselines.majorityClass + 0.05,
+        s"$name accuracy ${m.accuracy} does not beat the majority " +
+          s"baseline ${report.baselines.majorityClass} — no learning")
+      assert(m.auc >= 0.6, s"$name auc ${m.auc} at chance level")
+    }
   }
 }
