@@ -26,7 +26,8 @@ object Fixtures {
     "graph_copurchase_edges" -> (ops.GraphQueries.prebuildFixtures _),
     "bucketed_fact_tables" -> (ops.SourceQueries.prebuildFixtures _),
     "streaming_drive_sources" -> (ops.EventQueries.prebuildFixtures _),
-    "fragmented_docs" -> (ops.PipelineQueries.prebuildFixtures _))
+    "fragmented_docs" -> (ops.PipelineQueries.prebuildFixtures _),
+    "symspell_linkage_pairs" -> (ops.PipelineQueries.prebuildLinkage _))
 
   /** Build everything; returns (name, seconds) per fixture group. A builder
     * failure is reported and skipped — its consumers will rebuild (and

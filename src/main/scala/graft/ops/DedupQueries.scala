@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -571,7 +572,57 @@ object DedupQueries {
         expr("(10000 * n_common) div (n_a + n_b - n_common)").as("jaccard_bp"))
   }
 
+  /** DUPLICATED-SPAN EXTRACTION (q332) — the exact-substring dedup report
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): find every fixed-width character window (40 chars, stride
+    * 10) that appears in ≥ 2 DISTINCT documents, then merge each
+    * document's duplicated windows into maximal spans (adjacent kept
+    * positions ≤ 40 apart overlap or touch) — the passage-level view that
+    * paragraph dedup (q158, exact-block) and shingle contamination (q322,
+    * set-overlap) both miss: q332 localizes WHERE the duplication sits
+    * and HOW LONG it runs. Census per source: affected docs, duplicated
+    * windows, merged spans, duplicated chars, longest span.
+    *
+    * Scale shape: windows shuffle by 60-bit content digest (15 md5 hex
+    * chars — wide enough that the window census at 10⁸ windows has
+    * ~10⁻⁵ collision odds, and IDENTICAL md5 arithmetic on both engines
+    * so even a collision cannot diverge the gate); the dup filter is a
+    * digest-keyed count-distinct + semi-join (never doc×doc); span
+    * merging runs in windows PARTITIONED BY doc — bounded per-doc frames.
+    * The window frame is persisted: the census and the semi-join probe
+    * both read it (the q322 precedent). */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = Tables.documents(spark, dir)
+      .filter(length($"text") >= 40)
+      .select($"doc_id", $"source", $"text",
+        explode(expr("sequence(0, length(text) - 40, 10)")).as("p0"))
+      .select($"doc_id", $"source", $"p0".cast("long").as("p"),
+        conv(substring(md5(substring($"text", ($"p" + 1).cast("int"), lit(40))), 1, 15),
+          16, 10).cast("long").as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = win.groupBy($"d")
+      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"d")
+    val kept = win.join(dup, Seq("d"), "left_semi")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"p")
+    val spans = kept
+      .withColumn("lp", lag($"p", 1).over(byDoc))
+      .withColumn("is_new",
+        when($"lp".isNull || $"p" - $"lp" > 40L, 1L).otherwise(0L))
+      .withColumn("span", sum($"is_new").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"source", $"span")
+      .agg(min($"p").as("f"), max($"p").as("l"), count(lit(1)).as("nw"))
+    spans.groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_docs_affected"),
+        sum($"nw").as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        sum($"l" - $"f" + 40L).as("sum_dup_chars"),
+        max($"l" - $"f" + 40L).as("max_span_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_dup_spans" -> (dupSpans _),
     "q322_contamination_matrix" -> (contaminationMatrix _),
     "q283_cross_source_dup" -> (crossSourceDupMatrix _),
     "q188_lsh_band_sweep" -> (lshBandSweep _),
@@ -982,6 +1033,49 @@ object DedupQueries {
     // q322: same distinct (source, 8-gram) frame, same a<b pair keying,
     // same guarded integer floor-bp Jaccard (denominator = |A∪B| ≥ 1
     // whenever a pair row exists, so no zero guard is needed).
+    // q332: identical 40/10 window grid (range's exclusive end = the
+    // engine's inclusive sequence(0, len−40, 10)), identical 60-bit md5
+    // digest via strpos digit arithmetic, same >40-gap island merge.
+    "q332_dup_spans" -> {
+      val hsum = (0 until 15).map { i =>
+        s"(strpos('0123456789abcdef', substr(dh, ${i + 1}, 1)) - 1) * ${1L << (4 * (14 - i))}"
+      }.mkString("\n       + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CAST(unnest(range(0, length(text) - 39, 10)) AS BIGINT) AS p, text
+         |  FROM documents WHERE length(text) >= 40
+         |), wd AS (
+         |  SELECT doc_id, source, p,
+         |    substr(md5(substr(text, CAST(p + 1 AS INTEGER), 40)), 1, 15) AS dh
+         |  FROM w
+         |), v AS (
+         |  SELECT doc_id, source, p, CAST($hsum AS BIGINT) AS d FROM wd
+         |), dup AS (
+         |  SELECT d FROM v GROUP BY d HAVING count(DISTINCT doc_id) >= 2
+         |), k AS (
+         |  SELECT v.doc_id, v.source, v.p FROM v JOIN dup USING (d)
+         |), isl AS (
+         |  SELECT *, CASE WHEN lp IS NULL OR p - lp > 40 THEN 1 ELSE 0 END
+         |    AS is_new
+         |  FROM (SELECT *, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
+         |        FROM k)
+         |), sp AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY p
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, source, span, min(p) AS f, max(p) AS l,
+         |    CAST(count(*) AS BIGINT) AS nw
+         |  FROM sp GROUP BY 1, 2, 3
+         |)
+         |SELECT source,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
+         |  CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(l - f + 40) AS BIGINT) AS sum_dup_chars,
+         |  CAST(max(l - f + 40) AS BIGINT) AS max_span_chars
+         |FROM spans GROUP BY source""".stripMargin
+    },
     "q322_contamination_matrix" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT source, s FROM (

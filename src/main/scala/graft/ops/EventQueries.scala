@@ -2529,7 +2529,106 @@ object EventQueries {
           .otherwise(0L).as("acf_bp"))
   }
 
+  /** MANN–WHITNEY U readout (q330) — the nonparametric two-sample test
+    * every metrics platform runs when the per-user metric is skewed (event
+    * counts, revenue) and a t-test's normality assumption is indefensible.
+    * Arms are q254's md5-bit assignment (salt "mw:"); the metric is each
+    * user's event count. The whole computation is EXACT BIGINT via the
+    * value-census formulation: group users by metric value v, count each
+    * arm (cnt_a, cnt_b, t = both), and use DOUBLED midranks —
+    * 2·midrank(v) = 2·C(v) + t(v) + 1 where C(v) = #users with metric < v
+    * — so ties never produce a fraction. Then
+    *   2·R_A = Σ cnt_a·(2C+t+1),  2·U_A = 2·R_A − n_a(n_a+1),
+    *   2·U_B = 2·n_a·n_b − 2·U_A, and the tie-correction term Σ t(t−1)(t+1)
+    * ships for the variance the analyst computes downstream — no
+    * transcendentals, no p-value divergence across engines.
+    *
+    * Scale shape: one data-sized grouped count (per-user metric), one
+    * metric-value census, and C(v) by [[graft.operators.Sweep.countUpTo]]
+    * — the range-partitioned two-phase prefix sum, NOT a global window
+    * (the distinct-value domain grows with the data; at gate scale ~2⁶³
+    * headroom holds to n ≈ 10⁹ users, production sums ride DECIMAL(38)). */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("mw:"),
+          $"user_id".cast("string"))), 1, 1), 16, 10).cast("int") < 8, "A")
+          .otherwise("B"))
+    val census = per.groupBy($"n").agg(
+      sum(when($"variant" === "A", 1L).otherwise(0L)).as("cnt_a"),
+      sum(when($"variant" === "B", 1L).otherwise(0L)).as("cnt_b"),
+      count(lit(1)).as("t"))
+    val withC = graft.operators.Sweep.countUpTo(
+      points = per.select($"n".as("v")),
+      queries = census.select($"cnt_a", $"cnt_b", $"t", $"n".as("v")),
+      valueCol = "v", outCol = "c_below", strict = true)
+    withC.agg(
+        sum($"cnt_a").as("na"), sum($"cnt_b").as("nb"),
+        sum($"cnt_a" * (lit(2L) * $"c_below" + $"t" + lit(1L))).as("tra"),
+        sum($"t" * ($"t" - 1L) * ($"t" + 1L)).as("tie_cubic"))
+      .select($"na".as("n_a"), $"nb".as("n_b"),
+        $"tra".as("two_rank_sum_a"),
+        ($"tra" - $"na" * ($"na" + 1L)).as("two_u_a"),
+        (lit(2L) * $"na" * $"nb" - ($"tra" - $"na" * ($"na" + 1L)))
+          .as("two_u_b"),
+        $"tie_cubic")
+  }
+
+  /** INTERVAL-UNION COVERAGE (q333) — per user, the total wall-clock time
+    * covered by the union of their per-event-type activity sessions (q18's
+    * 30-minute-gap sessionization, run per (user, type), so the intervals
+    * OVERLAP across types and the union is a genuine interval-merge — the
+    * utilization/uptime/billable-time primitive q278's peak-concurrency
+    * sweep does not answer). The merge is the classic sorted sweep: per
+    * user, order intervals by (start, end, type), an island begins where
+    * `start` exceeds the running max of all earlier ends, and each
+    * island's coverage is max(end) − min(start) — exact epoch-micros
+    * arithmetic. Output censuses users by integer-log2 coverage-seconds
+    * bucket (`length(bin(x))−1`, the repo's transcendental-free log2).
+    *
+    * Scale shape: everything after the grouped sessionize runs in windows
+    * PARTITIONED BY user — bounded per-user frames, no global window; the
+    * census is one final tiny agg. */
+  def intervalUnionCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUT = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"tsu", $"event_id")
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("tsu"))
+    val gap = $"tsu" - lag($"tsu", 1).over(byUT)
+    val sessions = ev
+      .withColumn("is_new", when(gap.isNull || gap > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(
+        byUT.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"event_type", $"sid")
+      .agg(min($"tsu").as("st"), max($"tsu").as("en"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"st", $"en", $"event_type")
+    val islands = sessions
+      .withColumn("prev_max_en",
+        max($"en").over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_island",
+        when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1L).otherwise(0L))
+      .withColumn("island", sum($"is_island").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"island")
+      .agg((max($"en") - min($"st")).as("covered_us"))
+    islands.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_islands"), sum($"covered_us").as("covered_us"))
+      .select($"user_id", $"n_islands", $"covered_us",
+        (length(bin(lit(1L) + expr("covered_us div 1000000"))) - 1)
+          .cast("int").as("coverage_bucket"))
+      .groupBy($"coverage_bucket")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"n_islands").as("n_islands"),
+        sum($"covered_us").as("sum_covered_us"),
+        max($"covered_us").as("max_covered_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_mann_whitney" -> (mannWhitney _),
+    "q333_interval_union_coverage" -> (intervalUnionCoverage _),
     "q327_autocorrelation" -> (autocorrelation _),
     "q324_changepoint_scan" -> (changepointScan _),
     "q313_moving_median" -> (movingMedian _),
@@ -2668,6 +2767,87 @@ object EventQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q330: same md5-bit arms, same doubled-midrank census algebra —
+    // C(v) here is a plain cumulative window (single-node oracle), the
+    // engine's Sweep.countUpTo is distributed-exact by construction.
+    "q330_mann_whitney" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5('mw:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) < 8
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id
+        |), census AS (
+        |  SELECT n,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM per GROUP BY n
+        |), c AS (
+        |  SELECT *, CAST(coalesce(sum(t) OVER (ORDER BY n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS c_below
+        |  FROM census
+        |), s AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+        |    CAST(sum(cnt_b) AS BIGINT) AS nb,
+        |    CAST(sum(cnt_a * (2 * c_below + t + 1)) AS BIGINT) AS tra,
+        |    CAST(sum(t * (t - 1) * (t + 1)) AS BIGINT) AS tie_cubic
+        |  FROM c
+        |)
+        |SELECT na AS n_a, nb AS n_b, tra AS two_rank_sum_a,
+        |  tra - na * (na + 1) AS two_u_a,
+        |  2 * na * nb - (tra - na * (na + 1)) AS two_u_b, tie_cubic
+        |FROM s""".stripMargin,
+    // q333: identical per-(user,type) 30-min sessionization, identical
+    // (start, end, type) sweep order, running-max island merge, and the
+    // length(bin(x))−1 log2 bucket.
+    "q333_interval_union_coverage" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu
+        |  FROM events
+        |), g AS (
+        |  SELECT *, tsu - lag(tsu) OVER
+        |    (PARTITION BY user_id, event_type ORDER BY tsu, event_id) AS gap
+        |  FROM ev
+        |), sidd AS (
+        |  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, event_type, sid,
+        |    CAST(min(tsu) AS BIGINT) AS st, CAST(max(tsu) AS BIGINT) AS en
+        |  FROM sidd GROUP BY 1, 2, 3
+        |), isl AS (
+        |  SELECT *, CASE WHEN pme IS NULL OR st > pme THEN 1 ELSE 0 END
+        |    AS is_island
+        |  FROM (SELECT *, max(en) OVER (PARTITION BY user_id
+        |    ORDER BY st, en, event_type
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM sess)
+        |), num AS (
+        |  SELECT *, CAST(sum(is_island) OVER (PARTITION BY user_id
+        |    ORDER BY st, en, event_type
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS island
+        |  FROM isl
+        |), cov AS (
+        |  SELECT user_id, island,
+        |    CAST(max(en) - min(st) AS BIGINT) AS covered_us
+        |  FROM num GROUP BY 1, 2
+        |), per_user AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |    CAST(sum(covered_us) AS BIGINT) AS covered_us
+        |  FROM cov GROUP BY user_id
+        |)
+        |SELECT CAST(length(bin(1 + covered_us // 1000000)) - 1 AS INTEGER)
+        |    AS coverage_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_islands) AS BIGINT) AS n_islands,
+        |  CAST(sum(covered_us) AS BIGINT) AS sum_covered_us,
+        |  CAST(max(covered_us) AS BIGINT) AS max_covered_us
+        |FROM per_user GROUP BY 1""".stripMargin,
     "q327_autocorrelation" -> autocorrSql,
     // q324: identical daily frame, prefix sums, 10⁶ fixed-point floor
     // means (all dividends positive, so `//` == `div`), and the same

@@ -1217,6 +1217,41 @@ object ExtendedQueries {
       .select($"grp", $"n_exact", $"hll_est", $"n_filled", $"err_bp")
   }
 
+  /** KMV (k-minimum-values) DISTINCT SKETCH with its exact twin (q331) —
+    * the third leg of the sketch family (q217 exact bitmaps, q218
+    * portable HLL): keep the k = 64 SMALLEST distinct 48-bit content
+    * hashes per source and estimate distinct count as
+    * (k−1)·2⁴⁸ div h₍ₖ₎ — one BIGINT floor-div, no libm, replayed
+    * digit-for-digit by the oracle. Unlike HLL, KMV supports exact
+    * set-intersection estimates downstream, which is why curation
+    * pipelines carry it. The k-minimum set rides the in-tree bounded-heap
+    * TopK aggregate (score = −h, dedup=true — duplicate hashes collapse
+    * INSIDE the heap, so there is no pre-distinct exchange at all):
+    * partial states are ≤ k entries, so the shuffle carries
+    * k·sources·partitions rows, never the corpus. h₍ₖ₎ ≥ k−1 > 0 always
+    * (the kept hashes are distinct non-negatives), so the div needs no
+    * zero guard; groups with < k distinct hashes pin est = n_exact via
+    * the try_element_at null branch. The exact twin (one countDistinct)
+    * makes err_bp a measured fact, not a claim. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val h = Tables.documents(spark, dir).select($"source",
+      conv(substring(md5($"text"), 1, 12), 16, 10).cast("long").as("h"))
+    h.groupBy($"source").agg(
+        graft.functions.TopK.scoredTopK(
+          -$"h".cast("double"), $"h", k, dedup = true).as("mins"),
+        countDistinct($"h").as("n_exact"))
+      .withColumn("h_k", expr(s"try_element_at(mins, $k).cand_id"))
+      .withColumn("kmv_est",
+        when($"h_k".isNotNull,
+          expr(s"${k - 1}L * ${1L << 48}L div h_k")).otherwise($"n_exact"))
+      .withColumn("err_bp",
+        when($"n_exact" > 0L,
+          expr("abs(kmv_est - n_exact) * 10000L div n_exact")).otherwise(0L))
+      .select($"source", $"n_exact", $"h_k", $"kmv_est", $"err_bp")
+  }
+
   /** GROUPED LINEAR TREND (q236) — least-squares slope/intercept of
     * monthly revenue per return flag, the per-entity trend fit every
     * forecasting/drift pipeline wants, computed the q143 way: OLS needs
@@ -1864,6 +1899,7 @@ object ExtendedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_kmv_distinct" -> (kmvDistinct _),
     "q320_cube_suppression" -> (cubeSuppression _),
     "q310_simpson_reversal" -> (simpsonReversal _),
     "q250_bootstrap_ci" -> (bootstrapCi _),
@@ -1987,6 +2023,39 @@ object ExtendedQueries {
     }.mkString("(", "\n     + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // q331: same 48-bit md5 content hash (strpos digit arithmetic — the
+    // q200 precedent), kth-smallest via rank over the distinct set, same
+    // (k−1)·2⁴⁸ floor-div estimator and err_bp.
+    "q331_kmv_distinct" -> {
+      val hsum = (0 until 12).map { i =>
+        s"(strpos('0123456789abcdef', substr(dh, ${i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}"
+      }.mkString("\n       + ")
+      s"""WITH hx AS (
+         |  SELECT source, substr(md5(text), 1, 12) AS dh FROM documents
+         |), v AS (
+         |  SELECT source, CAST($hsum AS BIGINT) AS h FROM hx
+         |), d AS (SELECT DISTINCT source, h FROM v),
+         |r AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |  FROM d
+         |), kk AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(max(CASE WHEN rk = 64 THEN h END) AS BIGINT) AS h_k
+         |  FROM r GROUP BY source
+         |), e AS (
+         |  SELECT source, n_exact, h_k,
+         |    CAST(CASE WHEN h_k IS NOT NULL
+         |      THEN (63 * ${1L << 48}) // h_k ELSE n_exact END AS BIGINT)
+         |      AS kmv_est
+         |  FROM kk
+         |)
+         |SELECT source, n_exact, h_k, kmv_est,
+         |  CAST(CASE WHEN n_exact > 0
+         |    THEN abs(kmv_est - n_exact) * 10000 // n_exact
+         |    ELSE 0 END AS BIGINT) AS err_bp
+         |FROM e""".stripMargin
+    },
     // q320: same CUBE + grouping_id (the q56 precedent), same k=5 rule.
     "q320_cube_suppression" ->
       """WITH cells AS (

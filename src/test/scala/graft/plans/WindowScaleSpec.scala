@@ -29,7 +29,13 @@ class WindowScaleSpec extends SparkSpec {
     "q278_peak_concurrency" -> (graft.ops.EventQueries.peakConcurrency _),
     "q282_vocab_growth" -> (graft.ops.TextQueries.vocabGrowth _),
     "q294_rle_advisor" -> (graft.ops.SourceQueries.rleAdvisor _),
-    "q257_abc_classification" -> (graft.ops.ExtendedQueries.abcClassification _))
+    "q257_abc_classification" -> (graft.ops.ExtendedQueries.abcClassification _),
+    // r13 gates born onto the distributed shapes (never had the funnel):
+    // q330 rides Sweep.countUpTo for C(v); q333's windows are all
+    // user-partitioned — pinned here so a refactor cannot regress them.
+    "q330_mann_whitney" -> (graft.ops.EventQueries.mannWhitney _),
+    "q333_interval_union_coverage" ->
+      (graft.ops.EventQueries.intervalUnionCoverage _))
 
   for ((name, fn) <- gates) {
     test(s"$name: no single-partition window exchange in the executed plan") {
