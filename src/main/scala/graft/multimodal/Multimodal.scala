@@ -556,6 +556,53 @@ object Multimodal {
     }
   }
 
+  /** Per-clip windowed-energy census — the silence-trim / VAD-lite
+    * preprocessing stat an audio-training pipeline computes right after
+    * decode. Integer-exact: window energy is Σ s² over `windowSize`
+    * samples (|s| ≤ 2¹⁵ ⇒ each window ≤ 2³⁰·windowSize — far from 2⁶³),
+    * a window is silent when its max |s| stays under `silenceMax`. */
+  case class AudioWindowCensus(media_id: Long, n_samples: Long,
+      n_windows: Long, n_silent: Long, max_window_energy: Long,
+      total_energy: Long)
+
+  /** [[decodeWav]] behind the partition-local codec pattern, windowed:
+    * samples split into fixed `windowSize` chunks (final partial window
+    * included — a trailing half-window of speech still counts), each
+    * scored by exact integer energy and a silence verdict. */
+  def decodeAudioWindows(media: Dataset[MediaRow], windowSize: Int = 16,
+      silenceMax: Long = 8192L): Dataset[AudioWindowCensus] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.payload).map { a =>
+          var nWin = 0L; var nSilent = 0L
+          var maxE = 0L; var totE = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val end = math.min(i + windowSize, a.samples.length)
+            var e = 0L; var mx = 0L
+            var j = i
+            while (j < end) {
+              val v = a.samples(j).toLong
+              e += v * v
+              val av = math.abs(v)
+              if (av > mx) mx = av
+              j += 1
+            }
+            nWin += 1
+            if (mx < silenceMax) nSilent += 1
+            if (e > maxE) maxE = e
+            totE += e
+            i = end
+          }
+          AudioWindowCensus(r.media_id, a.samples.length.toLong, nWin,
+            nSilent, maxE, totE)
+        }
+      }
+    }
+  }
+
   case class SampledFrame(media_id: Long, frame_idx: Int, byte_offset: Long,
       width: Int, height: Int, pixel_crc32: Long)
 

@@ -84,18 +84,39 @@ object Graph {
     * 3-way unionAll + hash-agg. `edges` must be canonical (`u < v`,
     * distinct). Returns (vtx, deg, n_tri). */
   def nodeTriangles(edges: DataFrame): DataFrame = {
-    // deg feeds FOUR readers (two orientation joins, the final outer join,
-    // and — via orientation — everything downstream); localCheckpoint
-    // materializes it once so the degree agg runs once, not per reader
-    // (the q132 checkpoint rule). Measured at sf0.1: 7.9 s with deg
-    // re-derived per reader, 5.3 s checkpointed. `oriented` stays LAZY by
-    // contrast — its two wedge-side readers recompute two cheap broadcast
-    // joins off the checkpointed deg, and materializing its |E| rows
-    // costs more than that recompute (measured 7.4 s vs the same 5.3).
-    val deg = edges.select(col("u").as("vtx"))
+    val deg = degreeFrame(edges)
+    // one explode, not a 3-way unionAll of `tri`: union branches are
+    // independent subtrees, so the 3-way form re-executed the wedge join +
+    // semi-join THREE times (measured at sf0.1: 8.5 s → 3.6 s with the
+    // single-pass corner explode; the row volume is identical)
+    val perVtx = closedTriangles(edges, deg)
+      .select(explode(array(col("s"), col("d1"), col("d2"))).as("vtx"))
+      .groupBy(col("vtx")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perVtx, Seq("vtx"), "left_outer")
+      .select(col("vtx"), col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Degree census of a canonical edge list, CHECKPOINTED: deg feeds many
+    * readers in every consumer (two orientation joins, final outer joins,
+    * and — via orientation — everything downstream); localCheckpoint
+    * materializes it once so the degree agg runs once, not per reader
+    * (the q132 checkpoint rule). Measured at sf0.1 (nodeTriangles): 7.9 s
+    * with deg re-derived per reader, 5.3 s checkpointed. */
+  private def degreeFrame(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("vtx"))
       .unionAll(edges.select(col("v").as("vtx")))
       .groupBy(col("vtx")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+
+  /** Closed triangles (s, d1, d2) with s the wedge's source corner and
+    * d1 < d2 — the shared core of [[nodeTriangles]] and
+    * [[edgeCommonNeighbors]]: degree-ordered orientation (the
+    * [[triangleCount]] O(m^1.5) bound), source-kept wedge self-join, LEFT
+    * SEMI close against the canonical edge set. `oriented` stays LAZY —
+    * its two wedge-side readers recompute two cheap broadcast joins off
+    * the checkpointed deg, and materializing its |E| rows costs more than
+    * that recompute (measured at sf0.1: 7.4 s vs 5.3 s lazy). */
+  private def closedTriangles(edges: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = edges
       .join(deg.select(col("vtx").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("vtx").as("v"), col("deg").as("dv")), "v")
@@ -109,15 +130,37 @@ object Graph {
       .filter(col("x") < col("y"))
       .select(col("s"), least(col("x"), col("y")).as("d1"),
         greatest(col("x"), col("y")).as("d2"))
-    val tri = wedges.join(
+    wedges.join(
       edges.select(col("u").as("d1"), col("v").as("d2")).hint("shuffle_hash"),
       Seq("d1", "d2"), "left_semi")
-    val perVtx = tri.select(col("s").as("vtx"))
-      .unionAll(tri.select(col("d1").as("vtx")))
-      .unionAll(tri.select(col("d2").as("vtx")))
-      .groupBy(col("vtx")).agg(count(lit(1)).as("n_tri"))
-    deg.join(perVtx, Seq("vtx"), "left_outer")
-      .select(col("vtx"), col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Per-edge common-neighbor counts — the edge-local companion of
+    * [[nodeTriangles]] and the numerator of every neighborhood-overlap
+    * similarity (Jaccard link prediction, embeddedness, tie strength):
+    * |N(u)∩N(v)| for an edge {u,v} equals the number of triangles THROUGH
+    * that edge, so each closed triangle credits its three edges (each
+    * canonicalized back to u < v — the wedge source `s` is degree-ordered,
+    * not id-ordered). Triangle-free edges survive the LEFT join with
+    * common = 0; both endpoint degrees ride along for the similarity
+    * denominator. Same O(m^1.5) wedge bound as [[triangleCount]].
+    * Returns (u, v, du, dv, common). */
+  def edgeCommonNeighbors(edges: DataFrame): DataFrame = {
+    val deg = degreeFrame(edges)
+    val perEdge = closedTriangles(edges, deg)
+      .select(explode(array(
+        struct(least(col("s"), col("d1")).as("u"),
+          greatest(col("s"), col("d1")).as("v")),
+        struct(least(col("s"), col("d2")).as("u"),
+          greatest(col("s"), col("d2")).as("v")),
+        struct(col("d1").as("u"), col("d2").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    edges.join(perEdge, Seq("u", "v"), "left_outer")
+      .join(deg.select(col("vtx").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("vtx").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("du"), col("dv"),
+        coalesce(col("common"), lit(0L)).as("common"))
   }
 
   /** Degree histogram of an undirected edge list: how many vertices have

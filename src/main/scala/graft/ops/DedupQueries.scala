@@ -621,7 +621,103 @@ object DedupQueries {
         max($"l" - $"f" + 40L).as("max_span_chars"))
   }
 
+  /** ROBUST WINNOWING FINGERPRINTS (q339) — the MOSS fingerprint-selection
+    * scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03): over each document's
+    * POSITIONAL 5-token shingle stream, slide a w=4 window and keep the
+    * window's minimum hash, breaking ties to the RIGHTMOST occurrence —
+    * the guarantee is that any shared run of ≥ w+k−1 = 8 tokens between
+    * two documents shares at least one selected fingerprint, at ~2/(w+1)
+    * of full-shingle storage. The "min hash, rightmost position" pick is
+    * ONE lexicographic string min: key = 8 md5 hex chars ‖ zero-padded
+    * (2²⁰ − pos), so the window `min` picks the smallest hash and, on
+    * hash ties, the largest position — no custom aggregate, identical in
+    * DuckDB. Documents shorter than one window keep their final
+    * (partial-frame) window only, so every non-empty doc emits ≥ 1
+    * fingerprint. Everything is partitioned by doc_id (positions are
+    * unique within a doc — the window order is total), so the 100 TB
+    * shape is embarrassingly parallel; positions are capped by the 2²⁰
+    * pad (a 1M-token document would need a wider pad, not a new plan).
+    * Output: per-doc selection census (windows, distinct fingerprints,
+    * distinct hashes, floor-bp selection density). */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 5
+    val W = 4
+    val tk = graft.functions.TextFunctions.tokens($"text")
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id",
+        when(size(tk) >= K,
+          transform(sequence(lit(0), size(tk) - K),
+            i => array_join(slice(tk, i + 1, lit(K)), " ")))
+          .otherwise(array(array_join(tk, " "))).as("shs"))
+      .select($"doc_id", posexplode($"shs").as(Seq("pos", "sh")))
+    val key = concat(substring(md5($"sh"), 1, 8),
+      lpad((lit(1048576) - $"pos").cast("string"), 7, "0"))
+    val winFrame = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-(W - 1), 0)
+    val scored = sh.select($"doc_id", $"pos",
+      min(key).over(winFrame).as("winmin"),
+      count(lit(1)).over(Window.partitionBy($"doc_id")).as("n_sh"))
+    // full windows only — except short docs, whose single partial final
+    // window stands in for the whole doc (the MOSS short-input rule)
+    scored.filter($"pos" >= least(lit(W - 1), $"n_sh" - 1))
+      .groupBy($"doc_id")
+      .agg(max($"n_sh").as("n_shingles"),
+        count(lit(1)).as("n_windows"),
+        countDistinct($"winmin").as("n_fingerprints"),
+        countDistinct(substring($"winmin", 1, 8)).as("n_distinct_hashes"))
+      .withColumn("density_bp",
+        expr("(10000 * n_fingerprints) div n_windows"))
+  }
+
+  /** B-BIT MINHASH AUDIT (q349) — Li & König's storage-collapse trick
+    * (b=1: keep ONE BIT per minhash, 1/32 of the 8-hex slice) audited
+    * in-query against exact Jaccard, the q100 pattern at the compressed
+    * extreme: for every LSH candidate pair, the 12 per-hash parity bits
+    * (low bit of the minhash's first hex digit) agree on a fraction A,
+    * and the unbiased b=1 estimator Ĵ = 2A − 1 is reported in floor bp —
+    * GUARDED to agree ≥ 6 (A ≥ ½) so the dividend stays non-negative
+    * (the negative-estimate region clamps to 0: Spark `div` truncates
+    * and DuckDB `//` floors, so a signed dividend would diverge — the
+    * q324 rule). Exact Jaccard rides the shared shingle-set frame as an
+    * integer cross-multiplication. The audit column is the absolute
+    * estimator error in bp — what a capacity-planning decision for a
+    * 1-bit signature store actually needs. Same banded candidate
+    * generation as q27 (never all-pairs). */
+  def bbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+      ShingleSize, NumHashes).cache()
+    val cands = Dedup.candidatePairs(
+      Dedup.bandKeys(sigs, "doc_id", Bands, NumHashes / Bands), "doc_id")
+    val bit = (c: org.apache.spark.sql.Column) =>
+      conv(substring(c, 1, 1), 16, 10).cast("int") % 2
+    val sa = sigs.toDF("doc_a" +: (0 until NumHashes).map(i => s"a$i"): _*)
+    val sb = sigs.toDF("doc_b" +: (0 until NumHashes).map(i => s"b$i"): _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(bit(col(s"a$i")) === bit(col(s"b$i")), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", ShingleSize)
+    val ea = sets.select($"doc_id".as("doc_a"), $"shset".as("set_a"))
+    val eb = sets.select($"doc_id".as("doc_b"), $"shset".as("set_b"))
+    val inter = size(array_intersect($"set_a", $"set_b")).cast("long")
+    val uni = (size($"set_a") + size($"set_b")).cast("long") - inter
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select($"doc_a", $"doc_b", agree.as("n_agree"))
+      .join(ea, "doc_a").join(eb, "doc_b")
+      .withColumn("i", inter).withColumn("u", uni)
+      .select($"doc_a", $"doc_b", $"n_agree",
+        when($"n_agree" >= NumHashes / 2,
+          expr(s"((2 * n_agree - $NumHashes) * 10000) div $NumHashes"))
+          .otherwise(0L).as("est_bp"),
+        when($"u" > 0L, expr("(10000 * i) div u")).otherwise(0L).as("exact_bp"))
+      .withColumn("err_bp", abs($"est_bp" - $"exact_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_bbit_minhash" -> (bbitMinhash _),
+    "q339_winnowing" -> (winnowing _),
     "q332_dup_spans" -> (dupSpans _),
     "q322_contamination_matrix" -> (contaminationMatrix _),
     "q283_cross_source_dup" -> (crossSourceDupMatrix _),
@@ -729,6 +825,55 @@ object DedupQueries {
        |    THEN (10000 * n_true_candidates) // n_candidates ELSE 0 END AS BIGINT)
        |    AS precision_bp
        |FROM u, tp""".stripMargin
+  }
+
+  // q349: identical parity bit (low bit of the first hex digit via
+  // strpos arithmetic), identical ≥6 clamp and bp divisions.
+  private lazy val bbitOracle = {
+    val agreeSql = (0 until NumHashes).map { i =>
+      s"""CASE WHEN (strpos('0123456789abcdef', substr(x.h$i, 1, 1)) - 1) % 2
+         | = (strpos('0123456789abcdef', substr(y.h$i, 1, 1)) - 1) % 2
+         | THEN 1 ELSE 0 END""".stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    val estSql =
+      s"CASE WHEN n_agree >= ${NumHashes / 2} " +
+        s"THEN ((2 * n_agree - $NumHashes) * 10000) // $NumHashes ELSE 0 END"
+    val exactSql = "CASE WHEN u > 0 THEN (10000 * i) // u ELSE 0 END"
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list(s)) AS shset FROM ex GROUP BY doc_id
+       |), ag AS (
+       |  SELECT cand.doc_a, cand.doc_b, CAST($agreeSql AS BIGINT) AS n_agree
+       |  FROM cand JOIN sig x ON cand.doc_a = x.doc_id
+       |  JOIN sig y ON cand.doc_b = y.doc_id
+       |), exj AS (
+       |  SELECT ag.doc_a, ag.doc_b, ag.n_agree,
+       |    CAST(len(list_intersect(x.shset, y.shset)) AS BIGINT) AS i,
+       |    CAST(len(x.shset) + len(y.shset)
+       |      - len(list_intersect(x.shset, y.shset)) AS BIGINT) AS u
+       |  FROM ag JOIN sets x ON ag.doc_a = x.doc_id
+       |  JOIN sets y ON ag.doc_b = y.doc_id
+       |)
+       |SELECT doc_a, doc_b, n_agree,
+       |  CAST($estSql AS BIGINT) AS est_bp,
+       |  CAST($exactSql AS BIGINT) AS exact_bp,
+       |  CAST(abs(($estSql) - ($exactSql)) AS BIGINT) AS err_bp
+       |FROM exj""".stripMargin
   }
 
   private val minhashOracle =
@@ -1030,6 +1175,47 @@ object DedupQueries {
        |WHERE 10 * i.n_shared >= 6 * za.sz""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q339: identical positional 5-shingles (range is end-exclusive, so
+    // range(1, len−3) = Spark's sequence(0, len−5) shifted), identical
+    // hash‖(2²⁰−pos) string key, identical 4-row window min and
+    // short-doc final-window rule.
+    "q339_winnowing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), sh0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 5
+         |      THEN list_transform(range(1, len(tk) - 3),
+         |             i -> {'pos': i - 1, 'sh': array_to_string(tk[i:i+4], ' ')})
+         |      ELSE [{'pos': CAST(0 AS BIGINT), 'sh': array_to_string(tk, ' ')}]
+         |    END AS lst
+         |  FROM toks
+         |), sh AS (
+         |  SELECT doc_id, u.pos AS pos, u.sh AS sh
+         |  FROM (SELECT doc_id, unnest(lst) AS u FROM sh0)
+         |), keyed AS (
+         |  SELECT doc_id, pos,
+         |    substr(md5(sh), 1, 8) ||
+         |      lpad(CAST(1048576 - pos AS VARCHAR), 7, '0') AS k
+         |  FROM sh
+         |), scored AS (
+         |  SELECT doc_id, pos,
+         |    min(k) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS winmin,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM keyed
+         |)
+         |SELECT doc_id,
+         |  CAST(max(n_sh) AS BIGINT) AS n_shingles,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(count(DISTINCT winmin) AS BIGINT) AS n_fingerprints,
+         |  CAST(count(DISTINCT substr(winmin, 1, 8)) AS BIGINT)
+         |    AS n_distinct_hashes,
+         |  CAST((10000 * count(DISTINCT winmin)) // count(*) AS BIGINT)
+         |    AS density_bp
+         |FROM scored
+         |WHERE pos >= least(3, n_sh - 1)
+         |GROUP BY doc_id""".stripMargin,
     // q322: same distinct (source, 8-gram) frame, same a<b pair keying,
     // same guarded integer floor-bp Jaccard (denominator = |A∪B| ≥ 1
     // whenever a pair row exists, so no zero guard is needed).
@@ -1115,6 +1301,7 @@ object DedupQueries {
         |) WHERE n > 1 GROUP BY 1, 2""".stripMargin,
     "q173_containment_join" -> containmentOracle,
     "q112_similarity_join_prefix" -> prefixFilterOracle,
+    "q349_bbit_minhash" -> bbitOracle,
     "q27_dedup_minhash_lsh" -> minhashOracle,
     "q28_dedup_simhash" -> simhashOracle,
     "q100_minhash_accuracy" -> minhashAccuracyOracle,

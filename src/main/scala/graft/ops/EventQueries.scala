@@ -2626,7 +2626,77 @@ object EventQueries {
         max($"covered_us").as("max_covered_us"))
   }
 
+  /** TEMPORAL MOTIF CENSUS (q346) — ordered event-type pairs within a
+    * 1-hour horizon per user ("view then purchase inside the hour"), the
+    * 2-node temporal-motif count behind propensity features and
+    * causal-order audits. q256's Markov census sees only ADJACENT
+    * transitions; this counts every ordered pair within the window, so a
+    * view→search→purchase hour credits view→purchase too.
+    *
+    * Scale shape: the classic BANDED TIME JOIN (the q46/q248 grid trick
+    * in time) — anchors explode to their own and the NEXT hour bucket,
+    * successors key by their bucket, and the equi-join on (user, bucket)
+    * provably covers every 0 < Δt ≤ 1h pair exactly once (tb's single
+    * bucket is either ta's or the next; the exploded keys are distinct),
+    * so per-task fan-out is bounded by per-user-per-hour activity —
+    * never a full per-user cross join. Strict tb > ta excludes
+    * simultaneous pairs (they have no order to count). Exact integer
+    * microseconds end-to-end. */
+  def temporalMotifs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tsu"))
+    val anchors = ev.select($"user_id", $"event_type".as("type_a"),
+      $"tsu".as("ta"),
+      explode(array(expr("tsu div 3600000000"),
+        expr("tsu div 3600000000") + 1L)).as("b"))
+    val successors = ev.select($"user_id", $"event_type".as("type_b"),
+      $"tsu".as("tb"), expr("tsu div 3600000000").as("b"))
+    anchors.join(successors, Seq("user_id", "b"))
+      .filter($"tb" > $"ta" && $"tb" - $"ta" <= 3600000000L)
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_motifs"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  /** BIPARTITE BUTTERFLY CENSUS (q351) — the (2,2)-biclique count of the
+    * user×event-type engagement graph (Sanei-Mehri et al.'s butterfly:
+    * two users sharing two types), THE bipartite clustering primitive —
+    * community structure in a bipartite graph shows up as butterflies,
+    * not triangles (bipartite graphs have none). Exact combinatorics:
+    * butterflies = Σ over type pairs C(w,2) where w = users engaging
+    * both types; user-centered wedges = Σ C(deg,2). The type-pair
+    * enumeration is the q125 move transposed: pairs enumerate PER USER
+    * (per-user fan-out ≤ C(distinct types, 2) — the type vocabulary is
+    * bounded, so no hot user can blow it up), then one keyed agg; every
+    * C(n,2) is the overflow-safe `(n·(n−1)) div 2` on non-negative n. */
+  def butterflyCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the incidence frame feeds degrees, the edge census, and both sides
+    // of the type-pair enumeration — cached (the q132 rule)
+    val ut = Tables.events(spark, dir)
+      .select($"user_id", $"event_type").distinct().cache()
+    val sizes = ut.agg(count(lit(1)).as("n_edges"),
+      countDistinct($"user_id").as("n_users"),
+      countDistinct($"event_type").as("n_types"))
+    val wedges = ut.groupBy($"user_id").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).as("n_user_wedges"))
+    val bf = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("n_type_pairs"),
+        max($"w").as("max_cooccurrence"),
+        sum(expr("(w * (w - 1)) div 2")).as("n_butterflies"))
+    sizes.crossJoin(broadcast(wedges)).crossJoin(broadcast(bf))
+      .select($"n_users", $"n_types", $"n_edges", $"n_user_wedges",
+        $"n_type_pairs", $"max_cooccurrence", $"n_butterflies")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_butterfly_census" -> (butterflyCensus _),
+    "q346_temporal_motifs" -> (temporalMotifs _),
     "q330_mann_whitney" -> (mannWhitney _),
     "q333_interval_union_coverage" -> (intervalUnionCoverage _),
     "q327_autocorrelation" -> (autocorrelation _),
@@ -2768,6 +2838,47 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     // q330: same md5-bit arms, same doubled-midrank census algebra —
+    // q351: identical distinct incidence, per-user pair enumeration, and
+    // (n·(n−1))//2 combinatorics.
+    "q351_butterfly_census" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), sizes AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM ut
+        |), wedges AS (
+        |  SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_user_wedges
+        |  FROM (SELECT count(*) AS d FROM ut GROUP BY user_id)
+        |), tp AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS w
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |), bf AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_type_pairs,
+        |    CAST(max(w) AS BIGINT) AS max_cooccurrence,
+        |    CAST(sum((w * (w - 1)) // 2) AS BIGINT) AS n_butterflies
+        |  FROM tp
+        |)
+        |SELECT n_users, n_types, n_edges, n_user_wedges, n_type_pairs,
+        |  max_cooccurrence, n_butterflies
+        |FROM sizes, wedges, bf""".stripMargin,
+    // q346: the oracle takes the quadratic per-user join (its privilege
+    // at sf0.01) — same strict 0 < Δt ≤ 1h micros window, so the banded
+    // engine plan must produce the identical multiset.
+    "q346_temporal_motifs" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.user_id
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND b.tsu > a.tsu AND b.tsu - a.tsu <= 3600000000
+        |)
+        |SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_motifs,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
     // C(v) here is a plain cumulative window (single-node oracle), the
     // engine's Sweep.countUpTo is distributed-exact by construction.
     "q330_mann_whitney" ->

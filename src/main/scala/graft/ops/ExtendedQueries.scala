@@ -1339,6 +1339,25 @@ object ExtendedQueries {
     * whole lattice walk. */
   def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (pairs, _, _) = frequentPairLattice(spark, dir)
+    pairs
+      .withColumn("support_bp",
+        when($"n_baskets" > 0, expr("(10000 * n_pair) div n_baskets"))
+          .otherwise(0L))
+      .filter($"support_bp" >= 275)
+      .withColumn("lift_bp",
+        when($"n_a" * $"n_b" > 0,
+          expr("(10000 * n_pair * n_baskets) div (n_a * n_b)")).otherwise(0L))
+      .select($"brand_a", $"brand_b", $"n_pair", $"support_bp", $"lift_bp")
+  }
+
+  /** The shared a-priori lattice of q244/q344: distinct basket-item
+    * incidence, 5%-support frequent items, per-basket pair enumeration.
+    * Returns (annotated pairs — n_pair with n_a/n_b/n_baskets riding
+    * along, frequent items, basket count). */
+  private def frequentPairLattice(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
     val ob = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir).select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
@@ -1354,19 +1373,46 @@ object ExtendedQueries {
         col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("brand_a"), col("y.item").as("brand_b"))
       .agg(count(lit(1)).as("n_pair"))
-    pairs.crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nb))
       .join(broadcast(freq.select($"item".as("brand_a"), $"n_item".as("n_a"))),
         Seq("brand_a"))
       .join(broadcast(freq.select($"item".as("brand_b"), $"n_item".as("n_b"))),
         Seq("brand_b"))
-      .withColumn("support_bp",
-        when($"n_baskets" > 0, expr("(10000 * n_pair) div n_baskets"))
+    (pairs, freq, nb)
+  }
+
+  /** ASSOCIATION RULE GENERATION (q344) — the directional second stage of
+    * q244's market-basket mining: every frequent pair above the same
+    * 275 bp support floor yields its two candidate rules A→B and B→A,
+    * scored by CONFIDENCE (10⁴·n_ab div n_antecedent — the conditional
+    * purchase rate) and tagged with the exact direction of association
+    * via the integer cross-multiplication n_ab·N vs n_a·n_b (positive /
+    * negative / independent — no float lift threshold anywhere). The two
+    * directions of one pair share support and lift but not confidence —
+    * exactly why rule mining reports rules, not pairs. Scale shape is
+    * q244's (the rule expansion is a 2× explode of the already-bounded
+    * pair frame; the confidence div is per-row integer). */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (pairs, _, _) = frequentPairLattice(spark, dir)
+    val kept = pairs
+      .filter(when($"n_baskets" > 0,
+        expr("(10000 * n_pair) div n_baskets")).otherwise(0L) >= 275)
+    val rules = kept.select($"brand_a".as("antecedent"),
+        $"brand_b".as("consequent"), $"n_a".as("n_ante"),
+        $"n_b".as("n_cons"), $"n_pair", $"n_baskets")
+      .unionAll(kept.select($"brand_b", $"brand_a", $"n_b", $"n_a",
+        $"n_pair", $"n_baskets"))
+    rules
+      .withColumn("conf_bp",
+        when($"n_ante" > 0, expr("(10000 * n_pair) div n_ante"))
           .otherwise(0L))
-      .filter($"support_bp" >= 275)
-      .withColumn("lift_bp",
-        when($"n_a" * $"n_b" > 0,
-          expr("(10000 * n_pair * n_baskets) div (n_a * n_b)")).otherwise(0L))
-      .select($"brand_a", $"brand_b", $"n_pair", $"support_bp", $"lift_bp")
+      .withColumn("assoc",
+        when($"n_pair" * $"n_baskets" > $"n_ante" * $"n_cons", "positive")
+          .when($"n_pair" * $"n_baskets" < $"n_ante" * $"n_cons", "negative")
+          .otherwise("independent"))
+      .select($"antecedent", $"consequent", $"n_ante", $"n_pair",
+        $"conf_bp", $"assoc")
   }
 
   /** ABC / PARETO CLASSIFICATION (q257) — the 80/95 revenue-concentration
@@ -1898,7 +1944,156 @@ object ExtendedQueries {
         sum(when($"n" >= 5, $"n").otherwise(0L)).as("rows_released"))
   }
 
+  /** INTEGER HAAR MULTIRESOLUTION DECOMPOSITION (q343) — the
+    * transcendental-free wavelet energy profile of the daily-revenue
+    * series: at each of 3 levels, adjacent day-buckets pair up
+    * (j = idx div 2), the UNNORMALIZED Haar transform keeps the pair sum
+    * (approximation) and the even−odd difference (detail), and the level
+    * reports Σ detail² — "how much revenue variation lives at the 2-day /
+    * 4-day / 8-day scale", the multi-scale volatility fingerprint a
+    * forecasting pipeline uses to pick its aggregation granularity.
+    * Skipping the classical /√2 normalization keeps EVERY coefficient an
+    * exact BIGINT (missing days are exact zeros by the groupBy — no
+    * gap-fill pass needed), so both engines replay identical integers;
+    * total_units is conserved across levels — the built-in invariant
+    * check. The daily series is quantized to 10⁴-cent ($100) units
+    * BEFORE the transform — the floor-div runs on the NON-NEGATIVE daily
+    * sum (Spark `div` truncates, DuckDB `//` floors: identical only
+    * there — the q324 rule; dividing the signed `det` instead would
+    * diverge), and it buys ~10⁴× of Σ det² overflow headroom: raw cents
+    * overflow 2⁶³ already at sf0.01 (~3·10⁸ cents/day, det² ~10¹⁷ over
+    * 10³ pairs); in $100 units a 10×-scale corpus stays under 2⁶³ with
+    * ~10⁴× margin. Beyond that, widen the unit — ANSI overflow errors
+    * loudly, never drifts. Each level is one keyed hash-agg over a
+    * ≤ days-sized frame — metadata-scale forever. */
+  def haarDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val d0 = o.agg(min($"o_orderdate").as("d0"))
+    val s0 = o.crossJoin(broadcast(d0))
+      .select(datediff($"o_orderdate", $"d0").cast("long").as("idx"),
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .groupBy($"idx").agg(expr("sum(cents) div 10000").as("v"))
+    def levelOf(prev: DataFrame): DataFrame =
+      prev.groupBy(expr("idx div 2").as("pidx"))
+        .agg(sum($"v").as("v"),
+          sum(when($"idx" % 2 === 0, $"v").otherwise(-$"v")).as("det"))
+        .select($"pidx".as("idx"), $"v", $"det")
+        // each level frame feeds its summary row AND the next level —
+        // checkpointed so level l computes once (≤ days/2^l rows, tiny)
+        .localCheckpoint()
+    var cur = s0
+    (1 to 3).map { l =>
+      val lev = levelOf(cur)
+      cur = lev
+      lev.agg(count(lit(1)).as("n_pairs"), sum($"v").as("total_units"),
+        sum($"det" * $"det").as("detail_energy"))
+        .select(lit(l).as("level"), $"n_pairs", $"total_units",
+          $"detail_energy")
+    }.reduce(_ unionAll _)
+  }
+
+  /** RANK-AGREEMENT READOUT (q348) — do two business metrics order the
+    * nations the same way? Kendall-style concordance plus Spearman
+    * footrule between revenue-rank and order-count-rank, all exact:
+    * concordant/discordant/tie pair counts come from DIRECT value
+    * comparisons (never a signed product — `(Δrev)·(Δcnt) > 0` in
+    * BIGINT could overflow and its sign logic is just two comparisons),
+    * ranks come from the q318 triangular broadcast self-join over the
+    * 25-row nation frame (bounded dimension cardinality — no window
+    * anywhere), and the only division is the non-negative concordance
+    * rate. The footrule Σ|r₁−r₂| is the L1 rank displacement — the
+    * "how far did the leaderboard move" number a metrics review quotes.
+    * Ties break by nation name in both rankings, identically on both
+    * engines. */
+  def rankAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("rev"), count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds both rank joins and the pair census
+    val ranked = per
+      .crossJoin(broadcast(per.select($"n_name".as("m"), $"rev".as("mrev"),
+        $"cnt".as("mcnt"))))
+      .groupBy($"n_name", $"rev", $"cnt")
+      .agg(sum(when($"mrev" > $"rev" ||
+          ($"mrev" === $"rev" && $"m" < $"n_name"), 1L).otherwise(0L))
+          .as("above_rev"),
+        sum(when($"mcnt" > $"cnt" ||
+          ($"mcnt" === $"cnt" && $"m" < $"n_name"), 1L).otherwise(0L))
+          .as("above_cnt"))
+      .select($"n_name", $"rev", $"cnt",
+        ($"above_rev" + 1L).as("r1"), ($"above_cnt" + 1L).as("r2"))
+    val pairs = ranked.as("a")
+      .join(broadcast(ranked.as("b")), col("a.n_name") < col("b.n_name"))
+      .select(
+        when((col("a.rev") > col("b.rev") && col("a.cnt") > col("b.cnt")) ||
+          (col("a.rev") < col("b.rev") && col("a.cnt") < col("b.cnt")), 1L)
+          .otherwise(0L).as("conc"),
+        when((col("a.rev") > col("b.rev") && col("a.cnt") < col("b.cnt")) ||
+          (col("a.rev") < col("b.rev") && col("a.cnt") > col("b.cnt")), 1L)
+          .otherwise(0L).as("disc"))
+    val fr = ranked.agg(count(lit(1)).as("n_items"),
+      sum(abs($"r1" - $"r2")).as("footrule"))
+    pairs.agg(sum($"conc").as("n_concordant"), sum($"disc").as("n_discordant"))
+      .crossJoin(broadcast(fr))
+      .select($"n_items", $"n_concordant", $"n_discordant",
+        (expr("(n_items * (n_items - 1)) div 2")
+          - $"n_concordant" - $"n_discordant").as("n_ties"),
+        when($"n_concordant" + $"n_discordant" > 0,
+          expr("(10000 * n_concordant) div (n_concordant + n_discordant)"))
+          .otherwise(0L).as("concordance_bp"),
+        $"footrule")
+  }
+
+  /** RISK-RATIO OUTLIER EXPLANATION (q350) — the Scorpion-style "which
+    * attribute explains the bad outcome" scan: for every part brand, the
+    * relative risk of a lineitem being RETURNED with that brand vs
+    * without it, RR = (a/t)/(c/u) cleared to ONE non-negative integer
+    * division `rr_bp = (10⁴·a·u) div (t·c)` (a=returned-with, t=with,
+    * c=returned-without, u=without), with the over/under/neutral verdict
+    * from the exact cross-multiplication a·u vs c·t — no float ratio
+    * compare anywhere. Degenerate cells (a brand covering the whole
+    * table, or zero returns elsewhere) clamp rr_bp to 0 and report
+    * through the verdict. One fact scan + a broadcast dimension join +
+    * one brand-keyed agg + a broadcast 1-row totals join — the shape
+    * holds at any scale; the 10⁴·a·u product needs a div-10² unit
+    * rescale past ~10⁹-row tables (the q318 rule — ANSI errors loudly,
+    * never drifts). */
+  def riskRatioExplanation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"), ($"l_returnflag" === "R").as("ret"))
+    val tot = f.agg(count(lit(1)).as("t_all"),
+      sum(when($"ret", 1L).otherwise(0L)).as("r_all"))
+    f.groupBy($"brand")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"ret", 1L).otherwise(0L)).as("n_returned"))
+      .crossJoin(broadcast(tot))
+      .select($"brand", $"n_rows", $"n_returned",
+        when(($"t_all" - $"n_rows") > 0L &&
+          ($"r_all" - $"n_returned") > 0L && $"n_rows" > 0L,
+          expr("(10000 * n_returned * (t_all - n_rows)) div " +
+            "(n_rows * (r_all - n_returned))")).otherwise(0L).as("rr_bp"),
+        when($"n_returned" * ($"t_all" - $"n_rows") >
+            ($"r_all" - $"n_returned") * $"n_rows", "over")
+          .when($"n_returned" * ($"t_all" - $"n_rows") <
+            ($"r_all" - $"n_returned") * $"n_rows", "under")
+          .otherwise("neutral").as("direction"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q350_risk_ratio" -> (riskRatioExplanation _),
+    "q348_rank_agreement" -> (rankAgreement _),
+    "q344_association_rules" -> (associationRules _),
+    "q343_haar_decomposition" -> (haarDecomposition _),
     "q331_kmv_distinct" -> (kmvDistinct _),
     "q320_cube_suppression" -> (cubeSuppression _),
     "q310_simpson_reversal" -> (simpsonReversal _),
@@ -2023,6 +2218,49 @@ object ExtendedQueries {
     }.mkString("(", "\n     + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // q343: identical day indexing (date_diff from the min order date),
+    // identical DECIMAL(14,2)→cents BIGINTs, and the same three unrolled
+    // pair-sum / even−odd levels — all integers, `//` == `div` on the
+    // non-negative idx.
+    "q343_haar_decomposition" ->
+      """WITH d0 AS (SELECT min(o_orderdate) AS d0 FROM orders),
+        |s0 AS (
+        |  SELECT CAST(date_diff('day', (SELECT d0 FROM d0), o_orderdate)
+        |      AS BIGINT) AS idx,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) // 10000 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |),
+        |l1 AS (
+        |  SELECT pidx AS idx, v, det FROM (
+        |    SELECT idx // 2 AS pidx, CAST(sum(v) AS BIGINT) AS v,
+        |      CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS BIGINT)
+        |        AS det
+        |    FROM s0 GROUP BY 1)
+        |),
+        |l2 AS (
+        |  SELECT pidx AS idx, v, det FROM (
+        |    SELECT idx // 2 AS pidx, CAST(sum(v) AS BIGINT) AS v,
+        |      CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS BIGINT)
+        |        AS det
+        |    FROM l1 GROUP BY 1)
+        |),
+        |l3 AS (
+        |  SELECT pidx AS idx, v, det FROM (
+        |    SELECT idx // 2 AS pidx, CAST(sum(v) AS BIGINT) AS v,
+        |      CAST(sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS BIGINT)
+        |        AS det
+        |    FROM l2 GROUP BY 1)
+        |)
+        |SELECT CAST(1 AS INTEGER) AS level, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(v) AS BIGINT) AS total_units,
+        |  CAST(sum(det * det) AS BIGINT) AS detail_energy FROM l1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), CAST(count(*) AS BIGINT),
+        |  CAST(sum(v) AS BIGINT), CAST(sum(det * det) AS BIGINT) FROM l2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), CAST(count(*) AS BIGINT),
+        |  CAST(sum(v) AS BIGINT), CAST(sum(det * det) AS BIGINT) FROM l3""".stripMargin,
     // q331: same 48-bit md5 content hash (strpos digit arithmetic — the
     // q200 precedent), kth-smallest via rank over the distinct set, same
     // (k−1)·2⁴⁸ floor-div estimator and err_bp.
@@ -2219,6 +2457,115 @@ object ExtendedQueries {
         |FROM o JOIN b USING (digit)""".stripMargin,
     // q244: the same a-priori walk — 5% item floor, basket-keyed pair
     // join, 275 bp pair floor, integer cross-mult support and lift.
+    // q350: identical a/t/c/u algebra, the same guarded single division
+    // and cross-multiplied verdict.
+    "q350_risk_ratio" ->
+      """WITH f AS (
+        |  SELECT p_brand AS brand, l_returnflag = 'R' AS ret
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t_all,
+        |    CAST(sum(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS r_all
+        |  FROM f
+        |), pb AS (
+        |  SELECT brand, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT brand, n_rows, n_returned,
+        |  CAST(CASE WHEN t_all - n_rows > 0 AND r_all - n_returned > 0
+        |      AND n_rows > 0
+        |    THEN (10000 * n_returned * (t_all - n_rows))
+        |      // (n_rows * (r_all - n_returned))
+        |    ELSE 0 END AS BIGINT) AS rr_bp,
+        |  CASE WHEN n_returned * (t_all - n_rows)
+        |         > (r_all - n_returned) * n_rows THEN 'over'
+        |       WHEN n_returned * (t_all - n_rows)
+        |         < (r_all - n_returned) * n_rows THEN 'under'
+        |       ELSE 'neutral' END AS direction
+        |FROM pb, tot""".stripMargin,
+    // q348: identical cents metrics, identical count-above+1 ranks
+    // (name tie-break), direct-comparison concordance classes, and the
+    // same non-negative divisions.
+    "q348_rank_agreement" ->
+      """WITH per AS (
+        |  SELECT n_name,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |      AS rev,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT a.n_name, a.rev, a.cnt,
+        |    1 + (SELECT count(*) FROM per b
+        |         WHERE b.rev > a.rev
+        |            OR (b.rev = a.rev AND b.n_name < a.n_name)) AS r1,
+        |    1 + (SELECT count(*) FROM per b
+        |         WHERE b.cnt > a.cnt
+        |            OR (b.cnt = a.cnt AND b.n_name < a.n_name)) AS r2
+        |  FROM per a
+        |), pc AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN (a.rev > b.rev AND a.cnt > b.cnt)
+        |                    OR (a.rev < b.rev AND a.cnt < b.cnt)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+        |    CAST(sum(CASE WHEN (a.rev > b.rev AND a.cnt < b.cnt)
+        |                    OR (a.rev < b.rev AND a.cnt > b.cnt)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+        |  FROM ranked a JOIN ranked b ON a.n_name < b.n_name
+        |), fr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(abs(r1 - r2)) AS BIGINT) AS footrule
+        |  FROM ranked
+        |)
+        |SELECT fr.n_items, pc.n_concordant, pc.n_discordant,
+        |  CAST((fr.n_items * (fr.n_items - 1)) // 2
+        |    - pc.n_concordant - pc.n_discordant AS BIGINT) AS n_ties,
+        |  CAST(CASE WHEN pc.n_concordant + pc.n_discordant > 0
+        |    THEN (10000 * pc.n_concordant)
+        |      // (pc.n_concordant + pc.n_discordant)
+        |    ELSE 0 END AS BIGINT) AS concordance_bp,
+        |  fr.footrule
+        |FROM pc, fr""".stripMargin,
+    // q344: q244's lattice + the directed 2× rule expansion — identical
+    // support floor, integer confidence div, and the three-way exact
+    // cross-multiplied association verdict.
+    "q344_association_rules" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), nb AS (SELECT count(DISTINCT oid) AS n FROM ob
+        |), ic AS (
+        |  SELECT item, count(*) AS n_item FROM ob GROUP BY 1
+        |), f AS (
+        |  SELECT item, n_item FROM ic WHERE n_item * 20 >= (SELECT n FROM nb)
+        |), obf AS (
+        |  SELECT oid, ob.item FROM ob JOIN f USING (item)
+        |), pr AS (
+        |  SELECT x.item AS brand_a, y.item AS brand_b, count(*) AS n_pair
+        |  FROM obf x JOIN obf y ON x.oid = y.oid AND x.item < y.item
+        |  GROUP BY 1, 2
+        |), kept AS (
+        |  SELECT brand_a, brand_b, n_pair, fa.n_item AS n_a, fb.n_item AS n_b,
+        |    (SELECT n FROM nb) AS nbk
+        |  FROM pr JOIN f fa ON fa.item = brand_a JOIN f fb ON fb.item = brand_b
+        |  WHERE (10000 * n_pair) // (SELECT n FROM nb) >= 275
+        |), rules AS (
+        |  SELECT brand_a AS antecedent, brand_b AS consequent,
+        |    n_a AS n_ante, n_b AS n_cons, n_pair, nbk FROM kept
+        |  UNION ALL
+        |  SELECT brand_b, brand_a, n_b, n_a, n_pair, nbk FROM kept
+        |)
+        |SELECT antecedent, consequent, CAST(n_ante AS BIGINT) AS n_ante,
+        |  CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST(CASE WHEN n_ante > 0 THEN (10000 * n_pair) // n_ante
+        |    ELSE 0 END AS BIGINT) AS conf_bp,
+        |  CASE WHEN n_pair * nbk > n_ante * n_cons THEN 'positive'
+        |       WHEN n_pair * nbk < n_ante * n_cons THEN 'negative'
+        |       ELSE 'independent' END AS assoc
+        |FROM rules""".stripMargin,
     "q244_frequent_pairs" ->
       """WITH ob AS (
         |  SELECT DISTINCT l_orderkey AS oid, p_brand AS item

@@ -173,7 +173,30 @@ object GraphQueries {
           expr("2L * sum_tri * 10000L div sum_possible")).otherwise(0L))
   }
 
+  /** EDGE-NEIGHBORHOOD JACCARD CENSUS (q341) — the link-strength /
+    * embeddedness profile: for every edge {u,v}, the Jaccard overlap of
+    * the endpoints' neighborhoods (excluding each other) in floor basis
+    * points — J = |N(u)∩N(v)| / (deg(u)+deg(v)−2−|N(u)∩N(v)|) — bucketed
+    * into deciles. The intersection is exactly the edge's triangle count
+    * ([[graft.operators.Graph.edgeCommonNeighbors]] — the q125
+    * degree-ordered orientation, so the wedge volume stays O(m^1.5));
+    * isolated edges (denominator 0: both endpoints degree 1) report 0 bp
+    * by convention. A strong-tie census like this is the standard
+    * pre-filter for community-preserving graph sparsification. */
+  def edgeJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Graph.edgeCommonNeighbors(coPurchaseEdges(spark, dir))
+      .withColumn("den", $"du" + $"dv" - 2L - $"common")
+      .withColumn("jaccard_bp",
+        when($"den" > 0L, expr("(10000 * common) div den")).otherwise(0L))
+      .groupBy(expr("jaccard_bp div 1000").cast("int").as("jaccard_bucket"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum($"common").as("sum_common"),
+        max($"jaccard_bp").as("max_jaccard_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_edge_jaccard" -> (edgeJaccard _),
     "q335_local_clustering" -> (localClustering _),
     "q317_assortativity" -> (assortativity _),
     "q125_triangle_count" -> (triangles _),
@@ -191,6 +214,51 @@ object GraphQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q341: q335's triangle CTEs, credited to the three EDGES of each
+    // triangle (canonicalized u<v), LEFT-joined back so triangle-free
+    // edges keep common=0; identical guarded bp + decile bucket algebra.
+    "q341_edge_jaccard" ->
+      s"""WITH $edgesSql,
+         |d AS (
+         |  SELECT vtx, count(*) AS deg
+         |  FROM (SELECT u AS vtx FROM e UNION ALL SELECT v AS vtx FROM e)
+         |  GROUP BY vtx
+         |), o AS (
+         |  SELECT
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |         THEN e.u ELSE e.v END AS s,
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |         THEN e.v ELSE e.u END AS d
+         |  FROM e JOIN d du ON du.vtx = e.u JOIN d dv ON dv.vtx = e.v
+         |), w AS (
+         |  SELECT a.s AS s, least(a.d, b.d) AS d1, greatest(a.d, b.d) AS d2
+         |  FROM o a JOIN o b ON a.s = b.s AND a.d < b.d
+         |), tri AS (
+         |  SELECT w.s, w.d1, w.d2 FROM w JOIN e ON e.u = w.d1 AND e.v = w.d2
+         |), cr AS (
+         |  SELECT least(s, d1) AS u, greatest(s, d1) AS v FROM tri
+         |  UNION ALL SELECT least(s, d2), greatest(s, d2) FROM tri
+         |  UNION ALL SELECT d1, d2 FROM tri
+         |), cc AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS common
+         |  FROM cr GROUP BY u, v
+         |), f AS (
+         |  SELECT e.u, e.v, coalesce(cc.common, 0) AS common,
+         |    CAST(du.deg AS BIGINT) AS du, CAST(dv.deg AS BIGINT) AS dv
+         |  FROM e LEFT JOIN cc ON cc.u = e.u AND cc.v = e.v
+         |  JOIN d du ON du.vtx = e.u JOIN d dv ON dv.vtx = e.v
+         |), j AS (
+         |  SELECT common,
+         |    CASE WHEN du + dv - 2 - common > 0
+         |      THEN (10000 * common) // (du + dv - 2 - common)
+         |      ELSE 0 END AS jaccard_bp
+         |  FROM f
+         |)
+         |SELECT CAST(jaccard_bp // 1000 AS INTEGER) AS jaccard_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(common) AS BIGINT) AS sum_common,
+         |  CAST(max(jaccard_bp) AS BIGINT) AS max_jaccard_bp
+         |FROM j GROUP BY 1""".stripMargin,
     // q335: q125's orientation CTEs extended — wedges keep their source
     // corner, each closed triangle credits s/d1/d2, LEFT JOIN keeps
     // triangle-free vertices, identical log2 bucket + bp algebra.

@@ -144,7 +144,33 @@ object MultimodalQueries {
     "q311_patch_extraction" -> (patchExtraction _),
     "q32_multimodal_binary_stats" -> (binaryStats _),
     "q167_multimodal_decode" -> (decodeRoundtrip _),
-    "q187_audio_decode" -> (audioDecodeRoundtrip _))
+    "q187_audio_decode" -> (audioDecodeRoundtrip _),
+    "q352_audio_energy_windows" -> (audioEnergyWindows _))
+
+  /** WINDOWED AUDIO-ENERGY gate (q352) — q187's decode chain extended by
+    * the step an audio-curation pipeline runs next: 16-sample windowed
+    * energy + silence census ([[graft.multimodal.Multimodal
+    * .decodeAudioWindows]] — the VAD-lite trim signal), over the same
+    * closed-form PCM16 clips (so the oracle replays sample → window →
+    * Σs²/max|s| arithmetically, never seeing a WAV byte). The final
+    * PARTIAL window is scored too — q187's n = id%97+16 is usually not
+    * a multiple of 16, so the partial-window path is on the gated path
+    * for most docs. Same no-shuffle partition-local batch shape. */
+  def audioEnergyWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val n = (id % 97 + 16).toInt
+      val seed = id % 251
+      val samples = Array.tabulate(n)(k => (((seed + 9973L * k) % 65536) - 32768).toShort)
+      val rate = (8000 + (id % 4) * 4000).toInt
+      val payload = Multimodal.encodeWav(rate, 1, samples, junkChunk = id % 2 == 0)
+      Multimodal.MediaRow(id, payload, "audio", payload.length.toLong,
+        payload.take(8).map(b => f"${b & 0xff}%02x").mkString)
+    }
+    Multimodal.decodeAudioWindows(media).toDF()
+      .withColumnRenamed("media_id", "doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     // q179: same full-outer + coalesce census.
@@ -210,6 +236,33 @@ object MultimodalQueries {
         |GROUP BY d.doc_id, d.format, d.width, d.height""".stripMargin,
     // q187: closed-form waveform replay — |((seed + 9973k) % 65536) − 32768|
     // per sample; no WAV bytes involved.
+    // q352: the q187 closed-form waveform, re-aggregated through the
+    // identical k//16 window grid — silence rule max|a| < 8192, energy
+    // Σ a², partial final window included.
+    "q352_audio_energy_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 97 + 16 AS INTEGER) AS n_i,
+        |    doc_id % 251 AS seed
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_i - 1)) AS k FROM d
+        |), v AS (
+        |  SELECT d.doc_id, s.k // 16 AS w,
+        |    ((d.seed + 9973 * s.k) % 65536) - 32768 AS a
+        |  FROM d JOIN s USING (doc_id)
+        |), pw AS (
+        |  SELECT doc_id, w, sum(a * a) AS energy, max(abs(a)) AS mx
+        |  FROM v GROUP BY 1, 2
+        |)
+        |SELECT d.doc_id, CAST(d.n_i AS BIGINT) AS n_samples,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN mx < 8192 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent,
+        |  CAST(max(energy) AS BIGINT) AS max_window_energy,
+        |  CAST(sum(energy) AS BIGINT) AS total_energy
+        |FROM d JOIN pw USING (doc_id)
+        |GROUP BY d.doc_id, d.n_i""".stripMargin,
     "q187_audio_decode" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -1680,7 +1680,113 @@ object PipelineQueries {
           "anonymity_score + balance_score) div 5"))
   }
 
+  /** GREEDY MAX-COVERAGE SOURCE SELECTION (q342) — "which k sources buy
+    * the most corpus content?": the classic greedy set-cover / max-coverage
+    * heuristic (1−1/e-optimal, Nemhauser et al.) over the distinct
+    * (source, 3-token-shingle) incidence frame (shingles, not unigrams:
+    * single-token vocabularies nest almost fully across same-generator
+    * sources, so one source would cover everything and kill rounds 2..k).
+    * k=3 driver-coordinated rounds, each
+    * one anti-join (drop covered shingles) + one per-source count + one
+    * O(1)-row argmax `head()` (ties to the lexicographically first
+    * source) — the same documented-O(k)-driver-state contract as q323's
+    * Gonzalez loop; the data-sized frames (incidence, covered set) never
+    * leave the cluster. A round with nothing left to cover stops the
+    * loop on both engines (the SQL's empty CTE drops the row the same
+    * way). The curation read: rounds' n_new is the marginal vocabulary
+    * each additional source is worth — the submodular diminishing-returns
+    * curve a data-mixing budget negotiates against. */
+  def greedySetCover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 3
+    val p = Tables.documents(spark, dir)
+      .select($"source", explode(Dedup.wordShingles($"text", 3)).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var covered: Option[DataFrame] = None
+    val rows = Vector.newBuilder[(Int, String, Long, Long)]
+    var cum = 0L
+    var done = false
+    (1 to k).foreach { round =>
+      if (!done) {
+        val rem = covered.fold(p)(c => p.join(c, Seq("tok"), "left_anti"))
+        val pick = rem.groupBy($"source").agg(count(lit(1)).as("n_new"))
+          .orderBy($"n_new".desc, $"source".asc).limit(1)
+          .collect().headOption
+        pick match {
+          case Some(r) =>
+            val (src, nNew) = (r.getString(0), r.getLong(1))
+            cum += nNew
+            rows += ((round, src, nNew, cum))
+            // the covered set grows by the winner's tokens; localCheckpoint
+            // truncates the per-round lineage (the q219 per-hop rule)
+            val next = covered.fold(p.filter($"source" === src).select($"tok"))(
+              c => c.unionAll(p.filter($"source" === src).select($"tok")))
+              .distinct().localCheckpoint()
+            covered = Some(next)
+          case None => done = true
+        }
+      }
+    }
+    p.unpersist()
+    spark.createDataFrame(rows.result())
+      .toDF("round", "source", "n_new", "n_cum")
+  }
+
+  /** K-ANONYMITY GENERALIZATION LADDER (q345) — the Samarati-style
+    * "generalize until k" walk q285's audit implies: four pre-declared
+    * generalization levels of the order quasi-identifier
+    * (nation×month×$1000-bucket → nation×quarter×$5000 → nation×year×
+    * $25000 → region×year×$25000), each scored by its equivalence-class
+    * census, and the FIRST level whose minimum class size reaches k=5
+    * marked chosen — the release policy a privacy pipeline actually
+    * ships. ALL four levels ride ONE scan: a 4-way level/QI explode into
+    * a single (level, qi) hash-agg (never four passes over the fact
+    * table), then a 4-row summary; dimension joins are broadcast.
+    * Exactness: buckets are non-negative cents floor-divs, QI strings
+    * are concat_ws renders of integers (identical on both engines), the
+    * chosen flag is a null-guarded integer min over the 4-row frame. */
+  def generalizationLadder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderdate",
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)
+        .select($"r_regionkey", $"r_name")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_name", $"r_name",
+        (year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"),
+        (year($"o_orderdate") * 10 + quarter($"o_orderdate")).as("yq"),
+        year($"o_orderdate").as("yy"), $"cents")
+    val lv = base.select(explode(array(
+      struct(lit(0).as("level"),
+        concat_ws("|", $"n_name", $"ym", expr("cents div 100000")).as("qi")),
+      struct(lit(1).as("level"),
+        concat_ws("|", $"n_name", $"yq", expr("cents div 500000")).as("qi")),
+      struct(lit(2).as("level"),
+        concat_ws("|", $"n_name", $"yy", expr("cents div 2500000")).as("qi")),
+      struct(lit(3).as("level"),
+        concat_ws("|", $"r_name", $"yy", expr("cents div 2500000")).as("qi"))
+    )).as("x")).select($"x.level".as("level"), $"x.qi".as("qi"))
+    val perLevel = lv.groupBy($"level", $"qi").agg(count(lit(1)).as("cls"))
+      .groupBy($"level").agg(count(lit(1)).as("n_classes"),
+        min($"cls").as("min_class_size"))
+      .withColumn("meets_k", $"min_class_size" >= 5L)
+    val firstPass = perLevel
+      .agg(min(when($"meets_k", $"level")).as("chosen_level"))
+    perLevel.crossJoin(broadcast(firstPass))
+      .select($"level", $"n_classes", $"min_class_size", $"meets_k",
+        coalesce($"level" === $"chosen_level", lit(false)).as("chosen"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_generalization_ladder" -> (generalizationLadder _),
+    "q342_set_cover" -> (greedySetCover _),
     "q298_stratified_quota_sample" -> (stratifiedQuotaSample _),
     "q300_health_scorecard" -> (healthScorecard _),
     "q285_k_anonymity" -> (kAnonymityAudit _),
@@ -1758,6 +1864,80 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q345: identical 4-level QI renders (concat_ws of integer renders),
+    // identical class census and first-meets-k pick; booleans compare
+    // natively on both engines (the q27 rule).
+    "q345_generalization_ladder" ->
+      """WITH base AS (
+        |  SELECT n_name, r_name,
+        |    year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |    year(o_orderdate) * 10 + quarter(o_orderdate) AS yq,
+        |    year(o_orderdate) AS yy,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |), lv AS (
+        |  SELECT 0 AS level, concat_ws('|', n_name, ym, cents // 100000) AS qi
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 1, concat_ws('|', n_name, yq, cents // 500000) FROM base
+        |  UNION ALL
+        |  SELECT 2, concat_ws('|', n_name, yy, cents // 2500000) FROM base
+        |  UNION ALL
+        |  SELECT 3, concat_ws('|', r_name, yy, cents // 2500000) FROM base
+        |), census AS (
+        |  SELECT level, qi, count(*) AS cls FROM lv GROUP BY 1, 2
+        |), pl AS (
+        |  SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(min(cls) AS BIGINT) AS min_class_size
+        |  FROM census GROUP BY 1
+        |), fp AS (
+        |  SELECT min(CASE WHEN min_class_size >= 5 THEN level END) AS cl
+        |  FROM pl
+        |)
+        |SELECT CAST(level AS INTEGER) AS level, n_classes, min_class_size,
+        |  min_class_size >= 5 AS meets_k,
+        |  coalesce(level = (SELECT cl FROM fp), false) AS chosen
+        |FROM pl""".stripMargin,
+    // q342: the same three greedy rounds unrolled — identical
+    // (n DESC, source ASC) argmax, identical covered-set anti-join; an
+    // exhausted round's empty CTE drops its output row exactly like the
+    // engine's stopped loop.
+    "q342_set_cover" ->
+      s"""WITH tkk AS (
+         |  SELECT source, $toksSql AS tk FROM documents
+         |), p AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest(${DedupQueries.shinglesSqlN(3)}) AS tok
+         |    FROM tkk)
+         |), c1 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY source
+         |), s1 AS (SELECT source, n FROM c1 ORDER BY n DESC, source ASC LIMIT 1),
+         |cov1 AS (SELECT DISTINCT p.tok FROM p JOIN s1 USING (source)),
+         |p2 AS (
+         |  SELECT p.source, p.tok FROM p LEFT JOIN cov1 ON p.tok = cov1.tok
+         |  WHERE cov1.tok IS NULL
+         |), c2 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM p2 GROUP BY source
+         |), s2 AS (SELECT source, n FROM c2 ORDER BY n DESC, source ASC LIMIT 1),
+         |cov2 AS (
+         |  SELECT tok FROM cov1
+         |  UNION SELECT p2.tok FROM p2 JOIN s2 USING (source)
+         |), p3 AS (
+         |  SELECT p.source, p.tok FROM p LEFT JOIN cov2 ON p.tok = cov2.tok
+         |  WHERE cov2.tok IS NULL
+         |), c3 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM p3 GROUP BY source
+         |), s3 AS (SELECT source, n FROM c3 ORDER BY n DESC, source ASC LIMIT 1)
+         |SELECT CAST(1 AS INTEGER) AS round, source,
+         |  CAST(n AS BIGINT) AS n_new, CAST(n AS BIGINT) AS n_cum FROM s1
+         |UNION ALL SELECT CAST(2 AS INTEGER), s2.source,
+         |  CAST(s2.n AS BIGINT), CAST(s1.n + s2.n AS BIGINT) FROM s2, s1
+         |UNION ALL SELECT CAST(3 AS INTEGER), s3.source,
+         |  CAST(s3.n AS BIGINT), CAST(s1.n + s2.n + s3.n AS BIGINT)
+         |  FROM s3, s1, s2""".stripMargin,
     // q298: same Hamilton split of N div 10, same salted-md5 rank
     // order, same Σ-id checksum of the selected set.
     "q298_stratified_quota_sample" ->

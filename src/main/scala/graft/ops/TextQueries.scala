@@ -683,7 +683,99 @@ object TextQueries {
         sum(when($"rep5_bp" > 1500, 1L).otherwise(0L)).as("n_flagged"))
   }
 
+  /** COUNT-MIN SKETCH WITH EXACT VERIFY (q340) — the classic d×w
+    * streaming frequency sketch (Cormode/Muthukrishnan), built EXACTLY
+    * from the token census and audited in-query against exact counts
+    * (the q64/q100 sketch-vs-exact pattern): d=4 hash rows, w=256
+    * buckets (= 2 md5 hex chars — the bucket key stays a hex STRING, so
+    * no cross-engine hex→int conversion exists anywhere). The counter
+    * build aggregates the DISTINCT-token census, not the raw stream
+    * (identical counters, vocabulary-sized input), and the sketch is
+    * hard-bounded at d·w = 1024 rows NO MATTER THE DATA SIZE — that
+    * bound (broadcast-join side, driver-free) is the whole point of CMS
+    * at 100 TB. Probes are the top-10 exact tokens; each estimate is the
+    * min over its 4 row-counters, always ≥ exact (CMS one-sided error),
+    * reported with floor-bp overestimate. */
+  def countMinSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // vocab feeds the counter build AND the probe top-k — checkpointed so
+    // the corpus tokenizes once (the q132 rule)
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    def bucket(tok: org.apache.spark.sql.Column) =
+      substring(md5(concat($"r".cast("string"), lit(":"), tok)), 1, 2)
+    val counters = vocab
+      .select($"tok", $"c", explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("bucket", bucket($"tok"))
+      .groupBy($"r", $"bucket").agg(sum($"c").as("cnt"))
+    val probes = vocab.orderBy($"c".desc, $"tok".asc).limit(10)
+    probes
+      .select($"tok", $"c", explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("bucket", bucket($"tok"))
+      // broadcast the SKETCH: 1024 rows by construction at any scale
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy($"tok")
+      .agg(max($"c").as("exact"), min($"cnt").as("cms_est"))
+      .select($"tok".as("token"), $"exact", $"cms_est",
+        ($"cms_est" - $"exact").as("overestimate"),
+        expr("(10000 * (cms_est - exact)) div exact").as("overestimate_bp"))
+  }
+
+  /** BM25-LITE LEXICAL RETRIEVAL (q347) — Okapi BM25 (k1=6/5, b=3/4)
+    * with every transcendental replaced by an exact integer op, so the
+    * ranking is oracle-checkable: idf is the INTEGER LOG2
+    * `length(bin(N div df)) − 1` (the repo's ln-free idf — monotone in
+    * the true idf, losing only intra-octave resolution), and the tf
+    * saturation fraction is cleared to one floor division by multiplying
+    * through by 20·avgdl:
+    * `score_bp = (10⁴·idf·44·tf·avgdl) div (20·tf·avgdl + 6·avgdl + 18·dl)`
+    * (44 = 20·(k1+1), 6 = 20·k1·(1−b), 18 = 20·k1·b — all integer).
+    * The query is the corpus' 4 most frequent DISCRIMINATIVE terms
+    * (df ≤ N/4 ⇒ idf ≥ 2, so scores cannot collapse to the all-zero
+    * ranking near-stopwords would produce; deterministic on both
+    * engines); per-term scores
+    * sum per doc and the top 10 (score desc, doc_id asc) report. Scale
+    * shape: token-keyed hash-aggs, a broadcast 4-row query join, and a
+    * TakeOrderedAndProject top-k — no window, no corpus sort. */
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the exploded stream feeds dl, tf, and the query-term rank — cached
+    // so the corpus tokenizes once (the q132 rule)
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .cache()
+    val dl = t.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val nn = dl.agg(count(lit(1)).as("n"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    val tf = t.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    // query = the 4 most frequent DISCRIMINATIVE terms (df ≤ N/4, so the
+    // integer-log2 idf is ≥ 2 and scores cannot collapse to the
+    // all-zero degenerate ranking near-stopwords produce)
+    val q = t.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .join(df, Seq("tok")).crossJoin(broadcast(nn))
+      .filter($"df" * 4 <= $"n")
+      .orderBy($"c".desc, $"tok".asc).limit(4).select($"tok")
+    tf.join(broadcast(q), Seq("tok"))
+      .join(df, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nn))
+      .select($"doc_id",
+        (length(bin(expr("n div df"))) - 1).cast("long").as("idf"),
+        $"tf", $"dl", $"avgdl")
+      .withColumn("term_bp",
+        expr("(10000 * idf * 44 * tf * avgdl) div " +
+          "(20 * tf * avgdl + 6 * avgdl + 18 * dl)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"), sum($"term_bp").as("score_bp"))
+      .orderBy($"score_bp".desc, $"doc_id".asc).limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_bm25_retrieval" -> (bm25Retrieval _),
+    "q340_countmin_sketch" -> (countMinSketch _),
     "q321_gopher_repetition" -> (gopherRepetition _),
     "q319_oov_rate" -> (oovRate _),
     "q318_token_burstiness" -> (tokenBurstiness _),
@@ -739,6 +831,76 @@ object TextQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q347: identical integer-log2 idf, the same cleared-fraction BM25
+    // div (all terms non-negative so `//` == `div`), same 21–24 query
+    // slice and (score desc, doc_id) top-10.
+    "q347_bm25_retrieval" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), t AS (
+         |  SELECT doc_id, unnest(tk) AS tok FROM toks
+         |), dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1
+         |), nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM dl
+         |), tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM t GROUP BY 1, 2
+         |), df AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), q AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS c FROM t GROUP BY 1) vr
+         |  JOIN df USING (tok)
+         |  WHERE df.df * 4 <= (SELECT n FROM nn)
+         |  ORDER BY c DESC, tok ASC LIMIT 4
+         |), scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(length(bin((SELECT n FROM nn) // df.df)) - 1 AS BIGINT)
+         |      AS idf,
+         |    tf.tf, dl.dl, (SELECT avgdl FROM nn) AS avgdl
+         |  FROM tf JOIN q USING (tok) JOIN df USING (tok)
+         |  JOIN dl USING (doc_id)
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |  CAST(sum((10000 * idf * 44 * tf * avgdl)
+         |    // (20 * tf * avgdl + 6 * avgdl + 18 * dl)) AS BIGINT)
+         |    AS score_bp
+         |FROM scored GROUP BY 1
+         |ORDER BY score_bp DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // q340: identical d=4 / w=256 sketch — same 'r:tok' md5 2-hex bucket
+    // strings (range's BIGINT renders '0'..'3' like Spark's int cast),
+    // same distinct-census counter build, same min-over-rows estimate.
+    "q340_countmin_sketch" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), v AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+         |), hr AS (
+         |  SELECT unnest(range(0, 4)) AS r
+         |), counters AS (
+         |  SELECT hr.r,
+         |    substr(md5(CAST(hr.r AS VARCHAR) || ':' || v.tok), 1, 2) AS bucket,
+         |    CAST(sum(v.c) AS BIGINT) AS cnt
+         |  FROM v CROSS JOIN hr GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT tok, c FROM v ORDER BY c DESC, tok ASC LIMIT 10
+         |), est AS (
+         |  SELECT p.tok, max(p.c) AS exact, min(ct.cnt) AS cms_est
+         |  FROM probes p
+         |  CROSS JOIN hr
+         |  JOIN counters ct ON ct.r = hr.r
+         |    AND ct.bucket = substr(md5(CAST(hr.r AS VARCHAR) || ':' || p.tok), 1, 2)
+         |  GROUP BY p.tok
+         |)
+         |SELECT tok AS token, CAST(exact AS BIGINT) AS exact,
+         |  CAST(cms_est AS BIGINT) AS cms_est,
+         |  CAST(cms_est - exact AS BIGINT) AS overestimate,
+         |  CAST((10000 * (cms_est - exact)) // exact AS BIGINT)
+         |    AS overestimate_bp
+         |FROM est""".stripMargin,
     // q321: same tokenization/shingle segmentation, same guarded integer
     // floor bp per doc, same floor-mean + threshold census per source
     // (all ratios positive, so `//` == Spark's `div`).

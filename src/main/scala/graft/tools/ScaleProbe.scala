@@ -88,7 +88,11 @@ object ScaleProbe {
     * consumer, so the spw column guards its offsets path too), the KMV
     * bounded-heap sketch (q331), and the per-vertex triangle credit
     * (q335 — the same O(m^1.5) wedge bound as q125, plus a 3-way
-    * explode that must stay proportional to triangles). */
+    * explode that must stay proportional to triangles). The second
+    * round-13 batch adds the edge-credit variant (q341 — the identical
+    * wedge engine, credited to edges) and the banded temporal-motif
+    * join (q346 — fan-out bounded by per-user-per-hour activity, the
+    * term a uniform 10× scales linearly but a skewed user would not). */
   val DefaultGates: Seq[String] = Seq(
     "q301_kcore_peeling",
     "q302_symspell_linkage",
@@ -129,7 +133,9 @@ object ScaleProbe {
     "q330_mann_whitney",
     "q331_kmv_distinct",
     "q332_dup_spans",
-    "q335_local_clustering")
+    "q335_local_clustering",
+    "q341_edge_jaccard",
+    "q346_temporal_motifs")
 
   private val KeyOff = 10_000_000_000L // per-copy key offset (all keys int64)
 

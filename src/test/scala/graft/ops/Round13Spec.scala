@@ -293,4 +293,357 @@ class Round13Spec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
     assert(got == expect)
   }
+
+  private def toks(text: String): Vector[String] =
+    text.split("\\s+").filter(_.nonEmpty).toVector
+
+  /** Positional shingles with the engine's short-doc rule: one whole-doc
+    * shingle when fewer than n tokens. */
+  private def posShingles(tk: Vector[String], n: Int): Vector[String] =
+    if (tk.length >= n) tk.sliding(n).map(_.mkString(" ")).toVector
+    else Vector(tk.mkString(" "))
+
+  test("q339: winnowing census equals the sliding-window brute force") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expect = docs.map { case (id, text) =>
+      val sh = posShingles(toks(text), 5)
+      val keys = sh.zipWithIndex.map { case (s, p) =>
+        md5hex(s).substring(0, 8) +
+          ("%07d".format(1048576 - p))
+      }
+      val n = sh.length
+      val ends = math.min(3, n - 1) until n
+      val winmins = ends.map(e => keys.slice(math.max(0, e - 3), e + 1).min)
+      id -> ((n.toLong, ends.size.toLong,
+        winmins.distinct.size.toLong,
+        winmins.map(_.substring(0, 8)).distinct.size.toLong,
+        10000L * winmins.distinct.size / ends.size))
+    }.toMap
+    val got = DedupQueries.winnowing(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == expect)
+  }
+
+  test("q340: CMS estimates equal the hash-replay brute force and are one-sided") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"text").as[String].collect()
+    val counts = docs.flatMap(toks).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    def bucket(r: Int, tok: String) = md5hex(s"$r:$tok").substring(0, 2)
+    val counters = (0 until 4).flatMap { r =>
+      counts.toSeq.groupBy { case (t, _) => (r, bucket(r, t)) }
+        .map { case (k, xs) => k -> xs.map(_._2).sum }
+    }.toMap
+    val probes = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    val expect = probes.map { case (t, c) =>
+      val est = (0 until 4).map(r => counters((r, bucket(r, t)))).min
+      t -> ((c, est, est - c, 10000L * (est - c) / c))
+    }.toMap
+    val got = TextQueries.countMinSketch(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expect)
+    // CMS is one-sided by construction: estimate >= exact, always
+    assert(got.values.forall { case (c, est, _, _) => est >= c })
+  }
+
+  test("q341: edge-Jaccard census equals the adjacency-set brute force") {
+    val items = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect().distinct
+    val edges = items.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val expect = edges.toSeq.map { case (u, v) =>
+      val common = (adj(u) & adj(v)).size.toLong
+      val den = adj(u).size + adj(v).size - 2L - common
+      val bp = if (den > 0) 10000L * common / den else 0L
+      (bp / 1000, common, bp)
+    }.groupBy(_._1).map { case (b, xs) =>
+      b.toInt -> ((xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).max))
+    }
+    val got = GraphQueries.edgeJaccard(spark, sf0001)
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect)
+  }
+
+  test("q342: greedy rounds equal the set-cover brute force") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"source", $"text").as[(String, String)].collect()
+    val bySource = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap(d => posShingles(toks(d._2), 3)).toSet
+    }
+    var covered = Set.empty[String]
+    val expect = Vector.newBuilder[(Int, String, Long, Long)]
+    var cum = 0L
+    var round = 1
+    var continue = true
+    while (round <= 3 && continue) {
+      val gains = bySource.map { case (s, sh) => s -> (sh -- covered).size }
+        .filter(_._2 > 0)
+      if (gains.isEmpty) continue = false
+      else {
+        val (src, g) = gains.toSeq.minBy { case (s, n) => (-n, s) }
+        cum += g
+        expect += ((round, src, g.toLong, cum))
+        covered ++= bySource(src)
+        round += 1
+      }
+    }
+    val got = PipelineQueries.greedySetCover(spark, sf0001)
+      .as[(Int, String, Long, Long)].collect().toVector.sortBy(_._1)
+    assert(got == expect.result())
+  }
+
+  test("q343: Haar levels equal the pairwise brute force and conserve mass") {
+    val os = graft.Tables.orders(spark, sf0001)
+      .selectExpr("CAST(o_orderdate AS STRING)", "o_totalprice")
+      .as[(String, Double)].collect()
+      .map { case (d, p) => (java.time.LocalDate.parse(d.take(10)), p) }
+    val d0 = os.map(_._1.toEpochDay).min
+    val daily = os.groupBy(_._1.toEpochDay - d0)
+      .map { case (idx, xs) =>
+        val cents = xs.map(r => BigDecimal(r._2).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact).sum
+        idx -> cents / 10000L
+      }
+    var cur = daily
+    val expect = (1 to 3).map { l =>
+      val lev = cur.groupBy(_._1 / 2).map { case (j, xs) =>
+        j -> ((xs.values.sum,
+          xs.map { case (i, v) => if (i % 2 == 0) v else -v }.sum))
+      }
+      cur = lev.map { case (j, (v, _)) => j -> v }
+      (l, lev.size.toLong, lev.values.map(_._1).sum,
+        lev.values.map(d => d._2 * d._2).sum)
+    }.toVector
+    val got = ExtendedQueries.haarDecomposition(spark, sf0001)
+      .as[(Int, Long, Long, Long)].collect().toVector.sortBy(_._1)
+    assert(got == expect)
+    // the unnormalized transform conserves the series total at every level
+    assert(got.map(_._3).distinct.size == 1)
+  }
+
+  test("q344: rules equal the lattice brute force; confidence is directional") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val brand = graft.Tables.part(spark, sf0001)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val ob = li.map { case (o, p) => (o, brand(p)) }.distinct
+    val nb = ob.map(_._1).distinct.length.toLong
+    val itemN = ob.groupBy(_._2).map { case (i, xs) => i -> xs.length.toLong }
+    val freq = itemN.filter { case (_, n) => n * 20 >= nb }
+    val byBasket = ob.filter(x => freq.contains(x._2)).groupBy(_._1)
+    val pairN = byBasket.values.toSeq.flatMap { xs =>
+      val is = xs.map(_._2).distinct.sorted
+      for (i <- is.indices; j <- (i + 1) until is.length) yield (is(i), is(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expect = pairN.toSeq
+      .filter { case (_, n) => 10000L * n / nb >= 275 }
+      .flatMap { case ((a, b), n) =>
+        def assoc(na: Long, ncons: Long) =
+          if (n * nb > na * ncons) "positive"
+          else if (n * nb < na * ncons) "negative" else "independent"
+        Seq((a, b, freq(a), n, 10000L * n / freq(a), assoc(freq(a), freq(b))),
+          (b, a, freq(b), n, 10000L * n / freq(b), assoc(freq(b), freq(a))))
+      }.toSet
+    val got = ExtendedQueries.associationRules(spark, sf0001)
+      .as[(String, String, Long, Long, Long, String)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("q345: ladder equals the 4-level census brute force; chosen is first-meets-k") {
+    val os = graft.Tables.orders(spark, sf0001)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS STRING)", "o_totalprice")
+      .as[(Long, String, Double)].collect()
+    val cn = graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    val nat = graft.Tables.nation(spark, sf0001)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val reg = graft.Tables.region(spark, sf0001)
+      .select($"r_regionkey", $"r_name").as[(Long, String)].collect().toMap
+    val rows = os.map { case (ck, d, p) =>
+      val ld = java.time.LocalDate.parse(d.take(10))
+      val (nn, rk) = nat(cn(ck))
+      val cents = BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+      val q = (ld.getMonthValue + 2) / 3
+      (nn, reg(rk), ld.getYear * 100 + ld.getMonthValue,
+        ld.getYear * 10 + q, ld.getYear, cents)
+    }
+    val levels = Seq[((String, String, Int, Int, Int, Long)) => String](
+      r => s"${r._1}|${r._3}|${r._6 / 100000}",
+      r => s"${r._1}|${r._4}|${r._6 / 500000}",
+      r => s"${r._1}|${r._5}|${r._6 / 2500000}",
+      r => s"${r._2}|${r._5}|${r._6 / 2500000}")
+    val pl = levels.zipWithIndex.map { case (f, l) =>
+      val cls = rows.groupBy(f).map(_._2.length.toLong)
+      (l, cls.size.toLong, cls.min, cls.min >= 5L)
+    }
+    val chosen = pl.find(_._4).map(_._1)
+    val expect = pl.map { case (l, nc, mn, mk) =>
+      (l, nc, mn, mk, chosen.contains(l))
+    }.toSet
+    val got = PipelineQueries.generalizationLadder(spark, sf0001)
+      .as[(Int, Long, Long, Boolean, Boolean)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("q347: BM25 top-10 equals the integer-arithmetic brute force") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val perDoc = docs.map { case (id, tx) => id -> toks(tx) }
+    val n = perDoc.length.toLong
+    val dl = perDoc.map { case (id, tk) => id -> tk.length.toLong }.toMap
+    val avgdl = dl.values.sum / n
+    val tf = perDoc.flatMap { case (id, tk) => tk.map(t => (id, t)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val dfm = tf.keys.toSeq.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val c = perDoc.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val q = c.toSeq.filter { case (t, _) => dfm(t) * 4 <= n }
+      .sortBy { case (t, cc) => (-cc, t) }.take(4).map(_._1)
+    def log2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val scores = perDoc.flatMap { case (id, _) =>
+      val terms = q.filter(t => tf.contains((id, t)))
+      if (terms.isEmpty) None
+      else Some((id, terms.length.toLong, terms.map { t =>
+        val idf = log2(n / dfm(t)).toLong
+        val f = tf((id, t))
+        10000L * idf * 44 * f * avgdl / (20 * f * avgdl + 6 * avgdl + 18 * dl(id))
+      }.sum))
+    }
+    val expect = scores.sortBy { case (id, _, s) => (-s, id) }.take(10).toSet
+    val got = TextQueries.bm25Retrieval(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("q348: concordance census equals the all-pairs brute force") {
+    val os = graft.Tables.orders(spark, sf0001)
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
+    val cn = graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    val nat = graft.Tables.nation(spark, sf0001)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+    val per = os.map { case (ck, p) =>
+      (nat(cn(ck)), BigDecimal(p).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+    }.groupBy(_._1).map { case (nm, xs) =>
+      (nm, xs.map(_._2).sum, xs.length.toLong)
+    }.toVector
+    def rank(key: ((String, Long, Long)) => Long) =
+      per.map { x =>
+        x._1 -> (1L + per.count(y => key(y) > key(x) ||
+          (key(y) == key(x) && y._1 < x._1)))
+      }.toMap
+    val r1 = rank(_._2); val r2 = rank(_._3)
+    val pairs = for (a <- per; b <- per if a._1 < b._1) yield (a, b)
+    val conc = pairs.count { case (a, b) =>
+      (a._2 > b._2 && a._3 > b._3) || (a._2 < b._2 && a._3 < b._3) }.toLong
+    val disc = pairs.count { case (a, b) =>
+      (a._2 > b._2 && a._3 < b._3) || (a._2 < b._2 && a._3 > b._3) }.toLong
+    val ni = per.length.toLong
+    val fr = per.map(x => math.abs(r1(x._1) - r2(x._1))).sum
+    val expect = (ni, conc, disc, ni * (ni - 1) / 2 - conc - disc,
+      if (conc + disc > 0) 10000L * conc / (conc + disc) else 0L, fr)
+    val got = ExtendedQueries.rankAgreement(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(expect))
+  }
+
+  test("q349: b-bit estimates clamp at agree<6 and match exact-set replay") {
+    import org.apache.spark.sql.Row
+    val got = DedupQueries.bbitMinhash(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { case Row(_, _, agree: Long, est: Long, exact: Long, err: Long) =>
+      if (agree < 6) assert(est == 0L)
+      else assert(est == (2 * agree - 12) * 10000 / 12)
+      assert(err == math.abs(est - exact))
+      assert(exact >= 0L && exact <= 10000L)
+    }
+  }
+
+  test("q350: risk ratios equal the contingency brute force") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_partkey", $"l_returnflag").as[(Long, String)].collect()
+    val brand = graft.Tables.part(spark, sf0001)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val rows = li.map { case (pk, rf) => (brand(pk), rf == "R") }
+    val tAll = rows.length.toLong
+    val rAll = rows.count(_._2).toLong
+    val expect = rows.groupBy(_._1).map { case (b, xs) =>
+      val t = xs.length.toLong; val a = xs.count(_._2).toLong
+      val u = tAll - t; val cc = rAll - a
+      val rr = if (u > 0 && cc > 0 && t > 0) 10000L * a * u / (t * cc) else 0L
+      val dir = if (a * u > cc * t) "over"
+        else if (a * u < cc * t) "under" else "neutral"
+      b -> ((t, a, rr, dir))
+    }
+    val got = ExtendedQueries.riskRatioExplanation(spark, sf0001)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expect)
+  }
+
+  test("q351: butterfly counts equal the combinatorial brute force") {
+    val ut = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+      .distinct.toVector
+    val wedges = ut.groupBy(_._1).values
+      .map(xs => { val d = xs.length.toLong; d * (d - 1) / 2 }).sum
+    val tp = ut.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val ts = xs.map(_._2).sorted
+      for (i <- ts.indices; j <- (i + 1) until ts.length) yield (ts(i), ts(j))
+    }.groupBy(identity).map(_._2.length.toLong)
+    val expect = (ut.map(_._1).distinct.size.toLong,
+      ut.map(_._2).distinct.size.toLong, ut.size.toLong, wedges,
+      tp.size.toLong, tp.max, tp.map(w => w * (w - 1) / 2).sum)
+    val got = EventQueries.butterflyCensus(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(expect))
+  }
+
+  test("q352: window census equals the closed-form waveform brute force") {
+    val ids = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id").as[Long].collect()
+    val expect = ids.map { id =>
+      val nSamp = (id % 97 + 16).toInt
+      val seed = id % 251
+      val ss = Array.tabulate(nSamp)(k => ((seed + 9973L * k) % 65536) - 32768)
+      val wins = ss.grouped(16).toVector
+      val es = wins.map(w => w.map(v => v * v).sum)
+      id -> ((nSamp.toLong, wins.size.toLong,
+        wins.count(_.map(math.abs).max < 8192L).toLong, es.max, es.sum))
+    }.toMap
+    val got = MultimodalQueries.audioEnergyWindows(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == expect)
+  }
+
+  test("q346: banded motif census equals the quadratic brute force") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "unix_micros(ts)")
+      .as[(Long, String, Long)].collect()
+    val expect = ev.toVector.groupBy(_._1).toSeq.flatMap { case (uid, xs) =>
+      for {
+        a <- xs; b <- xs
+        if b._3 > a._3 && b._3 - a._3 <= 3600000000L
+      } yield ((a._2, b._2), uid)
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.size.toLong, xs.map(_._2).distinct.size.toLong))
+    }
+    val got = EventQueries.temporalMotifs(spark, sf0001)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == expect)
+  }
 }
