@@ -1026,7 +1026,58 @@ object AnnQueries {
         $"rank_lex", $"rank_vec", $"rrf_fp")
   }
 
+  /** GRID-DENSITY CLUSTERING (q354) — DBSCAN's grid-cell approximation
+    * (the scale-safe member of the density family): embeddings project to
+    * their first two grid dimensions, points bucket into 0.25-unit cells
+    * (integer floor-div with the +2·10⁶ offset, the q338 non-negative
+    * rule), cells holding ≥ 8 points are CORE, and clusters are connected
+    * components of 8-adjacent core cells ([[graft.operators.Connect]] —
+    * the component label is the min cell id, isolated core cells are
+    * singleton clusters via the left join). Why this survives 100 TB
+    * where point-wise DBSCAN dies: points only ever hash-aggregate into
+    * cells, and the CELL graph is bounded by grid resolution (≤ 16×16
+    * here) no matter the row count — the ε-neighborhood join never
+    * touches point pairs. Output: one census row (core cells, clusters,
+    * clustered vs noise points, largest cluster). */
+  def gridDensityClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.embeddings(spark, dir)
+      .select(Ann.gridQuantize($"embedding").as("g"))
+      .select(element_at($"g", 1).cast("long").as("x"),
+        element_at($"g", 2).cast("long").as("y"))
+      .select(expr("(x + 2000000) div 250000").as("cx"),
+        expr("(y + 2000000) div 250000").as("cy"))
+    val cells = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("npts"))
+      .localCheckpoint() // feeds core/noise splits and the census
+    val core = cells.filter($"npts" >= 8L)
+      .withColumn("cid", $"cx" * 1000L + $"cy")
+    val deltas = for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0)
+      yield (dx, dy)
+    val nbrs = core.select($"cid", explode(array(deltas.map { case (dx, dy) =>
+        (($"cx" + dx) * 1000L + ($"cy" + dy))
+      }: _*)).as("ncid"))
+    val edges = nbrs
+      .join(core.select($"cid".as("ncid")), Seq("ncid"), "left_semi")
+      .filter($"cid" < $"ncid")
+      .select($"cid".as("a"), $"ncid".as("b"))
+    val comp = graft.operators.Connect.components(edges, "a", "b")
+    val labeled = core
+      .join(comp.select($"node".as("cid"), $"component"), Seq("cid"), "left")
+      .select($"cid", $"npts", coalesce($"component", $"cid").as("cluster"))
+    val perCluster = labeled.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_cells"), sum($"npts").as("n_points"))
+    val noise = cells.filter($"npts" < 8L)
+      .agg(coalesce(sum($"npts"), lit(0L)).as("n_noise_points"))
+    perCluster
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"n_cells").as("n_core_cells"),
+        sum($"n_points").as("n_clustered_points"),
+        max($"n_points").as("largest_cluster_points"))
+      .crossJoin(broadcast(noise))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q354_grid_density_clusters" -> (gridDensityClusters _),
     "q328_rrf_hybrid" -> (rrfHybrid _),
     "q338_centroid_drift" -> (centroidDrift _),
     "q323_kcenter_coreset" -> (kcenterCoreset _),
@@ -1447,6 +1498,55 @@ object AnnQueries {
        |  FROM fused) WHERE rk <= 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q354: identical grid cells and core rule; the oracle's component
+    // labels come from a recursive min-reachable closure over the
+    // bounded cell graph (its single-node privilege) — the engine's
+    // alternating-star Connect must agree exactly.
+    "q354_grid_density_clusters" ->
+      """WITH RECURSIVE iv AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> floor(x * 1000000.0)) AS v
+        |  FROM embeddings
+        |), pts AS (
+        |  SELECT (CAST(v[1] AS BIGINT) + 2000000) // 250000 AS cx,
+        |         (CAST(v[2] AS BIGINT) + 2000000) // 250000 AS cy
+        |  FROM iv
+        |), cells AS (
+        |  SELECT cx, cy, CAST(count(*) AS BIGINT) AS npts
+        |  FROM pts GROUP BY 1, 2
+        |), core AS (
+        |  SELECT cx, cy, npts, cx * 1000 + cy AS cid
+        |  FROM cells WHERE npts >= 8
+        |), e AS (
+        |  SELECT a.cid AS u, b.cid AS w FROM core a JOIN core b
+        |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |    AND a.cid < b.cid
+        |), sym AS (
+        |  SELECT u, w FROM e UNION SELECT w, u FROM e
+        |), reach(node, r) AS (
+        |  SELECT u, u FROM sym
+        |  UNION
+        |  SELECT sym.u, reach.r FROM sym JOIN reach ON sym.w = reach.node
+        |), comp AS (
+        |  SELECT node, min(r) AS component FROM reach GROUP BY node
+        |), lab AS (
+        |  SELECT core.cid, core.npts,
+        |    coalesce(comp.component, core.cid) AS cluster
+        |  FROM core LEFT JOIN comp ON comp.node = core.cid
+        |), pc AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(npts) AS BIGINT) AS n_points
+        |  FROM lab GROUP BY 1
+        |), noise AS (
+        |  SELECT CAST(coalesce(sum(npts), 0) AS BIGINT) AS n_noise_points
+        |  FROM cells WHERE npts < 8
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(n_cells) AS BIGINT) AS n_core_cells,
+        |  CAST(sum(n_points) AS BIGINT) AS n_clustered_points,
+        |  CAST(max(n_points) AS BIGINT) AS largest_cluster_points,
+        |  (SELECT n_noise_points FROM noise) AS n_noise_points
+        |FROM pc""".stripMargin,
     "q328_rrf_hybrid" -> rrfSql,
     // q338: same floor(x·10⁶) grid, same positive-dividend offset floor
     // divs, global centroid folded from the per-source integer sums.

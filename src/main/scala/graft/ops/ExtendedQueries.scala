@@ -2089,7 +2089,78 @@ object ExtendedQueries {
           .otherwise("neutral").as("direction"))
   }
 
+  /** SAX SYMBOLIZATION (q353) — Lin/Keogh Symbolic Aggregate approXimation
+    * of the daily-revenue series, fully rank-based so it is exact without
+    * the classical Gaussian breakpoints (which need erf): PAA first
+    * (8-day segments, `sum div 8` in the q343 $100 units — missing days
+    * are exact zeros), then each segment's SYMBOL is its PAA value's
+    * quartile by GLOBAL RANK — `((r−1)·4) div n` over the
+    * [[graft.operators.Sweep.rowNumber]] distributed rank (value, then
+    * segment id as tie-break; no single-partition window anywhere) — and
+    * the report is the 4×4 symbol-transition census between consecutive
+    * segments, the SAX motif table a series-similarity pipeline indexes
+    * on. Transitions across a missing segment are skipped (no
+    * interpolation is invented). Scale: segments grow with TIME, not
+    * rows; every stage is a keyed agg or the shared two-phase rank. */
+  def saxSymbolization(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val d0 = o.agg(min($"o_orderdate").as("d0"))
+    val s0 = o.crossJoin(broadcast(d0))
+      .select(datediff($"o_orderdate", $"d0").cast("long").as("idx"),
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .groupBy($"idx").agg(expr("sum(cents) div 10000").as("v"))
+    val paa = s0.groupBy(expr("idx div 8").as("seg"))
+      .agg(expr("sum(v) div 8").as("paa"))
+    val nn = paa.agg(count(lit(1)).as("n"))
+    val sym = graft.operators.Sweep
+      .rowNumber(paa, Seq($"paa".asc, $"seg".asc), "r")
+      .crossJoin(broadcast(nn))
+      .select($"seg", expr("((r - 1) * 4) div n").as("sym"))
+      // feeds both sides of the transition join — materialized once
+      .localCheckpoint()
+    sym.select($"seg", $"sym".as("sym_a"))
+      .join(sym.select(($"seg" - 1L).as("seg"), $"sym".as("sym_b")), Seq("seg"))
+      .groupBy($"sym_a", $"sym_b")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** SHEWHART CONTROL CHART (q355) — the 3σ out-of-control census of the
+    * daily-revenue series, with the σ comparison done ENTIRELY in exact
+    * integers: a day x is flagged iff (x−μ)² > 9σ², which cross-multiplies
+    * to `(n·x − S)² > 9·(n·Q − S²)` (S = Σx, Q = Σx² over n days) — no
+    * mean, no variance, no sqrt ever materializes. Days are quantized to
+    * 10⁶-cent ($10k) units first (non-negative floor-div), which keeps
+    * both sides of the comparison under ~10¹⁶ at a 10× corpus (ANSI
+    * overflow errors loudly past that — widen the unit, the q318 rule).
+    * The report: day count, floor mean, and the high/low flag census —
+    * what an ops review reads before drilling in. One day-keyed agg +
+    * one broadcast moment frame. */
+  def controlChart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val d0 = o.agg(min($"o_orderdate").as("d0"))
+    val s0 = o.crossJoin(broadcast(d0))
+      .select(datediff($"o_orderdate", $"d0").cast("long").as("idx"),
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .groupBy($"idx").agg(expr("sum(cents) div 1000000").as("x"))
+    val m = s0.agg(count(lit(1)).as("n"), sum($"x").as("s"),
+      sum($"x" * $"x").as("q"))
+    s0.crossJoin(broadcast(m))
+      .select($"x", $"n", $"s", $"q",
+        (($"n" * $"x" - $"s") * ($"n" * $"x" - $"s")).as("lhs"),
+        (lit(9L) * ($"n" * $"q" - $"s" * $"s")).as("rhs"))
+      .agg(max($"n").as("n_days"),
+        max(expr("s div n")).as("mean_units"),
+        sum(when($"lhs" > $"rhs" && $"n" * $"x" > $"s", 1L).otherwise(0L))
+          .as("n_high"),
+        sum(when($"lhs" > $"rhs" && $"n" * $"x" < $"s", 1L).otherwise(0L))
+          .as("n_low"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_sax_symbolization" -> (saxSymbolization _),
+    "q355_control_chart" -> (controlChart _),
     "q350_risk_ratio" -> (riskRatioExplanation _),
     "q348_rank_agreement" -> (rankAgreement _),
     "q344_association_rules" -> (associationRules _),
@@ -2457,6 +2528,57 @@ object ExtendedQueries {
         |FROM o JOIN b USING (digit)""".stripMargin,
     // q244: the same a-priori walk — 5% item floor, basket-keyed pair
     // join, 275 bp pair floor, integer cross-mult support and lift.
+    // q353: identical $100-unit daily series, 8-day PAA floor-divs, and
+    // rank-quartile symbols — the oracle's row_number is its single-node
+    // privilege; the engine rank is the distributed Sweep.
+    "q353_sax_symbolization" ->
+      """WITH d0 AS (SELECT min(o_orderdate) AS d0 FROM orders),
+        |s0 AS (
+        |  SELECT CAST(date_diff('day', (SELECT d0 FROM d0), o_orderdate)
+        |      AS BIGINT) AS idx,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) // 10000 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), paa AS (
+        |  SELECT pseg AS seg, v FROM (
+        |    SELECT idx // 8 AS pseg, CAST(sum(v) // 8 AS BIGINT) AS v
+        |    FROM s0 GROUP BY 1)
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM paa),
+        |r AS (
+        |  SELECT seg, row_number() OVER (ORDER BY v, seg) AS r FROM paa
+        |), sym AS (
+        |  SELECT seg,
+        |    CAST(((r - 1) * 4) // (SELECT n FROM nn) AS BIGINT) AS sym
+        |  FROM r
+        |)
+        |SELECT a.sym AS sym_a, b.sym AS sym_b,
+        |  CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM sym a JOIN sym b ON b.seg = a.seg + 1
+        |GROUP BY 1, 2""".stripMargin,
+    // q355: identical $10k-unit series and the same cross-multiplied
+    // (n·x−S)² vs 9·(n·Q−S²) comparison.
+    "q355_control_chart" ->
+      """WITH d0 AS (SELECT min(o_orderdate) AS d0 FROM orders),
+        |s0 AS (
+        |  SELECT CAST(date_diff('day', (SELECT d0 FROM d0), o_orderdate)
+        |      AS BIGINT) AS idx,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) // 1000000 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS q
+        |  FROM s0
+        |)
+        |SELECT max(m.n) AS n_days,
+        |  CAST(max(m.s // m.n) AS BIGINT) AS mean_units,
+        |  CAST(sum(CASE WHEN (m.n * x - m.s) * (m.n * x - m.s)
+        |      > 9 * (m.n * m.q - m.s * m.s) AND m.n * x > m.s
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN (m.n * x - m.s) * (m.n * x - m.s)
+        |      > 9 * (m.n * m.q - m.s * m.s) AND m.n * x < m.s
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM s0, m""".stripMargin,
     // q350: identical a/t/c/u algebra, the same guarded single division
     // and cross-multiplied verdict.
     "q350_risk_ratio" ->

@@ -195,7 +195,38 @@ object GraphQueries {
         max($"jaccard_bp").as("max_jaccard_bp"))
   }
 
+  /** CSR LAYOUT EXPORT (q357) — the compressed-sparse-row handoff a GNN
+    * or HPC training job consumes: vertices in id order, each with its
+    * EXCLUSIVE prefix-sum offset into the concatenated adjacency array
+    * (offset = cum − deg), partitioned into 4 contiguous rank-quartile
+    * shards (`((r−1)·4) div n` — contiguity is what makes a shard a
+    * valid CSR slice). Both the offsets and the ranks come from ONE
+    * [[graft.operators.Sweep.prefixSums]] pass (two summed columns,
+    * one shared range exchange — never a single-partition window), so
+    * the layout is distributed-exact at any scale. The gate emits the
+    * per-shard layout audit — vertex/edge counts, offset range, and the
+    * Σ-offsets checksum that pins every individual offset. */
+  def csrExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = coPurchaseEdges(spark, dir)
+    val adj = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+    val deg = adj.groupBy($"src".as("vtx")).agg(count(lit(1)).as("deg"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.Sweep.prefixSums(deg, Seq($"vtx".asc),
+      Seq("deg" -> "cum", "one" -> "r"))
+    val nn = ranked.agg(max($"r").as("n"))
+    ranked.crossJoin(broadcast(nn))
+      .select($"deg", ($"cum" - $"deg").as("off"), $"cum",
+        expr("((r - 1) * 4) div n").as("shard"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_vertices"), sum($"deg").as("n_edges"),
+        min($"off").as("min_offset"), max($"cum").as("end_offset"),
+        sum($"off").as("sum_offsets"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q357_csr_export" -> (csrExport _),
     "q341_edge_jaccard" -> (edgeJaccard _),
     "q335_local_clustering" -> (localClustering _),
     "q317_assortativity" -> (assortativity _),
@@ -214,6 +245,33 @@ object GraphQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q357: the oracle's cumulative window is its single-node privilege;
+    // identical exclusive offsets (cum − deg) and rank-quartile shards.
+    "q357_csr_export" ->
+      s"""WITH $edgesSql,
+         |adj AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v AS src, u AS dst FROM e
+         |),
+         |d AS (
+         |  SELECT src AS vtx, CAST(count(*) AS BIGINT) AS deg
+         |  FROM adj GROUP BY 1
+         |),
+         |r AS (
+         |  SELECT vtx, deg,
+         |    sum(deg) OVER (ORDER BY vtx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    row_number() OVER (ORDER BY vtx) AS rn
+         |  FROM d
+         |),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+         |SELECT CAST(((rn - 1) * 4) // (SELECT n FROM nn) AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_vertices,
+         |  CAST(sum(deg) AS BIGINT) AS n_edges,
+         |  CAST(min(cum - deg) AS BIGINT) AS min_offset,
+         |  CAST(max(cum) AS BIGINT) AS end_offset,
+         |  CAST(sum(cum - deg) AS BIGINT) AS sum_offsets
+         |FROM r GROUP BY 1""".stripMargin,
     // q341: q335's triangle CTEs, credited to the three EDGES of each
     // triangle (canonicalized u<v), LEFT-joined back so triangle-free
     // edges keep common=0; identical guarded bp + decile bucket algebra.

@@ -1784,7 +1784,51 @@ object PipelineQueries {
         coalesce($"level" === $"chosen_level", lit(false)).as("chosen"))
   }
 
+  /** QUANTILE NORMALIZATION (q358) — the cross-batch distribution
+    * alignment step (microarray-born, now standard batch-effect
+    * removal): every document's length maps onto the GLOBAL length
+    * distribution at its own within-source relative rank, so each
+    * source's histogram becomes the corpus histogram exactly. Rank
+    * plumbing is fully distributed: the global rank and the
+    * (source-major) rank are TWO [[graft.operators.Sweep.rowNumber]]
+    * passes; the within-source rank is the source-major global rank
+    * minus the source's prefix offset (a triangular broadcast join over
+    * the bounded source frame — the same no-window trick Sweep itself
+    * uses for partition offsets); the mapped rank
+    * `1 + ((r−1)·(N−1)) div (nₛ−1)` (midpoint for singleton sources) is
+    * pure integer floor arithmetic; and the value lookup is a keyed
+    * equi-join on rank. The gate reports the per-source before/after
+    * census (Σ original vs Σ mapped chars, worst single shift). */
+  def quantileNormalization(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("nc"))
+    val g = graft.operators.Sweep
+      .rowNumber(docs, Seq($"nc".asc, $"doc_id".asc), "g")
+    val g2 = graft.operators.Sweep
+      .rowNumber(docs, Seq($"source".asc, $"nc".asc, $"doc_id".asc), "g2")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val offs = counts
+      .join(broadcast(counts.select($"source".as("s2"), $"ns".as("ns2"))),
+        $"s2" < $"source", "left")
+      .groupBy($"source", $"ns")
+      .agg(coalesce(sum($"ns2"), lit(0L)).as("off"))
+    val nTot = docs.agg(count(lit(1)).as("n"))
+    g2.join(broadcast(offs), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .select($"source", $"nc", ($"g2" - $"off").as("rs"), $"ns", $"n")
+      .withColumn("gm", when($"ns" > 1L,
+          lit(1L) + expr("((rs - 1) * (n - 1)) div (ns - 1)"))
+        .otherwise(expr("(n + 1) div 2")))
+      .join(g.select($"g".as("gm"), $"nc".as("mapped_nc")), Seq("gm"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nc").as("sum_orig_chars"),
+        sum($"mapped_nc").as("sum_mapped_chars"),
+        max(abs($"nc" - $"mapped_nc")).as("max_shift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q358_quantile_normalization" -> (quantileNormalization _),
     "q345_generalization_ladder" -> (generalizationLadder _),
     "q342_set_cover" -> (greedySetCover _),
     "q298_stratified_quota_sample" -> (stratifiedQuotaSample _),
@@ -1864,6 +1908,34 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q358: the oracle's global + partitioned row_numbers are its
+    // single-node privilege; identical mapped-rank arithmetic and the
+    // same (nc, doc_id) total orders.
+    "q358_quantile_normalization" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS nc FROM documents
+        |), g AS (
+        |  SELECT nc, row_number() OVER (ORDER BY nc, doc_id) AS g FROM d
+        |), rs AS (
+        |  SELECT doc_id, source, nc,
+        |    row_number() OVER (PARTITION BY source ORDER BY nc, doc_id) AS rs,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM d
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |mr AS (
+        |  SELECT source, nc,
+        |    CASE WHEN ns > 1
+        |      THEN 1 + ((rs - 1) * ((SELECT n FROM nn) - 1)) // (ns - 1)
+        |      ELSE ((SELECT n FROM nn) + 1) // 2 END AS gm
+        |  FROM rs
+        |), m AS (
+        |  SELECT mr.source, mr.nc, g.nc AS mnc FROM mr JOIN g ON g.g = mr.gm
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_orig_chars,
+        |  CAST(sum(mnc) AS BIGINT) AS sum_mapped_chars,
+        |  CAST(max(abs(nc - mnc)) AS BIGINT) AS max_shift
+        |FROM m GROUP BY 1""".stripMargin,
     // q345: identical 4-level QI renders (concat_ws of integer renders),
     // identical class census and first-meets-k pick; booleans compare
     // natively on both engines (the q27 rule).

@@ -773,7 +773,34 @@ object TextQueries {
       .orderBy($"score_bp".desc, $"doc_id".asc).limit(10)
   }
 
+  /** TOKENIZER FERTILITY REPORT (q356) — the per-language cost census a
+    * tokenizer review reads: fertility = subword pieces per whitespace
+    * word (q37's BPE-ish pre-tokenizer over q22's word stream — both
+    * already-gated definitions, composed), and chars per piece, each as
+    * a guarded floor-bp integer ratio over per-language sums. High
+    * fertility on one language is the classic "this tokenizer taxes
+    * that language" signal (compression parity audits in multilingual
+    * training). One scan, one language-keyed hash-agg. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pieces = regexp_extract_all($"text",
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    Tables.documents(spark, dir)
+      .select($"lang", size(tokens($"text")).cast("long").as("w"),
+        size(pieces).cast("long").as("p"), $"n_chars".cast("long").as("ch"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("n_words"),
+        sum($"p").as("n_pieces"), sum($"ch").as("n_chars"))
+      .withColumn("fertility_bp",
+        when($"n_words" > 0L, expr("(10000 * n_pieces) div n_words"))
+          .otherwise(0L))
+      .withColumn("chars_per_piece_bp",
+        when($"n_pieces" > 0L, expr("(10000 * n_chars) div n_pieces"))
+          .otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_tokenizer_fertility" -> (tokenizerFertility _),
     "q347_bm25_retrieval" -> (bm25Retrieval _),
     "q340_countmin_sketch" -> (countMinSketch _),
     "q321_gopher_repetition" -> (gopherRepetition _),
@@ -831,6 +858,29 @@ object TextQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q356: q37's piece regex + the shared word tokenization, identical
+    // per-language sums and guarded bp divisions.
+    "q356_tokenizer_fertility" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(len($toksSql) AS BIGINT) AS w,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS p,
+         |    CAST(n_chars AS BIGINT) AS ch
+         |  FROM documents
+         |), g AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS n_words,
+         |    CAST(sum(p) AS BIGINT) AS n_pieces,
+         |    CAST(sum(ch) AS BIGINT) AS n_chars
+         |  FROM t GROUP BY 1
+         |)
+         |SELECT lang, n_docs, n_words, n_pieces, n_chars,
+         |  CAST(CASE WHEN n_words > 0 THEN (10000 * n_pieces) // n_words
+         |    ELSE 0 END AS BIGINT) AS fertility_bp,
+         |  CAST(CASE WHEN n_pieces > 0 THEN (10000 * n_chars) // n_pieces
+         |    ELSE 0 END AS BIGINT) AS chars_per_piece_bp
+         |FROM g""".stripMargin,
     // q347: identical integer-log2 idf, the same cleared-fraction BM25
     // div (all terms non-negative so `//` == `div`), same 21–24 query
     // slice and (score desc, doc_id) top-10.

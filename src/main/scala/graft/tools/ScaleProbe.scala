@@ -92,7 +92,11 @@ object ScaleProbe {
     * round-13 batch adds the edge-credit variant (q341 — the identical
     * wedge engine, credited to edges) and the banded temporal-motif
     * join (q346 — fan-out bounded by per-user-per-hour activity, the
-    * term a uniform 10× scales linearly but a skewed user would not). */
+    * term a uniform 10× scales linearly but a skewed user would not).
+    * The round's last batch adds its two data-scale rank consumers:
+    * the CSR layout export (q357) and quantile normalization (q358) —
+    * both ride Sweep's two-phase prefix sums, exactly the machinery the
+    * spw column exists to guard. */
   val DefaultGates: Seq[String] = Seq(
     "q301_kcore_peeling",
     "q302_symspell_linkage",
@@ -135,7 +139,9 @@ object ScaleProbe {
     "q332_dup_spans",
     "q335_local_clustering",
     "q341_edge_jaccard",
-    "q346_temporal_motifs")
+    "q346_temporal_motifs",
+    "q357_csr_export",
+    "q358_quantile_normalization")
 
   private val KeyOff = 10_000_000_000L // per-copy key offset (all keys int64)
 

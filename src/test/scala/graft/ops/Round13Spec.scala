@@ -629,6 +629,149 @@ class Round13Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  /** Daily cents totals keyed by day index from the min order date. */
+  private def dailyCents(unitDiv: Long): Map[Long, Long] = {
+    val os = graft.Tables.orders(spark, sf0001)
+      .selectExpr("CAST(o_orderdate AS STRING)", "o_totalprice")
+      .as[(String, Double)].collect()
+      .map { case (d, p) => (java.time.LocalDate.parse(d.take(10)), p) }
+    val d0 = os.map(_._1.toEpochDay).min
+    os.groupBy(_._1.toEpochDay - d0).map { case (idx, xs) =>
+      idx -> xs.map(r => BigDecimal(r._2).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact).sum / unitDiv
+    }
+  }
+
+  test("q353: SAX transitions equal the rank-quartile brute force") {
+    val daily = dailyCents(10000L)
+    val paa = daily.groupBy(_._1 / 8).map { case (s, xs) =>
+      s -> xs.values.sum / 8
+    }.toVector
+    val n = paa.length.toLong
+    val ranked = paa.sortBy { case (s, v) => (v, s) }.zipWithIndex
+      .map { case ((s, _), i) => s -> ((i.toLong * 4) / n) }.toMap
+    val expect = paa.map(_._1).flatMap { s =>
+      ranked.get(s).zip(ranked.get(s + 1)).map { case (a, b) => (a, b) }
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val got = ExtendedQueries.saxSymbolization(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expect)
+  }
+
+  test("q354: grid clusters equal the BFS-over-cells brute force") {
+    val vs = graft.Tables.embeddings(spark, sf0001)
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>)").as[Seq[Double]].collect()
+    val cells = vs.map { v =>
+      ((math.floor(v(0) * 1e6).toLong + 2000000) / 250000,
+        (math.floor(v(1) * 1e6).toLong + 2000000) / 250000)
+    }.groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val core = cells.filter(_._2 >= 8).keys.toSet
+    // BFS components over 8-adjacency
+    var remaining = core
+    val clusters = Vector.newBuilder[Set[(Long, Long)]]
+    while (remaining.nonEmpty) {
+      var comp = Set(remaining.head)
+      var frontier = comp
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap { case (x, y) =>
+          for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0)
+            yield (x + dx, y + dy)
+        }.filter(c => remaining.contains(c) && !comp.contains(c))
+        comp ++= next
+        frontier = next
+      }
+      clusters += comp
+      remaining --= comp
+    }
+    val cs = clusters.result()
+    val sizes = cs.map(c => c.toSeq.map(cells).sum)
+    val noise = cells.filterNot(kv => core.contains(kv._1)).values.sum
+    val expect = (cs.length.toLong, core.size.toLong, sizes.sum,
+      if (sizes.nonEmpty) sizes.max else 0L, noise)
+    val got = AnnQueries.gridDensityClusters(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(expect))
+  }
+
+  test("q355: control-chart flags equal the cross-multiplied brute force") {
+    val xs = dailyCents(1000000L).values.toVector
+    val n = xs.length.toLong
+    val s = xs.sum; val q = xs.map(x => x * x).sum
+    val high = xs.count(x => { val d = n * x - s; d * d > 9 * (n * q - s * s) && d > 0 }).toLong
+    val low = xs.count(x => { val d = n * x - s; d * d > 9 * (n * q - s * s) && d < 0 }).toLong
+    val got = ExtendedQueries.controlChart(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((n, s / n, high, low)))
+  }
+
+  test("q356: fertility ratios equal the regex brute force") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"lang", $"text", $"n_chars".cast("long"))
+      .as[(String, String, Long)].collect()
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    val expect = docs.groupBy(_._1).map { case (lang, xs) =>
+      val w = xs.map(d => toks(d._2).length.toLong).sum
+      val p = xs.map(d => re.findAllIn(d._2).length.toLong).sum
+      val ch = xs.map(_._3).sum
+      lang -> ((xs.length.toLong, w, p, ch,
+        if (w > 0) 10000L * p / w else 0L,
+        if (p > 0) 10000L * ch / p else 0L))
+    }
+    val got = TextQueries.tokenizerFertility(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == expect)
+  }
+
+  test("q357: CSR shards equal the sorted-offsets brute force") {
+    val items = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect().distinct
+    val edges = items.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    val sorted = deg.toVector.sortBy(_._1)
+    val n = sorted.length.toLong
+    var cum = 0L
+    val expect = sorted.zipWithIndex.map { case ((_, d), i) =>
+      val off = cum; cum += d
+      (i.toLong * 4 / n, d, off, cum)
+    }.groupBy(_._1).map { case (sh, xs) =>
+      sh -> ((xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).min,
+        xs.map(_._4).max, xs.map(_._3).sum))
+    }
+    val got = GraphQueries.csrExport(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == expect)
+  }
+
+  test("q358: mapped sums equal the rank-lookup brute force") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars".cast("long"))
+      .as[(Long, String, Long)].collect().toVector
+    val n = docs.length.toLong
+    val globalSorted = docs.sortBy(d => (d._3, d._1)).map(_._3)
+    val expect = docs.groupBy(_._2).map { case (src, xs) =>
+      val inSrc = xs.sortBy(d => (d._3, d._1)).zipWithIndex
+      val ns = xs.length.toLong
+      val mapped = inSrc.map { case (d, i) =>
+        val gm = if (ns > 1) 1 + i.toLong * (n - 1) / (ns - 1) else (n + 1) / 2
+        (d._3, globalSorted((gm - 1).toInt))
+      }
+      src -> ((ns, mapped.map(_._1).sum, mapped.map(_._2).sum,
+        mapped.map(m => math.abs(m._1 - m._2)).max))
+    }
+    val got = PipelineQueries.quantileNormalization(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expect)
+  }
+
   test("q346: banded motif census equals the quadratic brute force") {
     val ev = graft.Tables.events(spark, sf0001)
       .selectExpr("user_id", "event_type", "unix_micros(ts)")
