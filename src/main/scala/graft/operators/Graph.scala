@@ -81,7 +81,9 @@ object Graph {
     * wedge volume); the closing join is a LEFT SEMI against the canonical
     * edge set (each wedge closes against at most one edge), and each
     * closed triangle {s, d1, d2} credits all three corners via one
-    * 3-way unionAll + hash-agg. `edges` must be canonical (`u < v`,
+    * single-pass corner explode + hash-agg (NOT a 3-way unionAll — union
+    * branches are independent subtrees and would re-execute the wedge
+    * join three times). `edges` must be canonical (`u < v`,
     * distinct). Returns (vtx, deg, n_tri). */
   def nodeTriangles(edges: DataFrame): DataFrame = {
     val deg = degreeFrame(edges)

@@ -1041,11 +1041,28 @@ object AnnQueries {
     * clustered vs noise points, largest cluster). */
   def gridDensityClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The +2·10⁶ offset and the cid = cx·1000+cy packing both assume the
+    // quantized coords sit in [-2·10⁶, 2·10⁶] (embeddings in [-2, 2]):
+    // below -2·10⁶ the offset dividend goes negative and Spark's
+    // truncating `div` silently ALIASES into cell 0 (vs DuckDB's
+    // flooring `//`), and a cy outside [0, 998] would wrap into a
+    // neighboring cx's id range. So the guard raise_error-aborts the
+    // whole query if a corpus regeneration ever leaves [-2, 2] — loud
+    // failure, never a mislabeled cluster. (With cy ≤ 998 asserted, the
+    // boundary neighbor wrap (cx,0)+dy=-1 → (cx-1)·1000+999 can never
+    // collide with a REAL cell either, since no real cell has cy = 999.)
     val pts = Tables.embeddings(spark, dir)
       .select(Ann.gridQuantize($"embedding").as("g"))
       .select(element_at($"g", 1).cast("long").as("x"),
         element_at($"g", 2).cast("long").as("y"))
-      .select(expr("(x + 2000000) div 250000").as("cx"),
+      .select(
+        when($"x".between(-2000000L, 2000000L) &&
+            $"y".between(-2000000L, 2000000L),
+          expr("(x + 2000000) div 250000"))
+          .otherwise(raise_error(concat(
+            lit("q354: quantized embedding coord outside [-2e6, 2e6]: ("),
+            $"x".cast("string"), lit(","), $"y".cast("string"), lit(")"))))
+          .as("cx"),
         expr("(y + 2000000) div 250000").as("cy"))
     val cells = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("npts"))
       .localCheckpoint() // feeds core/noise splits and the census

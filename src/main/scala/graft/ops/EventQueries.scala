@@ -1794,8 +1794,14 @@ object EventQueries {
       .select($"user_id", unix_micros($"ts").as("tu"))
       .groupBy($"user_id")
       .agg(min($"tu").as("fu"), max($"tu").as("lu"))
-    val mx = users.agg(max($"lu").as("m"))
-    val u = users.crossJoin(broadcast(mx))
+    val mx = users.agg(max($"lu").as("m"), min($"fu").as("f"))
+      .localCheckpoint() // 1 row; feeds the broadcast AND the span guard
+    // Enforced driver-fold bound: distinct lifetimes (in hours) can never
+    // exceed the corpus' own hour span + 1, so the collect() below is
+    // O(span-hours) no matter the row count (~720 for the 30-day corpus).
+    val mxRow = mx.head()
+    val spanHours = (mxRow.getLong(0) - mxRow.getLong(1)) / HourUs + 1
+    val u = users.crossJoin(broadcast(mx.select($"m")))
       .select(expr(s"(lu - fu) div $HourUs").cast("int").as("t"),
         (expr(s"(m - lu) div $HourUs") >= 12).as("churned"))
     val total = u.count()
@@ -1808,7 +1814,10 @@ object EventQueries {
       .filter($"d" > 0)
       .select($"t", $"d", $"n_risk")
       .orderBy($"t")
-      .collect() // O(distinct lifetimes) — bounded by the corpus day span
+      .collect() // O(distinct lifetimes) — bound ENFORCED just below
+    require(km.length <= spanHours,
+      s"q247: ${km.length} distinct lifetimes exceeds the corpus hour " +
+        s"span $spanHours — the driver fold contract is broken")
     var s = 10000L
     val rows = km.map { r =>
       val (t, d, n) = (r.getInt(0), r.getLong(1), r.getLong(2))

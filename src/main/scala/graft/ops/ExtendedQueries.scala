@@ -1395,9 +1395,15 @@ object ExtendedQueries {
   def associationRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (pairs, _, _) = frequentPairLattice(spark, dir)
+    // kept is the tiny filtered pair frame, but its lineage is the whole
+    // a-priori lattice (lineitem/part join + distinct + pair self-join);
+    // the two unionAll branches below are independent subtrees, so without
+    // materialization the lattice executes TWICE (the q132 checkpoint rule
+    // — same antipattern nodeTriangles' 3-way unionAll had).
     val kept = pairs
       .filter(when($"n_baskets" > 0,
         expr("(10000 * n_pair) div n_baskets")).otherwise(0L) >= 275)
+      .localCheckpoint()
     val rules = kept.select($"brand_a".as("antecedent"),
         $"brand_b".as("consequent"), $"n_a".as("n_ante"),
         $"n_b".as("n_cons"), $"n_pair", $"n_baskets")

@@ -882,8 +882,9 @@ object TextQueries {
          |    ELSE 0 END AS BIGINT) AS chars_per_piece_bp
          |FROM g""".stripMargin,
     // q347: identical integer-log2 idf, the same cleared-fraction BM25
-    // div (all terms non-negative so `//` == `div`), same 21–24 query
-    // slice and (score desc, doc_id) top-10.
+    // div (all terms non-negative so `//` == `div`), the same
+    // discriminative query-term selection (top-4 most frequent terms
+    // whose df·4 ≤ N, ties by token asc) and (score desc, doc_id) top-10.
     "q347_bm25_retrieval" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents
