@@ -32,6 +32,61 @@ import org.apache.spark.sql.SparkSession
   * a driver kill at any point now leaves parseable data behind.
   */
 object Bench {
+
+  /** Lower median (exact for odd n, mean-of-middle-two for even). */
+  def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted; val n = s.size
+    require(n > 0, "medianOf on empty seq")
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
+  /** Canary acceptance decision for a bench.json refresh — pure and
+    * unit-tested (BenchCanarySpec) because it guards a committed artifact.
+    *
+    * Two guards, BOTH must pass (VERDICT r13 #2 — the anchor-ratchet):
+    *  1. single-step: |canary/latest − 1| ≤ 0.15 (the original r11 rule;
+    *     `committedCanary` is the anchor at run start);
+    *  2. median-of-history: |canary/median(last ≤5 accepted canaries) − 1|
+    *     ≤ 0.15. The single-step rule alone lets the anchor RATCHET: a
+    *     chain of +14% acceptances walked r13's anchor 0.794 → 0.953 with
+    *     no step tripping the gate. The median of the last 3–5 accepted
+    *     canaries moves at half the chain's speed, so a drift chain trips
+    *     guard 2 by its second or third step (see the spec's chain test).
+    *
+    * `history` is the committed artifact's append-only `canary_history`
+    * (most recent LAST; bootstrapped from `canary_secs` for artifacts
+    * that predate the field). Returns Some(reason) to refuse. */
+  def canaryRefusal(canary: Double, committedCanary: Option[Double],
+      history: Seq[Double]): Option[String] = {
+    def f3(v: Double): String = f"$v%.3f"
+    committedCanary match {
+      case None => None // first-ever commit: nothing to compare against
+      case Some(c) if canary <= 0 =>
+        // r12 ADVICE: a failed canary query (canary = -1) means the
+        // anchor is unusable, NOT that the host is comparable
+        Some("canary queries failed (canary subtotal unavailable) — " +
+          "cannot establish host comparability against the committed " +
+          s"artifact's ${f3(c)} s anchor")
+      case Some(c) if math.abs(canary / c - 1) > 0.15 =>
+        Some(s"canary ${f3(canary)} s deviates >15% from the " +
+          s"committed artifact's ${f3(c)} s — host not comparable " +
+          "(CLAUDE.md canary rule); re-run on a quiet host")
+      case Some(_) =>
+        val recent = history.filter(_ > 0).takeRight(5)
+        if (recent.isEmpty) None
+        else {
+          val med = medianOf(recent)
+          if (med > 0 && math.abs(canary / med - 1) > 0.15)
+            Some(s"canary ${f3(canary)} s deviates >15% from the median " +
+              s"${f3(med)} s of the last ${recent.size} accepted canaries — " +
+              "anchor-ratchet guard (CLAUDE.md): a chain of within-15% " +
+              "single steps cannot migrate the anchor past this; re-run " +
+              "on a quiet host or re-baseline per the documented protocol")
+          else None
+        }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
@@ -172,15 +227,23 @@ object Bench {
       if (ts.size == CanaryQueries.size) ts.sum else -1.0
     }
 
-    // The committed artifact's canary, if it records one (read before the
-    // trials so artifactLine can self-adjudicate against it)
-    val committedCanary: Option[Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench.json")), "UTF-8")
-        """"canary_secs":([0-9.]+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble).filter(_ > 0)
-      } catch { case _: Throwable => None }
+    // The committed artifact's canary + append-only canary HISTORY, if it
+    // records them (read before the trials so artifactLine can
+    // self-adjudicate against them). History is most-recent-LAST;
+    // artifacts predating the field bootstrap from their canary_secs.
+    val committedText: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench.json")), "UTF-8"))
+      catch { case _: Throwable => None }
+    val committedCanary: Option[Double] = committedText.flatMap { txt =>
+      """"canary_secs":([0-9.]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).filter(_ > 0)
+    }
+    val committedHistory: Seq[Double] = committedText.flatMap { txt =>
+      """"canary_history":\[([0-9.,\s]*)\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toDouble).toSeq)
+    }.getOrElse(committedCanary.toSeq)
 
     def artifactLine(passes: Seq[Map[String, Double]]): String = {
       val results = ordered.map { case (name, _) =>
@@ -224,10 +287,30 @@ object Bench {
           .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
         case _ => "null"
       }
-      val rebaselined =
-        if (sys.env.get("SPARK_GRAFT_BENCH_REBASELINE").contains("1"))
-          """"rebaselined":true,""" else ""
-      s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trials_completed":${passes.size},"trial_totals":$totals,"spread":$spread,$rebaselined"canary_delta_vs_committed":$canaryDelta,"queries_max":$qsMax,"fixture_secs":${r3d(fixtureSecs)},"fixtures":$fx,"warmup_secs":${r3d(warmupSecs)},"warmup_queries":$warmed,"warmup_mode":"$warmupMode","canary_queries":${CanaryQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_secs":${r3d(canary)}}"""
+      val rebaseline =
+        sys.env.get("SPARK_GRAFT_BENCH_REBASELINE").contains("1")
+      val rebaselined = if (rebaseline) """"rebaselined":true,""" else ""
+      // APPEND-ONLY CANARY HISTORY (VERDICT r13 #2): what the committed
+      // history becomes if this artifact is accepted — the last ≤8
+      // accepted canaries plus this run's, most recent last. A re-baseline
+      // RESTARTS the history at this run's canary (the old regime's
+      // anchors would otherwise refuse every post-re-baseline refresh via
+      // the median rule and deadlock it again; the full chain stays
+      // readable in git history).
+      val newHistory =
+        (if (rebaseline) Seq(canary)
+         else committedHistory.filter(_ > 0) :+ canary).takeRight(8)
+      val historyJson = newHistory.map(r3d).mkString("[", ",", "]")
+      // MEMOIZED-FIXTURE HEAP (VERDICT r13 #7): bytes pinned by the
+      // per-(JVM, sf-dir) memoized derived tables (localCheckpoint RDDs —
+      // catalog.clearCache does NOT release them, by design: a gate times
+      // the operation it claims to gate, not its fixture build). Two
+      // rounds of adjudication attributed shared-query drift to "in-suite
+      // interference from the grown suite"; this makes that heap
+      // measurable per artifact instead of inferred.
+      val storage = spark.sparkContext.getRDDStorageInfo
+      val cachedBytes = storage.map(r => r.memSize + r.diskSize).sum
+      s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trials_completed":${passes.size},"trial_totals":$totals,"spread":$spread,$rebaselined"canary_delta_vs_committed":$canaryDelta,"queries_max":$qsMax,"fixture_secs":${r3d(fixtureSecs)},"fixtures":$fx,"warmup_secs":${r3d(warmupSecs)},"warmup_queries":$warmed,"warmup_mode":"$warmupMode","cached_bytes":$cachedBytes,"cached_rdds":${storage.length},"canary_queries":${CanaryQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_secs":${r3d(canary)},"canary_history":$historyJson}"""
     }
 
     // Canary of the artifact line being persisted, re-derived the same way
@@ -296,19 +379,10 @@ object Bench {
           Some("subset run (SPARK_GRAFT_BENCH_ONLY) cannot replace the " +
             "full committed artifact")
         else if (rebaseline) None
-        else committedCanary match {
-          case Some(c) if canary <= 0 =>
-            // r12 ADVICE: a failed canary query (canary = -1) means the
-            // anchor is unusable, NOT that the host is comparable
-            Some("canary queries failed (canary subtotal unavailable) — " +
-              "cannot establish host comparability against the committed " +
-              f"artifact's ${r3d(c)} s anchor")
-          case Some(c) if math.abs(canary / c - 1) > 0.15 =>
-            Some(f"canary ${r3d(canary)} s deviates >15%% from the " +
-              f"committed artifact's ${r3d(c)} s — host not comparable " +
-              "(CLAUDE.md canary rule); re-run on a quiet host")
-          case _ => None
-        }
+        // Both canary guards — single-step vs the run-start anchor AND
+        // median-of-history (r13 #2 anchor-ratchet) — live in the pure,
+        // unit-tested canaryRefusal above.
+        else canaryRefusal(canary, committedCanary, committedHistory)
       refuse match {
         case Some(why) =>
           System.err.println(s"[bench] REFUSING bench.json refresh: $why; " +
