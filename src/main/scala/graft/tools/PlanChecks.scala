@@ -62,6 +62,36 @@ object PlanChecks {
     }
   }
 
+  /** Count of rank-limit pushdown nodes in the executed plan (AQE
+    * wrappers descended). A `rk <= N` filter over an UNPARTITIONED window
+    * is scale-safe ONLY because one of two optimizer mechanisms bounds
+    * what reaches the window's sort:
+    *
+    *  - `LimitPushDownThroughWindow` (the one Spark 4.1 actually picks
+    *    for the empty-partition shape): pushes `Limit N` below the
+    *    window, planned as a `TakeOrderedAndProjectExec` — per-partition
+    *    top-N + a driver-side merge, NO single-partition exchange at all;
+    *  - `InferWindowGroupLimit` (`spark.sql.optimizer.
+    *    windowGroupLimitThreshold`): inserts Partial/Final
+    *    `WindowGroupLimitExec`s so each upstream task forwards ≤ N rows
+    *    into the exchange.
+    *
+    * A config or upgrade regression that disables BOTH silently restores
+    * the full-frame one-task sort (the r12 `weak` anti-pattern) while
+    * staying hash-correct — this counter is what WindowGroupLimitSpec
+    * pins so that failure is loud. */
+  def rankLimitPushdownNodes(plan: SparkPlan): Int = {
+    def go(p: SparkPlan): Int = unwrap(p) match {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        1 + go(w.child)
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        1 + go(t.child)
+      case other =>
+        other.children.map(go).sum + other.subqueries.map(go).sum
+    }
+    go(plan)
+  }
+
   /** The LARGEST row count any single-partition window exchange carried
     * in `plan` (0 when there is none) — the one number a scale probe
     * compares across corpus sizes: growing ~linearly with the data means
