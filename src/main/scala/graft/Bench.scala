@@ -310,7 +310,11 @@ object Bench {
       // measurable per artifact instead of inferred.
       val storage = spark.sparkContext.getRDDStorageInfo
       val cachedBytes = storage.map(r => r.memSize + r.diskSize).sum
-      s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trials_completed":${passes.size},"trial_totals":$totals,"spread":$spread,$rebaselined"canary_delta_vs_committed":$canaryDelta,"queries_max":$qsMax,"fixture_secs":${r3d(fixtureSecs)},"fixtures":$fx,"warmup_secs":${r3d(warmupSecs)},"warmup_queries":$warmed,"warmup_mode":"$warmupMode","cached_bytes":$cachedBytes,"cached_rdds":${storage.length},"canary_queries":${CanaryQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_secs":${r3d(canary)},"canary_history":$historyJson}"""
+      // The r14 refresh measured cached_bytes = 0: every memoized fixture
+      // is file-backed (Scratch parquet) or driver-collected rows, so the
+      // FILE side is the number that actually grows with the suite.
+      val scratchBytes = Scratch.totalBytes
+      s"""{"metric":"total","value":${r3d(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"trials_completed":${passes.size},"trial_totals":$totals,"spread":$spread,$rebaselined"canary_delta_vs_committed":$canaryDelta,"queries_max":$qsMax,"fixture_secs":${r3d(fixtureSecs)},"fixtures":$fx,"warmup_secs":${r3d(warmupSecs)},"warmup_queries":$warmed,"warmup_mode":"$warmupMode","cached_bytes":$cachedBytes,"cached_rdds":${storage.length},"scratch_bytes":$scratchBytes,"canary_queries":${CanaryQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"canary_secs":${r3d(canary)},"canary_history":$historyJson}"""
     }
 
     // Canary of the artifact line being persisted, re-derived the same way

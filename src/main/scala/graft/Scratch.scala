@@ -31,6 +31,23 @@ object Scratch {
   def named(key: String): Path =
     byKey.computeIfAbsent(key, k => fresh(s"graft_${k}_"))
 
+  /** Total bytes currently held by every scratch dir this JVM handed out
+    * — the FILE-BACKED side of the memoized-fixture footprint (VERDICT
+    * r13 #7; the r14 bench run measured `cached_bytes` = 0, i.e. no
+    * fixture pins executor storage — they all live here instead).
+    * Recorded per bench artifact as `scratch_bytes`. Symlinks are
+    * counted as themselves, never followed (the delete rule). */
+  def totalBytes: Long = {
+    def sizeOf(f: java.io.File): Long =
+      if (Files.isSymbolicLink(f.toPath)) 0L
+      else if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length()
+    var total = 0L
+    registered.forEach(p => total += sizeOf(p.toFile))
+    total
+  }
+
   /** Collision-free scratch/table key for an input directory: the sanitized
     * path itself, NOT `dir.hashCode` — two distinct sf dirs with colliding
     * hashCodes would silently share an export directory (the exact bug

@@ -140,6 +140,63 @@ object AnnQueries {
           .otherwise(0L).as("recall_bp"))
   }
 
+  /** IVF RECALL UNDER HOT-CELL QUERY SKEW (q359, VERDICT r13 #8) — the
+    * recall audit q186 runs, pointed at the index's own worst case: real
+    * query traffic is not uniform over the embedding space, it clusters —
+    * and it clusters exactly where the corpus does (users query about
+    * popular things), i.e. in the index's DENSEST cell. There nprobe
+    * pruning is most at risk: the hot cell's true neighbors are the ones
+    * most likely to sit just across a Voronoi boundary in an adjacent
+    * cell (the cell is dense because it covers a crowded region, so its
+    * boundary carries more mass too). The query set is therefore the 10
+    * lowest-id vectors whose PRIMARY (rank-1, cos-desc/cell-asc — the
+    * [[Ann.probeCells]] order) assignment is the most-occupied cell, and
+    * the readout is q186's: recall@10 vs the exact brute-force top-10 at
+    * nprobe 1..3, in integer basis points, plus the hot cell's identity
+    * and occupancy so the artifact shows WHICH worst case was measured.
+    * Complements q314 (hot-cell SPLIT — the maintenance fix) with the
+    * measurement that tells an operator the fix is needed.
+    *
+    * Scale shape is q186's unchanged: the brute-force pass is the
+    * designed-linear ground-truth yardstick over broadcast queries, the
+    * probed search is cell-restricted (partition pruning, AnnSpec-pinned),
+    * and the hot-cell election is one tiny census + a 1-row broadcast. */
+  def ivfHotCellRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (grid, celled, centroids) = gridIndex(spark, dir)
+    // rank-1 assignment of every corpus vector: probeCells(nprobe=1) IS
+    // the (cos desc, cell asc) argmax the oracle replays from s2
+    val primary = Ann.probeCells(grid, centroids, 1)
+    val hot = primary.groupBy($"cell").agg(count(lit(1)).as("n_hot"))
+      .orderBy($"n_hot".desc, $"cell".asc).limit(1)
+      .select($"cell".as("hot_cell"), $"n_hot")
+    val queries = primary
+      .join(broadcast(hot), $"cell" === $"hot_cell")
+      .orderBy($"vec_id").limit(10)
+      .select($"vec_id", $"embedding")
+    // cached: the exact frame feeds BOTH the hit join and the n_exact
+    // count (the q186 rule)
+    val exact = Ann.bruteForceTopK(grid, queries, 10)
+      .select($"query_id", $"cand_id").cache()
+    val retrieved = (1 to 3).map { np =>
+      Ann.ivfTopK(celled, Ann.probeCells(queries, centroids, np), 10, "cell",
+        dedup = true)
+        .select(lit(np).as("nprobe"), $"query_id", $"cand_id")
+    }.reduce(_ unionByName _)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    retrieved
+      .join(exact.withColumn("hit", lit(1L)), Seq("query_id", "cand_id"), "left")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .crossJoin(broadcast(hot))
+      .select($"nprobe", $"hot_cell".cast("int").as("hot_cell"), $"n_hot",
+        $"n_retrieved", $"n_hits", $"n_exact",
+        when($"n_exact" > 0, expr("(10000 * n_hits) DIV n_exact"))
+          .otherwise(0L).as("recall_bp"))
+  }
+
   /** SQL-EXTENSION surface gate (q193): the `SparkSessionExtensions`
     * `injectFunction` path ([[graft.functions.GraftExtensions]]) driven
     * end to end through `spark.sql` — a SQL user calling the fused native
@@ -1095,6 +1152,7 @@ object AnnQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q354_grid_density_clusters" -> (gridDensityClusters _),
+    "q359_ivf_hotcell_recall" -> (ivfHotCellRecall _),
     "q328_rrf_hybrid" -> (rrfHybrid _),
     "q338_centroid_drift" -> (centroidDrift _),
     "q323_kcenter_coreset" -> (kcenterCoreset _),
@@ -1880,6 +1938,70 @@ object AnnQueries {
     // generate_series(1,3), the IVF top-10 per (np, query) reconciles
     // against the exact grid-cosine top-10, all counts integer. `//` on
     // positive BIGINTs = Spark's DIV.
+    // q359: q186's replay with the hot-cell query set — prim is the
+    // rank-1 (cos desc, cell asc) assignment probeCells(nprobe=1)
+    // computes, hot is its most-occupied cell (cell-asc tie-break), qs
+    // its 10 lowest vec_ids; exact/probed top-10s and the bp division
+    // are q186's verbatim.
+    "q359_ivf_hotcell_recall" ->
+      s"""WITH $gridLloydSql,
+         |prim AS (
+         |  SELECT vec_id, cell FROM s2
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cell ASC) = 1
+         |), hot AS (
+         |  SELECT cell AS hot_cell, CAST(count(*) AS BIGINT) AS n_hot
+         |  FROM prim GROUP BY 1
+         |  ORDER BY n_hot DESC, hot_cell ASC LIMIT 1
+         |), qs AS (
+         |  SELECT vec_id FROM prim JOIN hot ON prim.cell = hot.hot_cell
+         |  ORDER BY vec_id LIMIT 10
+         |), ex AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |    ${cosSql("a.v", "b.v")} AS cosine
+         |  FROM iv a JOIN qs ON a.vec_id = qs.vec_id
+         |  JOIN iv b ON a.vec_id <> b.vec_id
+         |), ext AS (
+         |  SELECT query_id, cand_id FROM ex
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id ASC) <= 10
+         |), nex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ext
+         |), pr AS (
+         |  SELECT n.np, s.vec_id, s.cell,
+         |    row_number() OVER (PARTITION BY n.np, s.vec_id
+         |      ORDER BY s.cos DESC, s.cell ASC) AS rn
+         |  FROM (SELECT unnest(generate_series(1, 3)) AS np) n
+         |  CROSS JOIN s2 s
+         |  JOIN qs ON s.vec_id = qs.vec_id
+         |), p AS (
+         |  SELECT np, vec_id, cell FROM pr WHERE rn <= np
+         |), sc AS (
+         |  SELECT DISTINCT p.np, p.vec_id AS query_id, b.vec_id AS cand_id,
+         |    ${cosSql("ia.v", "ib.v")} AS cosine
+         |  FROM p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+         |  JOIN iv ia ON ia.vec_id = p.vec_id
+         |  JOIN iv ib ON ib.vec_id = b.vec_id
+         |), ret AS (
+         |  SELECT np, query_id, cand_id FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY np, query_id
+         |    ORDER BY cosine DESC, cand_id ASC) <= 10
+         |), agg AS (
+         |  SELECT np, count(*) AS n_retrieved,
+         |    sum(CASE WHEN ext.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+         |  FROM ret LEFT JOIN ext
+         |    ON ret.query_id = ext.query_id AND ret.cand_id = ext.cand_id
+         |  GROUP BY np
+         |)
+         |SELECT CAST(np AS INTEGER) AS nprobe,
+         |  CAST(hot.hot_cell AS INTEGER) AS hot_cell,
+         |  hot.n_hot AS n_hot,
+         |  CAST(n_retrieved AS BIGINT) AS n_retrieved,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  nex.n_exact AS n_exact,
+         |  CAST(CASE WHEN nex.n_exact > 0 THEN (10000 * n_hits) // nex.n_exact
+         |       ELSE 0 END AS BIGINT) AS recall_bp
+         |FROM agg, nex, hot""".stripMargin,
     "q186_ann_ivf_recall" ->
       s"""WITH $gridLloydSql,
          |ex AS (
