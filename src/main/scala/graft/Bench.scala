@@ -87,6 +87,26 @@ object Bench {
     }
   }
 
+  /** What the committed `canary_history` becomes if THIS artifact is
+    * accepted — pure and unit-tested (BenchCanarySpec) because a reader
+    * may promote any written artifact to bench.json and its history must
+    * then be valid as-is (r14 ADVICE: the old unconditional append let a
+    * REFUSED run's bench.out.json seed the anchor-ratchet median with a
+    * never-accepted canary). Append gating mirrors persist's acceptance
+    * rules: a subset run or a canary-refused run carries the committed
+    * history UNCHANGED; a re-baseline RESTARTS the history at this run's
+    * canary; an ordinary accepted run appends. Most recent last, ≤8 kept. */
+  def nextHistory(canary: Double, committedCanary: Option[Double],
+      committedHistory: Seq[Double], rebaseline: Boolean,
+      isSubset: Boolean): Seq[Double] = {
+    val kept = committedHistory.filter(_ > 0)
+    (if (isSubset) kept
+     else if (rebaseline) Seq(canary)
+     else if (canaryRefusal(canary, committedCanary, committedHistory).isEmpty)
+       kept :+ canary
+     else kept).takeRight(8)
+  }
+
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
@@ -290,16 +310,21 @@ object Bench {
       val rebaseline =
         sys.env.get("SPARK_GRAFT_BENCH_REBASELINE").contains("1")
       val rebaselined = if (rebaseline) """"rebaselined":true,""" else ""
-      // APPEND-ONLY CANARY HISTORY (VERDICT r13 #2): what the committed
-      // history becomes if this artifact is accepted — the last ≤8
-      // accepted canaries plus this run's, most recent last. A re-baseline
-      // RESTARTS the history at this run's canary (the old regime's
-      // anchors would otherwise refuse every post-re-baseline refresh via
-      // the median rule and deadlock it again; the full chain stays
-      // readable in git history).
-      val newHistory =
-        (if (rebaseline) Seq(canary)
-         else committedHistory.filter(_ > 0) :+ canary).takeRight(8)
+      // APPEND-ONLY CANARY HISTORY (VERDICT r13 #2): the last ≤8 accepted
+      // canaries plus this run's IF this run would be accepted, most
+      // recent last. The append is gated on the SAME acceptance rules
+      // persist enforces (r14 ADVICE: the old unconditional append meant a
+      // REFUSED run's bench.out.json carried the never-accepted canary, so
+      // manually promoting it would have seeded the anchor-ratchet median
+      // with the refused value) — a refused or subset artifact carries the
+      // committed history UNCHANGED, so any artifact's history is valid to
+      // promote as-is. A re-baseline RESTARTS the history at this run's
+      // canary (the old regime's anchors would otherwise refuse every
+      // post-re-baseline refresh via the median rule and deadlock it
+      // again; the full chain stays readable in git history). The gating
+      // itself is the pure, unit-tested nextHistory above.
+      val newHistory = nextHistory(canary, committedCanary,
+        committedHistory, rebaseline, onlySet.nonEmpty)
       val historyJson = newHistory.map(r3d).mkString("[", ",", "]")
       // MEMOIZED-FIXTURE HEAP (VERDICT r13 #7): bytes pinned by the
       // per-(JVM, sf-dir) memoized derived tables (localCheckpoint RDDs —

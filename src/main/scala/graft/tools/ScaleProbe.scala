@@ -316,8 +316,13 @@ object ScaleProbe {
 
     // lineitem: salted union + the hub line (see the scaladoc). The hub
     // rides each even-keyed order's first line with l_linenumber 99, so
-    // (orderkey, linenumber) stays unique and the edge build's distinct()
-    // sees one (order, hub) membership per basket.
+    // hub lines never collide with real linenumbers (1–7). NOTE (r14
+    // ADVICE): (orderkey, linenumber) is NOT pairwise unique — the corpus
+    // itself carries ~11k duplicate pairs at sf0.01 (CLAUDE.md), so a
+    // duplicated (orderkey, 1) source row emits a duplicate (orderkey, 99)
+    // hub line. Harmless here: the edge build's distinct() collapses them
+    // to one (order, hub) membership per basket, which is all the skew
+    // diagnostic needs.
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .crossJoin(broadcast(copies))
     val liSalted = li.select(off("l_orderkey") +:

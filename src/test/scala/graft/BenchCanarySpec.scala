@@ -76,4 +76,47 @@ class BenchCanarySpec extends AnyFunSuite {
     val hist = Seq(-1.0, 0.8, 0.8)
     assert(Bench.canaryRefusal(0.8, Some(0.8), hist).isEmpty)
   }
+
+  // ---- nextHistory (r14 ADVICE: a refused run's artifact must not carry
+  // the never-accepted canary — any written artifact's history must be
+  // valid to promote as-is) ----
+
+  test("nextHistory: accepted run appends, most recent last, capped at 8") {
+    val h = Bench.nextHistory(0.82, Some(0.8), Seq(0.78, 0.8),
+      rebaseline = false, isSubset = false)
+    assert(h == Seq(0.78, 0.8, 0.82))
+    val long = (1 to 9).map(i => 0.8 + i * 0.001)
+    val capped = Bench.nextHistory(0.81, Some(long.last), long,
+      rebaseline = false, isSubset = false)
+    assert(capped.size == 8 && capped.last == 0.81)
+  }
+
+  test("nextHistory: a REFUSED canary leaves the committed history unchanged") {
+    // >15% above both the anchor and the history median → persist refuses;
+    // the artifact's history must therefore be the committed one verbatim.
+    val h = Bench.nextHistory(1.2, Some(0.8), Seq(0.78, 0.8),
+      rebaseline = false, isSubset = false)
+    assert(h == Seq(0.78, 0.8), s"refused canary leaked into history: $h")
+  }
+
+  test("nextHistory: a failed canary (-1) never enters the history") {
+    val h = Bench.nextHistory(-1.0, Some(0.8), Seq(0.8),
+      rebaseline = false, isSubset = false)
+    assert(h == Seq(0.8))
+  }
+
+  test("nextHistory: subset runs never touch the history, even rebaselined") {
+    assert(Bench.nextHistory(0.81, Some(0.8), Seq(0.8),
+      rebaseline = false, isSubset = true) == Seq(0.8))
+    // subset refusal is not bypassable (CLAUDE.md), so neither is its
+    // history freeze
+    assert(Bench.nextHistory(0.81, Some(0.8), Seq(0.8),
+      rebaseline = true, isSubset = true) == Seq(0.8))
+  }
+
+  test("nextHistory: re-baseline restarts the history at this run's canary") {
+    val h = Bench.nextHistory(1.1, Some(0.8), Seq(0.78, 0.8),
+      rebaseline = true, isSubset = false)
+    assert(h == Seq(1.1))
+  }
 }
