@@ -9,6 +9,13 @@ artifact's per-query min across trials).  Prints:
   - shared-subtotal A/B (the cross-round comparability headline),
   - the canary subtotal of each artifact when present (the absolute
     host anchor — see CLAUDE.md's canary rule),
+  - the CANARY-NORMALIZED shared subtotal (VERDICT r14 #5): the new
+    subtotal divided by the canary ratio, i.e. what the new run would
+    have measured on the old artifact's host.  The raw cross-round
+    series absorbed four rounds of host drift (133.8 → 167.0 s on the
+    r10 convention set) while every per-round canary adjudication said
+    "flat" — quote BOTH numbers in any cross-round narrative, and read
+    the 2× baseline gate off the normalized one,
   - every query whose ratio trips the REGRESSION GATE: new/old > 1.30
     AND new-old > 0.15 s (both thresholds from VERDICT r11 #1 — the
     ratio alone flags sub-second noise, the delta alone flags big
@@ -60,6 +67,12 @@ def main():
     if oc and nc and oc > 0 and nc > 0:
         print(f"canary ratio  : x{nc / oc:.3f} "
               f"({'COMPARABLE (<=15%)' if abs(nc / oc - 1) <= 0.15 else 'HOSTS NOT COMPARABLE (>15%)'})")
+        # the new subtotal re-expressed on the OLD host (divide out the
+        # canary ratio): the engine-movement number for cross-round series
+        norm = nsub / (nc / oc)
+        print(f"normalized subtotal (new @ old host): {osub:.2f} s -> "
+              f"{norm:.2f} s  (x{norm / osub:.3f} engine, "
+              f"x{nsub / osub:.3f} raw)")
 
     # regression gate: >30% slower AND >0.15 s absolute
     regressions = [(k, oq[k], nq[k]) for k in shared
