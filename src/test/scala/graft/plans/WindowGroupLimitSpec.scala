@@ -21,15 +21,19 @@ import graft.tools.PlanChecks
   * `weak` anti-pattern — while staying hash-correct. This spec makes
   * that failure loud.
   *
-  * Gate inventory (re-swept this round): q280 is the ONLY registered gate
-  * whose `rk <= N` filter rides an unpartitioned data-scale window — the
-  * other rank filters are either per-key partitioned windows (q269's
-  * weekly top-10, q328's per-query RRF rank, the item-similarity top-3:
+  * Gate inventory: q280 is the ONLY registered gate whose `rk <= N`
+  * filter rides an unpartitioned data-scale window — the other rank
+  * filters are either per-key partitioned windows (q269's weekly top-10,
+  * q328's per-query RRF rank, the item-similarity top-3:
   * hash-partitioned, no funnel), Sweep-computed ranks filtered as plain
   * columns (workingSetCoverage's top-100 — no window at all), or bounded
   * frames (the apportionment remainders, the k+1-row priority sample).
-  * If a new gate adds an unpartitioned rank filter, add it to `gates`
-  * below.
+  * That claim is no longer hand-maintained (VERDICT r14 #3):
+  * [[RegistrySpwSweepSpec]] executes EVERY registered gate at sf0.001 and
+  * fails if any single-partition window exchange carries a data-scale
+  * frame — a new unpartitioned rank filter that loses its pushdown now
+  * fails CI mechanically. If one is ADDED deliberately, also add it to
+  * `gates` below so its pushdown is pinned like q280's.
   *
   * The mechanism tests at the bottom prove (a) the pushdown bounds the
   * sort input on a frame big enough to discriminate, and (b) with both
