@@ -177,6 +177,43 @@ object EventQueries {
       mode = org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Stage the events corpus into a drive dir as ONE parquet file: a
+    * symlink when `src` is already a single file (every shipped corpus),
+    * a coalesce(1) rewrite when it is a Spark-written DIRECTORY
+    * (ScaleProbe's scratch builds). The file-stream source does NOT
+    * descend into a directory entry, so a symlinked directory silently
+    * contributed ZERO corpus rows to the drive — the r12–r14 SCALING.md
+    * streaming rows (q194/q216/q227) measured exactly that: a drive
+    * processing only its flush file (found r15 when the new
+    * StateMeter showed q216's 4× peak state at 2 rows vs 4020 at 1×,
+    * and RowCount confirmed 0 output rows on the scaled corpus).
+    * Part-file symlinks would be wrong differently: maxFilesPerTrigger=1
+    * would split the corpus across batches, advancing the watermark
+    * mid-corpus and dropping unordered parts as late. One file keeps
+    * every drive's designed two-batch contract at every corpus size.
+    * The staged file's mtime is set 1h in the past so FileStreamSource's
+    * oldest-first order still processes corpus before flush/sentinel
+    * files (which the builders stamp with `now`), and after any
+    * epoch-stamped advancer files. */
+  private def stageCorpus(spark: SparkSession, drive: java.nio.file.Path,
+      name: String, src: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(src)
+    if (Files.isRegularFile(p)) {
+      Files.createSymbolicLink(drive.resolve(name), p): Unit
+    } else {
+      val staging = graft.Scratch.fresh("corpus_stage_")
+      spark.read.parquet(src).coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = drive.resolve(name)
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 3600_000L): Unit
+    }
+  }
+
   /** Two-batch drive for the q216 LEFT-OUTER stream-stream join, memoized
     * per (JVM, dir): the corpus symlink, then a flush file holding one
     * far-future advancer per SIDE (event_type click and error, user −1) —
@@ -206,7 +243,7 @@ object EventQueries {
         case t => timestamp_micros(lit(us)).cast(t)
       }
       val drive = graft.Scratch.named(s"q216_drive_${graft.Scratch.dirKey(dir)}")
-      Files.createSymbolicLink(drive.resolve("aa_events.parquet"), Paths.get(src))
+      stageCorpus(spark, drive, "aa_events.parquet", src)
       val staging = graft.Scratch.fresh("q216_staging_")
       Seq(("click", -2L), ("error", -3L)).toDF("event_type", "event_id")
         .withColumn("ts", encTs(maxUs + 100L * 24 * 3600 * 1000000L))
@@ -343,7 +380,7 @@ object EventQueries {
       val part = staging.toFile.listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
       Files.move(part.toPath, drive.resolve("zz_sentinel.parquet"))
-      Files.createSymbolicLink(drive.resolve("aa_events.parquet"), Paths.get(src))
+      stageCorpus(spark, drive, "aa_events.parquet", src)
       (drive.toString, java.lang.Long.valueOf(sentinelUs))
     })
     (drivePath, sentinelBoxed.longValue)
@@ -614,8 +651,7 @@ object EventQueries {
     Tables.enableNanosRead(spark)
     val (q92drive, _) = q92DriveFor(spark, dir) // builds zz_sentinel.parquet
     val drive = graft.Scratch.fresh("q184_drive_")
-    Files.createSymbolicLink(drive.resolve("aa_events.parquet"),
-      Paths.get(s"$dir/events.parquet"))
+    stageCorpus(spark, drive, "aa_events.parquet", s"$dir/events.parquet")
     val out = graft.Scratch.fresh("q184_out_").resolve("batches").toString
     val ckpt = graft.Scratch.freshFast("ckpt_q184_").resolve("ckpt").toString
     val plan: DataFrame => DataFrame = ev =>
@@ -792,7 +828,7 @@ object EventQueries {
       // file), the corpus symlink keeps its target's mtime, flush is now
       writeOne("a_advance.parquet", synth(-2L, maxUs, advancerType), 1000L)
       writeOne("b_gap.parquet", synth(-3L, maxUs, advancerType), 2000L)
-      Files.createSymbolicLink(drive.resolve("c_events.parquet"), Paths.get(src))
+      stageCorpus(spark, drive, "c_events.parquet", src)
       val flushTypes = raw.select($"event_type").distinct()
         .unionByName(advancerType)
       writeOne("d_flush.parquet",
@@ -2133,8 +2169,7 @@ object EventQueries {
       import java.nio.file.{Files, Paths}
       val (q92drive, _) = q92DriveFor(spark, dir)
       val drive = graft.Scratch.named(s"q308_drive_${graft.Scratch.dirKey(dir)}")
-      Files.createSymbolicLink(drive.resolve("aa_events.parquet"),
-        Paths.get(s"$dir/events.parquet"))
+      stageCorpus(spark, drive, "aa_events.parquet", s"$dir/events.parquet")
       Files.createSymbolicLink(drive.resolve("ww_sentinel.parquet"),
         Paths.get(s"$q92drive/zz_sentinel.parquet"))
       Files.createSymbolicLink(drive.resolve("zz_sentinel2.parquet"),

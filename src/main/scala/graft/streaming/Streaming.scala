@@ -373,6 +373,35 @@ object Streaming {
     * basePath — so a plain file path can never work. Rewriting the file
     * path as a one-file glob (`…/events.parque[t]`) suppresses that
     * override; glob base paths resolve to the parent directory. */
+  /** Peak stateful-operator footprint per drive (r15, VERDICT r14 #7 —
+    * the streaming family's skew behavior was the one SCALING.md didn't
+    * measure). After every drive the helpers below record the MAX of
+    * `sum(stateOperators.numRowsTotal)` across the query's recent
+    * progress events — the peak row count the state store actually held,
+    * the number that grows when a hot key buffers a corpus-scale side of
+    * a stream-stream join. [[graft.tools.ScaleProbe]] resets before and
+    * reads after each probed gate and publishes the 1×/N× peaks as
+    * `state` columns in SCALING.md. Zero overhead on the drive itself
+    * (progress events are already collected by the engine). */
+  object StateMeter {
+    private val peak =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    private[streaming] def record(
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val rows = q.recentProgress.iterator
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      peak.merge(q.name, rows, (a: Long, b: Long) => math.max(a, b)): Unit
+    }
+    def reset(): Unit = peak.clear()
+    /** Largest peak any drive recorded since the last reset. */
+    def maxRows: Long = {
+      var m = 0L
+      peak.values.forEach(v => m = math.max(m, v))
+      m
+    }
+  }
+
   private def fileStream(spark: SparkSession, source: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val schema = spark.read.parquet(source).schema
@@ -428,7 +457,7 @@ object Streaming {
         graft.Scratch.freshFast(s"ckpt_${name}_").resolve("ckpt").toString))
       .queryName(name)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { StateMeter.record(q); q.stop() }
   }
 
   /** STREAMING MERGE SINK (q252) — foreachBatch that maintains a keyed
@@ -475,7 +504,7 @@ object Streaming {
           graft.Scratch.freshFast(s"ckpt_${name}_").resolve("ckpt").toString)
         .queryName(name)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally { StateMeter.record(q); q.stop() }
     }
 
   /** Run a streaming query over a parquet directory source and collect the
@@ -501,7 +530,7 @@ object Streaming {
         graft.Scratch.freshFast(s"ckpt_${name}_").resolve("ckpt").toString)
       .format("memory").queryName(name)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { StateMeter.record(q); q.stop() }
     spark.table(name)
   }
 }

@@ -107,8 +107,16 @@ object ScaleProbe {
     * bounded by the type vocabulary), the audio energy windows (q352 —
     * mapPartitions codec, zero shuffle, the linearity baseline), and
     * grid-density clustering (q354 — points only ever hash-agg into a
-    * resolution-bounded cell graph). */
+    * resolution-bounded cell graph).
+    *
+    * Round 15 (VERDICT r14 #7) adds q92 (per-user
+    * flatMapGroupsWithState sessionization — the per-key state class
+    * the hot-user skew corpus stresses; q216/q227 already cover join
+    * state) so the streaming skew probe has a 1× base row, and every
+    * probed gate now publishes its peak stateful-operator row count
+    * (`state` columns). */
   val DefaultGates: Seq[String] = Seq(
+    "q92_streaming_sessions",
     "q359_ivf_hotcell_recall",
     "q342_set_cover",
     "q344_association_rules",
@@ -250,7 +258,7 @@ object ScaleProbe {
     * prefixes make cross-copy shingles disjoint; drift stays spread over
     * all 64 buckets), so gates whose cost has a fanout term measure
     * clean on it even when a skewed real corpus would stress them. This
-    * variant rebuilds ONLY the two tables those gates read, with the
+    * variant rebuilds ONLY the tables the skew gates read, with the
     * skew their fanout terms fear:
     *
     *  - `documents`: one source ("mega") carries HALF the corpus
@@ -274,6 +282,15 @@ object ScaleProbe {
     *    LOWER-degree endpoint, so the hub contributes edges, never
     *    wedge fanout); this measures it under exactly the skew it
     *    defends against.
+    *  - `events` (r15, VERDICT r14 #7): ONE HOT USER owns the click
+    *    side of half the corpus, so the streaming family's state — the
+    *    one skew surface SCALING.md didn't measure — is stressed where
+    *    it actually concentrates: q216/q227's join state buffers a
+    *    corpus-scale click side under a single key in a single
+    *    state-store partition, and q92's per-user session group carries
+    *    half the stream. The error side stays sparse, so join OUTPUT
+    *    stays linear — the probe measures state/task skew, not a
+    *    data-quadratic match count.
     *
     * Skew-variant slopes are DIAGNOSTIC rows in SCALING.md (not fail-
     * enforced): a steeper q322 slope on boilerplate-heavy data is the
@@ -335,6 +352,26 @@ object ScaleProbe {
     liSalted.unionByName(hubLines)
       .write.mode("overwrite")
       .parquet(out.resolve("lineitem.parquet").toString)
+
+    // events (r15, VERDICT r14 #7): ONE HOT USER owns the CLICK side of
+    // half the corpus — copies < factor/2 remap their click rows to
+    // user_id 1, every other row keeps the uniform per-copy user offset.
+    // The stream-stream joins (q216/q227) then buffer a corpus-scale
+    // click side under ONE join key in ONE state-store partition (the
+    // error side stays sparse, so the join OUTPUT stays linear — this
+    // measures state pressure, not a data-quadratic match explosion),
+    // and the per-user sessionizer (q92) gets one group carrying half
+    // the click stream. Timestamps unchanged: the same wall-clock span,
+    // all of one key's traffic.
+    Tables.events(spark, sfDir).crossJoin(broadcast(copies))
+      .select(off("event_id"), col("ts"),
+        when(col("copy") < factor / 2 && col("event_type") === "click",
+          lit(1L))
+          .otherwise(col("user_id") + col("copy").cast("long") * 10_000_000L)
+          .as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite")
+      .parquet(out.resolve("events.parquet").toString)
     Files.createFile(marker)
     out.toString
   }
@@ -349,7 +386,15 @@ object ScaleProbe {
   val SkewGates: Seq[String] = Seq(
     "q322_contamination_matrix", "q326_merkle_reconcile",
     "q125_triangle_count", "q335_local_clustering", "q341_edge_jaccard",
-    "q188_lsh_band_sweep")
+    "q188_lsh_band_sweep",
+    // r15 (VERDICT r14 #7): the streaming family under HOT-KEY skew —
+    // one user owns the click side of half the corpus (see the events
+    // build above). q216/q227 measure stream-stream join state piling
+    // under one key; q92 measures a flatMapGroupsWithState group
+    // carrying half the stream. The `state` columns publish the peak
+    // state rows next to the wall-clock ratio.
+    "q216_streaming_outer_join", "q227_streaming_full_outer",
+    "q92_streaming_sessions")
 
   /** Run `fn` once untimed (fixtures + JIT), then once timed through the
     * noop sink (full-plan execution, the Bench rule). The WARM pass
@@ -357,13 +402,18 @@ object ScaleProbe {
     * so its executed exchange metrics are readable afterwards — that is
     * where the single-partition-window row count (VERDICT r12 #4: the
     * 10× wall-clock slope CANNOT see a single-partition sort, which is
-    * "linear"... on one core) comes from. Returns (seconds, spwRows). */
+    * "linear"... on one core) comes from. Returns (seconds, spwRows,
+    * stateRows — the peak stateful-operator row count any streaming
+    * drive held during the gate, 0 for batch gates; see
+    * [[graft.streaming.Streaming.StateMeter]]). */
   private def timeGate(spark: SparkSession,
-      fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
+      fn: (SparkSession, String) => DataFrame, dir: String)
+      : (Double, Long, Long) = {
     def once(): Unit = {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
     }
+    graft.streaming.Streaming.StateMeter.reset()
     // warm: fixture builds land here, not in the measurement
     val warm = fn(spark, dir)
     warm.queryExecution.executedPlan.execute().foreach(_ => ())
@@ -372,11 +422,12 @@ object ScaleProbe {
     spark.catalog.clearCache()
     val t0 = System.nanoTime()
     once()
-    ((System.nanoTime() - t0) / 1e9, spw)
+    ((System.nanoTime() - t0) / 1e9, spw,
+      graft.streaming.Streaming.StateMeter.maxRows)
   }
 
   case class Result(gate: String, t1: Double, tN: Double,
-      spw1: Long, spwN: Long) {
+      spw1: Long, spwN: Long, state1: Long = 0L, stateN: Long = 0L) {
     def ratio: Double = tN / math.max(t1, 0.05) // floor: sub-50ms base noise
   }
 
@@ -391,12 +442,12 @@ object ScaleProbe {
     val results = gates.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown gate: $name"))
-      val (t1, spw1) = timeGate(spark, fn, sfDir)
-      val (tN, spwN) = timeGate(spark, fn, scaled)
-      val r = Result(name, t1, tN, spw1, spwN)
+      val (t1, spw1, st1) = timeGate(spark, fn, sfDir)
+      val (tN, spwN, stN) = timeGate(spark, fn, scaled)
+      val r = Result(name, t1, tN, spw1, spwN, st1, stN)
       System.err.println(f"[scale] $name%-34s 1x=${r.t1}%7.2fs " +
         f"${factor}x=${r.tN}%7.2fs ratio=${r.ratio}%6.2f " +
-        f"spw=${r.spw1}%d/${r.spwN}%d")
+        f"spw=${r.spw1}%d/${r.spwN}%d state=${r.state1}%d/${r.stateN}%d")
       r
     }
 
@@ -411,11 +462,11 @@ object ScaleProbe {
         covered.map { name =>
           val fn = SparkEntry.queries(name)
           val base = results.find(_.gate == name).get
-          val (tS, spwS) = timeGate(spark, fn, skewDir)
-          val r = Result(name, base.t1, tS, base.spw1, spwS)
+          val (tS, spwS, stS) = timeGate(spark, fn, skewDir)
+          val r = Result(name, base.t1, tS, base.spw1, spwS, base.state1, stS)
           System.err.println(f"[scale] $name%-34s (skew) 1x=${r.t1}%7.2fs " +
             f"${factor}x=${r.tN}%7.2fs ratio=${r.ratio}%6.2f " +
-            f"spw=${r.spw1}%d/${r.spwN}%d")
+            f"spw=${r.spw1}%d/${r.spwN}%d state=${r.state1}%d/${r.stateN}%d")
           r
         }
       }
@@ -435,15 +486,20 @@ object ScaleProbe {
     md ++= s"carried — the wall-clock slope cannot see a single-partition\n"
     md ++= s"sort, which is \"linear\" on one core; bounded control frames\n"
     md ++= s"show O(partitions) rows here, a row-scale frame shows the data).\n\n"
-    md ++= s"| gate | 1× s | ${factor}× s | ratio | spw 1× | spw ${factor}× | verdict |\n"
-    md ++= s"|---|---:|---:|---:|---:|---:|---|\n"
+    md ++= s"`state` columns (r15, VERDICT r14 #7): the peak row count the\n"
+    md ++= s"stateful operators held during the gate's streaming drive (max\n"
+    md ++= s"of sum(numRowsTotal) over the query's progress events; 0 = not\n"
+    md ++= s"a streaming gate) — peak state must grow ~linearly with the\n"
+    md ++= s"corpus, never faster.\n\n"
+    md ++= s"| gate | 1× s | ${factor}× s | ratio | spw 1× | spw ${factor}× | state 1× | state ${factor}× | verdict |\n"
+    md ++= s"|---|---:|---:|---:|---:|---:|---:|---:|---|\n"
     results.foreach { r =>
       val verdict =
         if (r.ratio >= failAt) "**SUPER-LINEAR — FAIL**"
         else if (r.spwN >= spwCap) "**1-PART WINDOW — FAIL**"
         else if (r.ratio <= factor * 1.2) "linear or better"
         else "linear + overhead"
-      md ++= s"| ${r.gate} | ${f2(r.t1)} | ${f2(r.tN)} | ${f2(r.ratio)} | ${r.spw1} | ${r.spwN} | $verdict |\n"
+      md ++= s"| ${r.gate} | ${f2(r.t1)} | ${f2(r.tN)} | ${f2(r.ratio)} | ${r.spw1} | ${r.spwN} | ${r.state1} | ${r.stateN} | $verdict |\n"
     }
     md ++= s"\nA ratio near $factor is linear; well under $factor means fixed\n"
     md ++= s"per-run overhead still dominates at 1×; at or above $failAt the\n"
@@ -459,21 +515,26 @@ object ScaleProbe {
       md ++= s"baskets (degree ~ the part universe), the hot vertex the\n"
       md ++= s"degree-ordered wedge orientation claims to be immune to;\n"
       md ++= s"q188 — the band sweep on the boilerplate-heavy documents,\n"
-      md ++= s"where band buckets genuinely collide across sources.\n"
+      md ++= s"where band buckets genuinely collide across sources;\n"
+      md ++= s"q216/q227/q92 — the streaming family under HOT-KEY skew (one\n"
+      md ++= s"user owns the click side of half the corpus): join state piles\n"
+      md ++= s"under one key / one state partition, and one session group\n"
+      md ++= s"carries half the stream — read their `state` columns against\n"
+      md ++= s"the uniform rows above.\n"
       md ++= s"Not fail-enforced: a steeper slope here can be\n"
       md ++= s"the data genuinely holding more pairs/drift to report.\n\n"
-      md ++= s"| gate | 1× s | skewed ${factor}× s | ratio | spw 1× | spw ${factor}× |\n"
-      md ++= s"|---|---:|---:|---:|---:|---:|\n"
+      md ++= s"| gate | 1× s | skewed ${factor}× s | ratio | spw 1× | spw ${factor}× | state 1× | state ${factor}× |\n"
+      md ++= s"|---|---:|---:|---:|---:|---:|---:|---:|\n"
       skewResults.foreach { r =>
         // " (skew)" suffix keeps these DIAGNOSTIC rows out of
         // DocsConsistencySpec's gate-row parser (and its ≥15 fail rule)
-        md ++= s"| ${r.gate} (skew) | ${f2(r.t1)} | ${f2(r.tN)} | ${f2(r.ratio)} | ${r.spw1} | ${r.spwN} |\n"
+        md ++= s"| ${r.gate} (skew) | ${f2(r.t1)} | ${f2(r.tN)} | ${f2(r.ratio)} | ${r.spw1} | ${r.spwN} | ${r.state1} | ${r.stateN} |\n"
       }
     }
     md ++= History
     Files.writeString(Paths.get(outMd), md.toString)
     val json = results.map(r =>
-      s""""${r.gate}":{"t1":${f2(r.t1)},"tN":${f2(r.tN)},"ratio":${f2(r.ratio)},"spw1":${r.spw1},"spwN":${r.spwN}}""")
+      s""""${r.gate}":{"t1":${f2(r.t1)},"tN":${f2(r.tN)},"ratio":${f2(r.ratio)},"spw1":${r.spw1},"spwN":${r.spwN},"state1":${r.state1},"stateN":${r.stateN}}""")
       .mkString("{\"factor\":" + factor + ",\"gates\":{", ",", "}}")
     println(json)
     results
@@ -522,6 +583,38 @@ object ScaleProbe {
       |  load more than data shape. Every measure ever taken is under
       |  the 15× fail gate; the committed row carries the latest
       |  full-suite number with this note as provenance.
+      |- **r15: the r12–r14 streaming probe rows were measuring EMPTY
+      |  drives.** Found by the new state meter the instant it landed:
+      |  q216's 4× peak state read 2 rows vs 4020 at 1×, and a RowCount
+      |  audit confirmed ZERO output rows for q92/q216/q227 on the
+      |  scaled corpus. Root cause: the drive builders symlinked
+      |  `events.parquet` into the drive dir, which is a single FILE in
+      |  every shipped corpus (so Verify/Bench were always correct) but
+      |  a Spark-written DIRECTORY in the probe's scratch builds — and
+      |  FileStreamSource does not descend into a directory entry, so
+      |  the N× drives processed only their flush files. Every committed
+      |  streaming slope before this round therefore measured fixed
+      |  overhead, not state growth. Fixed by `EventQueries.stageCorpus`
+      |  (symlink a file; coalesce(1)-stage a directory — part-file
+      |  symlinks would advance the watermark mid-corpus under
+      |  maxFilesPerTrigger=1 and drop unordered parts as late), and
+      |  guarded by the `state` columns themselves: an empty drive now
+      |  shows state ≈ 0 next to a non-zero 1× row. Re-measured honestly
+      |  at 4×/sf0.01: q216 0.95, q227 1.03, q92 0.84, state exactly 4×
+      |  (4020→16080, 150→600); the 10× rows in this table are the first
+      |  real ones.
+      |- **r15: q112's noise ceiling fixed structurally** (VERDICT r14
+      |  #4): the gate's reused frames were in-memory `.cache()`s, so
+      |  under suite memory pressure the evicted docArr partitions were
+      |  rebuilt (full shingle→df-order groupBy) per lost partition in
+      |  the middle of the verify join — the 3–10× swings above. The
+      |  df-ordered doc-array frame is now a file-backed Scratch parquet
+      |  checkpoint (the coPurchaseEdges pattern): three consecutive
+      |  isolated probe runs after the change measure steady-state
+      |  4.69 / 5.38 / 4.95 s at 10× (1.15× spread, vs 4.39/10.22/7.07 =
+      |  2.3× before), for ~+0.9 s of deterministic parquet I/O in the
+      |  isolated base — stability bought at a visible, fixed price
+      |  rather than an unbounded eviction lottery.
       |- **r14: the hub-skew wedge probe confirms the orientation bound**
       |  (VERDICT r13 #3): with one part in HALF the baskets (hub degree ~
       |  the whole part universe), q125/q335/q341 measure skew ratios
