@@ -367,12 +367,6 @@ object Streaming {
     * Runs with Trigger.AvailableNow semantics via processAllAvailable in
     * [[runOnce]]-style drives; swap the body for MERGE INTO on a
     * transactional table format in production. */
-  /** File-source stream over `source`, which may be a directory OR a single
-    * parquet file. FileStreamSource force-sets `basePath` to the path
-    * whenever the path is NOT a glob, and then rejects a non-directory
-    * basePath — so a plain file path can never work. Rewriting the file
-    * path as a one-file glob (`…/events.parque[t]`) suppresses that
-    * override; glob base paths resolve to the parent directory. */
   /** Peak stateful-operator footprint per drive (r15, VERDICT r14 #7 —
     * the streaming family's skew behavior was the one SCALING.md didn't
     * measure). After every drive the helpers below record the MAX of
@@ -402,6 +396,12 @@ object Streaming {
     }
   }
 
+  /** File-source stream over `source`, which may be a directory OR a single
+    * parquet file. FileStreamSource force-sets `basePath` to the path
+    * whenever the path is NOT a glob, and then rejects a non-directory
+    * basePath — so a plain file path can never work. Rewriting the file
+    * path as a one-file glob (`…/events.parque[t]`) suppresses that
+    * override; glob base paths resolve to the parent directory. */
   private def fileStream(spark: SparkSession, source: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val schema = spark.read.parquet(source).schema
