@@ -522,6 +522,105 @@ object DedupQueries {
           .otherwise(0L).as("precision_bp"))
   }
 
+  /** The banding configs of the q360 hot-band readout: the nested
+    * coarse→fine divisor splits of the 12-hash signature (each 6-row or
+    * 4-row band is a concatenation of whole 2-row bands, so the
+    * candidate sets are provably nested C(2) ⊆ C(3) ⊆ C(6) — the
+    * monotonicity Round15Spec asserts). */
+  private[ops] val HotBandConfigs: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (6, 2))
+
+  /** LSH RECALL UNDER HOT-BUCKET DOCUMENT SKEW (q360, VERDICT r14 #7) —
+    * q359's hot-cell audit translated to the text-dedup side: q188's
+    * band sweep reports corpus-average recall, but dedup traffic is not
+    * average — boilerplate-heavy near-dup clusters pile into ONE band
+    * bucket, and that bucket is exactly where banding coarseness can
+    * hide true pairs (a boilerplate doc's true near-dups are the ones
+    * most likely to differ in just the hashes a coarse band concatenates).
+    * The query set is therefore the 10 lowest-id documents in the
+    * MOST-OCCUPIED (band, bkey) bucket of the production 6×2 banding
+    * (n-desc, band-asc, bkey-asc election — a total order), and the
+    * readout is per banding config (2×6, 3×4, 6×2): candidate count,
+    * hits against the exact ground truth, floor-bp recall AND floor-bp
+    * precision, plus the hot bucket's identity and occupancy so the
+    * artifact shows WHICH worst case was measured. Both ratios matter
+    * because a hot bucket comes in two kinds and the audit must expose
+    * either: a true near-dup cluster (recall says whether banding keeps
+    * it — the sf0.01 corpus) or a pure min-hash COLLISION cluster
+    * (n_true = 0, recall vacuously guarded to 0, and precision shows
+    * the candidate volume is all wasted verify work — the sf0.1 corpus,
+    * where the 12-member hot bucket yields 115 candidates and 0 true
+    * pairs). Ground truth is the brute-force yardstick
+    * (q359 rule): 10 broadcast query shingle-sets against the corpus set
+    * table — designed-linear, never all-pairs — with J ≥ 0.3 decided by
+    * the integer cross-mult 13c ≥ 3(|q|+|d|) (threshold rule, no
+    * doubles). Candidate generation stays band-keyed (equi-join on
+    * (band, bkey)) at every config; the hot-bucket election is one tiny
+    * census + a 1-row broadcast. */
+  def lshHotBandRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // one shingle pass feeds signatures, band keys, and verify sets
+    val sigsAndSets = docs
+      .select($"doc_id", explode(Dedup.wordShingles($"text", ShingleSize)).as("shingle"))
+      .groupBy($"doc_id")
+      .agg(collect_set($"shingle").as("shset"),
+        (0 until NumHashes).map(i => Dedup.minhash(col("shingle"), i).as(s"h$i")): _*)
+      .cache()
+    val banded6 = Dedup.bandKeys(sigsAndSets, "doc_id", Bands, NumHashes / Bands)
+    val hot = banded6.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n_hot"))
+      .orderBy($"n_hot".desc, $"band".asc, $"bkey".asc).limit(1)
+      .select($"band".as("hot_band"), $"bkey".as("hot_bkey"), $"n_hot")
+    val queries = banded6
+      .join(broadcast(hot), $"band" === $"hot_band" && $"bkey" === $"hot_bkey")
+      .orderBy($"doc_id").limit(10)
+      .select($"doc_id".as("query_id"))
+    val sets = sigsAndSets.select($"doc_id", $"shset",
+      size($"shset").cast("long").as("sz"))
+    val qsets = sets.join(broadcast(queries), $"doc_id" === $"query_id")
+      .select($"query_id", $"shset".as("qset"), $"sz".as("qsz"))
+    // cached: the true-pair frame feeds the per-config hit join three
+    // times AND the n_true count (the q186/q359 rule)
+    val truePairs = sets
+      .crossJoin(broadcast(qsets))
+      .filter($"doc_id" =!= $"query_id")
+      .select($"query_id", $"doc_id".as("cand_id"),
+        size(array_intersect($"qset", $"shset")).cast("long").as("c"),
+        $"qsz", $"sz")
+      .filter($"c" * 13 >= ($"qsz" + $"sz") * 3)
+      .select($"query_id", $"cand_id")
+      .cache()
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    val per = HotBandConfigs.map { case (b, r) =>
+      val qb = Dedup.bandKeys(
+          sigsAndSets.join(broadcast(queries), $"doc_id" === $"query_id"),
+          "doc_id", b, r)
+        .select($"doc_id".as("query_id"), $"band", $"bkey")
+      val cands = qb
+        .join(Dedup.bandKeys(sigsAndSets, "doc_id", b, r), Seq("band", "bkey"))
+        .filter($"query_id" =!= $"doc_id")
+        .select($"query_id", $"doc_id".as("cand_id"))
+        .distinct()
+      // global agg (no groupBy): a config with zero candidates still
+      // emits its row, matching the oracle's per-config aggregate
+      cands
+        .join(truePairs.withColumn("hit", lit(1L)), Seq("query_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(coalesce($"hit", lit(0L))), lit(0L)).as("n_hits"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          $"n_candidates", $"n_hits")
+    }.reduce(_ unionByName _)
+    per.crossJoin(broadcast(nTrue))
+      .crossJoin(broadcast(hot))
+      .select($"bands", $"rows_per_band",
+        $"hot_band", $"hot_bkey", $"n_hot",
+        $"n_candidates", $"n_hits", $"n_true",
+        when($"n_true" > 0, expr("(10000 * n_hits) DIV n_true"))
+          .otherwise(0L).as("recall_bp"),
+        when($"n_candidates" > 0, expr("(10000 * n_hits) DIV n_candidates"))
+          .otherwise(0L).as("precision_bp"))
+  }
+
   /** CROSS-SOURCE DUPLICATION MATRIX (q283) — where is shared
     * content leaking BETWEEN sources? Fingerprint = md5 of the first 32
     * characters (the head fingerprint that catches shared templates and
@@ -846,6 +945,93 @@ object DedupQueries {
        |    THEN (10000 * n_true_candidates) // n_candidates ELSE 0 END AS BIGINT)
        |    AS precision_bp
        |FROM u, tp""".stripMargin
+  }
+
+  // q360: full independent replay — same shingle/signature CTEs, the 6×2
+  // banding elects the hot bucket (count desc, band asc, bkey asc — the
+  // engine's total order), its 10 lowest doc_ids become the query set,
+  // ground truth is the 10-query × corpus brute force with the 13c ≥
+  // 3(|q|+|d|) cross-mult, and each config's candidates come from its own
+  // banded equi-join. Per-config aggregates are global (no GROUP BY), so
+  // a zero-candidate config still emits its row, matching the engine's
+  // per-config agg-union. `//` on non-negative BIGINTs = Spark's DIV.
+  private lazy val hotBandRecallOracle = {
+    val cfgCtes = HotBandConfigs.map { case (b, r) =>
+      val bandsCte =
+        if (b == Bands) "" // the 6×2 config reuses the election banding
+        else s"""hb$b AS (
+                 |  ${bandSelectsFor(b, r)}
+                 |), """.stripMargin
+      val src = if (b == Bands) "bands6" else s"hb$b"
+      s"""${bandsCte}cnd$b AS (
+         |  SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id
+         |  FROM $src q JOIN qs ON q.doc_id = qs.query_id
+         |  JOIN $src c ON c.band = q.band AND c.bkey = q.bkey
+         |    AND c.doc_id <> q.doc_id
+         |), st$b AS (
+         |  SELECT $b AS bands, $r AS rows_per_band,
+         |    CAST(count(*) AS BIGINT) AS n_candidates,
+         |    coalesce(sum(CASE WHEN tp.cand_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+         |      AS n_hits
+         |  FROM cnd$b LEFT JOIN tp
+         |    ON cnd$b.query_id = tp.query_id AND cnd$b.cand_id = tp.cand_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = HotBandConfigs.map { case (b, _) => s"SELECT * FROM st$b" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list(s)) AS shset FROM ex GROUP BY doc_id
+       |), szs AS (
+       |  SELECT doc_id, shset, CAST(len(shset) AS BIGINT) AS sz FROM sets
+       |), bands6 AS (
+       |  $bandSelects
+       |), hot AS (
+       |  SELECT band AS hot_band, bkey AS hot_bkey,
+       |    CAST(count(*) AS BIGINT) AS n_hot
+       |  FROM bands6 GROUP BY 1, 2
+       |  ORDER BY n_hot DESC, hot_band ASC, hot_bkey ASC LIMIT 1
+       |), qs AS (
+       |  SELECT doc_id AS query_id FROM bands6 JOIN hot
+       |    ON band = hot_band AND bkey = hot_bkey
+       |  ORDER BY doc_id LIMIT 10
+       |), qsz AS (
+       |  SELECT query_id, shset AS qset, sz AS qsz
+       |  FROM qs JOIN szs ON szs.doc_id = qs.query_id
+       |), tp AS (
+       |  SELECT q.query_id, s.doc_id AS cand_id
+       |  FROM qsz q JOIN szs s ON s.doc_id <> q.query_id
+       |  WHERE CAST(len(list_intersect(q.qset, s.shset)) AS BIGINT) * 13
+       |    >= (q.qsz + s.sz) * 3
+       |), ntp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp
+       |),
+       |$cfgCtes,
+       |u AS (
+       |  $unions
+       |)
+       |SELECT CAST(bands AS INTEGER) AS bands,
+       |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       |  CAST(hot.hot_band AS INTEGER) AS hot_band,
+       |  hot.hot_bkey AS hot_bkey,
+       |  hot.n_hot AS n_hot,
+       |  n_candidates,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  ntp.n_true AS n_true,
+       |  CAST(CASE WHEN ntp.n_true > 0 THEN (10000 * n_hits) // ntp.n_true
+       |    ELSE 0 END AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN n_candidates > 0 THEN (10000 * n_hits) // n_candidates
+       |    ELSE 0 END AS BIGINT) AS precision_bp
+       |FROM u, ntp, hot""".stripMargin
   }
 
   // q349: identical parity bit (low bit of the first hex digit via
