@@ -188,13 +188,30 @@ object Graph {
     * and one hash-agg — both keyed on vertex id, partial-aggregated map
     * side. The driver only builds the (iters-deep) plan; no per-vertex
     * driver state. At web scale pick `scale` so |V|·scale·17 < 2⁶³ (the
-    * sum bound) — or shard the rank column into hi/lo longs. */
+    * sum bound) — or shard the rank column into hi/lo longs.
+    *
+    * The degree frame is CHECKPOINTED as a tiny parquet hop (r15
+    * optimization, the [[bfsFrontiers]]/[[labelPropagation]] scratch
+    * pattern): deg is read once per iteration plus once for the seed —
+    * lazily it was an independent subtree each time, so the full 2-scan
+    * degree agg re-executed iters+1 times (the q130 static plan carried
+    * 14 scans; checkpointed it carries iters·2 = 6 over the edge list).
+    * The file hop (not a `.persist`) keeps real size statistics so every
+    * per-iteration deg join stays a broadcast. */
   def integerPageRank(edges: DataFrame, iters: Int = 3,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      scratchKey: Option[String] = None): DataFrame = {
     require(scale % 20 == 0, "scale must be divisible by 20 for an exact base term")
+    val run = scratchKey.map(k => graft.Scratch.named(s"pagerank_$k"))
+      .getOrElse(graft.Scratch.fresh("graft_pagerank_"))
     val adj = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-    val deg = adj.groupBy(col("src").as("vtx")).agg(count(lit(1)).as("deg"))
+    val deg = {
+      val p = run.resolve("deg").toString
+      adj.groupBy(col("src").as("vtx")).agg(count(lit(1)).as("deg"))
+        .write.mode("overwrite").parquet(p)
+      edges.sparkSession.read.parquet(p)
+    }
     val base = lit(scale / 20 * 3)
     var pr = deg.select(col("vtx"), lit(scale).as("pr"), col("deg"))
     (1 to iters).foreach { _ =>
@@ -277,10 +294,19 @@ object Graph {
     * hash-min propagation finds reachability; frequency propagation finds
     * DENSITY — a vertex between two communities goes where more of its
     * neighbors are. Each iteration is one adjacency join + a (vtx, label)
-    * count + a per-vertex arg-max window (state per vertex = its degree,
-    * never the graph); labels are integers throughout, so both engines
-    * replay the same fixed-iteration trajectory exactly. Returns the
-    * community census after `iters` rounds.
+    * count + a per-vertex arg-max (state per vertex = its degree, never
+    * the graph); labels are integers throughout, so both engines replay
+    * the same fixed-iteration trajectory exactly. Returns the community
+    * census after `iters` rounds.
+    *
+    * The arg-max is a lexicographic struct MAX — max(c, −lbl) picks the
+    * most frequent label, ties to the SMALLEST label — not a row_number
+    * window (r15 optimization): the window formulation paid a second
+    * full exchange plus a sort of the (vtx, lbl, c) frame per round,
+    * while the struct max is one more hash-agg with map-side partial
+    * aggregation (the shuffled rows collapse to one per vertex before
+    * they move). Identical trajectory: both formulations realize the
+    * same (count DESC, label ASC) arg-max.
     *
     * Each round's label frame is CHECKPOINTED as a parquet hop (same
     * rationale as [[bfsFrontiers]]/[[kCorePeelCensus]]): round r's join
@@ -290,7 +316,6 @@ object Graph {
   def labelPropagation(spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame, iters: Int = 3,
       scratchKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val run = scratchKey.map(k => graft.Scratch.named(s"lpa_$k"))
       .getOrElse(graft.Scratch.fresh("graft_lpa_"))
     def hop(df: DataFrame, tag: String): DataFrame = {
@@ -302,16 +327,15 @@ object Graph {
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     var labels = adj.select(col("src").as("vtx")).distinct()
       .select(col("vtx"), col("vtx").as("lbl"))
-    val byVtx = Window.partitionBy(col("vtx"))
-      .orderBy(col("c").desc, col("lbl").asc)
     (1 to iters).foreach { i =>
       labels = hop(
         adj.join(labels, adj("src") === labels("vtx"))
           .groupBy(col("dst").as("vtx"), col("lbl"))
           .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(byVtx))
-          .filter(col("rn") === 1)
-          .select(col("vtx"), col("lbl")), s"l$i")
+          .groupBy(col("vtx"))
+          .agg(max(struct(col("c").as("c"), negate(col("lbl")).as("neg"),
+            col("lbl").as("lbl"))).as("m"))
+          .select(col("vtx"), col("m").getField("lbl").as("lbl")), s"l$i")
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
@@ -351,25 +375,32 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("vtx")).unionAll(e.select(col("v").as("vtx")))
         .groupBy(col("vtx")).agg(count(lit(1)).as("deg"))
-    val k0 = degrees(edges)
-      .agg(expr("sum(deg) div count(*)").as("k"))
     var cur = edges.select(col("u"), col("v"))
+    // The per-round degree frame is CHECKPOINTED (r15 optimization):
+    // lazily it was an independent subtree under each of its readers —
+    // the keep filter AND the census' n_before count each re-ran the
+    // 2-scan degree agg (2× per round), and k0 re-derived round 1's
+    // degrees a third time. One tiny (≤|V| rows) parquet hop per round
+    // serves all of them; k0 is a 1-row agg over the round-1 hop.
+    var deg = ckpt(degrees(cur), "deg1")
+    val k0 = deg.agg(expr("sum(deg) div count(*)").as("k"))
     val census = (1 to rounds).map { r =>
-      val deg = degrees(cur)
+      val degR = deg
       val keep = ckpt(
-        deg.crossJoin(broadcast(k0)).filter(col("deg") >= col("k"))
+        degR.crossJoin(broadcast(k0)).filter(col("deg") >= col("k"))
           .select(col("vtx")), s"keep$r")
       val next = ckpt(
         cur.join(keep.select(col("vtx").as("u")), Seq("u"))
           .join(keep.select(col("vtx").as("v")), Seq("v"))
           .select(col("u"), col("v")), s"e$r")
-      val row = deg.agg(count(lit(1)).as("n_before"))
+      val row = degR.agg(count(lit(1)).as("n_before"))
         .crossJoin(keep.agg(count(lit(1)).as("n_kept")))
         .crossJoin(next.agg(count(lit(1)).as("n_edges")))
         .select(lit(r).as("round"),
           (col("n_before") - col("n_kept")).as("n_removed"),
           col("n_kept"), col("n_edges"))
       cur = next
+      if (r < rounds) deg = ckpt(degrees(cur), s"deg${r + 1}")
       row
     }
     census.reduce(_ unionAll _)

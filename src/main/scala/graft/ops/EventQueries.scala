@@ -1569,7 +1569,15 @@ object EventQueries {
     * distributed prefix sum — the r12 `weak` ran it as one
     * single-partition window over ~2×sessions rows); the peak and the
     * first instant it is reached. The sweep frame is two rows per
-    * session — session-sized, never event-sized. */
+    * session — session-sized, never event-sized.
+    *
+    * The session frame is localCheckpoint-ed (r15 optimization): it feeds
+    * THREE consumers — both delta union legs and the n_sessions count —
+    * and each lazily re-ran the event scan + sessionize window (the q132
+    * checkpoint rule). The peak pick is one bounded TakeOrdered over the
+    * sweep output (conc DESC, t ASC, limit 1) instead of a max-agg
+    * cross-joined back against a second full read of the sweep — same
+    * (first instant, peak) row, one pass. */
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -1583,16 +1591,15 @@ object EventQueries {
       .groupBy($"user_id", $"sid")
       .agg(min(unix_micros($"ts")).as("st"),
         (max(unix_micros($"ts")) + 1).as("en"))
+      .localCheckpoint()
     val deltas = sessions.select($"st".as("t"), lit(1L).as("delta"))
       .unionByName(sessions.select($"en".as("t"), lit(-1L).as("delta")))
       .groupBy($"t").agg(sum($"delta").as("net"))
     val run = graft.operators.Sweep.prefixSum(deltas, Seq($"t"), "net", "conc")
     val nSessions = sessions.count()
-    run.agg(max($"conc").as("peak")).crossJoin(run)
-      .filter($"conc" === $"peak")
-      .agg(min($"t").as("peak_at_us"), max($"peak").as("peak_concurrency"))
-      .select(lit(nSessions).as("n_sessions"), $"peak_concurrency",
-        $"peak_at_us")
+    run.orderBy($"conc".desc, $"t".asc).limit(1)
+      .select(lit(nSessions).as("n_sessions"),
+        $"conc".as("peak_concurrency"), $"t".as("peak_at_us"))
   }
 
   /** TOP CONVERSION PATHS (q280) — which event sequences actually lead

@@ -1354,7 +1354,15 @@ object ExtendedQueries {
   /** The shared a-priori lattice of q244/q344: distinct basket-item
     * incidence, 5%-support frequent items, per-basket pair enumeration.
     * Returns (annotated pairs — n_pair with n_a/n_b/n_baskets riding
-    * along, frequent items, basket count). */
+    * along, frequent items, basket count).
+    *
+    * The incidence frame `ob` and the frequent-item frame `freq` are
+    * localCheckpoint-ed (r15 optimization, the q132 checkpoint rule): the
+    * final pair plan reads ob through SEVEN independent subtrees (both
+    * pair self-join sides, the three freq broadcasts, the two n_baskets
+    * crossJoins), so the lineitem⋈part distinct used to execute ~7× per
+    * evaluation (the q244 static plan carried 22 scans; checkpointed the
+    * lattice computes each frame once). */
   private def frequentPairLattice(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
@@ -1362,11 +1370,13 @@ object ExtendedQueries {
       .join(Tables.part(spark, dir).select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("oid"), $"p_brand".as("item")).distinct()
+      .localCheckpoint()
     val nb = ob.agg(countDistinct($"oid").as("n_baskets"))
     val itemCnt = ob.groupBy($"item").agg(count(lit(1)).as("n_item"))
     val freq = itemCnt.crossJoin(broadcast(nb))
       .filter($"n_item" * 20 >= $"n_baskets")
       .select($"item", $"n_item")
+      .localCheckpoint()
     val obF = ob.join(broadcast(freq.select($"item")), Seq("item"))
       .select($"oid", $"item")
     val pairs = obF.as("x").join(obF.as("y"),

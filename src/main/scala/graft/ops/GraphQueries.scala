@@ -75,7 +75,8 @@ object GraphQueries {
     * unrolls the same three iterations as chained CTEs with `//` floor
     * division; DuckDB's HUGEINT window sums are pinned back to BIGINT. */
   def pagerank(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.integerPageRank(coPurchaseEdges(spark, dir))
+    graft.operators.Graph.integerPageRank(coPurchaseEdges(spark, dir),
+      scratchKey = Some(graft.Scratch.dirKey(dir)))
 
   /** 3-hop BFS reachability census
     * ([[graft.operators.Graph.bfsFrontiers]] — per-hop checkpointed

@@ -1686,49 +1686,74 @@ object PipelineQueries {
     * (source, 3-token-shingle) incidence frame (shingles, not unigrams:
     * single-token vocabularies nest almost fully across same-generator
     * sources, so one source would cover everything and kill rounds 2..k).
-    * k=3 driver-coordinated rounds, each
-    * one anti-join (drop covered shingles) + one per-source count + one
-    * O(1)-row argmax `head()` (ties to the lexicographically first
-    * source) — the same documented-O(k)-driver-state contract as q323's
-    * Gonzalez loop; the data-sized frames (incidence, covered set) never
-    * leave the cluster. A round with nothing left to cover stops the
-    * loop on both engines (the SQL's empty CTE drops the row the same
-    * way). The curation read: rounds' n_new is the marginal vocabulary
-    * each additional source is worth — the submodular diminishing-returns
-    * curve a data-mixing budget negotiates against. */
+    *
+    * Execution (r15 optimization — same greedy trajectory, a fraction of
+    * the passes): the distinct (source, shingle) incidence collapses to a
+    * per-shingle SOURCE BITMASK (`bit_or(1L << source_bit)` — source
+    * cardinality is checked ≤ 62), then to the tiny (mask, n_shingles)
+    * census, checkpointed once. Each greedy round is ONE aggregate over
+    * that census — marginal(s) = Σ n over masks holding bit s and no
+    * picked bit — so the k rounds cost k tiny jobs instead of k
+    * (anti-join + per-source count + distinct + checkpoint) passes over
+    * the full incidence. Driver state is O(2^sources) longs at most (in
+    * practice the handful of realized masks), same
+    * documented-O(k)-driver-rounds contract as q323's Gonzalez loop.
+    * Tie-breaks are unchanged: max marginal, ties to the
+    * lexicographically first source (bits are assigned in sorted source
+    * order, the scan keeps the first strict max); a round with nothing
+    * left to cover stops the loop on both engines (the SQL's empty CTE
+    * drops the row the same way). The curation read: rounds' n_new is the
+    * marginal vocabulary each additional source is worth — the submodular
+    * diminishing-returns curve a data-mixing budget negotiates against. */
   def greedySetCover(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 3
-    val p = Tables.documents(spark, dir)
+    val srcs = Tables.documents(spark, dir)
+      .select($"source").distinct().orderBy($"source")
+      .collect().map(_.getString(0))
+    require(srcs.length <= 62,
+      s"greedySetCover bitmask path supports ≤ 62 sources, got ${srcs.length}")
+    val srcBits = srcs.zipWithIndex.toSeq.toDF("source", "bit")
+    val masks = Tables.documents(spark, dir)
       .select($"source", explode(Dedup.wordShingles($"text", 3)).as("tok"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var covered: Option[DataFrame] = None
+      .join(broadcast(srcBits), "source")
+      .groupBy($"tok")
+      .agg(sum(expr("shiftleft(1L, bit)")).as("mask"))
+      .groupBy($"mask").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // sum(1L << bit) == bit_or over DISTINCT (source, tok) rows: each
+    // source contributes its bit at most once per shingle, so the per-tok
+    // sum IS the union mask (and stays < 2^62 — no overflow under ANSI)
     val rows = Vector.newBuilder[(Int, String, Long, Long)]
+    var picked = 0L
     var cum = 0L
     var done = false
     (1 to k).foreach { round =>
       if (!done) {
-        val rem = covered.fold(p)(c => p.join(c, Seq("tok"), "left_anti"))
-        val pick = rem.groupBy($"source").agg(count(lit(1)).as("n_new"))
-          .orderBy($"n_new".desc, $"source".asc).limit(1)
-          .collect().headOption
-        pick match {
-          case Some(r) =>
-            val (src, nNew) = (r.getString(0), r.getLong(1))
-            cum += nNew
-            rows += ((round, src, nNew, cum))
-            // the covered set grows by the winner's tokens; localCheckpoint
-            // truncates the per-round lineage (the q219 per-hop rule)
-            val next = covered.fold(p.filter($"source" === src).select($"tok"))(
-              c => c.unionAll(p.filter($"source" === src).select($"tok")))
-              .distinct().localCheckpoint()
-            covered = Some(next)
-          case None => done = true
+        // one tiny job: every source's marginal coverage in one pass over
+        // the uncovered slice of the mask census
+        val aggCols = srcs.indices.map(i =>
+          sum(when($"mask".bitwiseAND(lit(1L << i)) =!= 0L, $"n")
+            .otherwise(0L)).as(s"m$i"))
+        val r = masks.filter($"mask".bitwiseAND(lit(picked)) === 0L)
+          .agg(aggCols.head, aggCols.tail: _*).head()
+        // first strict max in bit (= sorted source) order — identical to
+        // the old orderBy(n_new DESC, source ASC).limit(1) pick
+        var best = -1
+        var bestN = 0L
+        srcs.indices.foreach { i =>
+          val v = if (r.isNullAt(i)) 0L else r.getLong(i)
+          if (v > bestN) { best = i; bestN = v }
+        }
+        if (best < 0) done = true // nothing left to cover — stop, as before
+        else {
+          picked |= 1L << best
+          cum += bestN
+          rows += ((round, srcs(best), bestN, cum))
         }
       }
     }
-    p.unpersist()
     spark.createDataFrame(rows.result())
       .toDF("round", "source", "n_new", "n_cum")
   }
