@@ -332,12 +332,26 @@ object PipelineQueries {
   private[ops] def symspellPairs(names: DataFrame): DataFrame = {
     val spark = names.sparkSession
     import spark.implicits._
+    // r15 optimization, result-identical: (1) the candidate equi-join runs
+    // on xxhash64(k) instead of the key STRING — an 8-byte shuffle key and
+    // integer compares instead of ~18-char strings; a hash collision can
+    // only ADD candidates (two names whose distinct keys collide), and a
+    // colliding pair either is a true distance-≤1 pair (then the
+    // completeness theorem says it already shared a real key — the
+    // distinct absorbs the duplicate) or fails the exact levenshtein
+    // verify below, so the verified pair set is unchanged. (2) the verify
+    // uses the THRESHOLD levenshtein (early-exit banded DP, O(len) for
+    // threshold 1 instead of the full O(len²) table; it returns -1 above
+    // the threshold and the candidates are distinct names, so `≠ -1` is
+    // the old `<= 1` in ONE evaluation — a between would evaluate the DP
+    // twice inside the join condition Catalyst folds this filter into).
     val dels = symspellKeys(names)
-    val cand = dels.as("a")
-      .join(dels.as("b"), $"a.k" === $"b.k" && $"a.name" < $"b.name")
-      .select($"a.name".as("na"), $"b.name".as("nb"))
+    val cand = dels.select($"name".as("na"), xxhash64($"k").as("h"))
+      .join(dels.select($"name".as("nb"), xxhash64($"k").as("h")), "h")
+      .filter($"na" < $"nb")
+      .select($"na", $"nb")
       .distinct()
-    cand.filter(levenshtein($"na", $"nb") <= 1)
+    cand.filter(levenshtein($"na", $"nb", 1) =!= -1)
   }
 
   /** The verified distance-≤1 pair set as a memoized derived table — the
