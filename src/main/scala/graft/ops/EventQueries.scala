@@ -126,7 +126,7 @@ object EventQueries {
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.enableNanosRead(spark)
-    // dedup state store partitions sized by runOnce (statePartitions=8)
+    // dedup state store partitions derived from source bytes by runOnce
     graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
       ev => graft.streaming.Streaming.dedupStream(
           Tables.rebuildNanosTs(ev)
@@ -165,7 +165,7 @@ object EventQueries {
     import spark.implicits._
     Tables.enableNanosRead(spark)
     // A stream-stream join materializes FOUR state stores per shuffle
-    // partition; runOnce sizes state partitions to the drive (8).
+    // partition; runOnce derives state partitions from the drive's bytes.
     graft.streaming.Streaming.runOnce(spark, s"$dir/events.parquet",
       ev => {
         val fixed = Tables.rebuildNanosTs(ev)
@@ -389,7 +389,7 @@ object EventQueries {
   def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (drivePath, sentinelUs) = q92DriveFor(spark, dir)
-    // per-key state store partitions sized by runOnce (statePartitions=8)
+    // per-key state store partitions derived from source bytes by runOnce
     graft.streaming.Streaming.runOnce(spark, drivePath,
       ev => {
         val typed = Tables.rebuildNanosTs(ev)

@@ -412,14 +412,41 @@ object Streaming {
     spark.readStream.schema(schema).options(options).parquet(path)
   }
 
+  /** Scale-ADAPTIVE state-store partition count (r15, guide §2 "derive
+    * partitioning from input size, never a constant tuned for either
+    * local mode or the cluster"): one state partition per 32 MiB of
+    * source bytes, floor 2. The old constant 8 was the r4 fix for the
+    * same disease one level up (32 = CPU count), but it still paid
+    * ~0.1 s of per-partition state-store commit + task-launch machinery
+    * per drive for toy state: the q216 drive measured 3.66–3.99 s at
+    * np=8 vs 2.67–2.91 s at np=2 with byte-identical output (19 870
+    * rows), and the saving is pure fixed overhead — batch 2 of that
+    * drive carries ZERO input rows yet cost 745 ms at np=8 (all
+    * addBatch) vs 382 ms at np=2. A deployment pins the count with
+    * `SPARK_GRAFT_STATE_PARTITIONS` (state sizing is an operational
+    * decision; the 32 MiB divisor is a default, not a law). Recovery
+    * safety: a streaming checkpoint persists its own
+    * `spark.sql.shuffle.partitions` in the offset-log conf and reuses
+    * it on restart, so q184's two-invocation recovery pair cannot
+    * diverge even if the derived count changed between runs. */
+  private[streaming] def statePartitionsFor(source: String): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse {
+      def bytes(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
+      val b = bytes(new java.io.File(source))
+      math.max(2L, (b + (32L << 20) - 1) / (32L << 20)).toInt
+    }
+
   /** Run `body` with `spark.sql.shuffle.partitions` (= the stateful
     * operators' state-store partition count) sized to the drive's state
     * volume instead of the batch session's CPU count, restoring after.
     * State partitioning is a per-deployment sizing decision pinned into
-    * the checkpoint; for the gate drives, 32 partitions would mean 4×
+    * the checkpoint; for the gate drives, 32 partitions would mean 16×
     * the state files, fsyncs, and per-batch task launches for toy state
     * (the ~12-14 s streaming-family fixed overhead of VERDICT r4 #6 was
-    * dominated by exactly this). Production sizes it to keys×bytes.
+    * dominated by exactly this). `n = 0` (the drive helpers' default)
+    * derives the count from the source via [[statePartitionsFor]].
     *
     * CONTRACT: the conf change is SESSION-GLOBAL while `body` runs — any
     * batch query planned concurrently in the same session would silently
@@ -444,9 +471,10 @@ object Streaming {
   def runForeachBatch(spark: SparkSession, sourceDir: String, outDir: String,
       plan: DataFrame => DataFrame, name: String,
       sourceOptions: Map[String, String] = Map.empty,
-      statePartitions: Int = 8,
+      statePartitions: Int = 0,
       checkpointDir: Option[String] = None,
-      outputMode: String = "append"): Unit = withStatePartitions(spark, statePartitions) {
+      outputMode: String = "append"): Unit = withStatePartitions(spark,
+    if (statePartitions > 0) statePartitions else statePartitionsFor(sourceDir)) {
     val stream = fileStream(spark, sourceDir, sourceOptions)
     val q = plan(stream).writeStream
       .outputMode(outputMode)
@@ -474,8 +502,9 @@ object Streaming {
   def runMergeSink(spark: SparkSession, sourceDir: String, root: String,
       delta: DataFrame => DataFrame, name: String,
       sourceOptions: Map[String, String] = Map.empty,
-      statePartitions: Int = 8): Unit =
-    withStatePartitions(spark, statePartitions) {
+      statePartitions: Int = 0): Unit =
+    withStatePartitions(spark,
+        if (statePartitions > 0) statePartitions else statePartitionsFor(sourceDir)) {
       import org.apache.spark.sql.functions._
       val stream = fileStream(spark, sourceDir, sourceOptions)
       val q = stream.writeStream
@@ -520,7 +549,8 @@ object Streaming {
       plan: DataFrame => DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete(),
       sourceOptions: Map[String, String] = Map.empty,
-      statePartitions: Int = 8): DataFrame = withStatePartitions(spark, statePartitions) {
+      statePartitions: Int = 0): DataFrame = withStatePartitions(spark,
+    if (statePartitions > 0) statePartitions else statePartitionsFor(sourceDir)) {
     val stream = fileStream(spark, sourceDir, sourceOptions)
     val q = plan(stream).writeStream
       .outputMode(mode)

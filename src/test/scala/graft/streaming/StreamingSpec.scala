@@ -638,4 +638,29 @@ class StreamingSpec extends SparkSpec {
       .collect().map(s => (s.user_id, s.n_events, s.total_value)).toSet
     assert(closed == Set((7L, 2L, 3.0)))
   }
+
+  test("state partition count derives from source bytes: floor 2, +1 per 32 MiB") {
+    // r15: the drive helpers size state-store partitions from the source's
+    // byte volume instead of a constant (guide §2 scale-adaptive
+    // partitioning). Floor is 2 even for an empty/missing source; one more
+    // partition per started 32 MiB after the first.
+    val dir = java.nio.file.Files.createTempDirectory("spf_test_").toFile
+    try {
+      def fileOf(n: String, bytes: Int): Unit = {
+        val f = new java.io.File(dir, n)
+        val out = new java.io.FileOutputStream(f)
+        try out.write(new Array[Byte](bytes)) finally out.close()
+      }
+      assert(Streaming.statePartitionsFor(dir.getPath) == 2) // empty dir
+      assert(Streaming.statePartitionsFor(dir.getPath + "/nope") == 2)
+      fileOf("a.parquet", 1 << 20) // 1 MiB
+      assert(Streaming.statePartitionsFor(dir.getPath) == 2)
+      val single = new java.io.File(dir, "a.parquet").getPath
+      assert(Streaming.statePartitionsFor(single) == 2) // plain-file source
+      fileOf("b.parquet", 80 << 20) // dir total 81 MiB -> ceil(81/32) = 3
+      assert(Streaming.statePartitionsFor(dir.getPath) == 3)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
 }
