@@ -214,8 +214,14 @@ object GraphQueries {
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
     val deg = adj.groupBy($"src".as("vtx")).agg(count(lit(1)).as("deg"))
       .withColumn("one", lit(1L))
+    // localCheckpoint: the vertex-count broadcast `nn` derives FROM the
+    // ranked frame, so uncheckpointed the edge-union + degree agg +
+    // prefix-sum range exchange executed twice — once under nn's max,
+    // once under the main shard leg (r15, the q132/q345 repeated-subtree
+    // rule; |V|-sized hop)
     val ranked = graft.operators.Sweep.prefixSums(deg, Seq($"vtx".asc),
       Seq("deg" -> "cum", "one" -> "r"))
+      .localCheckpoint()
     val nn = ranked.agg(max($"r").as("n"))
     ranked.crossJoin(broadcast(nn))
       .select($"deg", ($"cum" - $"deg").as("off"), $"cum",

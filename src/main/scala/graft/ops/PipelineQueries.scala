@@ -846,13 +846,33 @@ object PipelineQueries {
     val li = Tables.lineitem(spark, dir)
     val subjects = cust.filter(pmod($"c_custkey", lit(97)) === 3)
       .select($"c_custkey")
+    // localCheckpoint: the doomed-order key set feeds the lineitem
+    // anti-join AND the residual re-probe — uncheckpointed, the
+    // orders⋈subjects derivation ran once per reader (r15, the q132
+    // repeated-subtree rule; tiny ~1% key frame)
     val doomedOrders = orders
       .join(broadcast(subjects), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey")
-    def census(table: String, before: DataFrame, after: DataFrame,
-        residual: Long): DataFrame = {
-      val nb = before.count(); val na = after.count()
-      Seq((table, nb, nb - na, na, residual))
+      .localCheckpoint()
+    /** One aggregate pass over the erased survivors computes n_after AND
+      * the regulator's residual proof together: the residual re-probe is
+      * a LEFT join of the anti-join's output back against the subject
+      * keys (an honest recheck of the erasure — a leaked survivor row
+      * matches and counts), where the r15 shape change is only that the
+      * count rides the same scan as n_after instead of re-executing the
+      * whole anti-join lineage a second time (each `after` subtree used
+      * to run twice: once under count(), once under the residual join). */
+    def census(table: String, nb: Long, after: DataFrame,
+        probeKey: String, keys: DataFrame, keyCol: String): DataFrame = {
+      val r = after
+        .join(broadcast(keys.select(col(keyCol).as("__doomed"))),
+          col(probeKey) === col("__doomed"), "left")
+        .agg(count(lit(1)).as("na"),
+          coalesce(sum(when(col("__doomed").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("resid"))
+        .head()
+      val (na, resid) = (r.getLong(0), r.getLong(1))
+      Seq((table, nb, nb - na, na, resid))
         .toDF("table_name", "n_before", "n_removed", "n_after", "n_residual")
     }
     val custAfter = cust.join(broadcast(subjects), Seq("c_custkey"), "left_anti")
@@ -860,15 +880,11 @@ object PipelineQueries {
       .join(broadcast(subjects), $"o_custkey" === $"c_custkey", "left_anti")
     val liAfter = li
       .join(doomedOrders, $"l_orderkey" === $"o_orderkey", "left_anti")
-    val custResid = custAfter
-      .join(broadcast(subjects), Seq("c_custkey")).count()
-    val ordResid = ordAfter
-      .join(broadcast(subjects), $"o_custkey" === $"c_custkey").count()
-    val liResid = liAfter
-      .join(doomedOrders, $"l_orderkey" === $"o_orderkey").count()
-    census("customer", cust, custAfter, custResid)
-      .unionByName(census("orders", orders, ordAfter, ordResid))
-      .unionByName(census("lineitem", li, liAfter, liResid))
+    census("customer", cust.count(), custAfter, "c_custkey", subjects, "c_custkey")
+      .unionByName(census("orders", orders.count(), ordAfter,
+        "o_custkey", subjects, "c_custkey"))
+      .unionByName(census("lineitem", li.count(), liAfter,
+        "l_orderkey", doomedOrders, "o_orderkey"))
   }
 
   /** DECLARED-CONSTRAINT AUDIT SUITE (q232) — the Deequ-style contract
@@ -1812,10 +1828,15 @@ object PipelineQueries {
       struct(lit(3).as("level"),
         concat_ws("|", $"r_name", $"yy", expr("cents div 2500000")).as("qi"))
     )).as("x")).select($"x.level".as("level"), $"x.qi".as("qi"))
+    // localCheckpoint: the 4-row level summary feeds BOTH the output and
+    // the chosen-level agg below — uncheckpointed, the crossJoin's two
+    // legs each re-ran the whole orders-scan + explode + two-agg lineage
+    // (r15, the q132/q278 repeated-subtree rule; 8 scans → 4 in PLANS.md)
     val perLevel = lv.groupBy($"level", $"qi").agg(count(lit(1)).as("cls"))
       .groupBy($"level").agg(count(lit(1)).as("n_classes"),
         min($"cls").as("min_class_size"))
       .withColumn("meets_k", $"min_class_size" >= 5L)
+      .localCheckpoint()
     val firstPass = perLevel
       .agg(min(when($"meets_k", $"level")).as("chosen_level"))
     perLevel.crossJoin(broadcast(firstPass))
