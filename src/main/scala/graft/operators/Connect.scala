@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * neighbors) plus one equi-join of the edge set against that k-v min table
   * — both shuffle on the node id, never materialize a neighborhood list
   * (no `collect_list`, so a celebrity node cannot OOM a task; AQE handles
-  * its shuffle skew). Per-round driver state is ONE (count, checksum) row
-  * for the convergence test. Each round's edge frame is materialized with
+  * its shuffle skew). Per-round driver state is ONE boolean from the
+  * terminal-star census (see [[isTerminalStars]]), which recognizes the
+  * fixpoint the round it is produced instead of one confirming round
+  * later. Each round's edge frame is materialized with
   * an eager `localCheckpoint` — the convergence check forces a pass anyway,
   * and iterative plans MUST truncate lineage or the logical plan doubles
   * per round (union+join over the previous round) and planning itself
@@ -50,19 +52,16 @@ object Connect {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint() // eager: truncates lineage AND caches the blocks
-    var sig = checksum(e)
     var rounds = 0
-    var converged = sig._1 == 0L
+    var converged = e.isEmpty
     while (!converged) {
       rounds += 1
       if (rounds > maxRounds)
         throw new IllegalStateException(
           s"Connect.components did not converge in $maxRounds rounds")
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val nsig = checksum(next)
       e = next // previous round's blocks are released by the ContextCleaner
-      converged = nsig == sig
-      sig = nsig
+      converged = isTerminalStars(next)
     }
     // At the fixpoint the edge set is a union of stars (child, root) with
     // root = component min: children label from their edge, roots from
@@ -105,15 +104,31 @@ object Connect {
     reChildren.union(reCenter).distinct()
   }
 
-  /** Order-independent (count, hash-sum) fingerprint of a DISTINCT edge
-    * frame — one tiny driver row per convergence test. The hash sum runs in
-    * decimal(38,0): ANSI mode makes a long sum of xxhash64 values an
-    * overflow error, not a wrap. */
-  private def checksum(e: DataFrame): (Long, BigDecimal) = {
-    val r = e.agg(count(lit(1)),
-      coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
-        lit(BigDecimal(0)))).head()
-    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  /** Terminal-state test (r15 — replaces the old "run one MORE round and
+    * compare (count, hash-sum) signatures" scheme, which could only OBSERVE
+    * the fixpoint one full round after reaching it): a round's output is
+    * the fixpoint iff it is a union of SINGLE-PARENT stars — for every
+    * node, (i) its distinct parent set has size ≤ 1 and (ii) a node with a
+    * parent is never itself a parent (no chains). Such a set maps to
+    * itself under both stars (every child's only neighbor IS its root, the
+    * root's min is itself), and conversely any violation changes under the
+    * next round, so this detects exactly the states the signature test
+    * detected — one round earlier. Condition (i) is NOT redundant:
+    * small-star can emit a child with two parents mid-convergence (v a
+    * child of u₁ and u₂ with different minima), a state the naive "no root
+    * is also a child" test alone would wrongly accept. One aggregation
+    * over ≤ 2|E| rows (min≠max spots multi-parents without a
+    * countDistinct buffer); min/max ignore the root-marker rows' NULLs. */
+  private def isTerminalStars(e: DataFrame): Boolean = {
+    val nullP = lit(null).cast(e.schema("b").dataType)
+    e.select(col("a").as("n"), col("b").as("p"), lit(0).as("isroot"))
+      .union(e.select(col("b").as("n"), nullP.as("p"), lit(1).as("isroot")))
+      .groupBy(col("n"))
+      .agg(min(col("p")).as("lo"), max(col("p")).as("hi"),
+        max(col("isroot")).as("isp"))
+      .filter(col("lo") =!= col("hi") ||
+        (col("lo").isNotNull && col("isp") === 1))
+      .isEmpty
   }
 
   /** Dedup decision over near-dup pairs: cluster, then keep the minimum doc

@@ -59,6 +59,23 @@ class ConnectSpec extends SparkSpec {
     assert(run(Seq.empty).isEmpty)
   }
 
+  test("two roots sharing one child merge (multi-parent star census)") {
+    // {m1-c, m2-c}: small-star can emit c with TWO parents mid-convergence;
+    // the terminal-star test must NOT accept that state (its naive "no root
+    // is also a child" half alone would) — all three nodes must land on the
+    // component minimum.
+    val edges = Seq((10L, 30L), (20L, 30L))
+    val got = run(edges)
+    assert(got == ufComponents(edges))
+    assert(got.values.toSet == Set(10L))
+  }
+
+  test("input that is already a terminal star converges in one round") {
+    val edges = Seq((1L, 7L), (1L, 8L), (1L, 9L))
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
+
   test("dedupDecisions marks exactly the component minima as canonical") {
     val pairs = Seq((3L, 1L), (2L, 3L), (9L, 8L)).toDF("doc_a", "doc_b")
     val got = Connect.dedupDecisions(pairs, "doc_a", "doc_b")
