@@ -1986,57 +1986,64 @@ object EventQueries {
     * session CTEs — same answer, different join algorithm. */
   def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // The session frame feeds seven branches below (two global sweeps +
-    // four per-user union legs); localCheckpoint materializes the
-    // events-scan + sessionize window ONCE so each branch reads the
-    // checkpointed rows instead of re-deriving the full lineage.
+    // The session frame feeds the eight union legs below (4-kind global +
+    // 4-kind per-user); localCheckpoint materializes the events-scan +
+    // sessionize window ONCE so each leg reads the checkpointed rows
+    // instead of re-deriving the full lineage.
     val s = sessionize(spark, dir)
       .select($"user_id", $"session_id",
         unix_micros($"session_start").as("stu"),
         unix_micros($"session_end").as("enu"))
       .localCheckpoint()
 
-    // Global terms, chained so the second sweep carries the first's count.
-    val starts = s.select($"stu".as("v"))
-    val ends = s.select($"enu".as("v"))
-    val c1 = graft.operators.Sweep.countUpTo(
-      points = starts,
-      queries = s.select($"user_id", $"session_id", $"stu", $"enu".as("v")),
-      valueCol = "v", outCol = "c_start_le", strict = false)
-    val c12 = graft.operators.Sweep.countUpTo(
-      points = ends,
-      queries = c1.select($"user_id", $"session_id", $"c_start_le",
-        $"v".as("enu"), $"stu".as("v")),
-      valueCol = "v", outCol = "c_end_lt", strict = true)
-      .select($"user_id", $"session_id", $"v".as("stu"), $"enu",
-        ($"c_start_le" - $"c_end_lt").as("n_all"))
+    // ONE 4-kind union serves both terms (r15 — the two chained global
+    // sweeps and the two per-user window legs each re-shuffled the same
+    // rows; the k tie-breaks encode both inequalities in one sorted pass):
+    //   k=0  start points (d1=1): sort BEFORE equal-valued k=2 queries,
+    //        so run1 at a query counts starts <= en_i (non-strict);
+    //   k=1  "ends < st_i" query rows: sort BEFORE equal-valued k=3 end
+    //        points, so run2 here excludes ends == st_i (strict);
+    //   k=2  "starts <= en_i" query rows (read run1);
+    //   k=3  end points (d2=1).
+    // Ties beyond (v, k) are sum-safe: rows sharing (v, k) are same-kind,
+    // query rows carry zero deltas, and a prefix SUM over the tied block
+    // is order-independent — the countUpTo tie rule, two deltas at once.
+    def legs(withUser: Boolean): DataFrame = {
+      val nullSid = lit(null).cast("bigint").as("session_id")
+      val uid = if (withUser) $"user_id" else lit(null).cast("bigint").as("user_id")
+      s.select(uid, nullSid, $"stu".as("v"), lit(0).as("k"),
+          lit(1L).as("d1"), lit(0L).as("d2"))
+        .unionByName(s.select($"user_id", $"session_id", $"stu".as("v"),
+          lit(1).as("k"), lit(0L).as("d1"), lit(0L).as("d2")))
+        .unionByName(s.select($"user_id", $"session_id", $"enu".as("v"),
+          lit(2).as("k"), lit(0L).as("d1"), lit(0L).as("d2")))
+        .unionByName(s.select(uid, nullSid, $"enu".as("v"), lit(3).as("k"),
+          lit(0L).as("d1"), lit(1L).as("d2")))
+    }
+    // Global terms: one range exchange, two running counts.
+    val nAll = graft.operators.Sweep.prefixSums(legs(withUser = false),
+        Seq($"v".asc, $"k".asc), Seq("d1" -> "run1", "d2" -> "run2"))
+      .filter($"k" === 1 || $"k" === 2)
+      .groupBy($"user_id", $"session_id")
+      .agg((max(when($"k" === 2, $"run1"))
+        - max(when($"k" === 1, $"run2"))).as("n_all"))
 
     // Same-user correction (includes self, cancelling i's own overlap):
-    // identical sweep, but the running sums are per-user windows — point
-    // rows (delta 1) and query rows (delta 0) union on the same sort keys.
+    // the identical 4-kind sweep, but the running sums are per-user
+    // windows — one user-hash exchange + sort, both counts in one pass.
     val wUser = Window.partitionBy($"user_id").orderBy($"v", $"k")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // starts <= en_i: point starts sort before equal-valued queries (k 0<1)
-    val uStartLe = s.select($"user_id", $"stu".as("v"), lit(0).as("k"),
-        lit(1L).as("d"), lit(null).cast("bigint").as("session_id"))
-      .unionByName(s.select($"user_id", $"enu".as("v"), lit(1).as("k"),
-        lit(0L).as("d"), $"session_id"))
-      .withColumn("run", sum($"d").over(wUser))
-      .filter($"d" === 0L)
-      .select($"user_id", $"session_id", $"run".as("u_start_le"))
-    // ends < st_i: queries sort before equal-valued point ends (k 0<1)
-    val uEndLt = s.select($"user_id", $"enu".as("v"), lit(1).as("k"),
-        lit(1L).as("d"), lit(null).cast("bigint").as("session_id"))
-      .unionByName(s.select($"user_id", $"stu".as("v"), lit(0).as("k"),
-        lit(0L).as("d"), $"session_id"))
-      .withColumn("run", sum($"d").over(wUser))
-      .filter($"d" === 0L)
-      .select($"user_id", $"session_id", $"run".as("u_end_lt"))
+    val uCorr = legs(withUser = true)
+      .withColumn("run1", sum($"d1").over(wUser))
+      .withColumn("run2", sum($"d2").over(wUser))
+      .filter($"k" === 1 || $"k" === 2)
+      .groupBy($"user_id", $"session_id")
+      .agg((max(when($"k" === 2, $"run1"))
+        - max(when($"k" === 1, $"run2"))).as("u_corr"))
 
-    c12.join(uStartLe, Seq("user_id", "session_id"))
-      .join(uEndLt, Seq("user_id", "session_id"))
+    nAll.join(uCorr, Seq("user_id", "session_id"))
       .select($"user_id", $"session_id",
-        ($"n_all" - ($"u_start_le" - $"u_end_lt")).as("n_overlap"))
+        ($"n_all" - $"u_corr").as("n_overlap"))
   }
 
   /** Click-path mining: the top 20 event-type TRIGRAMS inside sessions —

@@ -271,14 +271,23 @@ object ExtendedQueries {
     val li = Tables.lineitem(spark, dir)
       .select($"l_returnflag".as("g"),
         ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("cents"))
-    val cuts = decileGrid(spark, dir)
-      .groupBy($"l_returnflag".as("g"))
-      .agg(collect_list($"cut_halfcents").as("cuts"))
+    // The nine cutpoints ride as nine COLUMNS of the broadcast side, not a
+    // collect_list array: the old `aggregate(cuts, ...)` lambda is an
+    // ArrayAggregate expression — a CodegenFallback that interpreted the
+    // whole per-row projection and broke the scan→join→agg codegen span
+    // (r15, guide "eliminate non-codegen expressions in the hot path").
+    // The when-chain sum is the identical counting rule (bucket = number
+    // of cutpoints strictly below 2·cents), now fully codegen.
+    val grid = decileGrid(spark, dir)
+    val cuts = grid.groupBy($"l_returnflag".as("g"))
+      .agg(min(when($"decile" === 1, $"cut_halfcents")).as("c1"),
+        (2 to 9).map(i =>
+          min(when($"decile" === i, $"cut_halfcents")).as(s"c$i")): _*)
+    val bucket = (1 to 9)
+      .map(i => when($"cents" * 2 > col(s"c$i"), 1).otherwise(0))
+      .reduce(_ + _)
     li.join(broadcast(cuts), "g")
-      .select($"g", $"cents",
-        aggregate($"cuts", lit(0),
-          (acc, cut) => acc + when($"cents" * 2 > cut, 1).otherwise(0))
-          .as("bucket"))
+      .select($"g", $"cents", bucket.as("bucket"))
       .groupBy($"g", $"bucket")
       .agg(count(lit(1)).as("n_rows"),
         sum($"cents").as("sum_cents"))
